@@ -1,0 +1,88 @@
+"""Keyspace / column-family style catalog over parquet directories.
+
+The reference's DDL surface (CassandraStorageHandler.preCreateTable /
+commitDropTable, /root/reference/.../cassandra/CassandraStorageHandler.java:235-283,
+CassandraManager.java:139-363) maps a Hive database to a Cassandra keyspace
+and a Hive table to a column family, creating them on demand.  Here a
+*keyspace* is a directory of parquet tables and a *column family* is one
+parquet table registered as a Spark temp view; DDL manages directories and
+catalog entries instead of Thrift system calls.
+
+The driver's fixture dirs (/root/testdata/sf*) are read-only keyspaces.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class Catalog:
+    """Register parquet-backed tables as Spark views, keyspace-style.
+
+    ≙ reference keyspace↔database / CF↔table resolution
+    (CassandraStorageHandler.java:41-53, CassandraManager.java:302-329):
+    unset names default to the Hive-side name; dotted ``db.table`` names are
+    stripped to the table part (AbstractColumnSerDe.java:284-302).
+    """
+
+    spark: SparkSession
+    registered: dict[str, str] = field(default_factory=dict)
+
+    @staticmethod
+    def table_name(name: str) -> str:
+        """Strip a dotted ``keyspace.table`` to the table part
+        (≙ AbstractColumnSerDe.java:284-302)."""
+        return name.rsplit(".", 1)[-1]
+
+    def register_keyspace(self, path: str, tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
+        """Register every ``<path>/<table>.parquet`` present as a temp view."""
+        for t in tables:
+            p = os.path.join(path, f"{t}.parquet")
+            if os.path.exists(p):
+                self.register_table(t, p)
+
+    def register_table(self, name: str, path: str) -> DataFrame:
+        name = self.table_name(name)
+        df = self.spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        self.registered[name] = path
+        return df
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(self.table_name(name))
+
+    # --- writable keyspaces (DDL; ≙ preCreateTable/commitDropTable) ---
+
+    def create_table(self, name: str, df: DataFrame, path: str, mode: str = "error") -> None:
+        """CREATE TABLE: write parquet + register.  ≙ create-CF-if-absent
+        (CassandraManager.createCFIfNotFound, CassandraManager.java:184-191)."""
+        df.write.mode(mode).parquet(path)
+        self.register_table(name, path)
+
+    def drop_table(self, name: str, delete_data: bool = False) -> None:
+        """DROP TABLE.  The reference only deletes data for managed tables
+        (unreachable — tables must be external, CassandraStorageHandler.java:267-283),
+        so the default here is likewise metadata-only."""
+        name = self.table_name(name)
+        path = self.registered.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+        if delete_data and path and os.path.isdir(path):
+            shutil.rmtree(path)

@@ -1,0 +1,307 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup (SURVEY.md §2.C).
+
+Scale posture (the whole point of these designs):
+
+- **exact**: one hash-aggregate shuffle on the normalized text — the
+  map-side partial collapses duplicates before the exchange.
+- **n-gram Jaccard** is quadratic if done naively; here it's an
+  *inverted-index* self-join on shingles: only docs sharing ≥1 shingle meet,
+  and the join key (shingle) is high-cardinality → well-spread shuffle.
+  Still the exact method — use on candidate sets, not raw 100 TB.
+- **MinHash+LSH** is the sub-quadratic scale path: O(docs × hashes) for
+  signatures (map-side-combined groupBy), then candidates only where a band
+  bucket collides. All hashing is md5-based and deterministic → the whole
+  pipeline is oracle-comparable in ANSI SQL (rare for LSH; we exploit it
+  for the correctness gate).
+- **SimHash**: fixed 32-bit signature per doc, candidates via 8-bit band
+  collision, verify by Hamming distance — constant state per doc.
+- **embedding near-dup**: cosine over a blocking key to keep the pair space
+  bounded; the unblocked variant is in similarity.py.
+
+No collect(), no driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hive_cassandra_spark.operators.text import normalize, tokens
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text. Docs shorter
+    than n tokens contribute their whole text as one shingle."""
+    toks = tokens(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - n + 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text: keep the minimum id per text, count
+    the group. One shuffle, map-side combined."""
+    return (
+        df.groupBy(normalize(F.col(text_col)).alias("norm_text"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("keeper_id", "dup_count")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via inverted-index self-join.
+
+    Returns (doc_a, doc_b, jaccard) for doc_a < doc_b with jaccard ≥
+    threshold; jaccard rounded to 4 for cross-engine comparability.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = F.round(
+        F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4
+    ).alias("jaccard")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", j)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- MinHash ---
+
+def _seed_tags(num_hashes: int) -> list[str]:
+    return [f"{i:02d}" for i in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    n: int = 3,
+) -> DataFrame:
+    """(doc, seed, minhash) per document and hash function.
+
+    Hash family: md5(seed || '|' || shingle) — deterministic, portable to
+    any engine with md5 (the min over hex strings is the min over the
+    128-bit values since the hex encoding is order-preserving).
+    Plan: explode shingles × seeds, then groupBy(doc, seed) min() —
+    map-side partial keeps the shuffle at |docs|×|seeds| rows.
+    """
+    seeds = F.array(*[F.lit(s) for s in _seed_tags(num_hashes)])
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .select("doc", "sh", F.explode(seeds).alias("seed"))
+        .groupBy("doc", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed"), F.lit("|"), F.col("sh")))).alias("minh"))
+    )
+
+
+def lsh_buckets(
+    sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc, band, bucket): band bucket = md5 of the band's ordered
+    minhashes. One shuffle on (doc, band)."""
+    band = (F.col("seed").cast("int") / rows_per_band).cast("int").alias("band")
+    return (
+        sig.select("doc", band, F.concat_ws(":", "seed", "minh").alias("tagged"))
+        .groupBy("doc", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("tagged")))).alias("bucket"))
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) colliding in ≥1 band. Join key (band, bucket)
+    is a hash — uniformly spread, no skew. Candidate count is the LSH
+    guarantee: ~quadratic only inside near-duplicate clusters."""
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: candidates from band collisions,
+    then *exact* Jaccard verification on the candidates only.
+
+    With b=4 bands of r=3 rows the LSH S-curve crosses ~(1/4)^(1/3)≈0.63,
+    so threshold ≤ ~0.6 keeps recall high while the verify step keeps
+    precision exact. Returns (doc_a, doc_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    cand = lsh_candidate_pairs(lsh_buckets(sig, bands, rows_per_band))
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shs")
+    )
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("shs").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("shs").alias("sh_b"))
+    j = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    ).alias("jaccard")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", j)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- SimHash ---
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash per document from md5-derived token hashes.
+
+    Token hash = first 8 hex chars of md5 (32 bits). Each token votes ±1
+    per bit position (with multiplicity); the signature bit is the vote
+    sign. Plan: explode tokens → one groupBy(doc) with 32 conditional sums
+    (all codegen'd) → assemble the signature. One shuffle.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc").agg(*votes)
+    sig = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(1, SIMHASH_BITS),
+        F.when(F.col("b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return agg.select("doc", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32 bits into 4 bytes; candidate
+    pairs share ≥1 exact byte at the same position (any pair within
+    Hamming ≤3 must agree on ≥1 of 4 bytes — pigeonhole); verify with
+    bit_count(xor). Returns (doc_a, doc_b, hamming)."""
+    sig = simhash(df, text_col, id_col)
+    bands = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("pos"),
+                        F.shiftright(F.col("simhash"), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "simhash", "bb.pos", "bb.byte")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).alias("hamming")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), ham)
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------- embedding near-dup ---
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold within a blocking key.
+
+    Blocking bounds the pair space (|block|² per block, not |corpus|²);
+    at 100 TB the block key is an LSH bucket or cluster id — here the
+    fixture's label. Cosine in double precision, rounded to 6.
+    """
+    from hive_cassandra_spark.operators.similarity import cosine
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos)
+        .filter(F.col("cosine") >= threshold)
+    )

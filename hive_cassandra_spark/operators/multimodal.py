@@ -1,0 +1,124 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata
+(SURVEY.md §2.C).
+
+Design: the payload is a ``BinaryType`` column; metadata is a typed struct
+alongside it. Heavy per-item work (decode, feature-extract, resize,
+frame-sample) runs as Arrow-batched ``mapInPandas`` so each Python worker
+sees a whole batch — the only sane shape for 100 TB of blobs. Real codec
+libraries (PIL/ffmpeg/librosa) are NOT in this container, so the decode
+kernels are stubbed: ``fake=True`` uses a deterministic byte-level fake
+(real schema, real partitioning, real batch plumbing — fake pixels);
+``fake=False`` raises NotImplementedError at the exact point the real
+library call belongs.
+
+The binary type itself mirrors the reference's binary cells incl. their
+Base64 sniff (CassandraLazyBinary.java:26-51 → codecs.decode_binary).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+FEATURE_BINS = 16
+
+META_SCHEMA = "struct<format:string,width:int,height:int,n_frames:int>"
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize an opaque binary payload + metadata struct from the
+    documents fixture (deterministic: payload = utf-8 bytes of the text;
+    metadata derived from the id). Stands in for reading real blobs."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            (F.pmod(F.col(id_col), F.lit(64)) + 16).cast("int").alias("width"),
+            (F.pmod(F.col(id_col), F.lit(48)) + 16).cast("int").alias("height"),
+            (F.pmod(F.col(id_col), F.lit(10)) + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def payload_stats(df: DataFrame) -> DataFrame:
+    """Cheap JVM-side metadata over binary payloads: byte length + sha256.
+    No Python boundary — this is the 'is the blob intact' scan you run
+    before spending decode cycles."""
+    return df.select(
+        "doc_id",
+        F.length(F.col("payload")).alias("payload_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode + feature-extract each payload → fixed-size float vector.
+
+    ``mapInPandas``: one Arrow batch in, one out; the UDF never sees a
+    Python object per row for the hot fields. Fake kernel = normalized
+    16-bin byte histogram (deterministic); real kernel = decode via
+    PIL/ffmpeg then embed — stubbed.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image/audio decode needs PIL/ffmpeg — not in this "
+                    "container; run with fake=True for the plumbing path"
+                )
+            feats = []
+            for buf in pdf["payload"]:
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_BINS).astype("float64")
+                total = hist.sum()
+                feats.append((hist / total if total else hist).round(6).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.mapInPandas(kernel, schema="doc_id long, features array<double>")
+
+
+def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize kernel (stub): real path needs PIL. Fake path re-emits a
+    deterministic truncated/padded payload of width*height bytes so the
+    downstream schema and batch shape are exercised."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real resize needs PIL — stubbed")
+            out = [
+                bytes(buf)[:size].ljust(size, b"\x00") for buf in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return df.mapInPandas(kernel, schema="doc_id long, payload binary")
+
+
+def frame_sample(df: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFrame:
+    """Sample n frames per 'video' payload → one output row per frame
+    (explode-shaped mapInPandas; frame = deterministic byte slice)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real frame extraction needs ffmpeg — stubbed")
+            ids, frames, idxs = [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(buf)
+                step = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(raw[i * step : i * step + step])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(kernel, schema="doc_id long, frame_idx int, frame binary")

@@ -1,0 +1,67 @@
+"""Relational surface helpers.
+
+The reference exposes Cassandra tables to the full HiveQL-0.9 operator set
+by contract (SURVEY.md §2.B; integration point
+/root/reference/.../cassandra/CassandraStorageHandler.java:26 plugging into
+hive-exec 0.9). Spark SQL supersedes all of it natively, so this module is
+deliberately thin: a few composition helpers whose *physical plan shape*
+matters at 100 TB, each documented with the plan we expect Catalyst to
+produce. Queries themselves live in ``hive_cassandra_spark.queries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def top_k(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+    """Global top-K. Plans as TakeOrderedAndProject: per-partition heap of K
+    then a K-row merge on the driver — no global sort, no full shuffle, so
+    it is safe at any input size for small K."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list, k: int, rank_name: str = "rn"
+) -> DataFrame:
+    """Top-K per group via row_number window: one shuffle on the group key.
+
+    (Hive 0.9 — the reference's engine — had no window functions at all;
+    this is part of the Spark superset, SURVEY.md §2.B "Windows".)
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Fact ⋈ broadcast(dim): no shuffle of the fact side. The correct plan
+    whenever the dim fits in executor memory (all TPC-H-ish dims here);
+    at 100 TB the fact side never moves."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def salted_join(
+    big: DataFrame,
+    skewed: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's hot keys, replicate the
+    small side across ``salt_buckets``. Use when AQE skew-join isn't enough
+    (e.g. one key holding >1/parallelism of all rows). Adds a ``__salt``
+    column internally and drops it.
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicated = skewed.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_big.join(replicated, [key, "__salt"], how)
+    return out.drop("__salt")

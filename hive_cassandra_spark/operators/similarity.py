@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (SURVEY.md §2.C).
+
+Two tiers:
+
+- ``brute_force_topk`` — exact cosine top-k: every (query, item) pair is
+  scored. Correctness baseline and the right plan when |queries| is small
+  (queries are broadcast; the item side streams — no shuffle of the corpus,
+  per-partition top-k via the window's partial TakeOrdered).
+- ``lsh_topk`` — the scale path: random-hyperplane LSH buckets both sides;
+  only bucket-colliding pairs are scored. Multi-table probing trades
+  compute for recall. Hyperplanes are seeded numpy, generated driver-side
+  once and shipped as literals (tiny: L×H×dim doubles), so the operator
+  stays deterministic and executor-local.
+
+Vector math is built-in ``zip_with``/``aggregate`` over array<double> —
+JVM-side, no Python boundary. (An IVF variant — k-means coarse quantizer +
+inverted lists — is the next step beyond LSH; its Spark shape is identical:
+bucket join on centroid id. Not yet implemented.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-matches excluded).
+
+    Plan shape: items ⋈ broadcast(queries) — the corpus never shuffles;
+    ranking is a window partitioned by query id (k small ⇒ partial
+    top-k per partition under AQE). Returns
+    (query_id, neighbor_id, cosine) with cosine rounded to 6.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    it = items.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("iv")
+    )
+    scored = (
+        it.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).randn(tables, bits, dim)
+
+
+def _bucket_cols(vec: Column, planes: np.ndarray) -> list[Column]:
+    """One signature string per LSH table: the sign bits of the hyperplane
+    projections, as a '0'/'1' string (a literal-folded dot product per
+    bit — codegen'd, no UDF)."""
+    out = []
+    for table in planes:
+        bits = []
+        for plane in table:
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        out.append(F.concat(*bits))
+    return out
+
+
+def lsh_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only bucket-colliding (query, item) pairs.
+
+    Candidates = pairs agreeing on the full ``bits``-bit signature in ≥1 of
+    ``tables`` tables. Join key (table, signature) is uniformly spread; the
+    corpus shuffles once on it. Recall rises with ``tables`` and falls with
+    ``bits`` (tested against brute force in tests/test_similarity.py).
+    """
+    planes = _hyperplanes(dim, bits, tables, seed)
+
+    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        sigs = _bucket_cols(v, planes)
+        pairs = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), s.alias("sig"))
+                for t, s in enumerate(sigs)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            v.alias(vec_alias),
+            F.explode(pairs).alias("b"),
+        ).select(id_alias, vec_alias, "b.tbl", "b.sig")
+
+    qb = with_buckets(queries, "query_id", "qv")
+    ib = with_buckets(items, "neighbor_id", "iv")
+    cand = (
+        ib.join(qb, ["tbl", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "iv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators over document tables (SURVEY.md §2.C).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs — so they scale to 100 TB of text:
+every operator here is a narrow per-row projection (no shuffle at all).
+
+Determinism contract: everything is a pure function of the text, so results
+are oracle-comparable against ANSI SQL (see queries.py / oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic scoring, not a trained model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+    "zh": ["的", "了", "是", "我", "不", "在", "有", "他", "这", "就"],
+}
+
+# Word-ish tokenization pattern shared with the oracle SQL ("BPE-ish"
+# regex: letter runs, digit runs, single punctuation marks).
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def normalize(text: Column) -> Column:
+    """Lowercase + whitespace-collapse + trim; the canonical form used by
+    fingerprinting and dedup."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the normalized text (empty strings dropped)."""
+    return F.filter(F.split(normalize(text), " "), lambda x: x != F.lit(""))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring feature set: lengths, token stats, punctuation and
+    digit ratios. One codegen'd projection, no shuffle."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    punct = n_chars - F.length(F.regexp_replace(t, "[.,;:!?]", ""))
+    digits = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
+    return df.select(
+        "*",
+        n_chars.alias("char_count"),
+        F.size(toks).alias("token_count"),
+        F.size(F.array_distinct(toks)).alias("uniq_token_count"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+        punct.alias("punct_count"),
+        F.round(digits / F.greatest(n_chars, F.lit(1)), 4).alias("digit_ratio"),
+    )
+
+
+def token_count_regex(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting with the BPE-ish regex (vs plain whitespace)."""
+    t = F.lower(F.col(text_col))
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), F.lit(0))).alias(
+            "regex_token_count"
+        ),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit score per language (distinct-token intersection size)."""
+    toks = F.array_distinct(tokens(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: argmax of stopword scores, deterministic
+    alphabetical tie-break, 'und' when no stopword hits at all."""
+    scores = lang_scores(F.col(text_col))
+    ordered = sorted(scores)  # alphabetical tie preference
+    best_name, best_score = F.lit(ordered[0]), scores[ordered[0]]
+    for lang in ordered[1:]:
+        wins = scores[lang] > best_score
+        best_name = F.when(wins, F.lit(lang)).otherwise(best_name)
+        best_score = F.when(wins, scores[lang]).otherwise(best_score)
+    return df.select(
+        "*", F.when(best_score > 0, best_name).otherwise(F.lit("und")).alias("lang_pred")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of the normalized text plus a polynomial
+    rolling hash (base 131, mod 1e9+7) — the rolling hash is the
+    incremental-update-friendly variant a 100 TB pipeline shards on."""
+    norm = normalize(F.col(text_col))
+    codes = F.transform(F.split(norm, ""), lambda ch: F.ascii(ch))
+    rolling = F.aggregate(
+        codes,
+        F.lit(7).cast("long"),
+        lambda acc, x: (acc * 131 + x) % F.lit(1000000007).cast("long"),
+    )
+    return df.select(
+        "*",
+        F.md5(norm).alias("fingerprint_md5"),
+        rolling.alias("fingerprint_roll"),
+    )

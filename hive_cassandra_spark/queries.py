@@ -1,0 +1,1186 @@
+"""The declared query inventory: every operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair.
+
+Each entry is a named query: ``fn(spark, sf_dir) -> DataFrame`` (pure
+DataFrame/SQL plans — no collect, no driver loops) plus, where the
+semantics are ANSI-SQL-expressible, an equivalent DuckDB SQL string the
+driver runs side-by-side for the correctness gate (CORRECTNESS_r{N}.json).
+
+Cross-engine comparability rules (applied on BOTH sides):
+- every computed column is aliased identically;
+- floats produced by arithmetic are round()ed (2 for money, 4 for ratios,
+  6 for cosines) — raw stored values pass through unrounded;
+- timestamps are emitted as 'yyyy-MM-dd HH:mm:ss' strings;
+- every LIMIT/top-k is fully ordered with a unique tie-break key.
+
+Sections: relational surface (§2.B), Cassandra table shapes (§2.A),
+LLM-pipeline extensions (§2.C), streaming (§2.B superset).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+from hive_cassandra_spark.operators import dedup, multimodal, relational, similarity, text, transpose
+from hive_cassandra_spark.streaming import events as streaming_events
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → driver's weaker rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
+    only surfaces as a nanos long (spark.sql.legacy.parquet.nanosAsLong);
+    truncate to micros (integer div — matches DuckDB's own nanos→micros
+    truncation) and restore TimestampType."""
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def _ts(col) -> F.Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# =====================================================================
+# §2.B — relational surface (scan/filter/agg/join/window/set-op/sort)
+# =====================================================================
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan → filter → 8-agg groupBy (SURVEY.md §7 step 1)",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_revenue_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure pushed-down filter + single-row agg",
+)
+def q02_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')        AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join, agg, deterministic top-10",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", _ts("o_orderdate").alias("orderdate"), "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q04_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS → left-semi join with non-equi residual",
+)
+def q04_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way star join; dims broadcast, fact never shuffles twice",
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q06_brand_volume",
+    oracle="""
+    SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_items, round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="broadcast dim join: fact side never shuffles (≙ Hive MAPJOIN hint)",
+)
+def q06_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        relational.broadcast_join(li, part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q07_customer_order_stats",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    doc="left outer join preserving customers without orders",
+)
+def q07_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q08_nation_coverage",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    doc="full outer join of two aggregates",
+)
+def q08_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nk == s.nk, "full")
+        .select(
+            F.coalesce(c.nk, s.nk).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "q09_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="anti join (NOT EXISTS)",
+)
+def q09_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q10_region_nation_matrix",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    doc="cross join (small dims only — guarded by size at scale)",
+)
+def q10_region_nation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "region")
+        .crossJoin(_t(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@register(
+    "q11_priority_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="distinct aggregate (two-phase distinct under the hood)",
+)
+def q11_priority_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q12_popular_brands",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+    FROM part GROUP BY p_brand HAVING count(*) >= 5
+    """,
+    doc="GROUP BY ... HAVING",
+)
+def q12_popular_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .filter(F.col("n_parts") >= 5)
+    )
+
+
+@register(
+    "q13_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="top-k per group via window row_number (Hive 0.9 had no windows — superset)",
+)
+def q13_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = relational.top_k_per_group(
+        orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn"
+    )
+
+
+@register(
+    "q14_running_supplier_volume",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+    FROM lineitem
+    """,
+    doc="running total window (deterministic full tie-break ordering)",
+)
+def q14_running_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+@register(
+    "q15_top_line_items",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+    doc="global top-K — plans as TakeOrderedAndProject, no full sort",
+)
+def q15_top_line_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.top_k(
+        li,
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        20,
+    ).select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+
+
+@register(
+    "q16_active_keys_union",
+    oracle="""
+    SELECT custkey, count(*) AS appearances FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      UNION ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+    ) GROUP BY custkey
+    """,
+    doc="UNION ALL (the only set op Hive 0.9 had) + re-aggregation",
+)
+def q16_active_keys_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return rich.unionAll(big).groupBy("custkey").agg(F.count(F.lit(1)).alias("appearances"))
+
+
+@register(
+    "q17_solvent_buyers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey FROM orders
+    """,
+    doc="INTERSECT (distinct) — superset of Hive 0.9 set ops",
+)
+def q17_solvent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    solvent = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey"))
+    )
+    buyers = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return solvent.intersect(buyers)
+
+
+@register(
+    "q18_never_finalized",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT (distinct)",
+)
+def q18_never_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    all_c = _t(spark, sf_dir, "customer").select("c_custkey")
+    final = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return all_c.subtract(final)
+
+
+@register(
+    "q19_scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 8))                     AS prio_prefix,
+           concat(o_orderstatus, '-', o_orderpriority)              AS status_tag,
+           year(o_orderdate)                                        AS order_year,
+           month(o_orderdate)                                       AS order_month,
+           date_diff('day', DATE '1995-01-01', o_orderdate::DATE)   AS days_since_epoch_start,
+           round(o_totalprice * 1.0825, 2)                          AS taxed_price,
+           CASE WHEN o_totalprice > 250000 THEN 'large'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END                                    AS size_class,
+           length(o_orderpriority)                                  AS prio_len
+    FROM orders
+    """,
+    doc="scalar function surface: string/date/math/conditional (≙ Hive 0.9 builtin UDFs)",
+)
+def q19_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_prefix"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_tag"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.round(F.col("o_totalprice") * 1.0825, 2).alias("taxed_price"),
+        F.when(F.col("o_totalprice") > 250000, "large")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.length("o_orderpriority").alias("prio_len"),
+    )
+
+
+@register(
+    "q20_flag_status_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (upgrade over Hive 0.9, SURVEY.md §2.B)",
+)
+def q20_flag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@register(
+    "q21_yearly_priority_rollup",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    """,
+    doc="ROLLUP grouping sets",
+)
+def q21_yearly_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    return (
+        o.rollup("order_year", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "q22_flag_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="pivot to fixed value set (≙ transposed→regular reshaping in the relational layer)",
+)
+def q22_flag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+@register(
+    "q23_orders_above_average",
+    oracle="""
+    SELECT count(*) AS n_above, round(avg(o_totalprice), 4) AS avg_above
+    FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+    doc="scalar subquery (decorrelated by Catalyst — absent in Hive 0.9)",
+)
+def q23_orders_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_above, round(avg(o_totalprice), 4) AS avg_above
+        FROM orders_v WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+        """
+    )
+
+
+# =====================================================================
+# §2.A — Cassandra table shapes: transpose / cf-map / super / LWW /
+# counters / ghost-row filtering (the reference's own operator set)
+# =====================================================================
+
+# Shared oracle fragment: lineitem cells in transposed long format
+# (row_key, column_name, value) for orders below 100 — the wide-row /
+# entity-attribute-value shape of SURVEY.md §1.2(b).
+_TRANSPOSE_ORACLE = """
+    WITH src AS (SELECT l_orderkey || '-' || l_linenumber || '-' || l_partkey || '-' || l_suppkey AS row_key,
+                        l_quantity, l_extendedprice, l_discount, l_tax
+                 FROM lineitem WHERE l_orderkey < 100)
+    SELECT row_key, 'l_quantity' AS column_name,
+           CAST(round(l_quantity, 2) AS VARCHAR) AS value FROM src
+    UNION ALL
+    SELECT row_key, 'l_extendedprice', CAST(round(l_extendedprice, 2) AS VARCHAR) FROM src
+    UNION ALL
+    SELECT row_key, 'l_discount', CAST(round(l_discount, 2) AS VARCHAR) FROM src
+    UNION ALL
+    SELECT row_key, 'l_tax', CAST(round(l_tax, 2) AS VARCHAR) FROM src
+"""
+
+_TRANSPOSE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _lineitem_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular lineitem rows reshaped to cell granularity (values rounded to
+    2 and stringified so both engines print identically)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    src = li.select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").alias("row_key"),
+        *[F.round(c, 2).cast("string").alias(c) for c in _TRANSPOSE_COLS],
+    )
+    return transpose.explode_to_long(src, "row_key", _TRANSPOSE_COLS)
+
+
+@register(
+    "q24_transpose_read",
+    oracle=_TRANSPOSE_ORACLE,
+    doc="transpose-on-read: 1 physical row → N (row_key, column_name, value) cells "
+    "(≙ CassandraHiveRecordReader.java:108-196)",
+)
+def q24_transpose_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lineitem_cells(spark, sf_dir)
+
+
+@register(
+    "q25_transpose_implode",
+    oracle="""
+    SELECT l_orderkey || '-' || l_linenumber || '-' || l_partkey || '-' || l_suppkey AS row_key,
+           CAST(round(l_quantity, 2) AS VARCHAR)      AS l_quantity,
+           CAST(round(l_extendedprice, 2) AS VARCHAR) AS l_extendedprice,
+           CAST(round(l_discount, 2) AS VARCHAR)      AS l_discount,
+           CAST(round(l_tax, 2) AS VARCHAR)           AS l_tax
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    doc="transpose-on-write: long cells → wide row, one keyed aggregation "
+    "(≙ TransposedMapping.java:33-72; fixes its 1-mutation-per-row batching)",
+)
+def q25_transpose_implode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _lineitem_cells(spark, sf_dir)
+    return transpose.implode_from_long(cells, _TRANSPOSE_COLS)
+
+
+@register(
+    "q26_cf_map_roundtrip",
+    oracle=_TRANSPOSE_ORACLE,
+    doc="whole-CF map<string,?> column: long → MapType → exploded back "
+    "(functional here; the reference's read path is a no-op — "
+    "LazyCassandraCellMap.java:28-34)",
+)
+def q26_cf_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _lineitem_cells(spark, sf_dir)
+    as_map = transpose.long_to_cf_map(cells)
+    return transpose.cf_map_to_long(as_map)
+
+
+@register(
+    "q27_super_column_roundtrip",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS column_name,
+           strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS sub_column_name,
+           CAST(count(*) AS VARCHAR) AS value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="super-column family: key → super-column → sub-columns, nested-map "
+    "round trip (≙ CassandraSuperPut.java:22-36, "
+    "CassandraHiveRecordReader.java:150-176)",
+)
+def q27_super_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    long3 = ev.groupBy(
+        F.col("user_id").cast("string").alias(transpose.ROW_KEY),
+        F.col("event_type").alias(transpose.COLUMN_NAME),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            transpose.SUB_COLUMN_NAME
+        ),
+    ).agg(F.count(F.lit(1)).cast("string").alias(transpose.VALUE))
+    nested = transpose.implode_long_to_super(long3)
+    return transpose.explode_super_to_long(nested, transpose.ROW_KEY, "super_map")
+
+
+@register(
+    "q28_lww_compaction",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, round(value, 2) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="last-write-wins cell compaction (≙ writer-assigned timestamps, "
+    "RegularTableMapping.java:84,94; deterministic tie-break added)",
+)
+def q28_lww_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    latest = transpose.lww_compact(ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"])
+    return latest.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        _ts("ts").alias("last_ts"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+@register(
+    "q29_counter_rollup",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS increments, round(sum(value), 2) AS value
+    FROM events GROUP BY user_id, event_type
+    """,
+    doc="counter-column aggregate-on-write (reference reads counters but "
+    "can't write them — CassandraPut.java:103 TODO; ours does both)",
+)
+def q29_counter_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("increments", F.lit(1))
+    out = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("increments"), F.round(F.sum("value"), 2).alias("value"))
+    )
+    return out
+
+
+@register(
+    "q30_ghost_row_filter",
+    oracle="""
+    WITH cells AS (
+      SELECT event_id AS row_key, 'props' AS column_name, props AS value FROM events
+      UNION ALL
+      SELECT event_id, 'event_type', event_type FROM events
+    )
+    SELECT row_key, count(*) AS live_cells FROM cells
+    WHERE value IS NOT NULL GROUP BY row_key
+    """,
+    doc="ghost/dead-cell filtering during transposed iteration "
+    "(≙ DSP-465 skip, CassandraHiveRecordReader.java:139-147,198-214)",
+)
+def q30_ghost_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("row_key"), "props", "event_type"
+    )
+    cells = transpose.explode_to_long(ev, "row_key", ["props", "event_type"])
+    return cells.groupBy("row_key").agg(F.count(F.lit(1)).alias("live_cells"))
+
+
+# =====================================================================
+# §2.C — LLM-data-pipeline extensions: dedup / similarity / text /
+# multimodal over the documents & embeddings fixtures
+# =====================================================================
+
+# Normalized whitespace tokens, shared by the dedup/text oracles.
+_SQL_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
+    "x -> x <> '')"
+)
+# Distinct word 3-gram shingles (docs shorter than 3 tokens → whole text).
+_SQL_SHINGLES = f"""
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+             list_distinct(list_transform(list_zip(t[1:-3], t[2:-2], t[3:-1]),
+                                          x -> x[1] || ' ' || x[2] || ' ' || x[3]))
+           ELSE [array_to_string(t, ' ')] END) AS sh
+    FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+"""
+
+
+@register(
+    "q31_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+    FROM documents
+    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    """,
+    doc="exact dedup on normalized text: one map-side-combined shuffle",
+)
+def q31_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q32_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2
+    """,
+    doc="exact n-gram Jaccard near-dup pairs via inverted-index self-join "
+    "(quadratic only within shingle-sharing groups)",
+)
+def q32_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@register(
+    "q33_dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         seeds AS (SELECT lpad(CAST(i AS VARCHAR), 2, '0') AS seed
+                   FROM range(12) r(i)),
+         mh AS (SELECT doc_id AS doc, seed, min(md5(seed || '|' || sh)) AS minh
+                FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         buckets AS (SELECT doc, CAST(seed AS INT) // 3 AS band,
+                            md5(string_agg(seed || ':' || minh, '|'
+                                ORDER BY seed || ':' || minh)) AS bucket
+                     FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                  FROM buckets a JOIN buckets b
+                    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+         sets AS (SELECT doc_id, list(sh) AS s FROM sh GROUP BY 1)
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                 len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+    FROM cand JOIN sets sa ON sa.doc_id = doc_a
+              JOIN sets sb ON sb.doc_id = doc_b
+    WHERE len(list_intersect(sa.s, sb.s)) * 1.0 /
+          len(list_distinct(list_concat(sa.s, sb.s))) >= 0.1
+    """,
+    doc="MinHash(12)+LSH(4 bands × 3 rows) candidates, exact-Jaccard verify — "
+    "md5-based hash family keeps the whole pipeline oracle-comparable",
+)
+def q33_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), num_hashes=12, bands=4, threshold=0.1
+    )
+
+
+@register(
+    "q34_dedup_simhash",
+    oracle=None,  # conv(hex→int) not portably expressible; pytest covers semantics
+    doc="SimHash(32-bit) near-dup pairs: byte-band candidates + Hamming verify",
+)
+def q34_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "q35_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+    """,
+    doc="embedding-cosine near-dup within label blocks (blocking bounds the pair space)",
+)
+def q35_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, block_col="label"
+    )
+
+
+@register(
+    "q36_similarity_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 20),
+         scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                           round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6)
+                             AS cosine
+                    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="brute-force cosine top-k (exact baseline; corpus never shuffles, "
+    "queries broadcast)",
+)
+def q36_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@register(
+    "q37_similarity_ann_lsh",
+    oracle=None,  # approximate by design; recall vs brute force in tests
+    doc="ANN via random-hyperplane LSH buckets (the 100 TB scale path)",
+)
+def q37_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, bits=8, tables=8
+    )
+
+
+@register(
+    "q38_text_stats",
+    oracle=f"""
+    SELECT doc_id, length(text) AS char_count,
+           len(t) AS token_count,
+           len(list_distinct(t)) AS uniq_token_count,
+           round(length(array_to_string(t, '')) * 1.0 / greatest(len(t), 1), 4)
+             AS avg_token_len,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+             AS punct_count,
+           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) * 1.0)
+                 / greatest(length(text), 1), 4) AS digit_ratio
+    FROM (SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents)
+    """,
+    doc="quality-scoring text statistics (pure codegen projection)",
+)
+def q38_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.text_stats(docs).select(
+        "doc_id",
+        "char_count",
+        "token_count",
+        "uniq_token_count",
+        "avg_token_len",
+        "punct_count",
+        "digit_ratio",
+    )
+
+
+_SQL_LANG_SCORE = {
+    lang: f"len(list_intersect(list_distinct(t), {words!r}))".replace('"', "'")
+    for lang, words in [
+        ("de", text.STOPWORDS["de"]),
+        ("en", text.STOPWORDS["en"]),
+        ("es", text.STOPWORDS["es"]),
+        ("fr", text.STOPWORDS["fr"]),
+        ("zh", text.STOPWORDS["zh"]),
+    ]
+}
+
+
+@register(
+    "q39_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_SQL_LANG_SCORE['de']} AS s_de, {_SQL_LANG_SCORE['en']} AS s_en,
+             {_SQL_LANG_SCORE['es']} AS s_es, {_SQL_LANG_SCORE['fr']} AS s_fr,
+             {_SQL_LANG_SCORE['zh']} AS s_zh
+      FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents))
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM scored
+    """,
+    doc="language-ID heuristic: stopword-hit argmax, deterministic tie-break",
+)
+def q39_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+@register(
+    "q40_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+             AS regex_token_count
+    FROM documents
+    """,
+    doc="BPE-ish regex token counting",
+)
+def q40_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count_regex(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "regex_token_count"
+    )
+
+
+@register(
+    "q41_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint_md5,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+                              x -> CAST(ascii(x) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint_roll
+    FROM documents
+    """,
+    doc="document fingerprinting: md5 + polynomial rolling hash",
+)
+def q41_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint_md5", "fingerprint_roll"
+    )
+
+
+@register(
+    "q42_multimodal_payload",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
+           sha256(text) AS payload_sha256,
+           'fake/raw' AS format,
+           CAST(doc_id % 64 + 16 AS INT) AS width,
+           CAST(doc_id % 48 + 16 AS INT) AS height
+    FROM documents
+    """,
+    doc="multimodal binary column plumbing: opaque payload + typed metadata, "
+    "verified via byte length + sha256 (JVM-side, no Python boundary)",
+)
+def q42_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.payload_stats(multimodal.attach_payload(docs))
+
+
+@register(
+    "q43_multimodal_features",
+    oracle=None,  # mapInPandas kernel; deterministic-fake decode, pytest-verified
+    doc="decode + feature-extract via Arrow mapInPandas (decode kernel stubbed: "
+    "real codec libs absent — SURVEY.md §2.C multimodal)",
+)
+def q43_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.attach_payload(docs), fake=True)
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("f_sum"),
+    )
+
+
+# =====================================================================
+# §2.B superset — Structured Streaming over events (reference is batch-only)
+# =====================================================================
+
+
+@register(
+    "q50_stream_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="streaming tumbling-window agg == batch result on bounded replay",
+)
+def q50_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    return streaming_events.run_bounded(
+        streaming_events.tumbling_counts(ev, "1 hour"), spark, "complete"
+    )
+
+
+@register(
+    "q51_stream_sliding",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n
+    FROM (SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                         time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws,
+                 event_type
+          FROM events)
+    GROUP BY 1, 2
+    """,
+    doc="sliding windows (2h width / 1h slide): each event in 2 windows",
+)
+def q51_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    return streaming_events.run_bounded(
+        streaming_events.sliding_counts(ev, "2 hours", "1 hour"), spark, "complete"
+    )
+
+
+@register(
+    "q52_stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="session windows (30 min gap) == gaps-and-islands batch oracle",
+)
+def q52_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    return streaming_events.run_bounded(
+        streaming_events.session_aggregate(ev, "30 minutes"), spark, "complete"
+    )
+
+
+@register(
+    "q53_stream_dedup",
+    oracle="SELECT DISTINCT event_id FROM events",
+    doc="streaming dropDuplicates within the watermark horizon",
+)
+def q53_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    out = streaming_events.run_bounded(
+        streaming_events.stream_dedup(ev), spark, "append"
+    )
+    return out.select("event_id")
+
+
+@register(
+    "q54_stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="custom stateful operator via applyInPandasWithState (running per-user "
+    "aggregates; final state == batch agg on bounded input)",
+)
+def q54_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    out = streaming_events.run_bounded(
+        streaming_events.stateful_user_counts(ev), spark, "update"
+    )
+    # update-mode sinks append one row per (user, batch); keep the final
+    # (max-count) row per user in case the bounded replay split into batches.
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,74 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference relied on Hadoop MR job conf for parallelism knobs
+(`cassandra.input.split.size` = 65536 keys/split,
+/root/reference/src/main/java/org/apache/hadoop/hive/cassandra/serde/AbstractColumnSerDe.java:42,69).
+Here the equivalents are Spark SQL confs: AQE (runtime re-plan + skew join +
+partition coalescing), shuffle partitions sized to the cluster, Arrow for the
+Python boundary, and UTC session time so results are oracle-comparable.
+
+All settings are chosen to survive a 1000-executor / 100 TB deployment:
+nothing below hardcodes local paths or collect()s to the driver; local[N]
+is only the test harness default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults that are correct on a real cluster too; shuffle partition count is
+# overridable because the right value is data-dependent (~2-3x total cores,
+# or let AQE coalesce down from a high initial number).
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    # HiveQL-0.9 (non-ANSI) semantics, matching the reference's engine:
+    # silent null on bad casts, no overflow errors (Hive 0.9 via
+    # CassandraStorageHandler; see SURVEY.md §2.B).
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # the events fixture stores TIMESTAMP(NANOS); Spark only reads it as a
+    # long — converted back to timestamp in the loader (queries.load_events)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # 128 MB input partitions — the parquet analogue of the reference's
+    # 64k-keys-per-split sizing (one task ≈ one comfortably-memory-resident
+    # chunk at any scale factor).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "hive_cassandra_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``)
+    so the same entry point works under the driver rig and on a cluster
+    (where ``master`` comes from spark-submit and must not be set here).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        master = "local[*]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_BASE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,136 @@
+"""Streaming operators over the events fixture.
+
+The reference has **no** streaming surface (batch MR scans only —
+/root/reference/.../input/HiveCassandraStandardColumnInputFormat.java:38-39
+extends Hadoop InputFormat); Structured Streaming is offered as the
+superset (SURVEY.md §2.B). Every operator here is watermark-correct for
+unbounded input; the test/oracle path replays the bounded parquet fixture
+through the same plan (streaming result == batch result on bounded input).
+
+State scale: windowed aggs and dropDuplicates keep state bounded by the
+watermark horizon; `stateful_user_counts` keeps O(|users|) state via
+applyInPandasWithState — all fine for 1000-executor deployments since
+state is hash-partitioned by key.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# ts is declared bigint: the fixture stores TIMESTAMP(NANOS), which Spark
+# reads as a nanos long (legacy.parquet.nanosAsLong) — converted below.
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-replay streaming source over the events parquet.
+
+    The path is a glob (FileStreamSource wants a directory or pattern, not
+    a bare file); ts nanos → micros truncation matches the batch loader.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type with a 10 min watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding-window event counts per type (each event lands in
+    width/slide windows)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: sessions close after `gap` of inactivity.
+    Emits (user_id, session_start, n_events, total_value)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming face of dedup.exact_dedup."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + value sum. The arbitrary-state API is the escape
+    hatch the reference never had (its engine was stateless MR)."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_bounded(df: DataFrame, spark: SparkSession, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming DataFrame over its bounded source to completion
+    via an in-memory sink; return the materialized result as a batch
+    DataFrame. Test/oracle harness only — production would writeStream to
+    a real sink."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
