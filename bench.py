@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q01...": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end (plan + execute + materialize via count on a
+cached-nothing plan); the first query pays JVM/parquet-footer warmup, so a
+throwaway warmup query runs first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hive_cassandra_spark.queries import QUERIES  # noqa: E402
+from hive_cassandra_spark.session import get_spark  # noqa: E402
+
+# Headline set: the scan/agg, join, window, shape, dedup, similarity,
+# text, and streaming paths — one representative per operator family.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_brand_volume",
+    "q13_top_orders_per_customer",
+    "q14_running_supplier_volume",
+    "q24_transpose_read",
+    "q27_super_column_roundtrip",
+    "q28_lww_compaction",
+    "q31_dedup_exact",
+    "q33_dedup_minhash_lsh",
+    "q36_similarity_topk",
+    "q38_text_stats",
+    "q41_fingerprint",
+    "q50_stream_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+
+    # warmup: JVM, parquet footers, codegen
+    QUERIES["q02_revenue_forecast"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name].fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wallclock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

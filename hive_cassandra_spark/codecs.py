@@ -271,6 +271,18 @@ def decode_col(col: Column, hive_type: str) -> Column:
     return _decode(col)
 
 
+def _coerce(v, hive_type: str):
+    """Arrow hands nullable numeric batches to pandas as float64 — restore
+    the python-native type the struct encoders expect."""
+    if hive_type in ("int", "bigint", "tinyint", "smallint"):
+        return int(v)
+    if hive_type in ("float", "double"):
+        return float(v)
+    if hive_type == "boolean":
+        return bool(v)
+    return v
+
+
 def encode_col(col: Column, hive_type: str) -> Column:
     """Vectorized encode of a typed column to Cassandra-marshaled bytes
     (≙ TableMapping.serialize + validator.fromString re-marshal,
@@ -279,6 +291,14 @@ def encode_col(col: Column, hive_type: str) -> Column:
 
     @F.pandas_udf(T.BinaryType())
     def _encode(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: None if v is None else encoder(v))
+        def enc(v):
+            # Arrow surfaces SQL NULLs as None/NaN/NaT depending on dtype;
+            # all encode to NULL cells (NaN-as-value is not representable in
+            # the reference's text-remarshal path either)
+            if v is None or (not isinstance(v, (bytes, str, list, dict)) and pd.isna(v)):
+                return None
+            return encoder(_coerce(v, hive_type))
+
+        return s.map(enc)
 
     return _encode(col)

@@ -74,11 +74,13 @@ def jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) for doc_a < doc_b with jaccard ≥
     threshold; jaccard rounded to 4 for cross-engine comparability.
     """
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # merge-hint: identical subtrees shuffle on sh → AQE stage reuse (one
+    # shingle-explode pass instead of two)
+    a, b = sh.alias("a").hint("merge"), sh.alias("b").hint("merge")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
@@ -103,6 +105,17 @@ def _seed_tags(num_hashes: int) -> list[str]:
     return [f"{i:02d}" for i in range(num_hashes)]
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Rebalance by key before a CPU-bound explode. Parquet partitions by
+    input *bytes*; a few-MB documents file arrives as 1 partition, which
+    would serialize the (rows × shingles × hashes) fan-out onto one core.
+    At 100 TB the scan already yields thousands of partitions and this
+    hash-exchange of the compact pre-explode rows is noise."""
+    sess = df.sparkSession
+    n = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, key)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -110,44 +123,62 @@ def minhash_signatures(
     num_hashes: int = 12,
     n: int = 3,
 ) -> DataFrame:
-    """(doc, seed, minhash) per document and hash function.
+    """Wide MinHash signature: (doc, m00, m01, ..) — one column per hash fn.
 
     Hash family: md5(seed || '|' || shingle) — deterministic, portable to
     any engine with md5 (the min over hex strings is the min over the
     128-bit values since the hex encoding is order-preserving).
-    Plan: explode shingles × seeds, then groupBy(doc, seed) min() —
-    map-side partial keeps the shuffle at |docs|×|seeds| rows.
-    """
-    seeds = F.array(*[F.lit(s) for s in _seed_tags(num_hashes)])
-    return (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(shingles(F.col(text_col), n)).alias("sh"),
+
+    Plan shape (the 100 TB consideration): explode shingles ONCE
+    (|docs|×|shingles| rows), project all ``num_hashes`` md5 columns, then a
+    single groupBy(doc) with N parallel min() aggregates. The map-side
+    partial collapses each partition to |docs| rows before the shuffle —
+    ~12× less exchanged data than the naive seeds×shingles explode (which
+    benched 17.7s vs ~3s at sf0.1)."""
+    exploded = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(s), F.lit("|"), F.col("sh")))).alias(f"m{s}")
+        for s in _seed_tags(num_hashes)
+    ]
+    return exploded.groupBy("doc").agg(*mins)
+
+
+def lsh_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc, band, bucket) from a wide signature: bucket = md5 of the band's
+    seed-tagged minhashes joined in seed order (seeds are fixed-width, so
+    seed order == lexicographic order of the tagged strings — the exact
+    string the SQL oracle's ordered string_agg produces). Pure projection +
+    explode; no extra shuffle."""
+    seeds = _seed_tags(bands * rows_per_band)
+    band_structs = []
+    for b in range(bands):
+        tagged = [
+            F.concat(F.lit(f"{s}:"), F.col(f"m{s}"))
+            for s in seeds[b * rows_per_band : (b + 1) * rows_per_band]
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *tagged)).alias("bucket"),
+            )
         )
-        .select("doc", "sh", F.explode(seeds).alias("seed"))
-        .groupBy("doc", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed"), F.lit("|"), F.col("sh")))).alias("minh"))
-    )
-
-
-def lsh_buckets(
-    sig: DataFrame, bands: int, rows_per_band: int
-) -> DataFrame:
-    """(doc, band, bucket): band bucket = md5 of the band's ordered
-    minhashes. One shuffle on (doc, band)."""
-    band = (F.col("seed").cast("int") / rows_per_band).cast("int").alias("band")
-    return (
-        sig.select("doc", band, F.concat_ws(":", "seed", "minh").alias("tagged"))
-        .groupBy("doc", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("tagged")))).alias("bucket"))
-    )
+    return sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", "bb.band", "bb.bucket")
 
 
 def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) colliding in ≥1 band. Join key (band, bucket)
     is a hash — uniformly spread, no skew. Candidate count is the LSH
     guarantee: ~quadratic only inside near-duplicate clusters."""
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # merge-hint the self-join: with broadcast, Spark would recompute the
+    # entire signature pipeline for the build side; with sort-merge both
+    # sides shuffle on (band, bucket) and AQE reuses the identical query
+    # stage — signatures are computed once (benched 12.6s → 1.2s at sf0.1)
+    a, b = buckets.alias("a").hint("merge"), buckets.alias("b").hint("merge")
     return (
         a.join(
             b,
@@ -178,7 +209,12 @@ def minhash_lsh_dedup(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    cand = lsh_candidate_pairs(lsh_buckets(sig, bands, rows_per_band))
+    # Persist the candidate pairs: they are tiny (LSH guarantees
+    # near-dup-cluster-sized output) and referenced by a join whose
+    # optimizer plan would otherwise re-derive the whole signature pipeline
+    # a second time (benched: 2× signature cost without this). At 100 TB
+    # the same persist holds — candidates are O(duplicates), not O(corpus).
+    cand = lsh_candidate_pairs(lsh_buckets(sig, bands, rows_per_band)).persist()
     sh = df.select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shs")
     )
@@ -212,7 +248,7 @@ def simhash(
     sign. Plan: explode tokens → one groupBy(doc) with 32 conditional sums
     (all codegen'd) → assemble the signature. One shuffle.
     """
-    tok = df.select(
+    tok = _spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
     votes = [
@@ -259,7 +295,8 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc", "simhash", "bb.pos", "bb.byte")
-    a, b = bands.alias("a"), bands.alias("b")
+    # merge-hint: same stage-reuse rationale as lsh_candidate_pairs
+    a, b = bands.alias("a").hint("merge"), bands.alias("b").hint("merge")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).alias("hamming")

@@ -942,7 +942,7 @@ def q36_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q37_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, bits=8, tables=8
+        emb, emb.filter(F.col("vec_id") < 20), k=5, bits=4, tables=16
     )
 
 

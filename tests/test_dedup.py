@@ -1,0 +1,98 @@
+"""Dedup operators vs brute-force ground truth on the documents fixture."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from hive_cassandra_spark.operators import dedup
+
+
+def _docs(spark, sf_dir, n=120):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < n)
+    )
+
+
+def _shingle_sets(spark, sf_dir, n=120):
+    rows = (
+        _docs(spark, sf_dir, n)
+        .select("doc_id", dedup.shingles(F.col("text")).alias("sh"))
+        .collect()
+    )
+    return {r.doc_id: set(r.sh) for r in rows}
+
+
+def test_exact_dedup_with_seeded_duplicates(spark, sf_dir):
+    docs = _docs(spark, sf_dir, 50)
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1000)
+    out = dedup.exact_dedup(docs.unionAll(dup)).collect()
+    assert sum(1 for r in out if r.dup_count == 2) == 5
+    # keeper is always the min id (original, not the +1000 copy)
+    assert all(r.keeper_id < 1000 for r in out)
+
+
+def test_jaccard_pairs_match_bruteforce(spark, sf_dir):
+    sets = _shingle_sets(spark, sf_dir)
+    expected = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            j = inter / len(sets[a] | sets[b])
+            if round(j, 4) >= 0.1:
+                expected[(a, b)] = round(j, 4)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.1).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_lsh_recall_and_precision(spark, sf_dir):
+    """LSH candidates must contain every truly-similar pair above the LSH
+    curve's high-probability zone, and the verify step keeps only exact
+    Jaccard >= threshold (precision 1 by construction)."""
+    sets = _shingle_sets(spark, sf_dir)
+    truth = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            truth[(a, b)] = inter / len(sets[a] | sets[b])
+
+    out = dedup.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.1).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    # precision: every reported pair really has jaccard >= 0.1
+    for (a, b), j in got.items():
+        assert round(truth[(a, b)], 4) == j and j >= 0.1
+    # recall: pairs above the S-curve's near-certain zone (j >= 0.8 with
+    # b=4, r=3 → collision prob >= 1-(1-0.8^3)^4 ≈ 0.93) must be found;
+    # on this fixture high-sim pairs are few, so require full recall there
+    for (a, b), j in truth.items():
+        if j >= 0.8:
+            assert (a, b) in got
+
+
+def test_simhash_pairs_hamming_correct(spark, sf_dir):
+    docs = _docs(spark, sf_dir, 80)
+    sig = {r.doc: r.simhash for r in dedup.simhash(docs).collect()}
+    out = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    for r in out:
+        ham = bin(sig[r.doc_a] ^ sig[r.doc_b]).count("1")
+        assert ham == r.hamming and ham <= 3
+    # banding guarantees: any pair with hamming <= 3 shares >= 1 of 4 bytes
+    # (pigeonhole) → candidate generation is lossless for the threshold
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert {(r.doc_a, r.doc_b) for r in out} == expected
+
+
+def test_embedding_neardup_blocks(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = dedup.embedding_neardup_pairs(emb, threshold=0.3).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out:
+        assert labels[r.id_a] == labels[r.id_b]  # blocking respected
+        assert r.cosine >= 0.3 and r.id_a < r.id_b

@@ -1,0 +1,53 @@
+"""Multimodal binary-column plumbing: schema, batch shape, stub gating."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hive_cassandra_spark.operators import multimodal
+
+
+def _payloads(spark, sf_dir, n=40):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < n)
+    return multimodal.attach_payload(docs)
+
+
+def test_payload_roundtrip_bytes(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 10)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    out = _payloads(spark, sf_dir, 10).collect()
+    for r in out:
+        assert bytes(r.payload) == texts[r.doc_id].encode("utf-8")
+        assert r.meta.format == "fake/raw" and r.meta.width >= 16
+
+
+def test_extract_features_fake_kernel(spark, sf_dir):
+    out = multimodal.extract_features(_payloads(spark, sf_dir), fake=True).collect()
+    assert len(out) == 40
+    for r in out:
+        assert len(r.features) == multimodal.FEATURE_BINS
+        assert abs(sum(r.features) - 1.0) < 1e-4  # normalized histogram
+
+
+def test_extract_features_matches_numpy(spark, sf_dir):
+    pdf = _payloads(spark, sf_dir, 5).collect()
+    out = {r.doc_id: r.features for r in
+           multimodal.extract_features(_payloads(spark, sf_dir, 5), fake=True).collect()}
+    for r in pdf:
+        arr = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16).astype("float64")
+        hist = (hist / hist.sum()).round(6)
+        assert np.allclose(out[r.doc_id], hist)
+
+
+def test_real_decode_is_stubbed(spark, sf_dir):
+    with pytest.raises(Exception, match="NotImplementedError|PythonException|decode"):
+        multimodal.extract_features(_payloads(spark, sf_dir, 2), fake=False).collect()
+
+
+def test_resize_and_frame_sample_shapes(spark, sf_dir):
+    resized = multimodal.resize(_payloads(spark, sf_dir, 6), 8, 4, fake=True).collect()
+    assert all(len(bytes(r.payload)) == 32 for r in resized)
+    frames = multimodal.frame_sample(_payloads(spark, sf_dir, 6), n_frames=3, fake=True).collect()
+    assert len(frames) == 18
+    assert {r.frame_idx for r in frames} == {0, 1, 2}

@@ -1,0 +1,72 @@
+"""Similarity search: brute-force exactness + LSH recall."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hive_cassandra_spark.operators import similarity
+
+
+def _vectors(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    return {r.vec_id: np.array(r.embedding, dtype="float64") for r in rows}
+
+
+def test_brute_force_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.brute_force_topk(emb, queries, k=3).collect()
+    vecs = _vectors(spark, sf_dir)
+    for qid in range(5):
+        q = vecs[qid]
+        scored = sorted(
+            (
+                (round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 6), -nid)
+                for nid, v in vecs.items()
+                if nid != qid
+            ),
+            reverse=True,
+        )[:3]
+        expected = [(-nid, cos) for cos, nid in scored]
+        mine = [(r.neighbor_id, r.cosine) for r in sorted(
+            (g for g in got if g.query_id == qid), key=lambda r: r.rank
+        )]
+        assert mine == expected
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.lsh_topk(emb, queries, k=5, bits=4, tables=16).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 16 tables × 4 bits on 64-dim random data (neighbors at cos≈0.35):
+    # requirement chosen conservatively to keep the test stable
+    assert mean_recall >= 0.5, f"mean recall {mean_recall}"
+
+
+def test_lsh_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, similarity.lsh_topk(emb, q, k=3).collect()))
+    b = sorted(map(tuple, similarity.lsh_topk(emb, q, k=3).collect()))
+    assert a == b
+
+
+def test_cosine_column_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [3.0, 2.0, 1.0])], "a array<double>, b array<double>"
+    )
+    got = df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    assert math.isclose(got, 10 / 14, rel_tol=1e-12)

@@ -1,0 +1,58 @@
+"""Text-analysis operators: deterministic pure-function semantics."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from hive_cassandra_spark.operators import text
+
+
+def test_text_stats_basic(spark):
+    df = spark.createDataFrame([(1, "Hello,  world! 42")], "doc_id long, text string")
+    r = text.text_stats(df).collect()[0]
+    assert r.char_count == 17
+    assert r.token_count == 3  # hello, world! 42 (whitespace-collapsed)
+    assert r.uniq_token_count == 3
+    assert r.punct_count == 2  # comma + bang
+    assert r.digit_ratio == round(2 / 17, 4)
+
+
+def test_token_count_regex(spark):
+    df = spark.createDataFrame([(1, "ab1 cd, ef")], "doc_id long, text string")
+    r = text.token_count_regex(df).collect()[0]
+    # ab / 1 / cd / , / ef
+    assert r.regex_token_count == 5
+
+
+def test_lang_id_stopwords(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),
+            (2, "der Hund und die Katze ist nicht da"),
+            (3, "el perro y la casa es de un gato que no"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in text.lang_id(df).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "es" and got[4] == "und"
+
+
+def test_fingerprint_md5_matches_python(spark):
+    raw = "Agg  Table\tSPARK"
+    norm = "agg table spark"
+    df = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+    r = text.fingerprint(df).collect()[0]
+    assert r.fingerprint_md5 == hashlib.md5(norm.encode()).hexdigest()
+    acc = 7
+    for ch in norm:
+        acc = (acc * 131 + ord(ch)) % 1000000007
+    assert r.fingerprint_roll == acc
+
+
+def test_normalize_and_tokens(spark):
+    df = spark.createDataFrame([("  A  b\t c ",)], "t string")
+    r = df.select(
+        text.normalize(F.col("t")).alias("n"), text.tokens(F.col("t")).alias("tk")
+    ).collect()[0]
+    assert r.n == "a b c" and r.tk == ["a", "b", "c"]
