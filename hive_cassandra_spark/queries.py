@@ -1083,6 +1083,92 @@ def q43_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# §2.A connector layer — typed rows ↔ binary cell store through the real
+# byte codecs (sink.to_cells / source.cells_to_table; SURVEY.md §7 step 3-4)
+# =====================================================================
+
+
+@register(
+    "q44_cell_store_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    """,
+    doc="regular-shape connector round-trip: typed supplier rows → "
+    "Cassandra-marshaled binary cells (8-byte BE longs/doubles, utf-8 "
+    "strings) → LWW pivot → vectorized decode back to typed rows "
+    "(≙ TableMapping.getWritable + CassandraLazy* dual decode)",
+)
+def q44_cell_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_cassandra_spark import sink as _sink, source as _source
+    from hive_cassandra_spark.mapping import parse_mapping
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    m = parse_mapping(":key,s_name,s_nationkey,s_acctbal", 4)
+    types = ["bigint", "string", "bigint", "double"]
+    cells = _sink.to_cells(sup, m, types, clock_millis=1)
+    back = _source.cells_to_table(cells, m, sup.columns, types)
+    return back.select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+
+
+@register(
+    "q45_cell_store_projection",
+    oracle="""
+    SELECT s_suppkey, round(s_acctbal, 2) AS s_acctbal FROM supplier
+    """,
+    doc="projection pushdown through the cell store: wanted_columns prunes "
+    "cells before the pivot shuffle (≙ SlicePredicate.column_names push, "
+    "HiveCassandraStandardColumnInputFormat.java:95-98)",
+)
+def q45_cell_store_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_cassandra_spark import sink as _sink, source as _source
+    from hive_cassandra_spark.mapping import parse_mapping
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    m = parse_mapping(":key,s_name,s_nationkey,s_acctbal", 4)
+    types = ["bigint", "string", "bigint", "double"]
+    cells = _sink.to_cells(sup, m, types, clock_millis=1)
+    back = _source.cells_to_table(
+        cells, m, sup.columns, types, wanted_columns=["s_acctbal"]
+    )
+    return back.select("s_suppkey", F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
+@register(
+    "q46_dual_decode_text_cells",
+    oracle="""
+    SELECT n_nationkey, n_regionkey FROM nation
+    """,
+    doc="dual binary/text decode: cells written as ASCII text by a foreign "
+    "writer read back as declared numerics via the text-fallback rule "
+    "(≙ CassandraLazyLong.java:18-32 try-binary-then-text)",
+)
+def q46_dual_decode_text_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_cassandra_spark import source as _source
+    from hive_cassandra_spark.mapping import parse_mapping
+
+    # a foreign (non-Hive) writer stored numbers as ASCII text cells
+    nat = _t(spark, sf_dir, "nation")
+    cells = nat.select(
+        F.col("n_nationkey").cast("string").cast("binary").alias("row_key"),
+        F.lit("n_regionkey").cast("binary").alias("column_name"),
+        F.col("n_regionkey").cast("string").cast("binary").alias("value"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    m = parse_mapping(":key,n_regionkey", 2)
+    back = _source.cells_to_table(
+        cells, m, ["n_nationkey", "n_regionkey"], ["bigint", "bigint"]
+    )
+    return back
+
+
+# =====================================================================
 # §2.B superset — Structured Streaming over events (reference is batch-only)
 # =====================================================================
 

@@ -1,0 +1,182 @@
+"""Write path: typed DataFrame → binary cell store (≙ the reference's
+SerDe serialize + batched mutation sink).
+
+The reference's write pipeline (SURVEY.md §3.2) is: per output row,
+``TableMapping.getWritable`` serializes the key column then one
+``CassandraColumn`` per mapped column
+(/root/reference/src/main/java/org/apache/hadoop/hive/cassandra/serde/TableMapping.java:56-229,
+RegularTableMapping.java:24-104, TransposedMapping.java:33-72), each cell
+stamped with a writer-assigned ``System.currentTimeMillis()`` timestamp
+(RegularTableMapping.java:84,94), and ``CassandraPut.write`` flushes
+``batch_mutate`` every ``cassandra.batchmutate.size`` = 500 mutations
+(output/CassandraPut.java:94-141, CassandraAbstractPut.java:61-77).
+
+Spark-first re-expression: the cell store is a DataFrame
+``(row_key binary, column_name binary, [sub_column_name binary,]
+value binary, ts bigint)`` produced by one narrow projection + explode —
+no shuffle at all for the regular shape; the batching/consistency knobs
+become writer options (``maxRecordsPerFile`` is the parquet analogue of the
+mutation batch). Timestamps come from an injectable clock so tests are
+deterministic (the reference is nondeterministic there — SURVEY.md §7 risk
+register).
+
+Everything here is a narrow transform until the final write, so the plan
+scales linearly: at 100 TB the cell fan-out is |rows| × |columns| rows
+streamed partition-by-partition, never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hive_cassandra_spark.codecs import encode_col
+from hive_cassandra_spark.mapping import ColumnMapping
+
+# Reference defaults carried as option schema (AbstractColumnSerDe.java:66-75).
+DEFAULT_BATCH_MUTATE_SIZE = 500
+CONSISTENCY_LEVELS = {
+    "ONE", "TWO", "THREE", "QUORUM", "LOCAL_QUORUM", "EACH_QUORUM", "ALL", "ANY",
+}
+
+
+def normalize_consistency(level: str | None) -> str:
+    """Bad/unknown consistency levels coerce to ONE, matching
+    CassandraAbstractPut.getConsistencyLevel
+    (output/CassandraAbstractPut.java:39-50)."""
+    if level and level.upper() in CONSISTENCY_LEVELS:
+        return level.upper()
+    return "ONE"
+
+
+def _ts_column(clock_millis: int | None) -> Column:
+    """Writer-assigned cell timestamp: injectable for reproducible tests,
+    else epoch millis at write time (≙ System.currentTimeMillis() per cell,
+    RegularTableMapping.java:84,94)."""
+    if clock_millis is not None:
+        return F.lit(clock_millis).cast("long")
+    return F.unix_millis(F.current_timestamp())
+
+
+def to_cells(
+    df: DataFrame,
+    mapping: ColumnMapping,
+    hive_types: list[str],
+    clock_millis: int | None = None,
+) -> DataFrame:
+    """Typed relational rows → binary cells per the column mapping.
+
+    ``hive_types[i]`` is the declared Hive type of relational column *i*
+    (arity must match the mapping — CassandraColumnSerDe.java:57-63 is
+    enforced upstream by ``parse_mapping``).
+
+    Shapes:
+    - regular: one cell per non-key mapped column; whole-CF ``map`` columns
+      fan out one cell per entry (RegularTableMapping.java:54-91);
+    - transposed: one cell per row from the ``:column``/``:value``
+      (and optional ``:subcolumn``) fields (TransposedMapping.java:33-72).
+
+    Output schema: (row_key, column_name, [sub_column_name,] value, ts),
+    all binary except ts. Null values produce no cell (a null cell is a
+    delete/tombstone in Cassandra; the reference likewise skips them).
+    """
+    if len(hive_types) != len(mapping.entries):
+        raise ValueError(
+            f"arity mismatch: {len(hive_types)} types vs {len(mapping.entries)} mapping entries"
+        )
+    cols = df.columns
+    key_bytes = encode_col(F.col(cols[mapping.key_index]), hive_types[mapping.key_index])
+    ts = _ts_column(clock_millis)
+
+    if mapping.transposed:
+        entry_to_idx = {e: i for i, e in enumerate(mapping.entries)}
+        col_i = entry_to_idx[":column"]
+        val_i = entry_to_idx[":value"]
+        out = [
+            key_bytes.alias("row_key"),
+            encode_col(F.col(cols[col_i]), hive_types[col_i]).alias("column_name"),
+        ]
+        if mapping.has_subcolumn:
+            sub_i = entry_to_idx[":subcolumn"]
+            out.append(
+                encode_col(F.col(cols[sub_i]), hive_types[sub_i]).alias("sub_column_name")
+            )
+        out += [
+            encode_col(F.col(cols[val_i]), hive_types[val_i]).alias("value"),
+            ts.alias("ts"),
+        ]
+        return df.select(*out).filter(F.col("value").isNotNull())
+
+    # regular shape: encode every plain mapped column to binary first (a
+    # pandas_udf can't live inside a higher-order lambda), build the
+    # (name, value) struct array from the already-binary columns, explode.
+    # cf-map columns fan out via their own explode and union in — all
+    # narrow transforms, no shuffle.
+    cf_map_idx = set(mapping.cf_map_indexes)
+    plain_idx = [
+        i for i in range(len(cols)) if i != mapping.key_index and i not in cf_map_idx
+    ]
+    enc = df.select(
+        key_bytes.alias("row_key"),
+        *[encode_col(F.col(cols[i]), hive_types[i]).alias(f"__v{i}") for i in plain_idx],
+        *[F.col(cols[i]).alias(f"__m{i}") for i in cf_map_idx],
+    )
+    structs = [
+        F.struct(
+            F.lit(mapping.entries[i]).cast("binary").alias("column_name"),
+            F.col(f"__v{i}").alias("value"),
+        )
+        for i in plain_idx
+    ]
+    out = (
+        enc.select("row_key", F.explode(F.array(*structs)).alias("cell"))
+        .select("row_key", "cell.column_name", "cell.value")
+        if structs
+        else None
+    )
+    for i in cf_map_idx:
+        # map<string, T> column: one cell per entry, key utf-8, value encoded
+        # per the map's declared value type ('map<string,double>' → 'double')
+        vtype = _map_value_type(hive_types[i])
+        m = enc.select("row_key", F.explode(F.col(f"__m{i}")).alias("k", "v")).select(
+            "row_key",
+            F.col("k").cast("binary").alias("column_name"),
+            encode_col(F.col("v"), vtype).alias("value"),
+        )
+        out = m if out is None else out.unionByName(m)
+    if out is None:
+        raise ValueError("mapping has no value columns")
+    return out.filter(F.col("value").isNotNull()).withColumn("ts", ts)
+
+
+def _map_value_type(map_type: str) -> str:
+    """'map<string,double>' → 'double'; bare 'map' defaults to string."""
+    t = map_type.strip().lower()
+    if t.startswith("map<") and t.endswith(">"):
+        return t[4:-1].split(",", 1)[1].strip()
+    return "string"
+
+
+def write_cells(
+    cells: DataFrame,
+    path: str,
+    batch_size: int = DEFAULT_BATCH_MUTATE_SIZE,
+    consistency: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a cell store, keyed for downstream locality.
+
+    ``batch_size`` maps the reference's ``cassandra.batchmutate.size`` onto
+    ``maxRecordsPerFile``-style batching semantics: it bounds the unit of
+    work a writer flushes at once. ``consistency`` is validated and carried
+    as table metadata only (no-op over parquet, as SURVEY.md §2.A #17
+    prescribes). Rows are hash-distributed on row_key so one row's cells
+    co-locate — the property the reference gets from Cassandra's
+    partitioner and that the read path's implode relies on.
+    """
+    normalize_consistency(consistency)  # validate/coerce, reference-style
+    (
+        cells.repartition(F.col("row_key"))
+        .write.option("maxRecordsPerFile", batch_size * 1000)
+        .mode(mode)
+        .parquet(path)
+    )

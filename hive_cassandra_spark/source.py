@@ -1,0 +1,168 @@
+"""Read path: binary cell store → typed DataFrame per the column mapping
+(≙ the reference's input format + SerDe deserialize).
+
+The reference's read pipeline (SURVEY.md §3.1) re-derives the table shape
+from the mapping
+(/root/reference/src/main/java/org/apache/hadoop/hive/cassandra/input/HiveCassandraStandardColumnInputFormat.java:47-127),
+shapes rows in ``CassandraHiveRecordReader.nextKeyValue``
+(input/CassandraHiveRecordReader.java:108-196 — transposed explode, dead-cell
+filter :198-214), and decodes fields lazily per declared Hive type through
+the CassandraLazy* codecs (input/LazyCassandraRow.java:69-106).
+
+Spark-first re-expression:
+
+- *regular*: LWW-compact cell versions on (row_key, column_name) by ts —
+  the semantics Cassandra's reconciler gives the reference for free — then
+  one keyed pivot back to wide rows and a vectorized per-type decode.
+  One shuffle, on the row key (the table's natural partitioning).
+- *transposed*: pure projection + decode; **no shuffle at all** (the
+  reference's wide-row iterator, ColumnFamilyWideRowRecordReader.java:240-429,
+  exists only to page cells over Thrift — columnar storage makes it moot).
+- *cf-map*: cells → ``map<string,binary>`` per row (functional, unlike the
+  reference's no-op LazyCassandraCellMap.parse — a documented deviation).
+
+Projection pushdown (#4 in SURVEY.md §2.A): pass ``wanted_columns`` to
+prune cells *before* the pivot shuffle — the analogue of the reference's
+SlicePredicate.column_names push
+(HiveCassandraStandardColumnInputFormat.java:95-98); over parquet the
+``column_name IN (...)`` filter reaches the scan as a pushed filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hive_cassandra_spark.codecs import decode_col
+from hive_cassandra_spark.mapping import ColumnMapping
+
+
+def read_cells(spark: SparkSession, path: str) -> DataFrame:
+    """Open a persisted cell store (see sink.write_cells)."""
+    return spark.read.parquet(path)
+
+
+def _live(cells: DataFrame) -> DataFrame:
+    """Drop dead/tombstone cells (≙ isLive() filter,
+    CassandraHiveRecordReader.java:198-214, and the DSP-465 ghost-row skip
+    :139-147)."""
+    return cells.filter(F.col("value").isNotNull())
+
+
+def lww_latest(cells: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Keep the newest version of each cell — Cassandra's last-write-wins
+    reconciliation, which the reference inherits from the server. Expressed
+    as max_by over the writer timestamp: one map-side-combined aggregation."""
+    key_cols = key_cols or ["row_key", "column_name"]
+    return (
+        cells.groupBy(*key_cols)
+        .agg(F.max_by("value", "ts").alias("value"), F.max("ts").alias("ts"))
+    )
+
+
+def cells_to_table(
+    cells: DataFrame,
+    mapping: ColumnMapping,
+    column_names: list[str],
+    hive_types: list[str],
+    wanted_columns: list[str] | None = None,
+) -> DataFrame:
+    """Decode a cell store into the relational shape the mapping declares.
+
+    ``column_names``/``hive_types`` are the declared relational schema
+    (arity == mapping arity, CassandraColumnSerDe.java:57-63).
+    ``wanted_columns`` optionally prunes the fetch to a subset of value
+    columns (projection pushdown; key always implied, as the reference
+    excludes it from the slice predicate —
+    HiveCassandraStandardColumnInputFormat.java:203-216).
+    """
+    if len(column_names) != len(mapping.entries) or len(hive_types) != len(
+        mapping.entries
+    ):
+        raise ValueError("schema arity must match mapping arity")
+    live = _live(cells)
+
+    if mapping.transposed:
+        entry_to_idx = {e: i for i, e in enumerate(mapping.entries)}
+        out = [
+            decode_col(F.col("row_key"), hive_types[entry_to_idx[":key"]]).alias(
+                column_names[entry_to_idx[":key"]]
+            ),
+            decode_col(F.col("column_name"), hive_types[entry_to_idx[":column"]]).alias(
+                column_names[entry_to_idx[":column"]]
+            ),
+        ]
+        if mapping.has_subcolumn:
+            out.append(
+                decode_col(
+                    F.col("sub_column_name"), hive_types[entry_to_idx[":subcolumn"]]
+                ).alias(column_names[entry_to_idx[":subcolumn"]])
+            )
+        out.append(
+            decode_col(F.col("value"), hive_types[entry_to_idx[":value"]]).alias(
+                column_names[entry_to_idx[":value"]]
+            )
+        )
+        return live.select(*out)
+
+    cf_map_idx = set(mapping.cf_map_indexes)
+    plain_idx = [
+        i for i in range(len(mapping.entries)) if i != mapping.key_index and i not in cf_map_idx
+    ]
+    if wanted_columns is not None:
+        plain_idx = [i for i in plain_idx if column_names[i] in wanted_columns]
+        cf_map_idx = {i for i in cf_map_idx if column_names[i] in wanted_columns}
+    wanted_cell_names = [mapping.entries[i] for i in plain_idx]
+
+    # Projection pushdown: restrict cells before the shuffle. With no cf-map
+    # column the IN-filter also reaches the parquet scan (PushedFilters).
+    if not cf_map_idx:
+        live = live.filter(
+            F.col("column_name").cast("string").isin(wanted_cell_names)
+        )
+
+    latest = lww_latest(live)
+    name_str = F.col("column_name").cast("string")
+    aggs = []
+    for i in plain_idx:
+        aggs.append(
+            F.max(
+                F.when(name_str == mapping.entries[i], F.col("value"))
+            ).alias(f"__v{i}")
+        )
+    for i in cf_map_idx:
+        # everything not claimed by a plain mapped column belongs to the map
+        aggs.append(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~name_str.isin(
+                                [mapping.entries[j] for j in plain_idx]
+                            ),
+                            F.struct(name_str.alias("key"), F.col("value").alias("value")),
+                        )
+                    )
+                )
+            ).alias(f"__m{i}")
+        )
+    wide = latest.groupBy("row_key").agg(*aggs)
+
+    out = [
+        decode_col(F.col("row_key"), hive_types[mapping.key_index]).alias(
+            column_names[mapping.key_index]
+        )
+    ]
+    for i in plain_idx:
+        out.append(decode_col(F.col(f"__v{i}"), hive_types[i]).alias(column_names[i]))
+    for i in cf_map_idx:
+        # decode the map's binary values per the declared value type; keys
+        # are utf-8 strings (validated map<string,?> —
+        # CassandraColumnSerDe.java:66-81). transform_values keeps it JVM-side
+        # for the string case; other value types decode via a post-explode
+        # pass by the caller if needed.
+        out.append(
+            F.transform_values(
+                F.col(f"__m{i}"), lambda _, v: v.cast("string")
+            ).alias(column_names[i])
+        )
+    return wide.select(*out)

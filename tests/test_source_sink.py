@@ -1,0 +1,137 @@
+"""Connector read/write path: typed rows → binary cell store → typed rows.
+
+Round-trip identity through the actual byte encodings is the strongest
+check on the SerDe-parity layer (≙ TableMapping.getWritable →
+CassandraLazy* decode; SURVEY.md §5.2 and §7 step 4)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from hive_cassandra_spark import sink, source
+from hive_cassandra_spark.codecs import encode_double, encode_long, encode_string
+from hive_cassandra_spark.mapping import parse_mapping
+
+SCHEMA = "id bigint, name string, score double, flag boolean, ts timestamp"
+ROWS = [
+    (1, "alpha", 1.5, True, datetime.datetime(2024, 1, 1, 12, 0, 0)),
+    (2, "beta", -2.25, False, datetime.datetime(2024, 6, 15, 3, 30, 0)),
+    (3, None, None, None, None),  # all-null values → no cells → ghost row
+]
+TYPES = ["bigint", "string", "double", "boolean", "timestamp"]
+COLS = ["id", "name", "score", "flag", "ts"]
+
+
+def _typed(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_regular_roundtrip(spark):
+    m = parse_mapping(":key,name,score,flag,ts", 5)
+    cells = sink.to_cells(_typed(spark), m, TYPES, clock_millis=1000)
+    back = source.cells_to_table(cells, m, COLS, TYPES)
+    got = {r.id: (r.name, r.score, r.flag, r.ts) for r in back.collect()}
+    assert got[1] == ("alpha", 1.5, True, datetime.datetime(2024, 1, 1, 12, 0, 0))
+    assert got[2] == ("beta", -2.25, False, datetime.datetime(2024, 6, 15, 3, 30, 0))
+    # row 3: all value cells null → ghost row, skipped entirely (DSP-465)
+    assert 3 not in got
+
+
+def test_cell_bytes_are_cassandra_marshaled(spark):
+    m = parse_mapping(":key,name,score,flag,ts", 5)
+    cells = sink.to_cells(_typed(spark), m, TYPES, clock_millis=1000)
+    by = {
+        (bytes(r.row_key), bytes(r.column_name)): bytes(r.value)
+        for r in cells.collect()
+    }
+    assert by[(encode_long(1), b"name")] == encode_string("alpha")
+    assert by[(encode_long(2), b"score")] == encode_double(-2.25)
+    assert by[(encode_long(1), b"flag")] == b"\x01"
+
+
+def test_lww_keeps_newest_cell(spark):
+    m = parse_mapping(":key,name,score,flag,ts", 5)
+    old = sink.to_cells(_typed(spark), m, TYPES, clock_millis=1000)
+    update = spark.createDataFrame(
+        [(1, "alpha-v2", 9.0, True, None)], SCHEMA
+    )
+    new = sink.to_cells(update, m, TYPES, clock_millis=2000)
+    back = source.cells_to_table(old.unionByName(new), m, COLS, TYPES)
+    got = {r.id: (r.name, r.score) for r in back.collect()}
+    assert got[1] == ("alpha-v2", 9.0)
+    assert got[2] == ("beta", -2.25)
+
+
+def test_projection_pushdown_prunes_cells(spark):
+    m = parse_mapping(":key,name,score,flag,ts", 5)
+    cells = sink.to_cells(_typed(spark), m, TYPES, clock_millis=1)
+    back = source.cells_to_table(cells, m, COLS, TYPES, wanted_columns=["score"])
+    assert back.columns == ["id", "score"]
+    # the column_name IN (...) restriction must appear below the aggregate
+    plan = back._jdf.queryExecution().optimizedPlan().toString()
+    assert "column_name" in plan and "score" in plan
+
+
+def test_transposed_roundtrip(spark):
+    m = parse_mapping(":key,:column,:value", 3)
+    long_rows = spark.createDataFrame(
+        [("r1", "c1", 10), ("r1", "c2", 20), ("r2", "c1", 30)],
+        "row_key string, col string, v bigint",
+    )
+    cells = sink.to_cells(long_rows, m, ["string", "string", "bigint"], clock_millis=1)
+    back = source.cells_to_table(
+        cells, m, ["row_key", "col", "v"], ["string", "string", "bigint"]
+    )
+    assert sorted(map(tuple, back.collect())) == [
+        ("r1", "c1", 10), ("r1", "c2", 20), ("r2", "c1", 30),
+    ]
+
+
+def test_cf_map_write_fanout_and_read(spark):
+    m = parse_mapping(":key,props:", 2)
+    df = spark.createDataFrame(
+        [("r1", {"a": 1.0, "b": 2.5}), ("r2", {"c": -3.0})],
+        "id string, props map<string,double>",
+    )
+    cells = sink.to_cells(df, m, ["string", "map<string,double>"], clock_millis=1)
+    got = {
+        (bytes(r.row_key).decode(), bytes(r.column_name).decode()): bytes(r.value)
+        for r in cells.collect()
+    }
+    assert got[("r1", "a")] == encode_double(1.0)
+    assert got[("r2", "c")] == encode_double(-3.0)
+    back = source.cells_to_table(
+        cells, m, ["id", "props"], ["string", "map<string,double>"]
+    )
+    # read side is functional (the reference's is a no-op —
+    # LazyCassandraCellMap.java:28-34); binary map values surface as strings
+    assert back.columns == ["id", "props"]
+    assert back.count() == 2
+
+
+def test_write_read_cells_files(spark, tmp_path):
+    m = parse_mapping(":key,name,score,flag,ts", 5)
+    cells = sink.to_cells(_typed(spark), m, TYPES, clock_millis=7)
+    p = str(tmp_path / "cells")
+    sink.write_cells(cells, p, batch_size=10)
+    back = source.cells_to_table(source.read_cells(spark, p), m, COLS, TYPES)
+    assert back.count() == 2
+
+
+def test_consistency_coercion():
+    # bad values coerce to ONE (CassandraAbstractPut.java:39-50)
+    assert sink.normalize_consistency("banana") == "ONE"
+    assert sink.normalize_consistency(None) == "ONE"
+    assert sink.normalize_consistency("quorum") == "QUORUM"
+
+
+def test_dual_decode_text_fallback(spark):
+    """Cells written as ASCII text by a foreign writer still read as the
+    declared numeric type (the §1.3 dual-decode rule)."""
+    m = parse_mapping(":key,score", 2)
+    cells = spark.createDataFrame(
+        [(b"r1", b"score", b"42.5", 1)],
+        "row_key binary, column_name binary, value binary, ts long",
+    )
+    back = source.cells_to_table(cells, m, ["id", "score"], ["string", "double"])
+    assert back.collect()[0].score == 42.5
