@@ -12,10 +12,17 @@ Two tiers:
   once and shipped as literals (tiny: L×H×dim doubles), so the operator
   stays deterministic and executor-local.
 
+- ``ivf_topk`` — the second scale path: an IVF (inverted-file) index.
+  Coarse centroids are the element-wise averages of deterministic
+  ``pmod(id, k)`` buckets (one distributed aggregation — a single Lloyd
+  step from hashed init), collected to the driver (k×dim doubles — tiny,
+  the MLlib-style exception to the no-collect rule) and folded back into
+  the plan as literals, so cell assignment is a narrow codegen'd
+  projection: the corpus is never shuffled for indexing. Queries probe
+  ``nprobe`` nearest cells; only same-cell pairs are scored.
+
 Vector math is built-in ``zip_with``/``aggregate`` over array<double> —
-JVM-side, no Python boundary. (An IVF variant — k-means coarse quantizer +
-inverted lists — is the next step beyond LSH; its Spark shape is identical:
-bucket join on centroid id. Not yet implemented.)
+JVM-side, no Python boundary.
 """
 
 from __future__ import annotations
@@ -149,6 +156,110 @@ def lsh_topk(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# -------------------------------------------------------------------- IVF ---
+
+def centroids(
+    items: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, centroid: array<double>) — element-wise average of the vectors
+    in each deterministic ``pmod(id, n)`` bucket: one Lloyd step from a
+    hash-partition init. Components rounded to 6 so the centroid is stable
+    across engines (summation order is not associative in IEEE doubles).
+
+    Two shuffles on small data: posexplode→(cid,pos) partial-avg, then
+    (cid) assembly. The corpus streams through once.
+    """
+    base = items.select(
+        F.pmod(F.col(id_col), F.lit(n_centroids)).cast("int").alias("cid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    long = base.groupBy("cid", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    return long.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def _cell_cols(vec: Column, cents: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids for ``vec`` by cosine —
+    ranked with the scale-free surrogate dot(v,c)/|c|: the common 1/|v|
+    factor cannot change the order, and |c| folds to a driver-side literal,
+    so each centroid costs one fused multiply-add fold. Ties break toward
+    the lower cid (encoded as struct(score, -cid) descending sort). Pure
+    expression: no shuffle, no UDF."""
+    import math
+
+    tagged = F.array(
+        *[
+            F.struct(
+                (
+                    dot(vec, F.array(*[F.lit(float(c)) for c in cv]))
+                    / F.lit(math.sqrt(sum(c * c for c in cv)))
+                ).alias("cs"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    top = F.slice(F.sort_array(tagged, False), 1, nprobe)
+    return F.transform(top, lambda s: -s["negcid"])
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF index: items live in their nearest
+    centroid's cell; each query probes its ``nprobe`` nearest cells and
+    scores only the vectors in them.
+
+    Scale shape: the index build never shuffles the corpus (centroids are
+    literals after one small aggregation); the only corpus-sized exchange is
+    the equi-join on cell id, whose key spreads as evenly as the data does
+    (centroid cells ≈ balanced for hash-bucketed init). Recall rises with
+    ``nprobe``; tested against brute force in tests/test_similarity.py.
+    """
+    cents_rows = centroids(items, n_centroids, id_col, vec_col).collect()
+    cents = sorted((r.cid, list(r.centroid)) for r in cents_rows)
+
+    it = items.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("iv"),
+    ).withColumn("cell", F.element_at(_cell_cols(F.col("iv"), cents, 1), 1))
+    qr = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("cell", F.explode(_cell_cols(F.col("qv"), cents, nprobe)))
+
+    scored = (
+        it.join(qr, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -1082,6 +1082,47 @@ def q43_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q47_similarity_ivf",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pos AS (SELECT vec_id, vec_id % 16 AS cid, generate_subscripts(v, 1) AS i,
+                   unnest(v) AS x FROM e),
+    cent_long AS (SELECT cid, i, round(avg(x), 6) AS c FROM pos GROUP BY cid, i),
+    cent AS (SELECT cid, list(c ORDER BY i) AS cv FROM cent_long GROUP BY cid),
+    asg AS (SELECT e.vec_id, c.cid,
+                   list_dot_product(e.v, c.cv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+            FROM e CROSS JOIN cent c),
+    items AS (SELECT vec_id, cid FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+                 FROM asg) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+                 FROM asg WHERE vec_id < 20) WHERE rn <= 2),
+    cand AS (SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
+             FROM probes p JOIN items i ON i.cid = p.cid AND i.vec_id <> p.query_id),
+    scored AS (SELECT c.query_id, c.neighbor_id,
+                      round(list_dot_product(q.v, i.v)
+                        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(i.v, i.v))), 6) AS cosine
+               FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e i ON i.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM
+      (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       FROM scored) WHERE rank <= 5
+    """,
+    doc="IVF approximate nearest neighbors: pmod-bucket element-wise-average "
+    "centroids (one Lloyd step, collected as literals — corpus never "
+    "shuffles for indexing), nprobe=2 cell probing, exact cosine within "
+    "cells. Fully SQL-expressible → strong oracle (rare for ANN)",
+)
+def q47_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=16, nprobe=2
+    )
+
+
 # =====================================================================
 # §2.A connector layer — typed rows ↔ binary cell store through the real
 # byte codecs (sink.to_cells / source.cells_to_table; SURVEY.md §7 step 3-4)
