@@ -37,6 +37,8 @@ HEADLINE = [
     "q31_dedup_exact",
     "q33_dedup_minhash_lsh",
     "q36_similarity_topk",
+    "q44_cell_store_roundtrip",
+    "q47_similarity_ivf",
     "q38_text_stats",
     "q41_fingerprint",
     "q50_stream_tumbling",
