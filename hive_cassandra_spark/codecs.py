@@ -302,3 +302,17 @@ def encode_col(col: Column, hive_type: str) -> Column:
         return s.map(enc)
 
     return _encode(col)
+
+
+def decode_validator_col(col: Column, validator: str = "BytesType") -> Column:
+    """Vectorized validator-driven decode-to-string (≙ the factory's
+    validator mode, CassandraLazyFactory.java:118-162: when a per-column
+    validator list is declared, *all* columns read back as strings)."""
+
+    @F.pandas_udf(T.StringType())
+    def _decode(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else decode_validator_string(bytes(b), validator)
+        )
+
+    return _decode(col)

@@ -65,3 +65,40 @@ def salted_join(
     )
     out = salted_big.join(replicated, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_safe_count_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """COUNT(DISTINCT value) per group without funneling a hot key's values
+    into one reducer: first dedupe on (group, value) — a shuffle spread by
+    the *value* too — then count per group (map-side-combinable).
+
+    Plain algebraic aggs (sum/count/min/max) never need salting in Spark:
+    map-side partials leave ≤1 row per upstream partition per key. Distinct
+    and collect-style aggs are the ones that skew; this is the distinct fix.
+    """
+    return (
+        df.select(*group_cols, value_col)
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias(f"distinct_{value_col}"))
+    )
+
+
+def salted_collect_list(
+    df: DataFrame, group_cols: list[str], value_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """collect_list per group, built in ``salt_buckets`` shards so no single
+    reducer materializes a hot key's whole list at once: shard-level lists
+    concatenate via flatten in a second (tiny) aggregation. Element order is
+    unspecified, as with plain collect_list."""
+    shards = (
+        df.withColumn("__salt", F.pmod(F.hash(value_col), F.lit(salt_buckets)))
+        .groupBy(*group_cols, "__salt")
+        .agg(F.collect_list(value_col).alias("__part"))
+    )
+    return (
+        shards.groupBy(*group_cols)
+        .agg(F.flatten(F.collect_list("__part")).alias(f"{value_col}_list"))
+    )

@@ -1209,6 +1209,41 @@ def q46_dual_decode_text_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back
 
 
+@register(
+    "q48_validator_decode",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS key_str,
+           n_name AS name_str,
+           CAST(n_regionkey AS VARCHAR) AS region_str
+    FROM nation
+    """,
+    doc="validator-driven decode-to-string: declared per-column validators "
+    "render every cell as a string (≙ CassandraLazyValidator.java:24-35, "
+    "CassandraLazyFactory.java:118-162 — validator mode reads all columns "
+    "back as strings)",
+)
+def q48_validator_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_cassandra_spark import sink as _sink
+    from hive_cassandra_spark.codecs import decode_validator_col
+    from hive_cassandra_spark.mapping import parse_mapping
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    m = parse_mapping(":key,n_name,n_regionkey", 3)
+    cells = _sink.to_cells(nat, m, ["bigint", "string", "bigint"], clock_millis=1)
+    # validator list per column (cassandra.cf.validatorType semantics):
+    # LongType key, UTF8Type name, LongType region
+    name_str = F.col("column_name").cast("string")
+    wide = cells.groupBy("row_key").agg(
+        F.max(F.when(name_str == "n_name", F.col("value"))).alias("v_name"),
+        F.max(F.when(name_str == "n_regionkey", F.col("value"))).alias("v_region"),
+    )
+    return wide.select(
+        decode_validator_col(F.col("row_key"), "LongType").alias("key_str"),
+        decode_validator_col(F.col("v_name"), "UTF8Type").alias("name_str"),
+        decode_validator_col(F.col("v_region"), "LongType").alias("region_str"),
+    )
+
+
 # =====================================================================
 # §2.B superset — Structured Streaming over events (reference is batch-only)
 # =====================================================================

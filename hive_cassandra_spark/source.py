@@ -166,3 +166,48 @@ def cells_to_table(
             ).alias(column_names[i])
         )
     return wide.select(*out)
+
+
+def paged_cells(cells: DataFrame, page_size: int = 1000) -> DataFrame:
+    """Stable ordered pagination of a cell store: adds (scan_partition,
+    page) so a consumer can fetch bounded chunks in a deterministic order
+    and resume after any page.
+
+    ≙ the reference's resumable wide-row iterator
+    (ColumnFamilyWideRowRecordReader.java:240-429), which pages one row's
+    cells across Thrift RPCs with a restart-at-last-column cursor, 1000
+    rows / 1000 cells per fetch (AbstractColumnSerDe.java:70-71). Columnar
+    storage makes the RPC dance moot; what survives is the *semantics* —
+    bounded, ordered, resumable chunks:
+
+    - hash-repartition on row_key: all of a row's cells land in one
+      partition (the reference's token-range locality),
+    - sortWithinPartitions(row_key, column_name): the slice order,
+    - mapInPandas with a running counter: page numbers per partition —
+      Arrow-batched, no global sort, no driver involvement, so it holds at
+      any scale (a global orderBy here would be the 100 TB mistake).
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas ships pandas batches)
+
+    part = (
+        cells.repartition(F.col("row_key"))
+        .sortWithinPartitions("row_key", "column_name")
+        .withColumn("scan_partition", F.spark_partition_id())
+    )
+    from pyspark.sql import types as T
+
+    # build a fresh StructType: StructType.add mutates in place, which would
+    # corrupt the child DataFrame's own schema object
+    schema = T.StructType(
+        list(part.schema.fields) + [T.StructField("page", T.LongType())]
+    )
+
+    def paginate(batches):
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["page"] = [(seen + i) // page_size for i in range(len(pdf))]
+            seen += len(pdf)
+            yield pdf
+
+    return part.mapInPandas(paginate, schema)

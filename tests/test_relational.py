@@ -1,0 +1,60 @@
+"""Relational helpers: plan-shape guarantees and skew-safe equivalence."""
+
+from pyspark.sql import functions as F
+
+from hive_cassandra_spark.operators import relational as rel
+
+
+def test_top_k_plans_take_ordered(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = rel.top_k(li, [F.col("l_extendedprice").desc()], 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # global sort would be O(n log n) + full shuffle; TakeOrderedAndProject
+    # is a per-partition heap of K — the only safe plan at 100 TB
+    assert "TakeOrderedAndProject" in plan
+    assert out.count() == 10
+
+
+def test_broadcast_join_plan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = rel.broadcast_join(li, part, li.l_partkey == part.p_partkey)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_brand")
+    plain = li.join(part.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey")
+    salted = rel.salted_join(
+        li, part.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", salt_buckets=4
+    )
+    assert salted.count() == plain.count()
+    a = plain.groupBy("l_partkey").agg(F.sum("l_quantity").alias("q")).collect()
+    b = salted.groupBy("l_partkey").agg(F.sum("l_quantity").alias("q")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_skew_safe_count_distinct(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    naive = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("d")
+    )
+    safe = rel.skew_safe_count_distinct(li, ["l_returnflag"], "l_partkey")
+    a = {r.l_returnflag: r.d for r in naive.collect()}
+    b = {r.l_returnflag: r.distinct_l_partkey for r in safe.collect()}
+    assert a == b
+
+
+def test_salted_collect_list(spark, sf_dir):
+    ord_ = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = rel.salted_collect_list(ord_, ["o_orderstatus"], "o_orderkey", salt_buckets=4)
+    naive = ord_.groupBy("o_orderstatus").agg(
+        F.collect_list("o_orderkey").alias("l")
+    )
+    a = {r.o_orderstatus: sorted(r.o_orderkey_list) for r in out.collect()}
+    b = {r.o_orderstatus: sorted(r.l) for r in naive.collect()}
+    assert a == b

@@ -135,3 +135,39 @@ def test_dual_decode_text_fallback(spark):
     )
     back = source.cells_to_table(cells, m, ["id", "score"], ["string", "double"])
     assert back.collect()[0].score == 42.5
+
+
+def test_paged_cells_bounded_ordered_complete(spark):
+    m = parse_mapping(":key,name,score,flag,ts", 5)
+    cells = sink.to_cells(_typed(spark), m, TYPES, clock_millis=1)
+    paged = source.paged_cells(cells, page_size=3)
+    rows = paged.collect()
+    # complete: every live cell appears exactly once
+    assert len(rows) == cells.count()
+    # bounded: no (partition, page) holds more than page_size cells
+    from collections import Counter
+    per_page = Counter((r.scan_partition, r.page) for r in rows)
+    assert max(per_page.values()) <= 3
+    # ordered + resumable: within a partition, pages follow (row_key,
+    # column_name) order — page n's cells all sort before page n+1's
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.scan_partition, []).append(r)
+    for part_rows in by_part.values():
+        ordered = sorted(part_rows, key=lambda r: (bytes(r.row_key), bytes(r.column_name)))
+        pages = [r.page for r in ordered]
+        assert pages == sorted(pages)
+    # deterministic across runs
+    again = source.paged_cells(cells, page_size=3).collect()
+    key = lambda r: (bytes(r.row_key), bytes(r.column_name), r.scan_partition, r.page)
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_validator_decode_col(spark):
+    from hive_cassandra_spark.codecs import decode_validator_col, encode_long
+
+    df = spark.createDataFrame([(encode_long(42),), (None,)], "v binary")
+    out = df.select(decode_validator_col(F.col("v"), "LongType").alias("s")).collect()
+    assert [r.s for r in out] == ["42", None]
+    hexed = df.select(decode_validator_col(F.col("v"), "BytesType").alias("s")).collect()
+    assert hexed[0].s == encode_long(42).hex()
