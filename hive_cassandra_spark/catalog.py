@@ -86,3 +86,39 @@ class Catalog:
         self.spark.catalog.dropTempView(name)
         if delete_data and path and os.path.isdir(path):
             shutil.rmtree(path)
+
+    # --- scale layouts: bucketing and partitioning ---
+
+    def create_bucketed_table(
+        self, name: str, df: DataFrame, bucket_cols: list[str], n_buckets: int = 32
+    ) -> None:
+        """CREATE TABLE ... CLUSTERED BY (cols) INTO n BUCKETS.
+
+        The Spark analogue of Cassandra's token-partitioned placement
+        (≙ one split per token range,
+        HiveCassandraStandardColumnInputFormat.java:131-189): two tables
+        bucketed the same way join with **no Exchange at all** — the
+        shuffle is prepaid at write time. This is the co-located-join
+        layout a 100 TB fact/fact join needs; verified by plan assertion
+        in tests/test_scale_plans.py. Uses the session warehouse (bucketing
+        metadata needs a catalog table, not a bare parquet dir).
+        """
+        name = self.table_name(name)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .saveAsTable(name)
+        )
+        self.registered[name] = f"<warehouse>/{name}"
+
+    def create_partitioned_table(
+        self, name: str, df: DataFrame, path: str, partition_cols: list[str]
+    ) -> None:
+        """CREATE TABLE ... PARTITIONED BY (cols): hive-style directory
+        partitioning, the layout that gives static + dynamic partition
+        pruning on the partition key (the reference scans every token range
+        — partition elimination is one of the strict upgrades, SURVEY.md §4).
+        """
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        self.register_table(name, path)

@@ -1,0 +1,56 @@
+"""Physical-plan guarantees for the 100 TB layouts: bucketed co-located
+joins (no Exchange) and partition pruning. These assert the *plan*, not just
+the result — the property that actually survives a 1000× scale-up."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_cassandra_spark.catalog import Catalog
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # saveAsTable uses the session warehouse (static conf); the DROP TABLEs
+    # in the finally clean up the managed data
+    cat = Catalog(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    try:
+        cat.create_bucketed_table("orders_b", orders, ["o_orderkey"], 8)
+        cat.create_bucketed_table(
+            "lineitem_b",
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            ["o_orderkey"],
+            8,
+        )
+        a, b = spark.table("orders_b"), spark.table("lineitem_b")
+        # disable broadcast so the join strategy question is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, "o_orderkey").groupBy("o_orderstatus").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed + co-sorted ⇒ SortMergeJoin reads both sides in place:
+        # the only Exchange allowed is the one for the final groupBy
+        join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else plan
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
+    cat = Catalog(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    cat.create_partitioned_table(
+        "orders_part", orders, str(tmp_path / "orders_part"), ["o_year"]
+    )
+    one_year = cat.table("orders_part").filter(F.col("o_year") == 1995)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    # static partition pruning: the filter must reach PartitionFilters,
+    # not be a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters")[1][:200]
+    expected = orders.filter(F.col("o_year") == 1995).count()
+    assert one_year.count() == expected
