@@ -1244,6 +1244,43 @@ def q48_validator_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q49_slice_range",
+    oracle="""
+    WITH src AS (SELECT l_orderkey || '-' || l_linenumber || '-' || l_partkey || '-' || l_suppkey AS row_key,
+                        l_quantity, l_extendedprice, l_discount, l_tax
+                 FROM lineitem WHERE l_orderkey < 100),
+    cells AS (
+      SELECT row_key, 'l_quantity' AS column_name,
+             CAST(round(l_quantity, 2) AS VARCHAR) AS value FROM src
+      UNION ALL
+      SELECT row_key, 'l_extendedprice', CAST(round(l_extendedprice, 2) AS VARCHAR) FROM src
+      UNION ALL
+      SELECT row_key, 'l_discount', CAST(round(l_discount, 2) AS VARCHAR) FROM src
+      UNION ALL
+      SELECT row_key, 'l_tax', CAST(round(l_tax, 2) AS VARCHAR) FROM src),
+    ranged AS (SELECT * FROM cells
+               WHERE column_name >= 'l_discount' AND column_name <= 'l_quantity')
+    SELECT row_key, column_name, value FROM
+      (SELECT *, row_number() OVER (PARTITION BY row_key
+                                    ORDER BY column_name DESC) AS rn
+       FROM ranged) WHERE rn <= 2
+    """,
+    doc="slice-range predicate: per-row cell-name range [start, finish], "
+    "reversed order, count=2 cells per row (≙ SlicePredicate.slice_range "
+    "push, HiveCassandraStandardColumnInputFormat.java:73-94 — the only "
+    "predicate the reference pushes; restricts cells within rows, not rows)",
+)
+def q49_slice_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_cassandra_spark import source as _source
+
+    cells = _lineitem_cells(spark, sf_dir)
+    sliced = _source.slice_cells(
+        cells, start="l_discount", finish="l_quantity", reversed_order=True, count=2
+    )
+    return sliced.select("row_key", "column_name", "value")
+
+
 # =====================================================================
 # §2.B superset — Structured Streaming over events (reference is batch-only)
 # =====================================================================

@@ -180,3 +180,40 @@ def write_cells(
         .mode(mode)
         .parquet(path)
     )
+
+
+def stream_to_cells(
+    stream_df: DataFrame,
+    mapping: ColumnMapping,
+    hive_types: list[str],
+    path: str,
+    checkpoint: str,
+    clock_millis: int | None = None,
+):
+    """Streaming face of the cell sink: every micro-batch encodes to cells
+    and appends to the store; versions reconcile at read time via LWW
+    (source.lww_latest), exactly as Cassandra reconciles the reference's
+    per-cell timestamped mutations. Append-only parquet + idempotent LWW
+    merge means at-least-once delivery upgrades to effectively-once
+    semantics for the reader.
+
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # batch_id-derived clock when none injected: monotone per batch, so
+        # later micro-batches win LWW deterministically in tests
+        clk = clock_millis if clock_millis is not None else None
+        cells = to_cells(batch_df, mapping, hive_types, clock_millis=clk)
+        if clk is None:
+            cells = cells.withColumn(
+                "ts", F.lit(batch_id).cast("long") * 1000 + F.unix_millis(F.current_timestamp()) % 1000
+            )
+        cells.write.mode("append").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

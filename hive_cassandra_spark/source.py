@@ -211,3 +211,45 @@ def paged_cells(cells: DataFrame, page_size: int = 1000) -> DataFrame:
             yield pdf
 
     return part.mapInPandas(paginate, schema)
+
+
+def slice_cells(
+    cells: DataFrame,
+    start: str | None = None,
+    finish: str | None = None,
+    reversed_order: bool = False,
+    count: int | None = None,
+) -> DataFrame:
+    """Slice-range predicate over a cell store: restrict each row's cells
+    to the column-name range [start, finish], optionally reversed, keeping
+    at most ``count`` cells per row.
+
+    ≙ the reference's user-configured SlicePredicate.slice_range push
+    (HiveCassandraStandardColumnInputFormat.java:73-94, options plumbed in
+    CassandraStorageHandler.java:149-189, defaults
+    AbstractColumnSerDe.java:49-53) — the only *predicate* the reference
+    ever pushes, and it restricts cells **within** each row, not rows.
+
+    Plan shape: the range filter is a plain comparison on column_name →
+    pushed to the parquet scan (PushedFilters). The per-row ``count`` is a
+    row_number window over (row_key ORDER BY column_name [DESC]) — one
+    shuffle on row_key, which AQE coalesces; without ``count`` the whole
+    thing is shuffle-free.
+    """
+    from pyspark.sql import Window
+
+    name = F.col("column_name").cast("string")
+    out = cells
+    if start is not None:
+        out = out.filter(name >= start)
+    if finish is not None:
+        out = out.filter(name <= finish)
+    if count is not None:
+        order = name.desc() if reversed_order else name.asc()
+        w = Window.partitionBy("row_key").orderBy(order)
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= count)
+            .drop("__rn")
+        )
+    return out

@@ -171,3 +171,20 @@ def test_validator_decode_col(spark):
     assert [r.s for r in out] == ["42", None]
     hexed = df.select(decode_validator_col(F.col("v"), "BytesType").alias("s")).collect()
     assert hexed[0].s == encode_long(42).hex()
+
+
+def test_slice_range(spark):
+    m = parse_mapping(":key,name,score,flag,ts", 5)
+    cells = sink.to_cells(_typed(spark), m, TYPES, clock_millis=1)
+    # range [flag, score] over names {flag, name, score, ts}; reversed, count=1
+    sliced = source.slice_cells(
+        cells, start="flag", finish="score", reversed_order=True, count=1
+    )
+    got = {
+        bytes(r.row_key): bytes(r.column_name).decode() for r in sliced.collect()
+    }
+    # reversed order within [flag..score] → 'score' is the first cell kept
+    assert set(got.values()) == {"score"}
+    # forward order, count=1 → 'flag'
+    fwd = source.slice_cells(cells, start="flag", finish="score", count=1)
+    assert {bytes(r.column_name).decode() for r in fwd.collect()} == {"flag"}

@@ -69,3 +69,39 @@ def test_stateful_counts_equal_batch(spark, sf_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_to_cell_store_lww(spark, tmp_path):
+    """Streaming writes append cells; LWW read reconciles versions — the
+    streaming face of the connector (sink.stream_to_cells)."""
+    import datetime
+
+    from hive_cassandra_spark import sink, source
+    from hive_cassandra_spark.mapping import parse_mapping
+
+    m = parse_mapping(":key,name,score,flag,ts", 5)
+    types = ["bigint", "string", "double", "boolean", "timestamp"]
+    schema = "id bigint, name string, score double, flag boolean, ts timestamp"
+    v1 = spark.createDataFrame(
+        [(1, "old", 1.0, True, datetime.datetime(2024, 1, 1))], schema
+    )
+    v2 = spark.createDataFrame(
+        [(1, "new", 2.0, True, datetime.datetime(2024, 1, 2))], schema
+    )
+    store = str(tmp_path / "cells")
+    # batch write v1 at t=1000, then stream v2 in at t=2000
+    sink.write_cells(sink.to_cells(v1, m, types, clock_millis=1000), store, mode="overwrite")
+    src_dir = str(tmp_path / "incoming")
+    v2.write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = sink.stream_to_cells(
+        stream, mapping=m, hive_types=types, path=store,
+        checkpoint=str(tmp_path / "ckpt"), clock_millis=2000,
+    )
+    q.awaitTermination()
+    back = source.cells_to_table(
+        source.read_cells(spark, store), m,
+        ["id", "name", "score", "flag", "ts"], types,
+    )
+    row = {r.id: (r.name, r.score) for r in back.collect()}
+    assert row[1] == ("new", 2.0)
