@@ -1245,6 +1245,30 @@ def q48_validator_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q55_json_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="JSON scalar functions over a string column: get_json_object + "
+    "typed extraction (Hive 0.9's get_json_object surface, SURVEY.md §2.B "
+    "scalar fns; also the reference's JSON-serialized complex types, "
+    "TableMapping.java:101-133)",
+)
+def q55_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@register(
     "q49_slice_range",
     oracle="""
     WITH src AS (SELECT l_orderkey || '-' || l_linenumber || '-' || l_partkey || '-' || l_suppkey AS row_key,

@@ -101,7 +101,7 @@ def to_cells(
                 encode_col(F.col(cols[sub_i]), hive_types[sub_i]).alias("sub_column_name")
             )
         out += [
-            encode_col(F.col(cols[val_i]), hive_types[val_i]).alias("value"),
+            _encode_value(F.col(cols[val_i]), hive_types[val_i]).alias("value"),
             ts.alias("ts"),
         ]
         return df.select(*out).filter(F.col("value").isNotNull())
@@ -117,7 +117,7 @@ def to_cells(
     ]
     enc = df.select(
         key_bytes.alias("row_key"),
-        *[encode_col(F.col(cols[i]), hive_types[i]).alias(f"__v{i}") for i in plain_idx],
+        *[_encode_value(F.col(cols[i]), hive_types[i]).alias(f"__v{i}") for i in plain_idx],
         *[F.col(cols[i]).alias(f"__m{i}") for i in cf_map_idx],
     )
     structs = [
@@ -154,6 +154,20 @@ def _map_value_type(map_type: str) -> str:
     if t.startswith("map<") and t.endswith(">"):
         return t[4:-1].split(",", 1)[1].strip()
     return "string"
+
+
+def is_complex_type(hive_type: str) -> bool:
+    t = hive_type.strip().lower()
+    return t.startswith(("struct", "array", "map", "uniontype"))
+
+
+def _encode_value(col: Column, hive_type: str) -> Column:
+    """Primitive → validator bytes; complex (struct/array/map) → JSON text
+    bytes (≙ SerDeUtils.getJSONString under useJsonSerialize,
+    TableMapping.java:101-133 — non-primitives flatten to JSON on write)."""
+    if is_complex_type(hive_type):
+        return F.to_json(col).cast("binary")
+    return encode_col(col, hive_type)
 
 
 def write_cells(

@@ -36,6 +36,17 @@ from hive_cassandra_spark.codecs import decode_col
 from hive_cassandra_spark.mapping import ColumnMapping
 
 
+def _decode_value(col: F.Column, hive_type: str) -> F.Column:
+    """Primitive → dual binary/text decode; complex (struct/array/map) →
+    parse the JSON text the write path produced (sink._encode_value,
+    ≙ TableMapping.java:101-133)."""
+    from hive_cassandra_spark.sink import is_complex_type
+
+    if is_complex_type(hive_type):
+        return F.from_json(col.cast("string"), hive_type)
+    return decode_col(col, hive_type)
+
+
 def read_cells(spark: SparkSession, path: str) -> DataFrame:
     """Open a persisted cell store (see sink.write_cells)."""
     return spark.read.parquet(path)
@@ -98,7 +109,7 @@ def cells_to_table(
                 ).alias(column_names[entry_to_idx[":subcolumn"]])
             )
         out.append(
-            decode_col(F.col("value"), hive_types[entry_to_idx[":value"]]).alias(
+            _decode_value(F.col("value"), hive_types[entry_to_idx[":value"]]).alias(
                 column_names[entry_to_idx[":value"]]
             )
         )
@@ -153,7 +164,7 @@ def cells_to_table(
         )
     ]
     for i in plain_idx:
-        out.append(decode_col(F.col(f"__v{i}"), hive_types[i]).alias(column_names[i]))
+        out.append(_decode_value(F.col(f"__v{i}"), hive_types[i]).alias(column_names[i]))
     for i in cf_map_idx:
         # decode the map's binary values per the declared value type; keys
         # are utf-8 strings (validated map<string,?> —

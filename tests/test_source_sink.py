@@ -188,3 +188,25 @@ def test_slice_range(spark):
     # forward order, count=1 → 'flag'
     fwd = source.slice_cells(cells, start="flag", finish="score", count=1)
     assert {bytes(r.column_name).decode() for r in fwd.collect()} == {"flag"}
+
+
+def test_complex_types_json_roundtrip(spark):
+    """Non-primitive columns flatten to JSON on write and parse back on
+    read (≙ TableMapping.java:101-133 useJsonSerialize)."""
+    m = parse_mapping(":key,tags,meta", 3)
+    types = ["string", "array<bigint>", "struct<a:string,b:double>"]
+    df = spark.createDataFrame(
+        [("r1", [1, 2, 3], ("x", 1.5)), ("r2", [], ("y", -2.0))],
+        "id string, tags array<bigint>, meta struct<a:string,b:double>",
+    )
+    cells = sink.to_cells(df, m, types, clock_millis=1)
+    raw = {
+        (bytes(r.row_key).decode(), bytes(r.column_name).decode()): bytes(r.value).decode()
+        for r in cells.collect()
+    }
+    assert raw[("r1", "tags")] == "[1,2,3]"
+    assert '"a":"x"' in raw[("r1", "meta")]
+    back = source.cells_to_table(cells, m, ["id", "tags", "meta"], types)
+    got = {r.id: (r.tags, (r.meta.a, r.meta.b)) for r in back.collect()}
+    assert got["r1"] == ([1, 2, 3], ("x", 1.5))
+    assert got["r2"] == ([], ("y", -2.0))
