@@ -1323,7 +1323,8 @@ def q49_slice_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q50_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming_events.read_events_stream(spark, sf_dir)
     return streaming_events.run_bounded(
-        streaming_events.tumbling_counts(ev, "1 hour"), spark, "complete"
+        streaming_events.tumbling_counts(ev, "1 hour"), spark, "complete",
+        state_partitions=8,
     )
 
 
@@ -1342,7 +1343,8 @@ def q50_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q51_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming_events.read_events_stream(spark, sf_dir)
     return streaming_events.run_bounded(
-        streaming_events.sliding_counts(ev, "2 hours", "1 hour"), spark, "complete"
+        streaming_events.sliding_counts(ev, "2 hours", "1 hour"), spark, "complete",
+        state_partitions=8,
     )
 
 
@@ -1368,7 +1370,8 @@ def q51_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q52_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming_events.read_events_stream(spark, sf_dir)
     return streaming_events.run_bounded(
-        streaming_events.session_aggregate(ev, "30 minutes"), spark, "complete"
+        streaming_events.session_aggregate(ev, "30 minutes"), spark, "complete",
+        state_partitions=8,
     )
 
 
@@ -1380,7 +1383,8 @@ def q52_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q53_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming_events.read_events_stream(spark, sf_dir)
     out = streaming_events.run_bounded(
-        streaming_events.stream_dedup(ev), spark, "append"
+        streaming_events.stream_dedup(ev), spark, "append",
+        state_partitions=8,
     )
     return out.select("event_id")
 
@@ -1397,7 +1401,8 @@ def q53_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q54_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming_events.read_events_stream(spark, sf_dir)
     out = streaming_events.run_bounded(
-        streaming_events.stateful_user_counts(ev), spark, "update"
+        streaming_events.stateful_user_counts(ev), spark, "update",
+        state_partitions=8,
     )
     # update-mode sinks append one row per (user, batch); keep the final
     # (max-count) row per user in case the bounded replay split into batches.

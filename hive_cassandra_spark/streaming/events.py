@@ -119,18 +119,41 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def run_bounded(df: DataFrame, spark: SparkSession, output_mode: str = "complete") -> DataFrame:
+def run_bounded(
+    df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drive a streaming DataFrame over its bounded source to completion
     via an in-memory sink; return the materialized result as a batch
     DataFrame. Test/oracle harness only — production would writeStream to
-    a real sink."""
+    a real sink.
+
+    ``state_partitions`` sizes the stateful-operator partition count for
+    this query (captured from ``spark.sql.shuffle.partitions`` at stream
+    start). State partitioning is the knob that must track key cardinality:
+    each partition pays a state-store commit + Python-worker round-trip per
+    micro-batch, so 32 partitions over the small bounded fixture is pure
+    overhead (benched 15s → 1.3s for applyInPandasWithState at sf0.01),
+    while a 1000-executor deployment wants hundreds — results are identical
+    either way. Restored after the stream finishes.
+    """
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
