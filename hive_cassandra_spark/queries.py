@@ -1245,6 +1245,51 @@ def q48_validator_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q56_corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, length(text) AS char_count,
+             round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) * 1.0)
+                   / greatest(length(text), 1), 4) AS digit_ratio,
+             {_SQL_LANG_SCORE['de']} AS s_de, {_SQL_LANG_SCORE['en']} AS s_en,
+             {_SQL_LANG_SCORE['es']} AS s_es, {_SQL_LANG_SCORE['fr']} AS s_fr,
+             {_SQL_LANG_SCORE['zh']} AS s_zh
+      FROM (SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents)),
+    quality AS (
+      -- lang_pred = 'en' under the alphabetical tie-break: en must beat de
+      -- strictly (de precedes en) and the rest non-strictly
+      SELECT * FROM scored
+      WHERE char_count >= 100 AND digit_ratio < 0.3
+        AND s_en > 0 AND s_en > s_de
+        AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+             count(*) AS dup_count
+      FROM quality
+      GROUP BY 2)
+    SELECT doc_id, dup_count, md5(norm_text) AS fingerprint_md5
+    FROM deduped
+    """,
+    doc="end-to-end training-data curation pipeline: quality filter "
+    "(length + digit ratio) → language filter (en) → exact dedup (keep "
+    "min id) → fingerprint. One narrow projection chain + one shuffle "
+    "(the dedup groupBy) — the composition a 100 TB curation job runs",
+)
+def q56_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stats = text.text_stats(docs)
+    quality = stats.filter((F.col("char_count") >= 100) & (F.col("digit_ratio") < 0.3))
+    en = text.lang_id(quality).filter(F.col("lang_pred") == "en")
+    norm = text.normalize(F.col("text")).alias("norm_text")
+    deduped = (
+        en.groupBy(norm)
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+    return deduped.select("doc_id", "dup_count", F.md5("norm_text").alias("fingerprint_md5"))
+
+
+@register(
     "q55_json_extract",
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
