@@ -87,6 +87,19 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray
     return np.random.RandomState(seed).randn(tables, bits, dim)
 
 
+def _lit_double_array(vals) -> Column:
+    """Literal array<double> built with ONE expression-parse call.
+
+    ``F.array(*[F.lit(v) ...])`` costs a py4j round-trip per element —
+    thousands of driver→JVM calls for LSH/IVF constant tables (benched:
+    several seconds of pure plan construction). A single ``F.expr`` string
+    parses JVM-side in one call; values are reprs of Python floats, which
+    Spark SQL reads back to the identical double."""
+    return F.expr("array(" + ",".join(repr(float(v)) for v in vals) + ")").cast(
+        "array<double>"
+    )
+
+
 def _bucket_cols(vec: Column, planes: np.ndarray) -> list[Column]:
     """One signature string per LSH table: the sign bits of the hyperplane
     projections, as a '0'/'1' string (a literal-folded dot product per
@@ -95,15 +108,7 @@ def _bucket_cols(vec: Column, planes: np.ndarray) -> list[Column]:
     for table in planes:
         bits = []
         for plane in table:
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(w)) for w in plane]),
-                    lambda x, w: x * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+            proj = dot(vec, _lit_double_array(plane))
             bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
         out.append(F.concat(*bits))
     return out
@@ -208,7 +213,7 @@ def _cell_cols(vec: Column, cents: list[tuple[int, list[float]]], nprobe: int) -
         *[
             F.struct(
                 (
-                    dot(vec, F.array(*[F.lit(float(c)) for c in cv]))
+                    dot(vec, _lit_double_array(cv))
                     / F.lit(math.sqrt(sum(c * c for c in cv)))
                 ).alias("cs"),
                 F.lit(-cid).alias("negcid"),
