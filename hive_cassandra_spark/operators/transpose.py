@@ -139,9 +139,13 @@ def explode_super_to_long(
 def implode_long_to_super(df: DataFrame) -> DataFrame:
     """(row_key, column_name, sub_column_name, value) → two-level map
     (≙ CassandraSuperPut.write nesting, CassandraSuperPut.java:94-145).
-    Two keyed aggregations; AQE coalesces the second (already co-partitioned
-    by row_key prefix)."""
-    inner = df.groupBy(ROW_KEY, COLUMN_NAME).agg(
+
+    ONE exchange: hash-repartition on row_key up front — HashPartitioning
+    on row_key satisfies the clustering requirement of *both* groupBys
+    (row_key is a prefix of (row_key, column_name)), so the two nested
+    aggregations run exchange-free on co-located data. Plan-asserted in
+    tests/test_transpose.py."""
+    inner = df.repartition(F.col(ROW_KEY)).groupBy(ROW_KEY, COLUMN_NAME).agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct(SUB_COLUMN_NAME, VALUE)))
         ).alias("sub_map")

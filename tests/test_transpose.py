@@ -82,3 +82,18 @@ def test_counter_rollup(spark):
     out = tp.counter_rollup(df, ["key", "col"], "value")
     got = {(r.key, r.col): r.value for r in out.collect()}
     assert got == {("k", "c"): 3, ("k2", "c"): 5}
+
+
+def test_super_implode_single_exchange(spark):
+    """The two nested aggregations must share one up-front row_key
+    repartition — hash(row_key) satisfies both clusterings."""
+    long3 = spark.createDataFrame(
+        [("u1", "clicks", "d1", "3"), ("u1", "views", "d1", "9")],
+        f"{tp.ROW_KEY} string, {tp.COLUMN_NAME} string, {tp.SUB_COLUMN_NAME} string, {tp.VALUE} string",
+    )
+    nested = tp.implode_long_to_super(long3)
+    plan = nested._jdf.queryExecution().executedPlan().toString()
+    import re
+    # exactly one real exchange (the repartition); ReusedExchange excluded
+    n = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n == 1, plan
