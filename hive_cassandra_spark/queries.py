@@ -1293,23 +1293,34 @@ def q56_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_json_extract",
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-           count(*) AS n, round(avg(value), 4) AS avg_value
+           count(*) AS n,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 4)
+             AS avg_value
     FROM events
     GROUP BY 1
     """,
     doc="JSON scalar functions over a string column: get_json_object + "
     "typed extraction (Hive 0.9's get_json_object surface, SURVEY.md §2.B "
     "scalar fns; also the reference's JSON-serialized complex types, "
-    "TableMapping.java:101-133)",
+    "TableMapping.java:101-133). avg computed as an exact integer-cents "
+    "sum + one division: float summation order differs between engines and "
+    "round(avg(double)) straddles rounding boundaries (bit at sf0.001)",
 )
 def q55_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         ev.select(
-            F.get_json_object("props", "$.k").cast("bigint").alias("k"), "value"
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            cents.alias("cents"),
         )
         .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("cents") / (F.count(F.lit(1)) * F.lit(100.0)), 4).alias(
+                "avg_value"
+            ),
+        )
     )
 
 
