@@ -274,3 +274,41 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------- stats-driven strategy ---
+
+DEFAULT_BRUTE_FORCE_MAX_BYTES = 256 * 1024 * 1024
+
+
+def choose_ann_strategy(
+    items: DataFrame, brute_force_max_bytes: int = DEFAULT_BRUTE_FORCE_MAX_BYTES
+) -> str:
+    """'brute' or 'ivf', from Catalyst's own size estimate of the item side.
+
+    This is the optional optimizer rule SURVEY.md §7 sketches ("rewrite
+    similarity_topk onto an LSH/IVF pre-filter plan"), expressed at the
+    library layer where PySpark can read plan statistics: below the
+    threshold the exact broadcast-queries scan is both faster and exact;
+    above it, scoring every pair is the 100 TB mistake and the IVF
+    pre-filter bounds the candidate set."""
+    stats = items._jdf.queryExecution().optimizedPlan().stats()
+    size_in_bytes = int(str(stats.sizeInBytes()))
+    return "brute" if size_in_bytes <= brute_force_max_bytes else "ivf"
+
+
+def auto_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    brute_force_max_bytes: int = DEFAULT_BRUTE_FORCE_MAX_BYTES,
+    **ivf_kwargs,
+) -> DataFrame:
+    """Top-k neighbors with the execution strategy picked from plan stats
+    (see choose_ann_strategy). Same output schema either way:
+    (query_id, neighbor_id, cosine, rank)."""
+    if choose_ann_strategy(items, brute_force_max_bytes) == "brute":
+        return brute_force_topk(items, queries, k, id_col, vec_col)
+    return ivf_topk(items, queries, k, id_col=id_col, vec_col=vec_col, **ivf_kwargs)

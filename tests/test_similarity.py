@@ -101,3 +101,20 @@ def test_ivf_centroids_deterministic_shape(spark, sf_dir):
     c = similarity.centroids(emb, 4).collect()
     assert sorted(r.cid for r in c) == [0, 1, 2, 3]
     assert all(len(r.centroid) == 64 for r in c)
+
+
+def test_auto_topk_strategy_choice(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    # small fixture → Catalyst's size estimate picks the exact path
+    assert similarity.choose_ann_strategy(emb) == "brute"
+    exact = similarity.auto_topk(emb, queries, k=3).collect()
+    direct = similarity.brute_force_topk(emb, queries, k=3).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, direct))
+    # force the threshold down → the IVF pre-filter path is chosen
+    assert similarity.choose_ann_strategy(emb, brute_force_max_bytes=1) == "ivf"
+    approx = similarity.auto_topk(
+        emb, queries, k=3, brute_force_max_bytes=1, n_centroids=4, nprobe=2
+    )
+    assert approx.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert approx.count() > 0

@@ -105,3 +105,62 @@ def test_stream_to_cell_store_lww(spark, tmp_path):
     )
     row = {r.id: (r.name, r.score) for r in back.collect()}
     assert row[1] == ("new", 2.0)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving behind the watermark is dropped from the windowed
+    aggregate; an in-horizon late event still lands. Batches are driven
+    explicitly (processAllAvailable between file writes) so the watermark
+    genuinely advances between micro-batches."""
+    import datetime as dt
+    import uuid as _uuid
+
+    src = str(tmp_path / "late_src")
+    schema = "event_id bigint, ts timestamp, value double"
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: events at 9:00 and 10:00 → watermark afterwards = 9:50
+    write_file([(1, base + dt.timedelta(hours=10), 1.0),
+                (2, base + dt.timedelta(hours=9), 1.0)])
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "n")
+    )
+    name = f"late_{_uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()  # watermark → 9:50
+        # batch 2: 5:00 is far behind the watermark → dropped;
+        # 9:55 is within the 10-minute horizon → lands in the 9:00 window
+        write_file([(3, base + dt.timedelta(hours=5), 1.0),
+                    (4, base + dt.timedelta(hours=9, minutes=55), 1.0)])
+        q.processAllAvailable()
+        # batch 3: advance the watermark past 11:00 so the 9:00/10:00
+        # windows close and append-mode emits them
+        write_file([(5, base + dt.timedelta(hours=12), 1.0)])
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {r.h: r.n for r in spark.table(name).collect()}
+    # the 5:00 event was dropped pre-aggregation: its window never exists
+    assert "05:00" not in got
+    # the in-horizon late event landed: 9:00 window counts both
+    assert got.get("09:00") == 2
+    assert got.get("10:00") == 1
