@@ -884,10 +884,33 @@ def q33_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash oracle: one vote aggregate per bit, then signature assembly —
+# the same 32-conditional-sums shape the Spark plan uses (dedup.simhash).
+_SQL_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32)
+)
+_SQL_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+)
+
+
 @register(
     "q34_dedup_simhash",
-    oracle=None,  # conv(hex→int) not portably expressible; pytest covers semantics
-    doc="SimHash(32-bit) near-dup pairs: byte-band candidates + Hamming verify",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id AS doc, unnest({_SQL_TOKS}) AS tok FROM documents),
+         h AS (SELECT doc, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+         votes AS (SELECT doc, {_SQL_SIMHASH_VOTES} FROM h GROUP BY doc),
+         sig AS (SELECT doc, CAST({_SQL_SIMHASH_SIG} AS BIGINT) AS simhash FROM votes),
+         bands AS (SELECT doc, simhash, i AS pos, (simhash >> (8 * i)) & 255 AS byte
+                   FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+         pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+                   FROM bands a JOIN bands b
+                     ON a.pos = b.pos AND a.byte = b.byte AND a.doc < b.doc)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+    doc="SimHash(32-bit) near-dup pairs: byte-band candidates + Hamming verify — "
+    "md5-derived token hashes keep the full pipeline oracle-comparable",
 )
 def q34_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
