@@ -957,10 +957,53 @@ def q36_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+def _sql_lsh_oracle(bits: int, tables: int, dim: int, seed: int, k: int) -> str:
+    """DuckDB oracle for lsh_topk: the hyperplanes are seeded-numpy driver
+    constants in the Spark plan, so the oracle embeds the SAME constants as
+    literal DOUBLE[] (repr round-trips exactly to the identical double) and
+    replays bucketing + candidate join + cosine ranking in SQL."""
+    planes = similarity._hyperplanes(dim, bits, tables, seed)
+
+    def arr(vals) -> str:
+        return "[" + ",".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+    sig_structs = ", ".join(
+        "{tbl: %d, sig: %s}"
+        % (
+            t,
+            " || ".join(
+                f"(CASE WHEN list_dot_product(v, {arr(plane)}) >= 0 "
+                "THEN '1' ELSE '0' END)"
+                for plane in planes[t]
+            ),
+        )
+        for t in range(tables)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sigs AS (SELECT vec_id, v, unnest([{sig_structs}]) AS b FROM v),
+         buckets AS (SELECT vec_id, v, b.tbl AS tbl, b.sig AS sig FROM sigs),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+                         q.v AS qv, i.v AS iv
+                  FROM buckets q JOIN buckets i
+                    ON q.tbl = i.tbl AND q.sig = i.sig
+                   AND q.vec_id < 20 AND q.vec_id <> i.vec_id),
+         scored AS (SELECT query_id, neighbor_id,
+                           round(list_cosine_similarity(qv, iv), 6) AS cosine
+                    FROM cand)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
 @register(
     "q37_similarity_ann_lsh",
-    oracle=None,  # approximate by design; recall vs brute force in tests
-    doc="ANN via random-hyperplane LSH buckets (the 100 TB scale path)",
+    oracle=_sql_lsh_oracle(bits=4, tables=16, dim=64, seed=42, k=5),
+    doc="ANN via random-hyperplane LSH buckets (the 100 TB scale path); "
+    "oracle replays the same seeded hyperplane constants in SQL",
 )
 def q37_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -1090,9 +1133,29 @@ def q42_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q43_multimodal_features",
-    oracle=None,  # mapInPandas kernel; deterministic-fake decode, pytest-verified
+    # The fake decode kernel is a pure function of the payload bytes (16-bin
+    # high-nibble histogram), so SQL replays it: odd-position chars of
+    # hex(payload) ARE the high nibbles.
+    oracle="""
+    WITH h AS (SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents),
+         nib AS (SELECT doc_id,
+                        unnest(list_transform(range(0, length(hx) // 2),
+                          i -> strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1))
+                          AS bin
+                 FROM h),
+         counts AS (SELECT doc_id, bin, count(*) AS c FROM nib GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(c) AS total FROM counts GROUP BY 1),
+         f AS (SELECT c.doc_id, bin, round_even(c * 1.0 / total, 6) AS fb
+               FROM counts c JOIN tot USING (doc_id))
+    SELECT doc_id,
+           coalesce(max(CASE WHEN bin = 0 THEN fb END), 0.0) AS f0,
+           coalesce(max(CASE WHEN bin = 7 THEN fb END), 0.0) AS f7,
+           round(sum(fb), 4) AS f_sum
+    FROM f GROUP BY doc_id
+    """,
     doc="decode + feature-extract via Arrow mapInPandas (decode kernel stubbed: "
-    "real codec libs absent — SURVEY.md §2.C multimodal)",
+    "real codec libs absent — SURVEY.md §2.C multimodal); the deterministic "
+    "fake kernel is oracle-replayed from hex(payload)",
 )
 def q43_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
