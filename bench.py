@@ -42,6 +42,8 @@ HEADLINE = [
     "q38_text_stats",
     "q41_fingerprint",
     "q50_stream_tumbling",
+    "q57_asof_join",
+    "q58_range_join",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Temporal joins: as-of and range joins over event streams (SURVEY.md §2.C
+adjacency — no reference analogue; these are the time-series operators a
+training-data pipeline needs that Spark SQL lacks as built-ins).
+
+Both are compositions of existing DataFrame ops (SURVEY.md's preferred
+custom-operator tier) with explicitly scale-safe plan shapes:
+
+- ``asof_join`` — for each left row, the latest right row with
+  ``right.ts <= left.ts`` on the same key. Implemented as tagged
+  union → ONE shuffle on the key → one window sort — the distributed
+  sort-merge as-of (pandas ``merge_asof`` per key group, Flink temporal-join
+  shape). Never builds the (left × right-history) pair space, so it survives
+  arbitrarily long histories; state per key is a single carried struct.
+
+- ``range_join_bucketed`` — points ⋈ intervals containment. A naive
+  ``ON p.ts BETWEEN i.start AND i.end`` is a broadcast-nested-loop (or worse,
+  a cartesian) in Spark; instead intervals are replicated to each fixed-width
+  time bucket they overlap and points map to exactly one bucket, so the join
+  is an equi-join on (key, bucket) — shuffle-hash-joinable, AQE-skew-safe —
+  followed by the exact containment filter. Bucket width trades replication
+  factor against join selectivity; intervals spanning b buckets emit b rows
+  (bounded by ``max_buckets_per_interval``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_values: list[str] | None = None,
+    tie_col: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the ``right_values`` columns of
+    the latest right row with ``right_ts <= left_ts`` and equal ``keys``
+    (NULLs when no prior right row exists).
+
+    Determinism: when several right rows share the boundary timestamp, the
+    greatest ``tie_col`` wins (default: first of ``right_values``) — encoded
+    purely in the window sort order, costing no extra shuffle, and matching
+    a (keys, ts)-compacted oracle.
+
+    Plan: union(tagged left, tagged right) → window over (keys) ordered by
+    (ts, side, tie) carrying ``last(right_struct, ignoreNulls)`` — right
+    sorts before left at equal ts, giving <= (inclusive) semantics. ONE
+    exchange, one sort; the history never fans out.
+    """
+    right_values = right_values or [c for c in right.columns if c not in keys and c != right_ts]
+    tie_col = tie_col or right_values[0]
+
+    rt = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(tie_col).alias("_tie"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*right_values).alias("_r"),
+    )
+    lt = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rt.schema["_tie"].dataType).alias("_tie"),
+        F.struct(*[c for c in left.columns]).alias("_l"),
+        F.lit(None).cast(rt.schema["_r"].dataType).alias("_r"),
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_tie"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = lt.unionByName(rt).withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out = merged.filter(F.col("_side") == 1).select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in right_values],
+    )
+    return out
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_width_s: int = 600,
+    max_buckets_per_interval: int = 1000,
+) -> DataFrame:
+    """All (point, interval) pairs with ``start <= point_ts <= end`` and
+    equal ``keys``, as an equi-join.
+
+    Intervals are exploded to every ``bucket_width_s``-wide epoch bucket they
+    overlap (``sequence`` — bounded by ``max_buckets_per_interval``; longer
+    intervals raise at plan build rather than silently exploding); points map
+    to exactly one bucket. The join key (keys…, bucket) is then hashable —
+    co-partitioned shuffle join, broadcastable when the interval side is
+    small — and the exact ``BETWEEN`` runs as a post-join filter. No row
+    dedup is needed: a (point, interval) pair meets in exactly the point's
+    single bucket.
+    """
+    b = F.lit(int(bucket_width_s))
+    i_start = F.floor(F.unix_timestamp(F.col(start_col)) / b)
+    i_end = F.floor(F.unix_timestamp(F.col(end_col)) / b)
+    guard = F.when(
+        i_end - i_start < max_buckets_per_interval, i_end
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"interval spans >{max_buckets_per_interval} buckets of "
+                f"{bucket_width_s}s — widen bucket_width_s"
+            )
+        )
+    )
+    iv = intervals.select(
+        "*", F.explode(F.sequence(i_start, guard)).alias("_bucket")
+    )
+    pt = points.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / b)
+    )
+    joined = pt.join(iv, [*keys, "_bucket"]).filter(
+        F.col(point_ts).between(F.col(start_col), F.col(end_col))
+    )
+    return joined.drop("_bucket")

@@ -24,7 +24,15 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
-from hive_cassandra_spark.operators import dedup, multimodal, relational, similarity, text, transpose
+from hive_cassandra_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    temporal,
+    text,
+    transpose,
+)
 from hive_cassandra_spark.streaming import events as streaming_events
 
 
@@ -1553,4 +1561,81 @@ def q54_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+# =====================================================================
+# Temporal joins (§2.C adjacency): as-of and range joins over events
+# =====================================================================
+
+
+@register(
+    "q57_asof_join",
+    oracle="""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         views AS (SELECT user_id, ts,
+                          max_by(event_id, event_id) AS asof_event_id,
+                          max_by(value, event_id) AS asof_value
+                   FROM events WHERE event_type = 'view'
+                   GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, v.asof_event_id, v.asof_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    doc="as-of join: each click joined to the user's latest prior view — "
+    "single-shuffle union+window sort-merge (no left×history fan-out); "
+    "oracle is DuckDB's native ASOF JOIN",
+)
+def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = temporal.asof_join(
+        clicks, views, keys=["user_id"],
+        right_values=["event_id", "value"], tie_col="event_id",
+    )
+    return joined.select("event_id", "user_id", "asof_event_id", "asof_value")
+
+
+@register(
+    "q58_range_join",
+    oracle="""
+    WITH clicks AS (SELECT event_id AS click_id, user_id, ts
+                    FROM events WHERE event_type = 'click'),
+         errs AS (SELECT event_id AS err_id, user_id, ts AS start_ts,
+                         ts + INTERVAL 4 HOUR AS end_ts
+                  FROM events WHERE event_type = 'error')
+    SELECT click_id, err_id,
+           CAST(floor((epoch_us(c.ts) - epoch_us(e.start_ts)) / 1000000.0)
+                AS BIGINT) AS secs_after
+    FROM clicks c JOIN errs e
+      ON c.user_id = e.user_id AND c.ts BETWEEN e.start_ts AND e.end_ts
+    """,
+    doc="range (interval-containment) join: clicks inside a 4-hour window "
+    "after an error by the same user — intervals bucket-replicated so the "
+    "join is an equi-join on (user, time-bucket), not a nested loop",
+)
+def q58_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+    )
+    joined = temporal.range_join_bucketed(
+        clicks, errs, keys=["user_id"],
+        point_ts="ts", start_col="start_ts", end_col="end_ts",
+        bucket_width_s=14400,
+    )
+    return joined.select(
+        "click_id",
+        "err_id",
+        F.floor(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("start_ts")))
+            / F.lit(1000000.0)
+        ).cast("long").alias("secs_after"),
     )
