@@ -102,3 +102,40 @@ def salted_collect_list(
         shards.groupBy(*group_cols)
         .agg(F.flatten(F.collect_list("__part")).alias(f"{value_col}_list"))
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Reproducible train/valid/test assignment: bucket = first 32 bits of
+    md5(salt|key) mod 100, mapped to named splits by cumulative percentage.
+
+    The TABLESAMPLE analogue a training pipeline actually needs: membership
+    is a pure function of the key (stable across runs, engines, cluster
+    sizes — never ``rand()``), the salt re-rolls the assignment without
+    touching the data, and the plan is a narrow codegen'd projection: no
+    shuffle, no sampling pass. Adds a ``split`` column.
+    """
+    splits = splits or {"train": 80, "valid": 10, "test": 10}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percentages must total 100, got {splits}")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    expr = None
+    cum = 0
+    for name, pct in splits.items():
+        cum += pct
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

@@ -1639,3 +1639,83 @@ def q58_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).cast("long").alias("secs_after"),
     )
+
+
+# =====================================================================
+# Relational-surface breadth: exact percentiles, GROUPING SETS,
+# deterministic split assignment
+# =====================================================================
+
+
+@register(
+    "q59_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact interpolated percentiles per group (Spark percentile() == "
+    "DuckDB quantile_cont — both linear-interpolation); the exact baseline "
+    "approx_percentile trades against at scale",
+)
+def q59_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "q60_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="explicit GROUPING SETS (the general form CUBE/ROLLUP specialize; "
+    "Hive 0.9 had none — SURVEY.md §2.B upgrade)",
+)
+def q60_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "q61_deterministic_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT o_totalprice,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT o_totalprice,
+                   ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 AS b
+            FROM orders))
+    SELECT split, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM assigned GROUP BY split
+    """,
+    doc="reproducible train/valid/test split: membership is md5(key) mod 100 "
+    "— stable across runs/engines/cluster sizes, zero-shuffle projection "
+    "(the TABLESAMPLE analogue a training pipeline needs)",
+)
+def q61_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    assigned = relational.deterministic_split(o, "o_orderkey")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -58,3 +58,33 @@ def test_salted_collect_list(spark, sf_dir):
     a = {r.o_orderstatus: sorted(r.o_orderkey_list) for r in out.collect()}
     b = {r.o_orderstatus: sorted(r.l) for r in naive.collect()}
     assert a == b
+
+
+def test_deterministic_split(spark, sf_dir):
+    ord_ = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = rel.deterministic_split(ord_, "o_orderkey")
+    # pure function of the key: two evaluations agree row-for-row
+    a = {r.o_orderkey: r.split for r in out.collect()}
+    b = {r.o_orderkey: r.split for r in rel.deterministic_split(ord_, "o_orderkey").collect()}
+    assert a == b
+    # proportions roughly honor the 80/10/10 request
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.7 < c["train"] / n < 0.9
+    assert set(c) == {"train", "valid", "test"}
+    # a different salt re-rolls some assignments
+    resalted = {r.o_orderkey: r.split for r in rel.deterministic_split(ord_, "o_orderkey", salt="v2").collect()}
+    assert resalted != a
+    # narrow projection: no shuffle in the plan
+    plan = rel.deterministic_split(ord_, "o_orderkey")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_deterministic_split_validates_percentages(spark):
+    df = spark.range(10)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="total 100"):
+        rel.deterministic_split(df, "id", splits={"train": 50, "test": 10})
