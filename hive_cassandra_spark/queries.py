@@ -1719,3 +1719,25 @@ def q61_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "q62_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts >= c.ts - INTERVAL 6 HOUR AND v.ts <= c.ts
+    """,
+    doc="watermarked stream-stream self-join (clicks x prior views within "
+    "6h): the time-range predicate bounds join state on both sides; on "
+    "bounded input it equals the batch interval join",
+)
+def q62_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    out = streaming_events.run_bounded(
+        streaming_events.stream_stream_join(ev), spark, "append",
+        state_partitions=8,
+    )
+    return out

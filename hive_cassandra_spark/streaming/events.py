@@ -119,6 +119,48 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_join(events: DataFrame, max_delay: str = "6 hours") -> DataFrame:
+    """Watermarked stream-stream self-join: each click paired with every
+    view by the same user in the preceding ``max_delay``.
+
+    Both sides carry a watermark and the join predicate bounds the event-time
+    range, so Spark can expire buffered rows on BOTH sides — state stays
+    O(keys × max_delay window), the requirement for an unbounded deployment.
+    The reference's engine (stateless MR scans) had no such operator.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"""
+            click_user = view_user AND
+            view_ts >= click_ts - INTERVAL {max_delay} AND
+            view_ts <= click_ts
+            """
+        ),
+    )
+    return joined.select(
+        "click_id", "view_id", F.col("click_user").alias("user_id")
+    )
+
+
 def run_bounded(
     df: DataFrame,
     spark: SparkSession,

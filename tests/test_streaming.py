@@ -164,3 +164,28 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the in-horizon late event landed: 9:00 window counts both
     assert got.get("09:00") == 2
     assert got.get("10:00") == 1
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    stream = se.run_bounded(
+        se.stream_stream_join(se.read_events_stream(spark, sf_dir), "6 hours"),
+        spark,
+        "append",
+        state_partitions=8,
+    )
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    batch = clicks.join(views, "user_id").filter(
+        (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+    ).select("click_id", "view_id", "user_id")
+    assert _norm(stream.collect()) == _norm(batch.collect())
