@@ -44,6 +44,7 @@ HEADLINE = [
     "q50_stream_tumbling",
     "q57_asof_join",
     "q58_range_join",
+    "q59_percentiles",
 ]
 
 
