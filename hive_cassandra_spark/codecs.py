@@ -9,13 +9,17 @@ back to ASCII text parse on wrong length or failure — so data written by
 Hive as text and data written by native clients both read correctly
 (e.g. CassandraLazyLong.java:18-32, CassandraLazyInteger.java:18-32).
 
-Two tiers here:
+Three tiers here:
 
 - pure-Python ``decode_*`` / ``encode_*`` — the semantic ground truth,
   unit- and hypothesis-tested;
-- ``decode_col(col, hive_type)`` — a vectorized Arrow ``pandas_udf`` for
-  DataFrame pipelines (binary cells are the cold path of this engine; hot
-  paths read typed parquet and never touch these).
+- ``decode_col`` / ``encode_col`` — the production tier: the same dual
+  rule built from pure codegen'd expressions (conv/hex arithmetic,
+  reflect() for IEEE bits) — NO Python boundary, so the connector
+  hot path stays inside whole-stage codegen at any scale;
+- ``decode_col_arrow`` / ``encode_col_arrow`` — Arrow-batched pandas_udf
+  wrappers over the Python decoders, equivalence-tested against the
+  expression tier (tests/test_codecs.py).
 
 Encodings follow LazyCassandraUtils.getCassandraType
 (serde2/lazy/LazyCassandraUtils.java:17-41): boolean→1 byte, int→4 BE,
@@ -26,6 +30,7 @@ millis (DateType), binary→raw bytes.
 from __future__ import annotations
 
 import base64
+import re
 import struct
 from datetime import datetime, timezone
 
@@ -83,6 +88,27 @@ def _text_fallback(data: bytes, parse):
         return None
 
 
+# Text-number grammar shared with the expression codecs (decode_col): the
+# reference's Java-style parse — optional sign + digits for integers,
+# standard decimal/scientific for floats. Python's bare int()/float() are
+# looser (underscore separators, "inf"/"nan" words); those are rejected
+# here so both codec tiers and the reference agree.
+_INT_TEXT_RE = re.compile(r"^[+-]?[0-9]+$")
+_FLOAT_TEXT_RE = re.compile(r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$")
+
+
+def _parse_int_strict(s: str) -> int:
+    if not _INT_TEXT_RE.match(s):
+        raise ValueError(f"not an integer numeral: {s!r}")
+    return int(s)
+
+
+def _parse_float_strict(s: str) -> float:
+    if not _FLOAT_TEXT_RE.match(s):
+        raise ValueError(f"not a float numeral: {s!r}")
+    return float(s)
+
+
 def decode_boolean(data: bytes) -> bool | None:
     """1 binary byte, else text parse (CassandraLazyBoolean.java:20-34)."""
     if data is None:
@@ -102,7 +128,7 @@ def decode_int(data: bytes) -> int | None:
         return None
     if len(data) == 4:
         return struct.unpack(">i", data)[0]
-    return _text_fallback(data, int)
+    return _text_fallback(data, _parse_int_strict)
 
 
 def decode_long(data: bytes) -> int | None:
@@ -114,7 +140,7 @@ def decode_long(data: bytes) -> int | None:
         return None
     if len(data) == 8:
         return struct.unpack(">q", data)[0]
-    return _text_fallback(data, int)
+    return _text_fallback(data, _parse_int_strict)
 
 
 def decode_float(data: bytes) -> float | None:
@@ -123,7 +149,7 @@ def decode_float(data: bytes) -> float | None:
         return None
     if len(data) == 4:
         return struct.unpack(">f", data)[0]
-    return _text_fallback(data, float)
+    return _text_fallback(data, _parse_float_strict)
 
 
 def decode_double(data: bytes) -> float | None:
@@ -132,7 +158,7 @@ def decode_double(data: bytes) -> float | None:
         return None
     if len(data) == 8:
         return struct.unpack(">d", data)[0]
-    return _text_fallback(data, float)
+    return _text_fallback(data, _parse_float_strict)
 
 
 def decode_string(data: bytes) -> str | None:
@@ -144,6 +170,13 @@ def decode_string(data: bytes) -> str | None:
         return None
 
 
+# millis range representable by both Python datetime (year 1..9999) and
+# Spark TimestampType; 8-byte payloads outside it decode to NULL on every
+# tier rather than raising (random bytes are a valid cell payload)
+_TS_MILLIS_MIN = -62135596800000   # 0001-01-01T00:00:00Z
+_TS_MILLIS_MAX = 253402300799999   # 9999-12-31T23:59:59.999Z
+
+
 def decode_timestamp(data: bytes) -> datetime | None:
     """8-byte epoch-millis long, else ISO text
     (CassandraLazyTimestamp.java:19-33)."""
@@ -151,6 +184,8 @@ def decode_timestamp(data: bytes) -> datetime | None:
         return None
     if len(data) == 8:
         millis = struct.unpack(">q", data)[0]
+        if not (_TS_MILLIS_MIN <= millis <= _TS_MILLIS_MAX):
+            return None  # outside datetime's year 1..9999 — undecodable
         return datetime.fromtimestamp(millis / 1000.0, tz=timezone.utc)
     try:
         return datetime.fromisoformat(data.decode("ascii").strip())
@@ -216,8 +251,8 @@ def decode_validator_string(data: bytes, validator: str = "BytesType") -> str | 
 
 DECODERS = {
     "boolean": decode_boolean,
-    "tinyint": lambda b: _text_fallback(b, int) if b is not None else None,
-    "smallint": lambda b: _text_fallback(b, int) if b is not None else None,
+    "tinyint": lambda b: _text_fallback(b, _parse_int_strict) if b is not None else None,
+    "smallint": lambda b: _text_fallback(b, _parse_int_strict) if b is not None else None,
     "int": decode_int,
     "bigint": decode_long,
     "float": decode_float,
@@ -254,21 +289,160 @@ _SPARK_TYPES = {
 }
 
 
-def decode_col(col: Column, hive_type: str) -> Column:
-    """Vectorized dual-decode of a BinaryType column to ``hive_type``.
-
-    Arrow-batched ``pandas_udf`` (not row-at-a-time): the whole batch
-    crosses the JVM↔Python boundary once. Used only on byte-cell paths;
-    typed parquet scans bypass codecs entirely.
+def decode_col_arrow(col: Column, hive_type: str) -> Column:
+    """Vectorized dual-decode of a BinaryType column to ``hive_type`` via an
+    Arrow-batched ``pandas_udf`` running the pure-Python ground-truth
+    decoders. Kept as the reference implementation the expression path
+    (``decode_col``) is equivalence-tested against.
     """
     decoder = DECODERS[hive_type]
     spark_type = _SPARK_TYPES[hive_type]
+    # nullable extension dtype for integral results: a batch with any None
+    # would otherwise coerce the object series to float64 and silently
+    # round longs past 2^53 (caught by the expression-equivalence tests)
+    int_dtype = {
+        "tinyint": "Int8", "smallint": "Int16", "int": "Int32", "bigint": "Int64"
+    }.get(hive_type)
+
+    float_np = {"float": "float32", "double": "float64"}.get(hive_type)
 
     @F.pandas_udf(spark_type)
     def _decode(s: pd.Series) -> pd.Series:
-        return s.map(lambda b: None if b is None else decoder(bytes(b)))
+        # explicit list → typed array: Series.map would *infer* the result
+        # dtype, and an int batch containing any None infers float64,
+        # silently rounding longs past 2^53 before any astype could help
+        vals = [None if b is None else decoder(bytes(b)) for b in s]
+        if int_dtype:
+            return pd.Series(pd.array(vals, dtype=int_dtype))
+        if float_np:
+            # masked FloatingArray keeps NULL (undecodable) distinct from a
+            # decoded NaN payload — an object series would Arrow both to null
+            import numpy as np
+
+            mask = np.array([v is None for v in vals], dtype=bool)
+            data = np.array(
+                [0.0 if v is None else v for v in vals], dtype=float_np
+            )
+            return pd.Series(pd.arrays.FloatingArray(data, mask))
+        return pd.Series(vals, dtype=object)
 
     return _decode(col)
+
+
+# ----------------------------------------------- expression (JVM) codecs ---
+# The connector hot path must stay inside whole-stage codegen (no Python
+# workers); these build the dual-decode rule from built-in expressions.
+# hex() on BinaryType is byte-wise (length 2·bytes, leading zeros kept), so
+# fixed-width reinterpretation is exact; IEEE bit patterns go through
+# reflect('java.lang.{Double,Float}', ...), still JVM-side.
+#
+# Text-fallback grammar note: the expression path implements the
+# *reference's* Java parse semantics (Integer.parseInt-style: optional
+# sign + digits; standard decimal/scientific floats) — Python's int()/
+# float() are slightly looser (underscore separators, "inf"); the
+# equivalence tests pin the shared grammar.
+
+_INT_TEXT = r"^\s*([+-]?[0-9]+)\s*$"
+_FLOAT_TEXT = r"^\s*([+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?)\s*$"
+_TS_TEXT = r"^\s*([0-9]{4}-[0-9]{2}-[0-9]{2}([ T][0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?)?)\s*$"
+# strict base64: full quads, correct padding placement (mirrors
+# b64decode(validate=True) in decode_binary / CassandraLazyBinary.java:26-51)
+_B64_TEXT = (
+    r"^([A-Za-z0-9+/]{4})*"
+    r"([A-Za-z0-9+/]{4}|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{2}==)$"
+)
+
+
+def _ascii(col: Column) -> Column:
+    # undecodable high bytes become U+FFFD, which no numeric regex matches —
+    # same net null as Python's ascii-decode raise
+    return F.decode(col, "US-ASCII")
+
+
+def _signed64(col: Column) -> Column:
+    """Reinterpret an 8-byte binary column as a signed big-endian long:
+    two conv()'d 32-bit halves recombined (conv alone is unsigned)."""
+    hx = F.hex(col)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    shi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    return shi * F.lit(1 << 32) + lo
+
+
+def _signed32(col: Column) -> Column:
+    v = F.conv(F.hex(col), 16, 10).cast("long")
+    return F.when(v >= F.lit(1 << 31), v - F.lit(1 << 32)).otherwise(v)
+
+
+def _text_int(col: Column, spark_type: str) -> Column:
+    m = F.regexp_extract(_ascii(col), _INT_TEXT, 1)
+    return F.when(m != "", m.cast(spark_type))
+
+
+def _text_float(col: Column, spark_type: str) -> Column:
+    m = F.regexp_extract(_ascii(col), _FLOAT_TEXT, 1)
+    return F.when(m != "", m.cast(spark_type))
+
+
+def _reflect_double(bits: Column) -> Column:
+    return F.reflect(
+        F.lit("java.lang.Double"), F.lit("longBitsToDouble"), bits
+    ).cast("double")
+
+
+def _reflect_float(bits: Column) -> Column:
+    return F.reflect(
+        F.lit("java.lang.Float"), F.lit("intBitsToFloat"), bits.cast("int")
+    ).cast("float")
+
+
+def decode_col(col: Column, hive_type: str) -> Column:
+    """Dual-decode of a BinaryType column to ``hive_type`` as a pure
+    codegen'd expression — no Python boundary (≙ the CassandraLazy*
+    try-binary-first/text-fallback rule, SURVEY.md §1.3; semantics
+    equivalence-tested against the Python decoders)."""
+    n = F.length(col)
+    if hive_type == "boolean":
+        first_nonzero = F.conv(F.substring(F.hex(col), 1, 2), 16, 10) != "0"
+        low = F.lower(F.trim(_ascii(col)))
+        txt = F.when(low == "true", F.lit(True)).when(low == "false", F.lit(False))
+        return F.when(col.isNull(), F.lit(None).cast("boolean")).when(
+            n == 1, first_nonzero
+        ).otherwise(txt)
+    if hive_type in ("tinyint", "smallint"):
+        # text-only in the reference (Hive LazyByte/LazyShort,
+        # CassandraLazyFactory.java:56-59)
+        return _text_int(col, {"tinyint": "byte", "smallint": "short"}[hive_type])
+    if hive_type == "int":
+        return F.when(n == 4, _signed32(col).cast("int")).otherwise(
+            _text_int(col, "int")
+        )
+    if hive_type == "bigint":
+        return F.when(n == 8, _signed64(col)).otherwise(_text_int(col, "long"))
+    if hive_type == "float":
+        return F.when(n == 4, _reflect_float(_signed32(col))).otherwise(
+            _text_float(col, "float")
+        )
+    if hive_type == "double":
+        return F.when(n == 8, _reflect_double(_signed64(col))).otherwise(
+            _text_float(col, "double")
+        )
+    if hive_type == "string":
+        # decode() replaces invalid UTF-8 rather than nulling the row; the
+        # reference's LazyString behaves the same way (Hive Text replacement)
+        return F.decode(col, "UTF-8")
+    if hive_type == "timestamp":
+        m = F.regexp_extract(_ascii(col), _TS_TEXT, 1)
+        ms = _signed64(col)
+        in_range = ms.between(F.lit(_TS_MILLIS_MIN), F.lit(_TS_MILLIS_MAX))
+        return F.when(
+            n == 8, F.when(in_range, F.timestamp_millis(ms))
+        ).otherwise(F.when(m != "", m.cast("timestamp")))
+    if hive_type == "binary":
+        s = _ascii(col)
+        sniffable = (n > 0) & (n % 4 == 0) & s.rlike(_B64_TEXT)
+        return F.when(sniffable, F.unbase64(s)).otherwise(col)
+    raise ValueError(f"no decoder for hive type {hive_type!r}")
 
 
 def _coerce(v, hive_type: str):
@@ -283,10 +457,15 @@ def _coerce(v, hive_type: str):
     return v
 
 
-def encode_col(col: Column, hive_type: str) -> Column:
-    """Vectorized encode of a typed column to Cassandra-marshaled bytes
-    (≙ TableMapping.serialize + validator.fromString re-marshal,
-    serde/TableMapping.java:139-166)."""
+def encode_col_arrow(col: Column, hive_type: str) -> Column:
+    """Arrow-batched encode running the pure-Python ground-truth encoders;
+    kept as the reference implementation ``encode_col`` is tested against.
+
+    Known fidelity gap: a float/double NaN *value* encodes to a NULL cell
+    here, because Arrow hands the Python worker a plain float series in
+    which SQL NULL and NaN are indistinguishable. The expression path
+    (``encode_col``) preserves NaN payloads — one more reason it is the
+    production tier."""
     encoder = ENCODERS[hive_type]
 
     @F.pandas_udf(T.BinaryType())
@@ -302,6 +481,49 @@ def encode_col(col: Column, hive_type: str) -> Column:
         return s.map(enc)
 
     return _encode(col)
+
+
+def _unhex_fixed(value_as_long: Column, n_bytes: int) -> Column:
+    """Big-endian fixed-width bytes of a (sign-extended) long value."""
+    hx = F.lpad(F.hex(value_as_long), 16, "0")
+    return F.unhex(F.substring(hx, 17 - 2 * n_bytes, 2 * n_bytes))
+
+
+def encode_col(col: Column, hive_type: str) -> Column:
+    """Encode a typed column to Cassandra-marshaled bytes as a pure
+    codegen'd expression — no Python boundary (≙ TableMapping.serialize +
+    validator.fromString re-marshal, serde/TableMapping.java:139-166;
+    widths per LazyCassandraUtils.getCassandraType,
+    serde2/lazy/LazyCassandraUtils.java:17-41)."""
+    if hive_type == "boolean":
+        return F.when(
+            col.isNull(), F.lit(None).cast("binary")
+        ).when(col, F.lit(b"\x01")).otherwise(F.lit(b"\x00"))
+    if hive_type in ("tinyint", "smallint"):
+        return F.encode(col.cast("string"), "US-ASCII")
+    if hive_type == "int":
+        return _unhex_fixed(col.cast("long"), 4)
+    if hive_type == "bigint":
+        return _unhex_fixed(col, 8)
+    if hive_type == "float":
+        bits = F.reflect(
+            F.lit("java.lang.Float"), F.lit("floatToIntBits"), col.cast("float")
+        ).cast("long")
+        # reflect() cannot unbox a NULL argument — guard so NULL encodes to
+        # a NULL cell instead of a task failure
+        return F.when(col.isNotNull(), _unhex_fixed(bits, 4))
+    if hive_type == "double":
+        bits = F.reflect(
+            F.lit("java.lang.Double"), F.lit("doubleToLongBits"), col.cast("double")
+        ).cast("long")
+        return F.when(col.isNotNull(), _unhex_fixed(bits, 8))
+    if hive_type == "string":
+        return F.encode(col, "UTF-8")
+    if hive_type == "timestamp":
+        return _unhex_fixed(F.unix_millis(col), 8)
+    if hive_type == "binary":
+        return col
+    raise ValueError(f"no encoder for hive type {hive_type!r}")
 
 
 def decode_validator_col(col: Column, validator: str = "BytesType") -> Column:

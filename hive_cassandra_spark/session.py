@@ -35,6 +35,11 @@ _BASE_CONF: dict[str, str] = {
     # the events fixture stores TIMESTAMP(NANOS); Spark only reads it as a
     # long — converted back to timestamp in the loader (queries.load_events)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # decode() replaces malformed bytes instead of raising (Spark 4 made it
+    # strict): the expression codecs (codecs.decode_col) rely on replacement
+    # — U+FFFD then fails the numeric-text regexes, netting NULL, exactly
+    # the reference's text-fallback failure mode (SURVEY.md §1.3)
+    "spark.sql.legacy.codingErrorAction": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     # 128 MB input partitions — the parquet analogue of the reference's
     # 64k-keys-per-split sizing (one task ≈ one comfortably-memory-resident

@@ -97,3 +97,138 @@ def test_spark_encode_col_roundtrip(spark):
         codecs.decode_col(codecs.encode_col(F.col("v"), "bigint"), "bigint").alias("v")
     ).collect()
     assert [r.v for r in out] == [1234567890123, None]
+
+
+# ---------------------------------------------------------------------------
+# Expression (JVM) codec path == Arrow/Python ground-truth path
+# ---------------------------------------------------------------------------
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _corpus_for(hive_type):
+    """Binary payloads covering the dual-decode branches: exact-width
+    Cassandra-marshaled values, reference-grammar text forms, and junk."""
+    import random
+
+    rng = random.Random(20260813)
+    width = {"boolean": 1, "int": 4, "float": 4, "bigint": 8, "double": 8,
+             "timestamp": 8}.get(hive_type)
+    rows = []
+    if width:
+        rows += [bytes(rng.randrange(256) for _ in range(width)) for _ in range(200)]
+        rows += [b"\x00" * width, b"\xff" * width, b"\x80" + b"\x00" * (width - 1)]
+    rows += [b"42", b"-7", b"+13", b" 99 ", b"3.5", b"-0.25e2", b".5",
+             b"true", b"False", b"2024-03-01 12:30:45", b"2024-03-01",
+             b"", b"zz", b"12abc", b"\xc3\xa9junk", b"_1", b"1_2",
+             b"aGVsbG8=", b"====", b"abcd", b"a===",
+             bytes(rng.randrange(256) for _ in range(7)),
+             bytes(rng.randrange(256) for _ in range(9))]
+    return rows
+
+
+@pytest.mark.parametrize(
+    "hive_type",
+    ["boolean", "tinyint", "smallint", "int", "bigint", "float", "double",
+     "timestamp", "binary"],
+)
+def test_decode_expression_matches_python(spark, hive_type):
+    rows = [(b,) for b in _corpus_for(hive_type)] + [(None,)]
+    df = spark.createDataFrame(rows, "cell binary")
+    both = df.select(
+        codecs.decode_col(F.col("cell"), hive_type).alias("expr"),
+        codecs.decode_col_arrow(F.col("cell"), hive_type).alias("py"),
+    ).collect()
+    for r in both:
+        a, b = r.expr, r.py
+        if isinstance(a, float) and isinstance(b, float):
+            assert (math.isnan(a) and math.isnan(b)) or a == b
+        else:
+            assert a == b, (hive_type, a, b)
+
+
+def test_decode_expression_matches_python_string(spark):
+    # valid UTF-8 only: on invalid bytes the expression path follows the
+    # reference (replacement char) while the Python decoder nulls — the
+    # documented deviation
+    rows = [(s.encode("utf-8"),) for s in ["", "héllo", "aÿb", "x" * 50]]
+    df = spark.createDataFrame(rows, "cell binary")
+    both = df.select(
+        codecs.decode_col(F.col("cell"), "string").alias("expr"),
+        codecs.decode_col_arrow(F.col("cell"), "string").alias("py"),
+    ).collect()
+    for r in both:
+        assert r.expr == r.py
+
+
+@pytest.mark.parametrize(
+    "hive_type,values,sql_type",
+    [
+        ("boolean", [True, False, None], "boolean"),
+        ("tinyint", [0, 1, -128, 127, None], "tinyint"),
+        ("smallint", [0, -32768, 32767, None], "smallint"),
+        ("int", [0, 1, -1, 2**31 - 1, -(2**31), None], "int"),
+        ("bigint", [0, -1, 2**63 - 1, -(2**63), 1234567890123, None], "bigint"),
+        # NaN excluded: the Arrow tier cannot distinguish SQL NULL from NaN
+        # in a float batch (see encode_col_arrow docstring); NaN encoding is
+        # covered by test_encode_expression_nan_payload below
+        ("float", [0.0, 1.5, -0.1, float("inf"), None], "float"),
+        ("double", [0.0, -123.456, float("-inf"), 1e-300, None], "double"),
+        ("string", ["", "héllo", "a b", None], "string"),
+        ("binary", [b"", b"raw\x00bytes", None], "binary"),
+    ],
+)
+def test_encode_expression_matches_python(spark, hive_type, values, sql_type):
+    df = spark.createDataFrame([(v,) for v in values], f"v {sql_type}")
+    both = df.select(
+        codecs.encode_col(F.col("v"), hive_type).alias("expr"),
+        codecs.encode_col_arrow(F.col("v"), hive_type).alias("py"),
+    ).collect()
+    for r in both:
+        assert (None if r.expr is None else bytes(r.expr)) == (
+            None if r.py is None else bytes(r.py)
+        ), (hive_type, r.expr, r.py)
+
+
+def test_encode_timestamp_expression_matches_python(spark):
+    import datetime as dt
+
+    vals = [
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2030, 6, 15, 23, 59, 59, 999000),
+        None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v timestamp")
+    both = df.select(
+        codecs.encode_col(F.col("v"), "timestamp").alias("expr"),
+        codecs.encode_col_arrow(F.col("v"), "timestamp").alias("py"),
+    ).collect()
+    for r in both:
+        assert (None if r.expr is None else bytes(r.expr)) == (
+            None if r.py is None else bytes(r.py)
+        )
+
+
+def test_decode_col_is_pure_expression(spark):
+    df = spark.createDataFrame([(b"\x00" * 8,)], "cell binary")
+    plan = df.select(
+        codecs.decode_col(F.col("cell"), "bigint"),
+        codecs.decode_col(F.col("cell"), "double"),
+        codecs.encode_col(F.lit(7).cast("long"), "bigint"),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython nodes
+
+
+def test_encode_expression_nan_payload(spark):
+    # the expression tier preserves NaN payloads (canonical IEEE bits),
+    # matching struct.pack and the reference's Java float marshaling
+    df = spark.createDataFrame([(float("nan"),)], "v double")
+    out = df.select(
+        codecs.encode_col(F.col("v"), "double").alias("d"),
+        codecs.encode_col(F.col("v").cast("float"), "float").alias("f"),
+    ).collect()[0]
+    assert bytes(out.d) == struct.pack(">d", float("nan"))
+    assert bytes(out.f) == struct.pack(">f", float("nan"))
