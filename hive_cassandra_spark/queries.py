@@ -638,6 +638,33 @@ def q23_orders_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q63_correlated_min_price",
+    oracle="""
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           round(l_extendedprice, 2) AS price
+    FROM lineitem l1
+    WHERE l_partkey < 200
+      AND l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem l2
+                             WHERE l2.l_partkey = l1.l_partkey)
+    """,
+    doc="correlated scalar subquery, TPC-H Q2 shape (min-cost supplier per "
+    "part); Catalyst decorrelates to aggregate+join — absent in Hive 0.9",
+)
+def q63_correlated_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               round(l_extendedprice, 2) AS price
+        FROM lineitem_v l1
+        WHERE l_partkey < 200
+          AND l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem_v l2
+                                 WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )
+
+
 # =====================================================================
 # §2.A — Cassandra table shapes: transpose / cf-map / super / LWW /
 # counters / ghost-row filtering (the reference's own operator set)

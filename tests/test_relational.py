@@ -88,3 +88,22 @@ def test_deterministic_split_validates_percentages(spark):
 
     with _pytest.raises(ValueError, match="total 100"):
         rel.deterministic_split(df, "id", splits={"train": 50, "test": 10})
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    from hive_cassandra_spark import queries as q
+
+    out = q.QUERIES["q63_correlated_min_price"].fn(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Catalyst must rewrite the correlated scalar subquery to an
+    # aggregate + equi-join; a per-row re-scan (cartesian/nested-loop)
+    # would be quadratic in the corpus
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # each surviving row carries its part's true minimum price
+    rows = out.collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    mins = {
+        r.l_partkey: r.mn
+        for r in li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("mn")).collect()
+    }
+    assert rows and all(abs(r.price - round(mins[r.partkey], 2)) < 1e-9 for r in rows)
