@@ -81,9 +81,20 @@ def encode_binary(v: bytes) -> bytes:
 # lazy object null in that case).
 
 
+# Java String.trim() strips every char <= U+0020 — more than regex \s
+# (e.g. \x1d) and less than Python str.strip() outside ASCII. Both codec
+# tiers pin this exact rule so they agree with each other and the
+# reference's trim-then-parse text path.
+_JAVA_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
+
+
+def _java_trim(s: str) -> str:
+    return s.strip(_JAVA_TRIM_CHARS)
+
+
 def _text_fallback(data: bytes, parse):
     try:
-        return parse(data.decode("ascii").strip())
+        return parse(_java_trim(data.decode("ascii")))
     except (UnicodeDecodeError, ValueError):
         return None
 
@@ -101,6 +112,27 @@ def _parse_int_strict(s: str) -> int:
     if not _INT_TEXT_RE.match(s):
         raise ValueError(f"not an integer numeral: {s!r}")
     return int(s)
+
+
+def _bounded_int_parser(bits: int):
+    """Java-style Integer/Long/Byte/Short.parse semantics: a numeral whose
+    value is outside the target width throws (→ NULL after fallback), the
+    same net result as the expression tier's string→numeric cast."""
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+
+    def parse(s: str) -> int:
+        v = _parse_int_strict(s)
+        if not lo <= v <= hi:
+            raise ValueError(f"out of {bits}-bit range: {s!r}")
+        return v
+
+    return parse
+
+
+_parse_int8 = _bounded_int_parser(8)
+_parse_int16 = _bounded_int_parser(16)
+_parse_int32 = _bounded_int_parser(32)
+_parse_int64 = _bounded_int_parser(64)
 
 
 def _parse_float_strict(s: str) -> float:
@@ -128,7 +160,7 @@ def decode_int(data: bytes) -> int | None:
         return None
     if len(data) == 4:
         return struct.unpack(">i", data)[0]
-    return _text_fallback(data, _parse_int_strict)
+    return _text_fallback(data, _parse_int32)
 
 
 def decode_long(data: bytes) -> int | None:
@@ -140,7 +172,7 @@ def decode_long(data: bytes) -> int | None:
         return None
     if len(data) == 8:
         return struct.unpack(">q", data)[0]
-    return _text_fallback(data, _parse_int_strict)
+    return _text_fallback(data, _parse_int64)
 
 
 def decode_float(data: bytes) -> float | None:
@@ -188,7 +220,7 @@ def decode_timestamp(data: bytes) -> datetime | None:
             return None  # outside datetime's year 1..9999 — undecodable
         return datetime.fromtimestamp(millis / 1000.0, tz=timezone.utc)
     try:
-        return datetime.fromisoformat(data.decode("ascii").strip())
+        return datetime.fromisoformat(_java_trim(data.decode("ascii")))
     except (UnicodeDecodeError, ValueError):
         return None
 
@@ -251,8 +283,8 @@ def decode_validator_string(data: bytes, validator: str = "BytesType") -> str | 
 
 DECODERS = {
     "boolean": decode_boolean,
-    "tinyint": lambda b: _text_fallback(b, _parse_int_strict) if b is not None else None,
-    "smallint": lambda b: _text_fallback(b, _parse_int_strict) if b is not None else None,
+    "tinyint": lambda b: _text_fallback(b, _parse_int8) if b is not None else None,
+    "smallint": lambda b: _text_fallback(b, _parse_int16) if b is not None else None,
     "int": decode_int,
     "bigint": decode_long,
     "float": decode_float,
@@ -342,9 +374,12 @@ def decode_col_arrow(col: Column, hive_type: str) -> Column:
 # float() are slightly looser (underscore separators, "inf"); the
 # equivalence tests pin the shared grammar.
 
-_INT_TEXT = r"^\s*([+-]?[0-9]+)\s*$"
-_FLOAT_TEXT = r"^\s*([+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?)\s*$"
-_TS_TEXT = r"^\s*([0-9]{4}-[0-9]{2}-[0-9]{2}([ T][0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?)?)\s*$"
+# `\x00-\x20` (not `\s`): Java String.trim() strips every char <= U+0020,
+# which the Python tier mirrors via _java_trim — see that comment
+_J = r"[\x00-\x20]*"
+_INT_TEXT = rf"^{_J}([+-]?[0-9]+){_J}$"
+_FLOAT_TEXT = rf"^{_J}([+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?){_J}$"
+_TS_TEXT = rf"^{_J}([0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}([ T][0-9]{{2}}:[0-9]{{2}}:[0-9]{{2}}(\.[0-9]+)?)?){_J}$"
 # strict base64: full quads, correct padding placement (mirrors
 # b64decode(validate=True) in decode_binary / CassandraLazyBinary.java:26-51)
 _B64_TEXT = (
@@ -404,7 +439,10 @@ def decode_col(col: Column, hive_type: str) -> Column:
     n = F.length(col)
     if hive_type == "boolean":
         first_nonzero = F.conv(F.substring(F.hex(col), 1, 2), 16, 10) != "0"
-        low = F.lower(F.trim(_ascii(col)))
+        # F.trim strips spaces only; Java-trim all of \x00-\x20
+        low = F.lower(
+            F.regexp_replace(_ascii(col), r"^[\x00-\x20]+|[\x00-\x20]+$", "")
+        )
         txt = F.when(low == "true", F.lit(True)).when(low == "false", F.lit(False))
         return F.when(col.isNull(), F.lit(None).cast("boolean")).when(
             n == 1, first_nonzero

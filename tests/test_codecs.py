@@ -232,3 +232,37 @@ def test_encode_expression_nan_payload(spark):
     ).collect()[0]
     assert bytes(out.d) == struct.pack(">d", float("nan"))
     assert bytes(out.f) == struct.pack(">f", float("nan"))
+
+
+@pytest.mark.parametrize(
+    "hive_type",
+    ["boolean", "tinyint", "smallint", "int", "bigint", "float", "double",
+     "timestamp", "binary"],
+)
+def test_decode_expression_fuzz_random_bytes(spark, hive_type):
+    # 3000 seeded random payloads of every length 0..12 in ONE job per type:
+    # batch-scale fuzz of the dual-decode branch structure (exact widths,
+    # near-miss widths, ASCII-looking prefixes, high bytes)
+    import random
+
+    rng = random.Random(hash(hive_type) & 0xFFFF)
+    pool = bytes(range(256)) + b"0123456789+-.eE Tt" * 8  # bias toward text-ish
+    rows = [
+        (bytes(rng.choice(pool) for _ in range(rng.randrange(13))),)
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "cell binary").coalesce(4)
+    both = df.select(
+        "cell",
+        codecs.decode_col(F.col("cell"), hive_type).alias("expr"),
+        codecs.decode_col_arrow(F.col("cell"), hive_type).alias("py"),
+    ).collect()
+    for r in both:
+        a, b = r.expr, r.py
+        if isinstance(a, float) and isinstance(b, float):
+            ok = (math.isnan(a) and math.isnan(b)) or a == b
+        elif isinstance(a, (bytes, bytearray)) or isinstance(b, (bytes, bytearray)):
+            ok = (None if a is None else bytes(a)) == (None if b is None else bytes(b))
+        else:
+            ok = a == b
+        assert ok, (hive_type, bytes(r.cell).hex(), a, b)
