@@ -106,6 +106,9 @@ def _text_fallback(data: bytes, parse):
 # here so both codec tiers and the reference agree.
 _INT_TEXT_RE = re.compile(r"^[+-]?[0-9]+$")
 _FLOAT_TEXT_RE = re.compile(r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$")
+_TS_TEXT_RE = re.compile(
+    r"^[0-9]{4}-[0-9]{2}-[0-9]{2}([ T][0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?)?$"
+)
 
 
 def _parse_int_strict(s: str) -> int:
@@ -220,8 +223,17 @@ def decode_timestamp(data: bytes) -> datetime | None:
             return None  # outside datetime's year 1..9999 — undecodable
         return datetime.fromtimestamp(millis / 1000.0, tz=timezone.utc)
     try:
-        return datetime.fromisoformat(_java_trim(data.decode("ascii")))
-    except (UnicodeDecodeError, ValueError):
+        s = _java_trim(data.decode("ascii"))
+    except UnicodeDecodeError:
+        return None
+    # shared grammar with the expression tier (_TS_TEXT): date or
+    # date + full seconds time; bare fromisoformat would also take
+    # minute-precision and offset forms the expression path nulls
+    if not _TS_TEXT_RE.match(s):
+        return None
+    try:
+        return datetime.fromisoformat(s)
+    except ValueError:
         return None
 
 

@@ -123,6 +123,8 @@ def _corpus_for(hive_type):
         rows += [b"\x00" * width, b"\xff" * width, b"\x80" + b"\x00" * (width - 1)]
     rows += [b"42", b"-7", b"+13", b" 99 ", b"3.5", b"-0.25e2", b".5",
              b"true", b"False", b"2024-03-01 12:30:45", b"2024-03-01",
+             b"2024-03-01T12:30", b"2024-03-01 12:30:45+05:00",
+             b"\x1d8\x1d", b" \x09-5\x00",
              b"", b"zz", b"12abc", b"\xc3\xa9junk", b"_1", b"1_2",
              b"aGVsbG8=", b"====", b"abcd", b"a===",
              bytes(rng.randrange(256) for _ in range(7)),
