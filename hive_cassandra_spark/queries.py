@@ -665,6 +665,52 @@ def q63_correlated_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q64_hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sc
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(date_trunc('day', hour), '%Y-%m-%d') AS day, event_type,
+           sum(n) AS n_events,
+           round(sum(sc) / 100.0, 2) AS sum_value,
+           ((200 * sum(sc) + sum(n)) // (2 * sum(n))) / 10000.0 AS avg_value,
+           count(*) AS hours_active
+    FROM hourly GROUP BY 1, 2
+    """,
+    doc="hypertable-style two-level time rollup: hourly buckets from raw "
+    "events, daily re-aggregated from the hourly partials (sums/counts "
+    "compose, avg recomputed) — the daily level never rescans raw data, "
+    "which is the whole point of a continuous aggregate at 100 TB. "
+    "Aggregates exact integer cents; the 4-decimal avg is rounded half-up "
+    "in pure integer arithmetic ((200*sc+n) div (2n), values known "
+    "non-negative) because a double avg can land on a .00005 tie where "
+    "Spark (shortest-repr decimal HALF_UP) and DuckDB (binary value) round "
+    "differently, and DuckDB coerces decimal division to DOUBLE (bit at "
+    "sf0.001)",
+)
+def q64_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sc"))
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("sc") / F.lit(100.0), 2).alias("sum_value"),
+        (
+            F.expr("(200 * sum(sc) + sum(n)) div (2 * sum(n))") / F.lit(10000.0)
+        ).alias("avg_value"),
+        F.count(F.lit(1)).alias("hours_active"),
+    )
+
+
 # =====================================================================
 # §2.A — Cassandra table shapes: transpose / cf-map / super / LWW /
 # counters / ghost-row filtering (the reference's own operator set)

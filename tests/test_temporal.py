@@ -127,3 +127,15 @@ def test_range_join_guard_rejects_runaway_intervals(spark):
             points, intervals, ["user_id"], "ts", "start_ts", "end_ts",
             bucket_width_s=60, max_buckets_per_interval=100,
         ).collect()
+
+
+def test_hypertable_rollup_reaggregates_partials(spark, sf_dir):
+    from hive_cassandra_spark import queries as q
+
+    out = q.QUERIES["q64_hypertable_rollup"].fn(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two-level rollup = exactly two aggregation exchanges (hour, then day);
+    # a third would mean the daily level rescanned raw events
+    assert plan.count("Exchange hashpartitioning") == 2
+    rows = {(r.day, r.event_type): r for r in out.collect()}
+    assert rows and all(r.n_events >= r.hours_active for r in rows.values())
