@@ -711,6 +711,64 @@ def q64_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q65_batch_sessionize",
+    oracle="""
+    WITH marks AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marks
+    )
+    SELECT user_id, session_no, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(round(epoch(max(ts) - min(ts))) AS BIGINT) AS duration_s
+    FROM sess
+    GROUP BY user_id, session_no
+    HAVING count(*) >= 5
+    """,
+    doc="batch sessionization: 30-min-gap session ids via lag + running "
+    "sum in one window pass (the batch counterpart of the q52 streaming "
+    "session window). Shuffles once on user_id; both window frames and "
+    "the final aggregate reuse that partitioning",
+)
+def q65_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marks = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_s"),
+    )
+    sess = marks.select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_no"),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _ts(F.min("ts")).alias("session_start"),
+            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias(
+                "duration_s"
+            ),
+        )
+        .filter(F.col("n_events") >= 5)
+    )
+
+
 # =====================================================================
 # §2.A — Cassandra table shapes: transpose / cf-map / super / LWW /
 # counters / ghost-row filtering (the reference's own operator set)

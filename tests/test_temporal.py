@@ -139,3 +139,16 @@ def test_hypertable_rollup_reaggregates_partials(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     rows = {(r.day, r.event_type): r for r in out.collect()}
     assert rows and all(r.n_events >= r.hours_active for r in rows.values())
+
+
+def test_batch_sessionize_single_exchange(spark, sf_dir):
+    from hive_cassandra_spark import queries as q
+
+    out = q.QUERIES["q65_batch_sessionize"].fn(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both window frames and the (user_id, session_no) aggregate must reuse
+    # the single user_id exchange — a second corpus shuffle would double the
+    # dominant cost at scale
+    assert plan.count("Exchange hashpartitioning") == 1
+    rows = out.collect()
+    assert all(r.n_events >= 5 and r.duration_s >= 0 for r in rows)
