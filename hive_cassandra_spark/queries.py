@@ -19,6 +19,8 @@ LLM-pipeline extensions (§2.C), streaming (§2.B superset).
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -33,6 +35,7 @@ from hive_cassandra_spark.operators import (
     text,
     transpose,
 )
+from hive_cassandra_spark.session import ensure_session_confs
 from hive_cassandra_spark.streaming import events as streaming_events
 
 
@@ -48,7 +51,15 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn):
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        # Every registered query pins its required runtime confs first: the
+        # driver rig builds its own SparkSession (without session.get_spark),
+        # so correctness must not depend on who constructed the session.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = QuerySpec(fn=wrapped, oracle=oracle, doc=doc)
         return fn
 
     return deco
@@ -64,8 +75,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
     only surfaces as a nanos long (spark.sql.legacy.parquet.nanosAsLong);
     truncate to micros (integer div — matches DuckDB's own nanos→micros
-    truncation) and restore TimestampType."""
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    truncation) and restore TimestampType.
+
+    Self-sufficient under any session: pins nanosAsLong at runtime before the
+    read, and if the deployment rejects that conf, retries with the explicit
+    bigint-ts schema the streaming reader uses."""
+    ensure_session_confs(spark)
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    except Exception:
+        raw = (
+            spark.read.schema(streaming_events.EVENTS_SCHEMA)
+            .parquet(f"{sf_dir}/events.parquet")
+        )
     if dict(raw.dtypes)["ts"] == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw

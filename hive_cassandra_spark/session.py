@@ -51,6 +51,35 @@ _BASE_CONF: dict[str, str] = {
 }
 
 
+# Correctness-critical runtime confs. Every query function must hold these
+# regardless of who built the SparkSession (the driver rig builds its own,
+# without session.get_spark): UTC so date_format strings are stable, ANSI off
+# for HiveQL-0.9 null-on-bad-cast semantics, nanosAsLong so events.parquet
+# (TIMESTAMP(NANOS)) is readable at all, and codingErrorAction so decode()
+# replaces malformed bytes (the expression codecs rely on replacement).
+# All four are runtime-settable SQLConfs.
+_REQUIRED_RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.legacy.codingErrorAction": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the correctness-critical SQL confs on an already-built session.
+
+    Idempotent and cheap (reads before writing); tolerates confs that a
+    particular deployment refuses to set rather than failing the query.
+    """
+    for key, want in _REQUIRED_RUNTIME_CONF.items():
+        try:
+            if spark.conf.get(key, None) != want:
+                spark.conf.set(key, want)
+        except Exception:
+            pass
+
+
 def get_spark(
     app_name: str = "hive_cassandra_spark",
     master: str | None = None,
