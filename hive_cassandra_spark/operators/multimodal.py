@@ -44,28 +44,45 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def payload_stats(df: DataFrame) -> DataFrame:
+def payload_stats(df: DataFrame, keep_payload: bool = False) -> DataFrame:
     """Cheap JVM-side metadata over binary payloads: byte length + sha256.
     No Python boundary — this is the 'is the blob intact' scan you run
-    before spending decode cycles."""
-    return df.select(
-        "doc_id",
+    before spending decode cycles. ``keep_payload`` retains the payload
+    column for a downstream decode stage in the same pipeline."""
+    cols = [
+        F.col("doc_id"),
         F.length(F.col("payload")).alias("payload_bytes"),
         F.sha2(F.col("payload"), 256).alias("payload_sha256"),
         F.col("meta.format").alias("format"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
-    )
+    ]
+    if keep_payload:
+        cols.append(F.col("payload"))
+    return df.select(*cols)
 
 
-def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(
+    df: DataFrame, fake: bool = True, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Decode + feature-extract each payload → fixed-size float vector.
 
     ``mapInPandas``: one Arrow batch in, one out; the UDF never sees a
     Python object per row for the hot fields. Fake kernel = normalized
     16-bin byte histogram (deterministic); real kernel = decode via
     PIL/ffmpeg then embed — stubbed.
+
+    ``passthrough`` columns are forwarded through the Arrow batch unchanged
+    (same batch, no rejoin) so metadata computed upstream doesn't force a
+    doc_id shuffle to reattach later.
     """
+    keep = list(passthrough)
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        ["doc_id long"]
+        + [f"{c} {by_name[c]}" for c in keep]
+        + ["features array<double>"]
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,9 +97,12 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 hist = np.bincount(arr >> 4, minlength=FEATURE_BINS).astype("float64")
                 total = hist.sum()
                 feats.append((hist / total if total else hist).round(6).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+            out = {"doc_id": pdf["doc_id"]}
+            out.update({c: pdf[c] for c in keep})
+            out["features"] = feats
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(kernel, schema="doc_id long, features array<double>")
+    return df.mapInPandas(kernel, schema=out_schema)
 
 
 def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
