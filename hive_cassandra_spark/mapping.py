@@ -3,8 +3,11 @@
 Reimplements the *semantics* (not the code) of
 /root/reference/src/main/java/org/apache/hadoop/hive/cassandra/serde/AbstractColumnSerDe.java:
 
-- ``:key`` names the row key; if absent, the **first** column is the key
-  (parseColumnMapping, AbstractColumnSerDe.java:182-198);
+- ``:key`` names the row key; if absent, ``:key`` is **prepended** — arity
+  grows by one ("counting the key if implicit") and every listed entry
+  remains a Cassandra value-column name (parseColumnMapping,
+  AbstractColumnSerDe.java:182-198; arity check
+  CassandraColumnSerDe.java:57-63);
 - a mapping of *only* virtual columns ``:key,:column,[:subcolumn,]:value``
   is **transposed** — one relational row per cell (isTransposed,
   AbstractColumnSerDe.java:373-408);
@@ -66,18 +69,26 @@ def parse_mapping(mapping: str, n_columns: int | None = None) -> ColumnMapping:
     entries = [e.strip() for e in mapping.split(",")]
     if any(e == "" for e in entries):
         raise MappingError(f"empty entry in mapping {mapping!r}")
+
+    # Key defaulting: when :key is absent it is PREPENDED — arity grows by
+    # one and all listed entries stay Cassandra value-column names
+    # (parseColumnMapping, AbstractColumnSerDe.java:190-196).
+    if KEY not in entries:
+        entries = [KEY] + entries
+
+    # Arity is validated against the list INCLUDING the implicit key
+    # ("counting the key if implicit", CassandraColumnSerDe.java:57-63).
     if n_columns is not None and len(entries) != n_columns:
         raise MappingError(
-            f"mapping arity {len(entries)} != declared column arity {n_columns}"
+            f"mapping arity {len(entries)} (counting the key if implicit) "
+            f"!= declared column arity {n_columns}"
         )
 
     virtuals = [e for e in entries if e in VIRTUAL]
     if virtuals.count(KEY) > 1 or virtuals.count(VALUE) > 1:
         raise MappingError(f"duplicate virtual column in {mapping!r}")
 
-    # Key defaulting: first column is the key when :key absent
-    # (AbstractColumnSerDe.java:182-198).
-    key_index = entries.index(KEY) if KEY in entries else 0
+    key_index = entries.index(KEY)
 
     has_col, has_val = COLUMN in entries, VALUE in entries
     has_sub = SUBCOLUMN in entries

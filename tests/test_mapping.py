@@ -5,11 +5,18 @@ import pytest
 from hive_cassandra_spark import mapping as m
 
 
-def test_key_defaulting_first_column():
+def test_key_defaulting_prepends_key():
     cm = m.parse_mapping(":key,col_a,col_b")
     assert cm.key_index == 0 and not cm.transposed
-    cm2 = m.parse_mapping("col_a,col_b")  # :key absent → first col is key
+    # :key absent → prepended; listed entries stay value-column names and
+    # arity grows by one (AbstractColumnSerDe.java:190-196, "counting the
+    # key if implicit")
+    cm2 = m.parse_mapping("col_a,col_b")
+    assert cm2.entries == (m.KEY, "col_a", "col_b")
     assert cm2.key_index == 0
+    m.parse_mapping("col_a,col_b", n_columns=3)  # ok: implicit key counted
+    with pytest.raises(m.MappingError):
+        m.parse_mapping("col_a,col_b", n_columns=2)
 
 
 def test_key_position():
@@ -29,8 +36,9 @@ def test_transposed_detection():
 def test_transposed_must_be_all_virtual():
     with pytest.raises(m.MappingError):
         m.parse_mapping(":key,:column,:value,extra")
-    with pytest.raises(m.MappingError):
-        m.parse_mapping(":column,:value")  # no :key
+    # no explicit :key → prepended, yielding the canonical transposed form
+    cm = m.parse_mapping(":column,:value")
+    assert cm.transposed and cm.entries == (m.KEY, m.COLUMN, m.VALUE)
 
 
 def test_arity_validation():
