@@ -42,9 +42,12 @@ HEADLINE = [
     "q38_text_stats",
     "q41_fingerprint",
     "q50_stream_tumbling",
+    "q62_stream_stream_join",
     "q57_asof_join",
     "q58_range_join",
     "q59_percentiles",
+    "q64_hypertable_rollup",
+    "q65_batch_sessionize",
 ]
 
 

@@ -240,26 +240,42 @@ def decode_timestamp(data: bytes) -> datetime | None:
 _B64_ALPHABET = frozenset(
     b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/="
 )
+# commons-codec Base64.isArrayByteBase64 also accepts whitespace
+# (isWhiteSpace: space, tab, CR, LF) and decodeBase64 discards it, decoding
+# only the complete 4-char quanta that remain (partial trailing quantum is
+# dropped — commons-codec 1.x decode loop).
+_B64_WS = frozenset(b" \t\r\n")
+# strict quad grammar shared with the expression tier (_B64_TEXT): pads only
+# at the end, in valid positions — payloads failing it pass through raw
+# (commons would emit garbage for e.g. mid-stream pads; we keep bytes intact,
+# documented deviation in the same spirit as the base64_sniff opt-out)
+_B64_STRICT_RE = None  # initialized below _B64_TEXT
 
 
 def decode_binary(data: bytes, base64_sniff: bool = True) -> bytes | None:
     """Raw bytes, with the reference's opportunistic Base64 sniff: a payload
-    made entirely of Base64-alphabet bytes is silently decoded
-    (CassandraLazyBinary.java:26-51). ``base64_sniff=False`` opts out — a
-    deliberate extension, since the sniff corrupts genuine text that happens
-    to be alphabet-valid (flagged in SURVEY.md §7)."""
+    made entirely of Base64-alphabet bytes — whitespace included, matching
+    commons-codec ``isArrayByteBase64`` — is silently decoded
+    (CassandraLazyBinary.java:26-51): whitespace is discarded and the
+    complete 4-char quanta decoded (a partial trailing quantum is dropped,
+    as commons-codec does). ``base64_sniff=False`` opts out — a deliberate
+    extension, since the sniff corrupts genuine text that happens to be
+    alphabet-valid (flagged in SURVEY.md §7)."""
     if data is None:
         return None
     if (
         base64_sniff
         and len(data) > 0
-        and len(data) % 4 == 0
-        and all(b in _B64_ALPHABET for b in data)
+        and all(b in _B64_ALPHABET or b in _B64_WS for b in data)
     ):
-        try:
-            return base64.b64decode(data, validate=True)
-        except (ValueError, TypeError):
-            return bytes(data)
+        cleaned = bytes(b for b in data if b not in _B64_WS)
+        head = cleaned[: len(cleaned) // 4 * 4]
+        if head == b"":
+            # e.g. a whitespace-only or sub-quantum payload: commons-codec
+            # decodes zero quanta → empty
+            return b""
+        if _B64_STRICT_RE.match(head):
+            return base64.b64decode(head)
     return bytes(data)
 
 
@@ -398,6 +414,7 @@ _B64_TEXT = (
     r"^([A-Za-z0-9+/]{4})*"
     r"([A-Za-z0-9+/]{4}|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{2}==)$"
 )
+_B64_STRICT_RE = re.compile(_B64_TEXT.encode())
 
 
 def _ascii(col: Column) -> Column:
@@ -489,9 +506,21 @@ def decode_col(col: Column, hive_type: str) -> Column:
             n == 8, F.when(in_range, F.timestamp_millis(ms))
         ).otherwise(F.when(m != "", m.cast("timestamp")))
     if hive_type == "binary":
+        # whitespace-tolerant sniff matching decode_binary / commons-codec
+        # isArrayByteBase64: all bytes alphabet-or-whitespace → strip the
+        # whitespace, decode complete quads only (partial tail dropped)
         s = _ascii(col)
-        sniffable = (n > 0) & (n % 4 == 0) & s.rlike(_B64_TEXT)
-        return F.when(sniffable, F.unbase64(s)).otherwise(col)
+        sniffable = (n > 0) & s.rlike(r"^[A-Za-z0-9+/= \t\r\n]*$")
+        cleaned = F.regexp_replace(s, r"[ \t\r\n]", "")
+        head = cleaned.substr(
+            F.lit(1), F.length(cleaned) - F.pmod(F.length(cleaned), F.lit(4))
+        )
+        decoded = (
+            F.when(F.length(head) == 0, F.lit(b""))
+            .when(head.rlike(_B64_TEXT), F.unbase64(head))
+            .otherwise(col)
+        )
+        return F.when(sniffable, decoded).otherwise(col)
     raise ValueError(f"no decoder for hive type {hive_type!r}")
 
 

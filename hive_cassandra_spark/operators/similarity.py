@@ -281,19 +281,56 @@ def ivf_topk(
 DEFAULT_BRUTE_FORCE_MAX_BYTES = 256 * 1024 * 1024
 
 
+def estimated_input_bytes(df: DataFrame) -> int | None:
+    """Size estimate of a DataFrame's input relation via public API only.
+
+    Sums the on-disk size of ``df.inputFiles()`` (available under Spark
+    Connect too, where ``_jdf`` does not exist). For a parquet relation this
+    equals Catalyst's own ``sizeInBytes`` estimate (sum of file sizes x
+    ``fileCompressionFactor``, default 1.0). Falls back to the private
+    Catalyst stats probe only when file sizes are unreachable (non-file
+    sources, remote filesystems without local stat); returns None when no
+    estimate is obtainable."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        total, known = 0, 0
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme in ("file", ""):
+                try:
+                    total += os.path.getsize(unquote(parsed.path))
+                    known += 1
+                except OSError:
+                    pass
+        if known == len(files):
+            return total
+    try:  # classic-mode fallback; absent under Spark Connect
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+
+
 def choose_ann_strategy(
     items: DataFrame, brute_force_max_bytes: int = DEFAULT_BRUTE_FORCE_MAX_BYTES
 ) -> str:
-    """'brute' or 'ivf', from Catalyst's own size estimate of the item side.
+    """'brute' or 'ivf', from a size estimate of the item side.
 
     This is the optional optimizer rule SURVEY.md §7 sketches ("rewrite
     similarity_topk onto an LSH/IVF pre-filter plan"), expressed at the
-    library layer where PySpark can read plan statistics: below the
-    threshold the exact broadcast-queries scan is both faster and exact;
-    above it, scoring every pair is the 100 TB mistake and the IVF
-    pre-filter bounds the candidate set."""
-    stats = items._jdf.queryExecution().optimizedPlan().stats()
-    size_in_bytes = int(str(stats.sizeInBytes()))
+    library layer: below the threshold the exact broadcast-queries scan is
+    both faster and exact; above it, scoring every pair is the 100 TB
+    mistake and the IVF pre-filter bounds the candidate set. An unknown
+    size routes to 'ivf' — the scale-safe default."""
+    size_in_bytes = estimated_input_bytes(items)
+    if size_in_bytes is None:
+        return "ivf"
     return "brute" if size_in_bytes <= brute_force_max_bytes else "ivf"
 
 

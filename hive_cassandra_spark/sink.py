@@ -215,13 +215,18 @@ def stream_to_cells(
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # batch_id-derived clock when none injected: monotone per batch, so
-        # later micro-batches win LWW deterministically in tests
         clk = clock_millis if clock_millis is not None else None
         cells = to_cells(batch_df, mapping, hive_types, clock_millis=clk)
         if clk is None:
+            # epoch-millis base — same magnitude as the batch sink's
+            # _ts_column, so LWW over a store written by both paths follows
+            # actual write order; the sub-second millis are replaced by
+            # batch_id as a deterministic tiebreaker (monotone per batch
+            # within a second, reproducible in tests)
             cells = cells.withColumn(
-                "ts", F.lit(batch_id).cast("long") * 1000 + F.unix_millis(F.current_timestamp()) % 1000
+                "ts",
+                F.floor(F.unix_millis(F.current_timestamp()) / 1000).cast("long") * 1000
+                + F.pmod(F.lit(batch_id).cast("long"), F.lit(1000)),
             )
         cells.write.mode("append").parquet(path)
 

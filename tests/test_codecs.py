@@ -39,10 +39,19 @@ def test_timestamp_epoch_millis():
 def test_binary_base64_sniff():
     # alphabet-valid payload is silently decoded (CassandraLazyBinary.java:26-51)
     assert codecs.decode_binary(b"aGVsbG8=") == b"hello"
+    # commons-codec isArrayByteBase64 accepts whitespace; decode discards it
+    assert codecs.decode_binary(b"aGVsbG8=\n") == b"hello"
+    assert codecs.decode_binary(b"aGVs bG8=\r\n") == b"hello"
+    # partial trailing quantum is dropped (commons-codec decode loop)
+    assert codecs.decode_binary(b"aGVsbG8=QUJ") == b"hello"
+    # whitespace-only → zero quanta → empty (commons-codec)
+    assert codecs.decode_binary(b"\n") == b""
     # opt-out keeps raw bytes (our documented extension)
     assert codecs.decode_binary(b"aGVsbG8=", base64_sniff=False) == b"aGVsbG8="
     # non-alphabet bytes pass through
     assert codecs.decode_binary(b"\x00\xff") == b"\x00\xff"
+    # mid-stream padding fails the strict grammar → raw (documented deviation)
+    assert codecs.decode_binary(b"aG==bG8=") == b"aG==bG8="
 
 
 def test_validator_decode():
@@ -71,7 +80,9 @@ def test_string_roundtrip(v):
     assert codecs.decode_string(codecs.encode_string(v)) == v
 
 
-@given(st.binary(min_size=1).filter(lambda b: not (len(b) % 4 == 0 and all(c in codecs._B64_ALPHABET for c in b))))
+@given(st.binary(min_size=1).filter(
+    lambda b: not all(c in codecs._B64_ALPHABET or c in codecs._B64_WS for c in b)
+))
 def test_binary_roundtrip_non_b64(v):
     assert codecs.decode_binary(codecs.encode_binary(v)) == v
 
