@@ -105,19 +105,54 @@ def extract_features(
     return df.mapInPandas(kernel, schema=out_schema)
 
 
+def _meta_dict(meta) -> dict:
+    """Arrow hands a struct column to pandas as a dict (or Row-like)."""
+    if isinstance(meta, dict):
+        return meta
+    return meta.asDict() if hasattr(meta, "asDict") else dict(meta)
+
+
+def _nn_resize_raw(buf: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int) -> bytes:
+    """Nearest-neighbor resample of a raw row-major single-channel byte
+    image — pure numpy fancy indexing, no codec library needed."""
+    size = src_w * src_h
+    arr = np.frombuffer(
+        bytes(buf)[:size].ljust(size, b"\x00"), dtype=np.uint8
+    ).reshape(src_h, src_w)
+    rows = np.arange(dst_h) * src_h // dst_h
+    cols = np.arange(dst_w) * src_w // dst_w
+    return arr[rows][:, cols].tobytes()
+
+
 def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Resize kernel (stub): real path needs PIL. Fake path re-emits a
-    deterministic truncated/padded payload of width*height bytes so the
-    downstream schema and batch shape are exercised."""
+    """Resize each payload to width x height.
+
+    ``fake=True``: deterministic truncate/pad (schema + batch-shape
+    exercise). ``fake=False``: REAL kernel for the ``raw`` format — the
+    payload is interpreted as a meta.width x meta.height single-channel
+    byte image and nearest-neighbor-resampled in pure numpy (requires the
+    ``meta`` struct column from attach_payload). Non-raw formats (real
+    JPEG/PNG) still need PIL, which is absent from this container —
+    stubbed with NotImplementedError at that exact branch."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = width * height
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize needs PIL — stubbed")
-            out = [
-                bytes(buf)[:size].ljust(size, b"\x00") for buf in pdf["payload"]
-            ]
+            if fake:
+                out = [
+                    bytes(buf)[:size].ljust(size, b"\x00") for buf in pdf["payload"]
+                ]
+            else:
+                out = []
+                for buf, meta in zip(pdf["payload"], pdf["meta"]):
+                    m = _meta_dict(meta)
+                    if not str(m.get("format", "")).endswith("raw"):
+                        raise NotImplementedError(
+                            f"resize of format {m.get('format')!r} needs PIL — stubbed"
+                        )
+                    out.append(
+                        _nn_resize_raw(buf, int(m["width"]), int(m["height"]), width, height)
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
     return df.mapInPandas(kernel, schema="doc_id long, payload binary")
@@ -125,20 +160,42 @@ def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFra
 
 def frame_sample(df: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFrame:
     """Sample n frames per 'video' payload → one output row per frame
-    (explode-shaped mapInPandas; frame = deterministic byte slice)."""
+    (explode-shaped mapInPandas).
+
+    ``fake=True``: frame = deterministic byte slice. ``fake=False``: REAL
+    kernel for the ``raw`` format — the payload is a sequence of
+    meta.width x meta.height byte frames; n_frames are sampled at evenly
+    spaced frame indices (requires the ``meta`` struct column). Container
+    formats (MP4 etc.) still need ffmpeg — stubbed at that branch."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame extraction needs ffmpeg — stubbed")
             ids, frames, idxs = [], [], []
-            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(buf)
-                step = max(len(raw) // n_frames, 1)
-                for i in range(n_frames):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    frames.append(raw[i * step : i * step + step])
+            if fake:
+                for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                    raw = bytes(buf)
+                    step = max(len(raw) // n_frames, 1)
+                    for i in range(n_frames):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(raw[i * step : i * step + step])
+            else:
+                for doc_id, buf, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                    m = _meta_dict(meta)
+                    if not str(m.get("format", "")).endswith("raw"):
+                        raise NotImplementedError(
+                            f"frame extraction from {m.get('format')!r} needs "
+                            "ffmpeg — stubbed"
+                        )
+                    raw = bytes(buf)
+                    frame_size = max(int(m["width"]) * int(m["height"]), 1)
+                    total = max(len(raw) // frame_size, 1)
+                    for i in range(n_frames):
+                        src = i * total // n_frames  # evenly spaced frame index
+                        chunk = raw[src * frame_size : (src + 1) * frame_size]
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(chunk.ljust(frame_size, b"\x00"))
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(kernel, schema="doc_id long, frame_idx int, frame binary")

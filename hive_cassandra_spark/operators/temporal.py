@@ -36,6 +36,7 @@ def asof_join(
     right_values: list[str] | None = None,
     tie_col: str | None = None,
     prefix: str = "asof_",
+    hot_key_bucket_s: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the ``right_values`` columns of
     the latest right row with ``right_ts <= left_ts`` and equal ``keys``
@@ -50,6 +51,15 @@ def asof_join(
     (ts, side, tie) carrying ``last(right_struct, ignoreNulls)`` — right
     sorts before left at equal ts, giving <= (inclusive) semantics. ONE
     exchange, one sort; the history never fans out.
+
+    Hot-key hardening: with the default plan, ONE key carrying a 100 M-row
+    history lands a single window partition on a single task.
+    ``hot_key_bucket_s`` opts into time-bucket pre-partitioning: rows
+    partition on (keys, floor(ts / bucket)), each bucket merges locally,
+    and the carried struct crosses bucket boundaries via a per-bucket
+    summary table (max_by per bucket, then a prefix-carry window over the
+    tiny bucket grid, broadcast back). Costs two extra small-side shuffles
+    and bounds task state by bucket width instead of history length.
     """
     right_values = right_values or [c for c in right.columns if c not in keys and c != right_ts]
     tie_col = tie_col or right_values[0]
@@ -72,12 +82,52 @@ def asof_join(
         F.struct(*[c for c in left.columns]).alias("_l"),
         F.lit(None).cast(rt.schema["_r"].dataType).alias("_r"),
     )
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(F.col("_ts"), F.col("_side"), F.col("_tie"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    merged = lt.unionByName(rt).withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    union = lt.unionByName(rt)
+    if hot_key_bucket_s is None:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("_ts"), F.col("_side"), F.col("_tie"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        merged = union.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    else:
+        # (keys, time-bucket) partitioning: the big relation shuffles ONCE on
+        # the composite key; everything else operates on the per-key bucket
+        # grid, which has one row per occupied bucket (tiny at any scale).
+        bucket = F.floor(F.col("_ts").cast("double") / F.lit(int(hot_key_bucket_s)))
+        union = union.withColumn("_b", bucket)
+        # last right struct of each occupied bucket (right rows only)
+        summ = (
+            union.filter(F.col("_side") == 0)
+            .groupBy(*keys, "_b")
+            .agg(F.max_by("_r", F.struct("_ts", "_tie")).alias("_last"))
+        )
+        # every bucket the union touches, so left-only buckets still get a
+        # carry-in; prefix-carry of the last summary from earlier buckets
+        grid = union.select(*keys, "_b").distinct()
+        wseq = (
+            W.partitionBy(*keys)
+            .orderBy("_b")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        carry = (
+            grid.join(summ, [*keys, "_b"], "left")
+            .withColumn("_carry", F.last("_last", ignorenulls=True).over(wseq))
+            .select(*keys, "_b", "_carry")
+        )
+        w2 = (
+            W.partitionBy(*keys, "_b")
+            .orderBy(F.col("_ts"), F.col("_side"), F.col("_tie"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        # no forced broadcast: AQE broadcasts the grid when it is small and
+        # falls back to a co-partitioned join (same (keys,_b) hash as the
+        # window) when a pathological grid outgrows the threshold
+        merged = (
+            union.join(carry, [*keys, "_b"], "left")
+            .withColumn("_m_local", F.last("_r", ignorenulls=True).over(w2))
+            .withColumn("_m", F.coalesce("_m_local", "_carry"))
+        )
     out = merged.filter(F.col("_side") == 1).select(
         *[F.col("_l")[c].alias(c) for c in left.columns],
         *[F.col("_m")[c].alias(f"{prefix}{c}") for c in right_values],

@@ -881,10 +881,9 @@ def q64_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_no, count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           CAST(round(epoch(max(ts) - min(ts))) AS BIGINT) AS duration_s
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
     FROM sess
     GROUP BY user_id, session_no
-    HAVING count(*) >= 5
     """,
     doc="batch sessionization: 30-min-gap session ids via lag + running "
     "sum in one window pass (the batch counterpart of the q52 streaming "
@@ -894,12 +893,15 @@ def q64_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q65_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # exact-microsecond gap: second-truncated casts disagree with the
+    # oracle's INTERVAL comparison when fractional seconds straddle the
+    # 30-minute boundary (masked while a HAVING filtered all rows at small SF)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     marks = ev.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_s"),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("new_s"),
     )
     sess = marks.select(
         "user_id",
@@ -913,11 +915,10 @@ def q65_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             _ts(F.min("ts")).alias("session_start"),
-            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias(
+            F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").alias(
                 "duration_s"
             ),
         )
-        .filter(F.col("n_events") >= 5)
     )
 
 
@@ -1668,6 +1669,46 @@ def q46_dual_decode_text_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q66_connector_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS p_retailprice
+    FROM part
+    """,
+    doc="storage-handler facade end-to-end (≙ CassandraStorageHandler."
+    "configureTableJobProperties, CassandraStorageHandler.java:26-190): "
+    "define_table synthesizes the column mapping from the schema "
+    "(createColumnMappingString, AbstractColumnSerDe.java:200-274), "
+    "normalizes the consistency level, then write_table persists encoded "
+    "cells batched and co-located by row key and read_table decodes the "
+    "store back through LWW — the single-seam path a reference user "
+    "actually calls, DDL write included",
+)
+def q66_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_cassandra_spark import handler
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    store = f"/tmp/hcs_q66_{os.path.basename(sf_dir.rstrip('/'))}"
+    tdef = handler.define_table(
+        "part_cf",
+        store,
+        ["p_partkey", "p_name", "p_brand", "p_retailprice"],
+        ["bigint", "string", "string", "double"],
+        # mapping omitted → synthesized: first column becomes :key
+        consistency="quorum",
+    )
+    handler.write_table(part, tdef, mode="overwrite", clock_millis=1)
+    back = handler.read_table(spark, tdef)
+    return back.select(
+        "p_partkey", "p_name", "p_brand",
+        F.round("p_retailprice", 2).alias("p_retailprice"),
+    )
+
+
+@register(
     "q48_validator_decode",
     oracle="""
     SELECT CAST(n_nationkey AS VARCHAR) AS key_str,
@@ -2173,8 +2214,10 @@ _WINDOW_ORDER = [
     "q60_grouping_sets",
     "q61_deterministic_split",
     "q62_stream_stream_join",
-    # remaining slot
-    "q46_dual_decode_text_cells",
+    # remaining slot: the storage-handler facade roundtrip (DDL write +
+    # synthesized mapping + consistency + batched cell I/O in one driver row;
+    # q46's dual-decode surface stays covered in-window by q44)
+    "q66_connector_roundtrip",
 ]
 
 

@@ -45,6 +45,52 @@ def test_real_decode_is_stubbed(spark, sf_dir):
         multimodal.extract_features(_payloads(spark, sf_dir, 2), fake=False).collect()
 
 
+def test_resize_real_raw_kernel(spark, sf_dir):
+    """fake=False on the raw format: nearest-neighbor numpy resample,
+    verified against a direct numpy computation."""
+    src = _payloads(spark, sf_dir, 4)
+    metas = {r.doc_id: (r.meta.width, r.meta.height) for r in src.collect()}
+    payloads = {r.doc_id: bytes(r.payload) for r in src.collect()}
+    out = {r.doc_id: bytes(r.payload)
+           for r in multimodal.resize(src, 8, 4, fake=False).collect()}
+    for doc_id, (sw, sh) in metas.items():
+        size = sw * sh
+        arr = np.frombuffer(
+            payloads[doc_id][:size].ljust(size, b"\x00"), dtype=np.uint8
+        ).reshape(sh, sw)
+        rows = np.arange(4) * sh // 4
+        cols = np.arange(8) * sw // 8
+        assert out[doc_id] == arr[rows][:, cols].tobytes()
+        assert len(out[doc_id]) == 32
+
+
+def test_frame_sample_real_raw_kernel(spark, sf_dir):
+    src = _payloads(spark, sf_dir, 4)
+    out = multimodal.frame_sample(src, n_frames=3, fake=False).collect()
+    assert len(out) == 12
+    metas = {r.doc_id: r.meta.width * r.meta.height for r in src.collect()}
+    for r in out:
+        assert len(bytes(r.frame)) == metas[r.doc_id]
+    assert {r.frame_idx for r in out} == {0, 1, 2}
+
+
+def test_resize_non_raw_format_stubbed(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    src = _payloads(spark, sf_dir, 2).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/jpeg").alias("format"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.n_frames").alias("n_frames"),
+        ),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL|PythonException"):
+        multimodal.resize(src, 8, 4, fake=False).collect()
+
+
 def test_resize_and_frame_sample_shapes(spark, sf_dir):
     resized = multimodal.resize(_payloads(spark, sf_dir, 6), 8, 4, fake=True).collect()
     assert all(len(bytes(r.payload)) == 32 for r in resized)

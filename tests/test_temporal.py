@@ -71,6 +71,53 @@ def test_asof_join_single_exchange(sides):
     assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
 
 
+def test_asof_join_hot_key_bucketed_matches_default(sides, spark):
+    """One key with the whole history (the skew case): the time-bucketed
+    plan must return exactly what the single-partition plan returns, while
+    partitioning the window by (key, time bucket) so no task ever holds a
+    full key history."""
+    left, right = sides
+    base = temporal.asof_join(
+        left, right, keys=["user_id"], right_values=["event_id", "value"],
+        tie_col="event_id",
+    )
+    bucketed = temporal.asof_join(
+        left, right, keys=["user_id"], right_values=["event_id", "value"],
+        tie_col="event_id", hot_key_bucket_s=300,
+    )
+    key = lambda r: (r.event_id, r.asof_event_id, r.asof_value)  # noqa: E731
+    assert sorted(map(key, base.collect())) == sorted(map(key, bucketed.collect()))
+
+    # skewed synthetic: EVERY row on one key, history long relative to bucket
+    hot_left = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        F.lit("hot").alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.lit("l").alias("payload"),
+    )
+    hot_right = spark.range(100).select(
+        (F.col("id") + 1000).alias("event_id"),
+        F.lit("hot").alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 120 + 30).alias("ts"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    b = temporal.asof_join(
+        hot_left, hot_right, keys=["user_id"],
+        right_values=["event_id", "value"], tie_col="event_id",
+        hot_key_bucket_s=600,
+    )
+    d = temporal.asof_join(
+        hot_left, hot_right, keys=["user_id"],
+        right_values=["event_id", "value"], tie_col="event_id",
+    )
+    assert sorted(map(key, b.collect())) == sorted(map(key, d.collect()))
+    # plan assertion: the main window partitions on (user_id, _b) — the
+    # hot key's history is spread across bucket partitions, bounding task
+    # state by bucket width instead of history length
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(user_id" in plan and "_b" in plan
+
+
 def test_range_join_bucketed_matches_bruteforce(spark):
     points = spark.createDataFrame(
         [(i, f"u{i % 3}", _ts(i * 7.5)) for i in range(40)],
