@@ -1245,8 +1245,12 @@ def q35_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "queries broadcast)",
 )
 def q36_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # auto_topk routes via the stats-driven strategy (estimated_input_bytes):
+    # the fixture corpus sits far below the brute-force threshold, so this
+    # IS the exact broadcast-queries plan — and the driver thereby exercises
+    # the strategy probe itself (COVERAGE §2.C stats-driven ANN row)
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return similarity.auto_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
 def _sql_lsh_oracle(bits: int, tables: int, dim: int, seed: int, k: int) -> str:
@@ -1848,7 +1852,12 @@ def q55_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="slice-range predicate: per-row cell-name range [start, finish], "
     "reversed order, count=2 cells per row (≙ SlicePredicate.slice_range "
     "push, HiveCassandraStandardColumnInputFormat.java:73-94 — the only "
-    "predicate the reference pushes; restricts cells within rows, not rows)",
+    "predicate the reference pushes; restricts cells within rows, not "
+    "rows). The result is then read back THROUGH the batched paging "
+    "iterator (source.paged_cells ≙ the resumable wide-row reader, "
+    "ColumnFamilyWideRowRecordReader.java:240-429) — the oracle proves the "
+    "paged scan returns exactly the sliced store, cell for cell; page "
+    "bounds/determinism are partition-relative and pytest-asserted",
 )
 def q49_slice_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_cassandra_spark import source as _source
@@ -1857,7 +1866,8 @@ def q49_slice_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced = _source.slice_cells(
         cells, start="l_discount", finish="l_quantity", reversed_order=True, count=2
     )
-    return sliced.select("row_key", "column_name", "value")
+    paged = _source.paged_cells(sliced, page_size=100)
+    return paged.select("row_key", "column_name", "value")
 
 
 # =====================================================================
