@@ -54,3 +54,36 @@ def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters")[1][:200]
     expected = orders.filter(F.col("o_year") == 1995).count()
     assert one_year.count() == expected
+
+
+def _plan(spark, sf_dir, name):
+    from hive_cassandra_spark.queries import QUERIES
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_merged_window_query_single_exchange(spark, sf_dir):
+    """q13's rank + running-sum share ONE window spec: both functions must
+    ride a single hash exchange (the merge must not have doubled the
+    shuffle)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q13_top_orders_per_customer")
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+
+
+def test_merged_text_suite_zero_shuffle(spark, sf_dir):
+    """The full text-analysis suite (stats + lang-id + tokens +
+    fingerprints) is one codegen projection: no exchange, no Python."""
+    plan = _plan(spark, sf_dir, "q38_text_stats")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merged_multimodal_zero_shuffle(spark, sf_dir):
+    """Payload stats + feature extraction flow through ONE Arrow batch
+    (metadata passthrough): no rejoin exchange anywhere."""
+    plan = _plan(spark, sf_dir, "q42_multimodal_payload")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
