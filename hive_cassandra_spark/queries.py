@@ -1705,6 +1705,14 @@ def q66_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         consistency="quorum",
     )
     handler.write_table(part, tdef, mode="overwrite", clock_millis=1)
+    # DDL surface in-path: register the new store as a CF view and drop it
+    # again (create/drop semantics proper are pytest-gated in test_catalog;
+    # running them here proves they work under the driver's session too)
+    from hive_cassandra_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register_table("part_cf_view", store)
+    cat.drop_table("part_cf_view")
     back = handler.read_table(spark, tdef)
     return back.select(
         "p_partkey", "p_name", "p_brand",
