@@ -198,4 +198,7 @@ def test_batch_sessionize_single_exchange(spark, sf_dir):
     # dominant cost at scale
     assert plan.count("Exchange hashpartitioning") == 1
     rows = out.collect()
-    assert all(r.n_events >= 5 and r.duration_s >= 0 for r in rows)
+    # no HAVING threshold anymore (it made the small-SF oracle comparison
+    # vacuous): every session has >= 1 event and a non-negative duration
+    assert rows
+    assert all(r.n_events >= 1 and r.duration_s >= 0 for r in rows)
