@@ -42,6 +42,19 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q47_similarity_ivf": (
+        "cost is whole-stage-codegen of the 16x64 literal centroid vectors — "
+        "fixed compile overhead, amortized on a long-lived cluster (bench.py "
+        "warms it); the data plan is 1 broadcast join + 2 exchanges with "
+        "filter-pushed scans, and the only driver collect is the kxdim "
+        "centroid pull (MLlib-style, documented)."
+    ),
+    "q62_stream_stream_join": (
+        "~2.9 s is micro-batch engine setup + stateful-shuffle "
+        "initialization at 8 state partitions; the join state itself is "
+        "bounded on both sides by the 6 h time-range condition, so state "
+        "size is O(rate x window), independent of history length."
+    ),
     "q33_dedup_minhash_lsh": (
         "runtime I/O: documents.parquet is scanned ONCE (sh_tbl cache build); "
         "every other reference reads the cache (round-1's '8 scans' was the "
