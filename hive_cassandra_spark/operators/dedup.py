@@ -388,3 +388,80 @@ def embedding_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos)
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------- cluster assignment ---
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (node, component)
+    with component = the minimum member id — the keeper every dedup policy
+    ultimately needs (pairs alone don't say which doc to drop when dup
+    chains overlap: a~b, b~c must collapse to ONE keeper).
+
+    Algorithm: iterative min-label propagation to fixpoint. Each round is
+    one equi-join (edge src → label) plus one map-side-combinable min
+    aggregation, both hash-partitioned on the node id — no single-machine
+    step anywhere, so it scales like any shuffle. Rounds needed = graph
+    diameter, and near-dup clusters are small-diameter by construction
+    (every member pair met an LSH/Jaccard/SimHash threshold), so the loop
+    converges in a handful of rounds; ``max_iters`` bounds the pathological
+    chain case. ``localCheckpoint`` truncates lineage each round — without
+    it the plan doubles per iteration and the job dies on analysis cost
+    long before data cost.
+
+    No reference analogue (SURVEY.md §2.C adjacency — reference is a
+    storage connector); the composition-of-DataFrame-ops tier of the
+    custom-operator policy, same shape GraphX/GraphFrames use internally.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    und = (
+        edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("a").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    # Convergence signal: labels only ever DECREASE (min-propagation), so
+    # sum(component) is strictly monotone until the fixpoint — an unchanged
+    # sum proves an unchanged labeling. One scalar aggregate per round
+    # instead of a join-and-compare pass.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iters):
+        prop = und.join(labels, und["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("component")
+        )
+        labels = (
+            labels.unionAll(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    und.unpersist()
+    return labels
+
+
+def neardup_clusters(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+) -> DataFrame:
+    """Collapse a near-dup pair graph to clusters: (keeper_id, cluster_size)
+    — keeper = min member id, size counts every clustered document. The
+    output is what a curation job joins back against the corpus to drop
+    non-keepers."""
+    comp = neardup_components(pairs, id_a, id_b)
+    return (
+        comp.groupBy(F.col("component").alias("keeper_id"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )

@@ -1687,6 +1687,42 @@ def q46_dual_decode_text_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "store back through LWW — the single-seam path a reference user "
     "actually calls, DDL write included",
 )
+@register(
+    "q67_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+         sh AS ({_SQL_SHINGLES}),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+                   FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                               JOIN sizes sb ON sb.doc_id = doc_b
+                   WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
+         und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, label) AS (
+           SELECT a, a FROM und
+           UNION
+           SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT component AS keeper_id, count(*) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+    doc="near-dup cluster assignment: exact-Jaccard pairs (q32's inverted "
+    "index) → connected components via iterative min-label propagation "
+    "(dedup.neardup_components — distributed, lineage-truncated per round) "
+    "→ (keeper, cluster_size). Pairs alone can't drive deletion when dup "
+    "chains overlap (a~b, b~c must share ONE keeper); this is the stage a "
+    "curation job joins back to drop non-keepers. Oracle replays the "
+    "closure as a recursive CTE",
+)
+def q67_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return dedup.neardup_clusters(pairs)
+
+
 def q66_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 

@@ -96,3 +96,54 @@ def test_embedding_neardup_blocks(spark, sf_dir):
     for r in out:
         assert labels[r.id_a] == labels[r.id_b]  # blocking respected
         assert r.cosine >= 0.3 and r.id_a < r.id_b
+
+
+def test_neardup_components_match_union_find(spark):
+    """Min-label propagation must equal a driver-side union-find on the
+    same graph — chains (a~b, b~c), multi-cluster, and singleton-free
+    (components only contains nodes that appear in a pair)."""
+    from hive_cassandra_spark.operators import dedup
+
+    pairs = [
+        (1, 2), (2, 3), (3, 4),        # chain: component 1
+        (10, 11),                      # pair: component 10
+        (20, 22), (21, 22), (23, 20),  # diamond-ish: component 20
+        (30, 31), (31, 30),            # duplicate edge direction
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # path-compress to the true minimum root
+    want = {n: find(n) for n in parent}
+
+    got = {r.node: r.component for r in dedup.neardup_components(df).collect()}
+    assert got == want
+
+    clusters = {r.keeper_id: r.cluster_size
+                for r in dedup.neardup_clusters(df).collect()}
+    assert clusters == {1: 4, 10: 2, 20: 4, 30: 2}
+
+
+def test_neardup_components_long_chain_converges(spark):
+    """A 40-node path graph (worst-case diameter: the min label travels one
+    hop per round) still reaches a single component within max_iters."""
+    from hive_cassandra_spark.operators import dedup
+
+    chain = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    comp = dedup.neardup_components(df, max_iters=50).collect()
+    assert {r.component for r in comp} == {0}
+    assert len(comp) == 41
