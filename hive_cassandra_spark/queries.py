@@ -1687,6 +1687,39 @@ def q46_dual_decode_text_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "store back through LWW — the single-seam path a reference user "
     "actually calls, DDL write included",
 )
+def q66_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_cassandra_spark import handler
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    store = f"/tmp/hcs_q66_{os.path.basename(sf_dir.rstrip('/'))}"
+    tdef = handler.define_table(
+        "part_cf",
+        store,
+        ["p_partkey", "p_name", "p_brand", "p_retailprice"],
+        ["bigint", "string", "string", "double"],
+        # mapping omitted → synthesized: first column becomes :key
+        consistency="quorum",
+    )
+    handler.write_table(part, tdef, mode="overwrite", clock_millis=1)
+    # DDL surface in-path: register the new store as a CF view and drop it
+    # again (create/drop semantics proper are pytest-gated in test_catalog;
+    # running them here proves they work under the driver's session too)
+    from hive_cassandra_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register_table("part_cf_view", store)
+    cat.drop_table("part_cf_view")
+    back = handler.read_table(spark, tdef)
+    return back.select(
+        "p_partkey", "p_name", "p_brand",
+        F.round("p_retailprice", 2).alias("p_retailprice"),
+    )
+
+
 @register(
     "q67_neardup_clusters",
     oracle=f"""
@@ -1721,39 +1754,6 @@ def q46_dual_decode_text_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q67_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
     return dedup.neardup_clusters(pairs)
-
-
-def q66_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from hive_cassandra_spark import handler
-
-    part = _t(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand", "p_retailprice"
-    )
-    store = f"/tmp/hcs_q66_{os.path.basename(sf_dir.rstrip('/'))}"
-    tdef = handler.define_table(
-        "part_cf",
-        store,
-        ["p_partkey", "p_name", "p_brand", "p_retailprice"],
-        ["bigint", "string", "string", "double"],
-        # mapping omitted → synthesized: first column becomes :key
-        consistency="quorum",
-    )
-    handler.write_table(part, tdef, mode="overwrite", clock_millis=1)
-    # DDL surface in-path: register the new store as a CF view and drop it
-    # again (create/drop semantics proper are pytest-gated in test_catalog;
-    # running them here proves they work under the driver's session too)
-    from hive_cassandra_spark.catalog import Catalog
-
-    cat = Catalog(spark)
-    cat.register_table("part_cf_view", store)
-    cat.drop_table("part_cf_view")
-    back = handler.read_table(spark, tdef)
-    return back.select(
-        "p_partkey", "p_name", "p_brand",
-        F.round("p_retailprice", 2).alias("p_retailprice"),
-    )
 
 
 @register(

@@ -25,6 +25,17 @@ def test_all_queries_run_at_smoke_sf(spark, sf_dir):
         assert df.columns, name
 
 
+def test_registered_fn_names_match_keys():
+    """Each registry key must point at the function of the same name —
+    catches accidentally stacked @register decorators, which would silently
+    register one function under two names (this actually happened: a query
+    inserted between another's decorator and def hijacked its slot)."""
+    from hive_cassandra_spark.queries import QUERIES
+
+    for name, spec in QUERIES.items():
+        assert spec.fn.__name__ == name, (name, spec.fn.__name__)
+
+
 def test_registration_window_covers_every_family():
     """The driver's correctness gate evaluates the first 50 registered
     queries; every operator family must land inside that window (round-1
