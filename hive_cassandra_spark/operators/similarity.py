@@ -349,3 +349,69 @@ def auto_topk(
     if choose_ann_strategy(items, brute_force_max_bytes) == "brute":
         return brute_force_topk(items, queries, k, id_col, vec_col)
     return ivf_topk(items, queries, k, id_col=id_col, vec_col=vec_col, **ivf_kwargs)
+
+
+# ----------------------------------------------------- int8 quantization ---
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    qvec[i] = floor(x/scale + 0.5) (round-half-up — floor(+0.5) is exact
+    and identical across engines, unlike round()'s half-even/half-away
+    split). 4x memory cut on the corpus vectors — at 100 TB that is the
+    difference between the ANN working set fitting executor memory or
+    spilling. Cosine is invariant under per-vector scaling, so quantized
+    cosine needs no dequantization at all; the scale column is kept for
+    dot-product / L2 consumers that do."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = (
+        F.greatest(F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12))
+        / F.lit(127.0)
+    )
+    out = df.withColumn(scale_col, scale)
+    return out.withColumn(
+        out_col,
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x / F.col(scale_col) + F.lit(0.5)).cast("tinyint"),
+        ),
+    )
+
+
+def quantized_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-shape brute-force top-k over int8-quantized vectors: same
+    broadcast-queries plan as brute_force_topk, but the corpus side carries
+    1/4 the bytes and the dot products are small exact integers (dim x
+    127^2 — no float summation-order divergence). The ranking differs from
+    float cosine only by quantization error (~1e-2), which is the accepted
+    trade of every int8 ANN deployment."""
+    qi = quantize_embeddings(items, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").cast("array<double>").alias("iv")
+    )
+    qq = quantize_embeddings(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").cast("array<double>").alias("qv")
+    )
+    scored = qi.join(F.broadcast(qq), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

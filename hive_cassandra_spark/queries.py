@@ -1757,6 +1757,39 @@ def q67_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q68_similarity_quantized",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scaled AS (SELECT vec_id, v,
+                      greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) / 127.0 AS s
+               FROM e),
+    qz AS (SELECT vec_id, list_transform(v, x -> floor(x / s + 0.5)) AS qv FROM scaled),
+    pairs AS (SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+                     round(list_dot_product(q.qv, i.qv)
+                           / (sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(i.qv, i.qv))), 6) AS cosine
+              FROM qz q JOIN qz i ON i.vec_id <> q.vec_id
+              WHERE q.vec_id < 20)
+    SELECT query_id, neighbor_id, cosine, rank FROM
+      (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       FROM pairs) WHERE rank <= 5
+    """,
+    doc="int8-quantized exact top-k: symmetric per-vector quantization "
+    "(scale = max|x|/127, floor(x/s + 0.5) — floor(+0.5) rounds "
+    "identically on every engine) cuts corpus vector bytes 4x; cosine is "
+    "scale-invariant so no dequantization happens at all, and the dot "
+    "products are small exact integers — no float summation-order "
+    "divergence. The broadcast-queries plan is byte-for-byte q36's; only "
+    "the operand width changed. The 100 TB play: the ANN working set "
+    "fits executor memory instead of spilling",
+)
+def q68_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@register(
     "q48_validator_decode",
     oracle="""
     SELECT CAST(n_nationkey AS VARCHAR) AS key_str,

@@ -118,3 +118,26 @@ def test_auto_topk_strategy_choice(spark, sf_dir):
     )
     assert approx.columns == ["query_id", "neighbor_id", "cosine", "rank"]
     assert approx.count() > 0
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization must preserve the neighborhood structure: top-5
+    sets from quantized and float cosine overlap strongly, and the
+    quantized vectors live in [-127, 127]."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    quant = similarity.quantized_topk(emb, queries, k=5).collect()
+    by_q_exact, by_q_quant = {}, {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in quant:
+        by_q_quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    overlaps = [len(by_q_exact[q] & by_q_quant[q]) / 5 for q in by_q_exact]
+    assert sum(overlaps) / len(overlaps) >= 0.8  # int8 keeps neighborhoods
+
+    qv = similarity.quantize_embeddings(emb).select("qvec").limit(50).collect()
+    for r in qv:
+        assert all(-127 <= x <= 127 for x in r.qvec)
