@@ -139,3 +139,45 @@ def deterministic_split(
         cond = bucket < cum
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_pct: float = 100.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling: keep a row iff its md5
+    bucket (basis 10000 — 0.01 % granularity) falls below the stratum's
+    retention percentage. The class-rebalancing primitive of a training
+    pipeline: downsample over-represented strata (language, source,
+    quality tier) to target rates, with membership a pure function of
+    (salt, key) — run-stable, engine-stable, cluster-size-stable, never
+    ``rand()`` — and the plan a zero-shuffle codegen projection.
+    ``df.sampleBy`` offers per-stratum fractions too but draws from a
+    seeded RNG over partition order, so membership changes under
+    repartitioning; this does not.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    threshold = None
+    for stratum, pct in fractions.items():
+        cond = F.col(strata_col) == stratum
+        lit = F.lit(int(round(pct * 100)))
+        threshold = F.when(cond, lit) if threshold is None else threshold.when(cond, lit)
+    threshold = (
+        F.lit(int(round(default_pct * 100)))
+        if threshold is None
+        else threshold.otherwise(F.lit(int(round(default_pct * 100))))
+    )
+    return df.filter(bucket < threshold)

@@ -1790,6 +1790,45 @@ def q68_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q69_stratified_sample",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority, o_totalprice,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM orders),
+    kept AS (
+      SELECT * FROM b
+      WHERE bucket < CASE o_orderpriority
+                       WHEN '1-URGENT' THEN 2500
+                       WHEN '2-HIGH'   THEN 5000
+                       WHEN '3-MEDIUM' THEN 10000
+                       ELSE 1000 END)
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM kept GROUP BY o_orderpriority
+    """,
+    doc="stratified deterministic subsampling: per-stratum retention rates "
+    "(25 % urgent, 50 % high, 100 % medium, 10 % rest) via md5-bucket "
+    "thresholds — the class-rebalancing primitive; membership is a pure "
+    "function of the key (stable under repartitioning, unlike sampleBy's "
+    "seeded RNG over partition order), zero-shuffle projection",
+)
+def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    kept = relational.stratified_sample(
+        o,
+        key_col="o_orderkey",
+        strata_col="o_orderpriority",
+        fractions={"1-URGENT": 25.0, "2-HIGH": 50.0, "3-MEDIUM": 100.0},
+        default_pct=10.0,
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
     "q48_validator_decode",
     oracle="""
     SELECT CAST(n_nationkey AS VARCHAR) AS key_str,

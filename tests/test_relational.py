@@ -107,3 +107,36 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
         for r in li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("mn")).collect()
     }
     assert rows and all(abs(r.price - round(mins[r.partkey], 2)) < 1e-9 for r in rows)
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(spark, sf_dir):
+    """Membership must be identical across runs and repartitionings, and
+    realized rates must track the requested per-stratum percentages."""
+    from pyspark.sql import functions as F
+
+    from hive_cassandra_spark.operators import relational
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fr = {"1-URGENT": 25.0, "2-HIGH": 50.0}
+    a = relational.stratified_sample(o, "o_orderkey", "o_orderpriority", fr, default_pct=10.0)
+    b = relational.stratified_sample(
+        o.repartition(7), "o_orderkey", "o_orderpriority", fr, default_pct=10.0
+    )
+    keys_a = {r.o_orderkey for r in a.select("o_orderkey").collect()}
+    keys_b = {r.o_orderkey for r in b.select("o_orderkey").collect()}
+    assert keys_a == keys_b  # stable under repartitioning (unlike sampleBy)
+
+    totals = {r.o_orderpriority: r.n
+              for r in o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r.o_orderpriority: r.n
+            for r in a.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for stratum, pct in [("1-URGENT", 0.25), ("2-HIGH", 0.50), ("5-LOW", 0.10)]:
+        rate = kept.get(stratum, 0) / totals[stratum]
+        assert abs(rate - pct) < 0.12, (stratum, rate)
+
+    # salt re-rolls membership without touching the data
+    c = relational.stratified_sample(
+        o, "o_orderkey", "o_orderpriority", fr, default_pct=10.0, salt="v2"
+    )
+    keys_c = {r.o_orderkey for r in c.select("o_orderkey").collect()}
+    assert keys_c != keys_a
