@@ -112,3 +112,51 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fingerprint_md5"),
         rolling.alias("fingerprint_roll"),
     )
+
+
+def _max_equal_run(arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a string array — a pure
+    expression fold (struct accumulator: previous element, current run,
+    best run). On a SORTED array this is the max element frequency; on the
+    raw array it is the longest consecutive repeat."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family): the
+    fraction of mass held by the most frequent token and word-bigram, and
+    the longest consecutive same-token run. High values mark boilerplate,
+    keyword stuffing, and degenerate generations — the documents a curation
+    pipeline drops before training.
+
+    All three are expression folds over the token array (max-frequency =
+    max equal-run of the SORTED array) — one codegen projection, zero
+    shuffle, no Python."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.size(bigrams)
+    return df.select(
+        "*",
+        F.round(_max_equal_run(F.array_sort(toks)) / F.greatest(n, F.lit(1)), 4).alias(
+            "top_token_ratio"
+        ),
+        F.round(
+            _max_equal_run(F.array_sort(bigrams)) / F.greatest(nb, F.lit(1)), 4
+        ).alias("top_bigram_ratio"),
+        _max_equal_run(toks).alias("max_token_run"),
+    )

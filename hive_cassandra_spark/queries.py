@@ -1829,6 +1829,51 @@ def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q70_repetition_stats",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+            FROM base),
+    top_tok AS (SELECT doc_id, max(c) AS c FROM
+                  (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+                GROUP BY doc_id),
+    bg AS (SELECT doc_id, tok || ' ' || lead(tok) OVER w AS bigram
+           FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+    top_bg AS (SELECT doc_id, max(c) AS c FROM
+                 (SELECT doc_id, bigram, count(*) AS c FROM bg
+                  WHERE bigram IS NOT NULL GROUP BY 1, 2)
+               GROUP BY doc_id),
+    runs AS (SELECT doc_id, tok,
+                    i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+             FROM tok),
+    max_run AS (SELECT doc_id, max(c) AS c FROM
+                  (SELECT doc_id, count(*) AS c FROM runs GROUP BY doc_id, tok, grp)
+                GROUP BY doc_id),
+    sizes AS (SELECT doc_id, len(t) AS n FROM base)
+    SELECT s.doc_id,
+           round(coalesce(tt.c, 0) * 1.0 / greatest(s.n, 1), 4) AS top_token_ratio,
+           round(coalesce(tb.c, 0) * 1.0 / greatest(s.n - 1, 1), 4) AS top_bigram_ratio,
+           CAST(coalesce(mr.c, 0) AS INT) AS max_token_run
+    FROM sizes s
+    LEFT JOIN top_tok tt ON tt.doc_id = s.doc_id
+    LEFT JOIN top_bg tb ON tb.doc_id = s.doc_id
+    LEFT JOIN max_run mr ON mr.doc_id = s.doc_id
+    """,
+    doc="repetition quality signals (Gopher-rules family): top-token and "
+    "top-bigram mass fractions plus longest consecutive same-token run — "
+    "boilerplate/keyword-stuffing/degenerate-generation detectors. Pure "
+    "expression folds (max frequency = max equal-run of the sorted token "
+    "array), one codegen projection, zero shuffle; the oracle replays via "
+    "gaps-and-islands SQL",
+)
+def q70_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(docs).select(
+        "doc_id", "top_token_ratio", "top_bigram_ratio", "max_token_run"
+    )
+
+
+@register(
     "q48_validator_decode",
     oracle="""
     SELECT CAST(n_nationkey AS VARCHAR) AS key_str,

@@ -56,3 +56,33 @@ def test_normalize_and_tokens(spark):
         text.normalize(F.col("t")).alias("n"), text.tokens(F.col("t")).alias("tk")
     ).collect()[0]
     assert r.n == "a b c" and r.tk == ["a", "b", "c"]
+
+
+def test_repetition_stats_known_values(spark):
+    from hive_cassandra_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),           # run of 3 'a'; top token 3/4; bigram 'a a' 2/3
+            (2, "x y x y x"),         # no consecutive repeats; 'x y' bigram 2/4
+            (3, "solo"),              # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in t.repetition_stats(df).collect()}
+    assert out[1].max_token_run == 3
+    assert out[1].top_token_ratio == 0.75
+    assert out[1].top_bigram_ratio == round(2 / 3, 4)
+    assert out[2].max_token_run == 1
+    assert out[2].top_token_ratio == 0.6
+    assert out[2].top_bigram_ratio == 0.5
+    assert out[3].max_token_run == 1
+    assert out[3].top_bigram_ratio == 0.0
+
+
+def test_repetition_stats_zero_shuffle(spark, sf_dir):
+    from hive_cassandra_spark.operators import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = t.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
