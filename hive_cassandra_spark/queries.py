@@ -827,9 +827,9 @@ def q63_correlated_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     )
     SELECT strftime(date_trunc('day', hour), '%Y-%m-%d') AS day, event_type,
-           sum(n) AS n_events,
-           round(sum(sc) / 100.0, 2) AS sum_value,
-           ((200 * sum(sc) + sum(n)) // (2 * sum(n))) / 10000.0 AS avg_value,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(sc) AS BIGINT) AS sum_value_cents,
+           CAST((200 * sum(sc) + sum(n)) // (2 * sum(n)) AS BIGINT) AS avg_value_e4,
            count(*) AS hours_active
     FROM hourly GROUP BY 1, 2
     """,
@@ -837,12 +837,13 @@ def q63_correlated_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events, daily re-aggregated from the hourly partials (sums/counts "
     "compose, avg recomputed) — the daily level never rescans raw data, "
     "which is the whole point of a continuous aggregate at 100 TB. "
-    "Aggregates exact integer cents; the 4-decimal avg is rounded half-up "
-    "in pure integer arithmetic ((200*sc+n) div (2n), values known "
-    "non-negative) because a double avg can land on a .00005 tie where "
-    "Spark (shortest-repr decimal HALF_UP) and DuckDB (binary value) round "
-    "differently, and DuckDB coerces decimal division to DOUBLE (bit at "
-    "sf0.001)",
+    "Output is deliberately float-free: sum_value_cents is exact integer "
+    "cents and avg_value_e4 is the 4-decimal average scaled by 1e4, "
+    "rounded half-up in pure integer arithmetic ((200*sc+n) div (2n), "
+    "values known non-negative). Every integer sum in the oracle is CAST "
+    "to BIGINT because DuckDB's sum() of integers returns HUGEINT, which "
+    "pandas/Arrow fetch paths render as float64 (71.0 vs 71) — the r02 "
+    "driver hash mismatch that fetchall()-based local checks cannot see",
 )
 def q64_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
@@ -855,10 +856,8 @@ def q64_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.sum("n").alias("n_events"),
-        F.round(F.sum("sc") / F.lit(100.0), 2).alias("sum_value"),
-        (
-            F.expr("(200 * sum(sc) + sum(n)) div (2 * sum(n))") / F.lit(10000.0)
-        ).alias("avg_value"),
+        F.sum("sc").alias("sum_value_cents"),
+        F.expr("(200 * sum(sc) + sum(n)) div (2 * sum(n))").alias("avg_value_e4"),
         F.count(F.lit(1)).alias("hours_active"),
     )
 
@@ -879,7 +878,8 @@ def q64_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ROWS UNBOUNDED PRECEDING) AS session_no
         FROM marks
     )
-    SELECT user_id, session_no, count(*) AS n_events,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
     FROM sess
@@ -888,7 +888,10 @@ def q64_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="batch sessionization: 30-min-gap session ids via lag + running "
     "sum in one window pass (the batch counterpart of the q52 streaming "
     "session window). Shuffles once on user_id; both window frames and "
-    "the final aggregate reuse that partitioning",
+    "the final aggregate reuse that partitioning. session_no (a windowed "
+    "sum of ints) is CAST to BIGINT in the oracle: DuckDB returns HUGEINT "
+    "there, which the driver's pandas/Arrow fetch renders as float64 — "
+    "the r02 hash-only mismatch",
 )
 def q65_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)

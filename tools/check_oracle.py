@@ -1,20 +1,90 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — strictly stronger.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 over the same sf dir, then compares row count, sorted column names, and the
-full sorted value multiset (exact equality after string normalization —
-stricter than any reasonable hash, so passing here should pass the driver).
+full sorted value multiset.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Round-3 hardening (VERDICT r02 item 2): the r02 driver failed q64/q65 on
+hash only while this gate passed them, for two reasons this version closes:
+
+1. **Float rounding**: the old gate rounded floats to 9 digits before
+   comparing — weaker than the driver's hash. Now floats compare by exact
+   ``repr`` (bit-for-bit shortest decimal), no rounding.
+2. **Fetch-path type skew**: DuckDB's ``sum()`` of integers returns
+   HUGEINT, which ``fetchall()`` yields as a Python int (compares equal to
+   Spark's long) but the driver's pandas/Arrow fetch renders as float64
+   ("71.0" vs "71" → hash mismatch with rows+schema green). This gate now
+   (a) REFUSES any oracle whose result schema contains HUGEINT / UHUGEINT /
+   DECIMAL — cast them in the SQL — and (b) cross-checks the *type
+   category* (int / float / str / bool / bytes / date / ts / array-of-X)
+   of every column between the Spark result and the DuckDB result, so an
+   int-vs-float skew fails locally even when the stringified values match.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...] [--vanilla]
 """
 
 from __future__ import annotations
 
+import re
 import sys
 import time
 import traceback
 
 sys.path.insert(0, "/root/repo")
+
+# DuckDB result types the driver's fetch path renders differently than
+# fetchall() does — ban them outright; the oracle SQL must CAST.
+BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def _duck_category(t: str) -> str:
+    """Map a DuckDB type string to a comparison category."""
+    t = t.upper()
+    if t.endswith("[]"):
+        return "array<" + _duck_category(t[:-2]) + ">"
+    if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT"):
+        return "banned"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t == "VARCHAR":
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "BLOB":
+        return "bytes"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    return t.lower()
+
+
+def _spark_category(t: str) -> str:
+    """Map a Spark simpleString dtype to the same comparison category."""
+    t = t.lower()
+    m = re.match(r"array<(.*)>$", t)
+    if m:
+        return "array<" + _spark_category(m.group(1)) + ">"
+    if t.startswith("decimal"):
+        return "banned"
+    if t in ("tinyint", "smallint", "int", "bigint", "byte", "short", "long"):
+        return "int"
+    if t in ("float", "double"):
+        return "float"
+    if t == "string":
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t == "binary":
+        return "bytes"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "ts"
+    return t
 
 
 def normalize(v):
@@ -23,12 +93,14 @@ def normalize(v):
     if isinstance(v, float):
         if v != v:
             return "nan"
-        # driver-style: repr floats; we require exact equality
-        return repr(round(v, 9))
+        # strict: exact shortest-repr, NO rounding (driver-parity or stronger)
+        return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(normalize(x) for x in v) + "]"
     return str(v)
 
 
@@ -78,26 +150,49 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            scats = {c: _spark_category(t) for c, t in sdf.dtypes}
             srows = [tuple(r) for r in sdf.collect()]
         except Exception:
             failures.append(name)
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             continue
+        bad_spark = [c for c, cat in scats.items() if "banned" in cat]
+        if bad_spark:
+            failures.append(name)
+            print(f"FAIL {name}: spark emits decimal column(s) {bad_spark} — "
+                  "cast to bigint/double (driver fetch renders these unstably)")
+            continue
         if name not in oracles:
             print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            ocats = {c: _duck_category(str(t)) for c, t in zip(rel.columns, rel.types)}
+            orows = rel.fetchall()
         except Exception:
             failures.append(name)
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             continue
         dt = time.time() - t0
+        bad = [f"{c}:{str(t)}" for c, t in zip(rel.columns, rel.types)
+               if "banned" in ocats[c]]
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: oracle emits {bad} — the driver's "
+                  "pandas/Arrow fetch renders HUGEINT/DECIMAL as float64; "
+                  "CAST(... AS BIGINT/DOUBLE) in the oracle SQL")
+            continue
         if sorted(scols) != sorted(ocols):
             failures.append(name)
             print(f"FAIL {name}: schema spark={sorted(scols)} oracle={sorted(ocols)}")
+            continue
+        catdiff = [(c, scats[c], ocats[c]) for c in scols if scats[c] != ocats.get(c)]
+        if catdiff:
+            failures.append(name)
+            print(f"FAIL {name}: type-category skew (col, spark, oracle): {catdiff} — "
+                  "an int-vs-float skew hashes differently at the driver even "
+                  "when values print equal here")
             continue
         if len(srows) != len(orows):
             failures.append(name)
