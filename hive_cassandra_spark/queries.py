@@ -2330,8 +2330,16 @@ def q62_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # names in registration order). This list pins slots 1-50 so that every
 # operator family from SURVEY.md §2 — and every query the round-1 verdict
 # flagged as needing a driver row — lands inside the evaluation window.
-# Everything after slot 50 is a redundant variant of an in-window query
-# (kept registered as extra inventory; see each merged query's doc).
+# Everything after slot 50 is a redundant variant of an in-window query —
+# no longer a doc-only claim: QUERY_FAMILIES below tags every registered
+# query and _apply_registration_order() asserts each overflow query's tags
+# all have an in-window bearer (r02 ADVICE item 1).
+#
+# Round-3 rotation (r02 verdict item 6): q67-q70 moved in-window so every
+# §2.C operator earns a driver CORRECTNESS row; evicted four variants whose
+# families keep in-window bearers: q45 (cell_store → q44/q49), q51
+# (stream_window → q50), q61 (sampling → q69, which subsumes it: same
+# md5-bucket determinism plus per-stratum rates), q63 (subquery → q23).
 
 _WINDOW_ORDER = [
     # relational surface — one representative per capability
@@ -2347,13 +2355,11 @@ _WINDOW_ORDER = [
     "q20_flag_status_cube",           # cube + rollup
     "q22_flag_pivot",                 # pivot
     "q23_orders_above_average",       # scalar subquery
-    "q63_correlated_min_price",       # correlated subquery (decorrelated)
     # cell-store / connector semantics (§2.A)
     "q24_transpose_read",
     "q25_transpose_implode",
     "q26_cf_map_roundtrip",
     "q44_cell_store_roundtrip",
-    "q45_cell_store_projection",
     # events family (round-1 env failures — verdict item 1)
     "q27_super_column_roundtrip",
     "q28_lww_compaction",
@@ -2361,22 +2367,26 @@ _WINDOW_ORDER = [
     "q30_ghost_row_filter",
     "q64_hypertable_rollup",
     "q65_batch_sessionize",
-    # LLM-pipeline operators (§2.C)
+    # LLM-pipeline operators (§2.C) — r03: all four previously-unwindowed
+    # operators (q67-q70) now earn driver rows
     "q31_dedup_exact",
     "q32_dedup_ngram_jaccard",
     "q33_dedup_minhash_lsh",
     "q34_dedup_simhash",
     "q35_dedup_embedding",
+    "q67_neardup_clusters",
     "q36_similarity_topk",
     "q37_similarity_ann_lsh",
     "q47_similarity_ivf",
+    "q68_similarity_quantized",
     "q38_text_stats",                 # stats + lang-id + tokens + fingerprint
+    "q70_repetition_stats",
     "q42_multimodal_payload",         # payload stats + features
+    "q69_stratified_sample",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q49_slice_range",
     "q50_stream_tumbling",
-    "q51_stream_sliding",
     "q52_stream_session",
     "q53_stream_dedup",
     "q54_stream_stateful",
@@ -2386,19 +2396,108 @@ _WINDOW_ORDER = [
     "q58_range_join",
     "q59_percentiles",
     "q60_grouping_sets",
-    "q61_deterministic_split",
     "q62_stream_stream_join",
-    # remaining slot: the storage-handler facade roundtrip (DDL write +
-    # synthesized mapping + consistency + batched cell I/O in one driver row;
-    # q46's dual-decode surface stays covered in-window by q44)
+    # the storage-handler facade roundtrip (DDL write + synthesized mapping +
+    # consistency + batched cell I/O in one driver row)
     "q66_connector_roundtrip",
 ]
+
+# Capability tags per registered query. A query may bear several tags; the
+# invariant enforced at import time is: for every query PAST slot 50, each
+# of its tags has at least one in-window bearer — i.e. overflow queries are
+# provably redundant variants, not silently ungated features.
+QUERY_FAMILIES: dict[str, set[str]] = {
+    "q01_pricing_summary": {"scan", "agg"},
+    "q02_revenue_forecast": {"agg"},
+    "q03_shipping_priority": {"join", "sort_limit"},
+    "q04_order_priority_check": {"join_semi_anti"},
+    "q05_local_supplier_volume": {"join", "agg"},
+    "q06_brand_volume": {"join", "agg"},
+    "q07_customer_order_stats": {"join_outer", "agg"},
+    "q08_nation_coverage": {"join", "agg"},
+    "q09_customers_without_orders": {"join_semi_anti"},
+    "q10_region_nation_matrix": {"join_cross"},
+    "q11_priority_distinct_customers": {"agg_distinct_having"},
+    "q12_popular_brands": {"join", "agg"},
+    "q13_top_orders_per_customer": {"window"},
+    "q14_running_supplier_volume": {"window"},
+    "q15_top_line_items": {"sort_limit"},
+    "q16_active_keys_union": {"setops"},
+    "q17_solvent_buyers": {"join", "agg"},
+    "q18_never_finalized": {"join_semi_anti"},
+    "q19_scalar_functions": {"scalar_fns"},
+    "q20_flag_status_cube": {"cube_rollup"},
+    "q21_yearly_priority_rollup": {"agg"},
+    "q22_flag_pivot": {"pivot"},
+    "q23_orders_above_average": {"subquery"},
+    "q63_correlated_min_price": {"subquery"},
+    "q24_transpose_read": {"transpose_read"},
+    "q25_transpose_implode": {"transpose_write"},
+    "q26_cf_map_roundtrip": {"cf_map"},
+    "q27_super_column_roundtrip": {"super_cf"},
+    "q28_lww_compaction": {"lww"},
+    "q29_counter_rollup": {"counters"},
+    "q30_ghost_row_filter": {"ghost_rows"},
+    "q44_cell_store_roundtrip": {"cell_store", "codec_decode"},
+    "q45_cell_store_projection": {"cell_store"},
+    "q46_dual_decode_text_cells": {"codec_decode"},
+    "q48_validator_decode": {"codec_decode"},
+    "q49_slice_range": {"cell_store", "pushdown"},
+    "q66_connector_roundtrip": {"connector_ddl"},
+    "q50_stream_tumbling": {"stream_window"},
+    "q51_stream_sliding": {"stream_window"},
+    "q52_stream_session": {"stream_session"},
+    "q53_stream_dedup": {"stream_dedup"},
+    "q54_stream_stateful": {"stream_stateful"},
+    "q62_stream_stream_join": {"stream_join"},
+    "q55_json_extract": {"json_fns"},
+    "q56_corpus_curation": {"curation_pipeline"},
+    "q57_asof_join": {"asof_join"},
+    "q58_range_join": {"range_join"},
+    "q59_percentiles": {"percentiles"},
+    "q60_grouping_sets": {"cube_rollup"},
+    "q61_deterministic_split": {"sampling"},
+    "q69_stratified_sample": {"sampling"},
+    "q64_hypertable_rollup": {"time_rollup"},
+    "q65_batch_sessionize": {"sessionize_batch"},
+    "q31_dedup_exact": {"dedup_exact"},
+    "q32_dedup_ngram_jaccard": {"dedup_jaccard"},
+    "q33_dedup_minhash_lsh": {"dedup_minhash"},
+    "q34_dedup_simhash": {"dedup_simhash"},
+    "q35_dedup_embedding": {"dedup_embedding"},
+    "q67_neardup_clusters": {"dedup_components"},
+    "q36_similarity_topk": {"similarity_exact"},
+    "q37_similarity_ann_lsh": {"similarity_ann"},
+    "q47_similarity_ivf": {"similarity_ann"},
+    "q68_similarity_quantized": {"similarity_quantized"},
+    "q38_text_stats": {"text_stats"},
+    "q39_lang_id": {"text_stats"},
+    "q40_token_count_regex": {"text_stats"},
+    "q41_fingerprint": {"text_stats"},
+    "q70_repetition_stats": {"text_quality"},
+    "q42_multimodal_payload": {"multimodal"},
+    "q43_multimodal_features": {"multimodal"},
+}
 
 
 def _apply_registration_order() -> None:
     assert len(_WINDOW_ORDER) == 50, len(_WINDOW_ORDER)
     missing = [n for n in _WINDOW_ORDER if n not in QUERIES]
     assert not missing, f"window names not registered: {missing}"
+    untagged = [n for n in QUERIES if n not in QUERY_FAMILIES]
+    assert not untagged, f"queries missing a QUERY_FAMILIES tag: {untagged}"
+    window = set(_WINDOW_ORDER)
+    in_window_tags = set().union(*(QUERY_FAMILIES[n] for n in window))
+    orphans = {
+        n: sorted(QUERY_FAMILIES[n] - in_window_tags)
+        for n in QUERIES
+        if n not in window and not QUERY_FAMILIES[n] <= in_window_tags
+    }
+    assert not orphans, (
+        f"overflow queries with no in-window family bearer: {orphans} — "
+        "either move them into _WINDOW_ORDER or add an in-window "
+        "representative for the tag"
+    )
     snapshot = dict(QUERIES)
     # mutate in place: __spark_entry__ holds a reference to this dict
     QUERIES.clear()
