@@ -14,8 +14,9 @@ Scale posture (the whole point of these designs):
   bucket collides. All hashing is md5-based and deterministic → the whole
   pipeline is oracle-comparable in ANSI SQL (rare for LSH; we exploit it
   for the correctness gate).
-- **SimHash**: fixed 32-bit signature per doc, candidates via 8-bit band
-  collision, verify by Hamming distance — constant state per doc.
+- **SimHash**: fixed 64-bit signature per doc (two 32-bit halves),
+  candidates via 16-bit band collision (4 × 65,536 buckets, capped width),
+  verify by Hamming distance — constant state per doc.
 - **embedding near-dup**: cosine over a blocking key to keep the pair space
   bounded; the unblocked variant is in similarity.py.
 
@@ -270,36 +271,101 @@ def minhash_lsh_dedup(
 
 # --------------------------------------------------------------- SimHash ---
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16 → 65,536 buckets/band
+SIMHASH_MAX_BUCKET = 10_000
 
 
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """32-bit SimHash per document from md5-derived token hashes.
+    """64-bit SimHash per document from md5-derived token hashes, returned
+    as two non-negative 32-bit halves (doc, sim_hi, sim_lo).
 
-    Token hash = first 8 hex chars of md5 (32 bits). Each token votes ±1
-    per bit position (with multiplicity); the signature bit is the vote
-    sign. Plan: explode tokens → one groupBy(doc) with 32 conditional sums
-    (all codegen'd) → assemble the signature. One shuffle.
+    Token hash = first 16 hex chars of md5, split into two 32-bit words.
+    Each token votes ±1 per bit position (with multiplicity); the signature
+    bit is the vote sign. Plan: explode tokens → one groupBy(doc) with 64
+    conditional sums (all codegen'd) → assemble the halves. One shuffle.
+
+    The hi/lo split is deliberate: a single 64-bit value would set the sign
+    bit, and signed-shift semantics differ across engines (and Python's
+    bin() on negative ints), while two always-non-negative 32-bit words
+    shift/xor identically everywhere — which keeps the full pipeline
+    oracle-comparable in ANSI SQL.
     """
-    tok = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    tok = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .withColumn("md5", F.md5("tok"))
+        .withColumn("h_hi", F.conv(F.substring("md5", 1, 8), 16, 10).cast("long"))
+        .withColumn("h_lo", F.conv(F.substring("md5", 9, 8), 16, 10).cast("long"))
+    )
+    half_bits = SIMHASH_BITS // 2
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h_lo" if b < half_bits else "h_hi"), b % half_bits)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc").agg(*votes)
-    sig = reduce(
-        lambda acc, b: acc
-        + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")),
-        range(1, SIMHASH_BITS),
-        F.when(F.col("b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+
+    def _assemble(bit_range) -> Column:
+        return reduce(
+            lambda acc, b: acc
+            + F.when(
+                F.col(f"b{b}") > 0, F.lit(1 << (b % half_bits)).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+            bit_range,
+            F.lit(0).cast("long"),
+        )
+
+    return agg.select(
+        "doc",
+        _assemble(range(half_bits, SIMHASH_BITS)).alias("sim_hi"),
+        _assemble(range(half_bits)).alias("sim_lo"),
     )
-    return agg.select("doc", sig.alias("simhash"))
+
+
+def simhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc, sim_hi, sim_lo, pos, band): the 64-bit signature banded into
+    4 × 16-bit words — 65,536 distinct buckets per position, so bucket
+    population stays ~|corpus|/65,536 per (pos, band) key instead of the
+    O(|corpus|/256) a byte-banded 32-bit scheme degrades to. Pure
+    projection + explode; no shuffle."""
+    words = [
+        ("sim_lo", 0),
+        ("sim_lo", SIMHASH_BAND_BITS),
+        ("sim_hi", 0),
+        ("sim_hi", SIMHASH_BAND_BITS),
+    ]
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return sig.select(
+        "doc",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("pos"),
+                        F.shiftright(F.col(col), sh)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band"),
+                    )
+                    for i, (col, sh) in enumerate(words)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sim_hi", "sim_lo", "bb.pos", "bb.band")
 
 
 def simhash_pairs(
@@ -307,36 +373,36 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = SIMHASH_MAX_BUCKET,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 32 bits into 4 bytes; candidate
-    pairs share ≥1 exact byte at the same position (any pair within
-    Hamming ≤3 must agree on ≥1 of 4 bytes — pigeonhole); verify with
-    bit_count(xor). Returns (doc_a, doc_b, hamming)."""
+    """Near-dup pairs by SimHash: band the 64 bits into 4 × 16-bit words;
+    candidate pairs share ≥1 exact word at the same position (any pair
+    within Hamming ≤3 must agree on ≥1 of 4 bands — pigeonhole, since 3
+    differing bits touch ≤3 bands); verify with bit_count(xor) over both
+    halves. Returns (doc_a, doc_b, hamming).
+
+    ``max_bucket`` drops degenerate buckets (more members than the cap)
+    before pair generation: a band value shared by k docs emits k²/2 pairs,
+    and at 100 TB a stop-band (e.g. the all-zeros word from near-empty
+    docs) would otherwise produce a quadratic straggler task. Dropped
+    buckets lose only pairs whose OTHER three bands all differ — by the
+    pigeonhole those have Hamming ≥... no guarantee, so the cap is a
+    documented recall trade, sized (10k default) to never trigger on
+    non-degenerate data."""
     sig = simhash(df, text_col, id_col)
-    bands = sig.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("pos"),
-                        F.shiftright(F.col("simhash"), 8 * i)
-                        .bitwiseAND(F.lit(255))
-                        .alias("byte"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "simhash", "bb.pos", "bb.byte")
+    bands = simhash_bands(sig)
     # same one-shuffle grouped-pairs shape as lsh_candidate_pairs; members
-    # carry their signature so Hamming verifies inside the explode.
-    # (pos, byte) buckets hold ~|docs|/256 members — spread, bounded.
+    # carry their signature halves so Hamming verifies inside the explode.
+    # (pos, band) buckets hold ~|docs|/65,536 members; the size filter caps
+    # the quadratic in-bucket explode at max_bucket²/2 regardless of corpus.
     grouped = (
-        bands.groupBy("pos", "byte")
-        .agg(F.array_sort(F.collect_list(F.struct("doc", "simhash"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+        bands.groupBy("pos", "band")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc", "sim_hi", "sim_lo"))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
     )
     pairs = F.flatten(
         F.transform(
@@ -346,7 +412,10 @@ def simhash_pairs(
                 lambda y: F.struct(
                     x["doc"].alias("doc_a"),
                     y["doc"].alias("doc_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                    (
+                        F.bit_count(x["sim_hi"].bitwiseXOR(y["sim_hi"]))
+                        + F.bit_count(x["sim_lo"].bitwiseXOR(y["sim_lo"]))
+                    ).alias("hamming"),
                 ),
             ),
         )

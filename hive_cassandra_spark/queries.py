@@ -1180,12 +1180,19 @@ def q33_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # SimHash oracle: one vote aggregate per bit, then signature assembly —
-# the same 32-conditional-sums shape the Spark plan uses (dedup.simhash).
+# the same 64-conditional-sums shape the Spark plan uses (dedup.simhash).
+# The 64-bit signature lives as two non-negative 32-bit halves on both
+# engines so shifts/xor never touch a sign bit.
 _SQL_SIMHASH_VOTES = ", ".join(
-    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32)
+    f"sum(CASE WHEN (h_{'lo' if b < 32 else 'hi'} >> {b % 32}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(64)
 )
-_SQL_SIMHASH_SIG = " + ".join(
+_SQL_SIMHASH_LO = " + ".join(
     f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+)
+_SQL_SIMHASH_HI = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64)
 )
 
 
@@ -1193,19 +1200,26 @@ _SQL_SIMHASH_SIG = " + ".join(
     "q34_dedup_simhash",
     oracle=f"""
     WITH tok AS (SELECT doc_id AS doc, unnest({_SQL_TOKS}) AS tok FROM documents),
-         h AS (SELECT doc, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+         h AS (SELECT doc, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+                    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo FROM tok),
          votes AS (SELECT doc, {_SQL_SIMHASH_VOTES} FROM h GROUP BY doc),
-         sig AS (SELECT doc, CAST({_SQL_SIMHASH_SIG} AS BIGINT) AS simhash FROM votes),
-         bands AS (SELECT doc, simhash, i AS pos, (simhash >> (8 * i)) & 255 AS byte
-                   FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+         sig AS (SELECT doc, CAST({_SQL_SIMHASH_HI} AS BIGINT) AS sim_hi,
+                      CAST({_SQL_SIMHASH_LO} AS BIGINT) AS sim_lo FROM votes),
+         bands AS (SELECT doc, sim_hi, sim_lo, i AS pos,
+                          (CASE WHEN i < 2 THEN sim_lo ELSE sim_hi END
+                           >> (16 * (i % 2))) & 65535 AS band
+                   FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+                   QUALIFY count(*) OVER (PARTITION BY pos, band) <= 10000),
          pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
-                          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+                          CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                             + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
                    FROM bands a JOIN bands b
-                     ON a.pos = b.pos AND a.byte = b.byte AND a.doc < b.doc)
+                     ON a.pos = b.pos AND a.band = b.band AND a.doc < b.doc)
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
     """,
-    doc="SimHash(32-bit) near-dup pairs: byte-band candidates + Hamming verify — "
-    "md5-derived token hashes keep the full pipeline oracle-comparable",
+    doc="SimHash(64-bit, two 32-bit halves) near-dup pairs: 16-bit-band "
+    "candidates (4 × 65,536 buckets, width-capped at 10k) + Hamming verify "
+    "— md5-derived token hashes keep the full pipeline oracle-comparable",
 )
 def q34_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)

@@ -74,19 +74,60 @@ def test_minhash_lsh_recall_and_precision(spark, sf_dir):
 
 def test_simhash_pairs_hamming_correct(spark, sf_dir):
     docs = _docs(spark, sf_dir, 80)
-    sig = {r.doc: r.simhash for r in dedup.simhash(docs).collect()}
+    sig = {
+        r.doc: (r.sim_hi << 32) | r.sim_lo for r in dedup.simhash(docs).collect()
+    }
+    # halves are non-negative 32-bit words → the combined value is a clean
+    # unsigned 64-bit int in Python (no sign-bit traps)
+    assert all(0 <= s < (1 << 64) for s in sig.values())
     out = dedup.simhash_pairs(docs, max_hamming=3).collect()
     for r in out:
         ham = bin(sig[r.doc_a] ^ sig[r.doc_b]).count("1")
         assert ham == r.hamming and ham <= 3
-    # banding guarantees: any pair with hamming <= 3 shares >= 1 of 4 bytes
-    # (pigeonhole) → candidate generation is lossless for the threshold
+    # banding guarantees: any pair with hamming <= 3 shares >= 1 of 4
+    # 16-bit words (pigeonhole: 3 flipped bits touch <= 3 of the 4 bands)
+    # → candidate generation is lossless for the threshold
     expected = {
         (a, b)
         for a, b in itertools.combinations(sorted(sig), 2)
         if bin(sig[a] ^ sig[b]).count("1") <= 3
     }
     assert {(r.doc_a, r.doc_b) for r in out} == expected
+
+
+def test_simhash_band_space_and_bucket_width(spark, sf_dir):
+    """Scale-shape guard (r02 verdict item 3): bands must span the full
+    16-bit space (values 0..65535, 4 positions) and on real data bucket
+    population must stay near |corpus|/65536 — not the |corpus|/256 a
+    byte-banded 32-bit scheme degrades to."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir, 500)
+    bands = dedup.simhash_bands(dedup.simhash(docs))
+    stats = bands.groupBy("pos", "band").count()
+    top = stats.agg(F.max("count").alias("mx")).collect()[0]
+    rng = bands.agg(
+        F.min("band").alias("lo"), F.max("band").alias("hi"),
+        F.countDistinct("pos").alias("npos"),
+    ).collect()[0]
+    assert rng.npos == 4 and 0 <= rng.lo and rng.hi <= 65535
+    # 500 near-uniform 16-bit words: collisions exist but no bucket should
+    # hold more than a tiny fraction of the corpus
+    assert top.mx <= 25, top.mx
+
+
+def test_simhash_bucket_cap_drops_degenerate_buckets(spark):
+    """A corpus of identical docs lands every member in the same 4 buckets;
+    with max_bucket below the corpus size those buckets are dropped (the
+    documented recall trade that kills the quadratic straggler at scale),
+    and with the default cap the pairs come back."""
+    rows = [(i, "same exact text for every single document here") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.simhash_pairs(df, max_hamming=3, max_bucket=10).collect()
+    assert capped == []
+    full = dedup.simhash_pairs(df, max_hamming=3).collect()
+    assert len(full) == 20 * 19 // 2
+    assert all(r.hamming == 0 for r in full)
 
 
 def test_embedding_neardup_blocks(spark, sf_dir):
