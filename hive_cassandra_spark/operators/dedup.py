@@ -77,38 +77,64 @@ def shingle_table(
     )
 
 
+JACCARD_MAX_DF = 1000
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_df: int | None = JACCARD_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via inverted-index self-join.
 
     Returns (doc_a, doc_b, jaccard) for doc_a < doc_b with jaccard ≥
     threshold; jaccard rounded to 4 for cross-engine comparability.
+
+    ``max_df`` is the hot-shingle guard: a shingle shared by k documents
+    emits k² rows in the self-join, so one stop-phrase in a million docs
+    is a quadratic straggler. Shingles with document frequency > max_df
+    are dropped from the *candidate index only* (a tiny hot set, removed
+    with a broadcast anti-join); the Jaccard reported for surviving pairs
+    is still exact — it is verified against the FULL shingle sets. The
+    only loss is recall for pairs connected *exclusively* through
+    stop-shingles, which carry ~no similarity signal by definition.
+    Pass ``max_df=None`` for the exhaustive join.
     """
     sh_tbl = shingle_table(df, text_col, id_col, n).persist()
     sh = sh_tbl.select("doc", F.explode("shs").alias("sh"))
-    # shingles are already distinct per doc → set size is array size:
-    # a projection off the persisted table, not a groupBy shuffle
-    sizes = sh_tbl.select("doc", F.size("shs").alias("n_sh"))
+    if max_df is not None:
+        # the hot set is tiny by construction (few shingles exceed max_df),
+        # so the anti-join broadcasts — no extra exchange on the big side
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     # merge-hint: identical subtrees shuffle on sh → AQE stage reuse (one
     # shingle-explode pass instead of two)
     a, b = sh.alias("a").hint("merge"), sh.alias("b").hint("merge")
-    common = (
+    cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # exact verify on the full (unfiltered) shingle sets — same shape as
+    # minhash_lsh_dedup's verify step; shingles are distinct per doc so
+    # set arithmetic is array arithmetic
+    sa = sh_tbl.select(F.col("doc").alias("doc_a"), F.col("shs").alias("sh_a"))
+    sb = sh_tbl.select(F.col("doc").alias("doc_b"), F.col("shs").alias("sh_b"))
     j = F.round(
-        F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
     ).alias("jaccard")
     return (
-        common.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", j)
         .filter(F.col("jaccard") >= threshold)

@@ -48,6 +48,36 @@ def test_jaccard_pairs_match_bruteforce(spark, sf_dir):
     assert got == expected
 
 
+def test_jaccard_hot_shingle_cap(spark):
+    """One shingle shared by 1k docs would emit ~500k self-join rows; with
+    max_df active the hot shingle is dropped from the candidate index, so
+    pairs connected ONLY through it vanish while pairs sharing any cold
+    shingle survive — and their jaccard is still computed from the FULL
+    sets (exact, not the filtered index)."""
+    # every doc contains the same 3-token stop phrase; docs 0 and 1 also
+    # share a distinctive second phrase (their own cold shingles)
+    stop = "click here now"
+    rows = [(0, f"{stop} unique alpha beta gamma"),
+            (1, f"{stop} unique alpha beta delta")]
+    rows += [(i, f"{stop} filler{i} one two") for i in range(2, 1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = dedup.jaccard_pairs(df, threshold=0.05, max_df=100).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    # docs 0/1 share cold shingles ('unique alpha beta', 'alpha beta gamma/delta'
+    # differ) → candidate survives; jaccard uses full sets incl. the stop shingle
+    assert (0, 1) in got
+    sets = {r.doc_id: set(r.sh) for r in df.select(
+        "doc_id", dedup.shingles(F.col("text")).alias("sh")).collect()}
+    expect01 = round(len(sets[0] & sets[1]) / len(sets[0] | sets[1]), 4)
+    assert got[(0, 1)] == expect01
+    # filler docs pair with each other ONLY via the stop shingle → dropped
+    assert all({a, b} == {0, 1} for a, b in got)
+    # opt-out restores the exhaustive (quadratic) behavior
+    full = dedup.jaccard_pairs(df, threshold=0.05, max_df=None).count()
+    assert full > len(got)
+
+
 def test_minhash_lsh_recall_and_precision(spark, sf_dir):
     """LSH candidates must contain every truly-similar pair above the LSH
     curve's high-probability zone, and the verify step keeps only exact
