@@ -4,12 +4,16 @@
 Design: the payload is a ``BinaryType`` column; metadata is a typed struct
 alongside it. Heavy per-item work (decode, feature-extract, resize,
 frame-sample) runs as Arrow-batched ``mapInPandas`` so each Python worker
-sees a whole batch — the only sane shape for 100 TB of blobs. Real codec
-libraries (PIL/ffmpeg/librosa) are NOT in this container, so the decode
-kernels are stubbed: ``fake=True`` uses a deterministic byte-level fake
-(real schema, real partitioning, real batch plumbing — fake pixels);
-``fake=False`` raises NotImplementedError at the exact point the real
-library call belongs.
+sees a whole batch — the only sane shape for 100 TB of blobs.
+
+Real container formats, no external libraries: **BMP** (8-bit grayscale,
+palette, bottom-up rows, 4-byte row padding) and **WAV** (RIFF/PCM
+16-bit mono) are encoded AND decoded with ``struct`` + numpy below, so
+``fake=False`` is a genuinely working path for those formats and for raw
+byte images. Formats that truly need an absent codec library (JPEG/PNG →
+PIL, MP4 → ffmpeg) raise NotImplementedError at the exact branch the
+library call belongs. ``fake=True`` remains the deterministic byte-level
+fake (real schema, real partitioning, real batch plumbing — fake pixels).
 
 The binary type itself mirrors the reference's binary cells incl. their
 Base64 sniff (CassandraLazyBinary.java:26-51 → codecs.decode_binary).
@@ -17,6 +21,7 @@ Base64 sniff (CassandraLazyBinary.java:26-51 → codecs.decode_binary).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -26,6 +31,91 @@ from pyspark.sql import DataFrame, functions as F
 FEATURE_BINS = 16
 
 META_SCHEMA = "struct<format:string,width:int,height:int,n_frames:int>"
+
+
+# ------------------------------------------------------------------------
+# stdlib container codecs: BMP (8-bit grayscale) and WAV (PCM16 mono)
+# ------------------------------------------------------------------------
+
+_BMP_HEADER_SIZE = 14 + 40 + 256 * 4  # file header + BITMAPINFOHEADER + palette
+
+
+def encode_bmp_gray8(pixels: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 array as a real 8-bit grayscale BMP: 256-entry
+    gray palette, rows padded to 4 bytes, stored bottom-up — byte-exact per
+    the Windows BITMAPINFOHEADER spec, readable by any image viewer."""
+    h, w = pixels.shape
+    stride = (w + 3) & ~3
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    padded[:, :w] = pixels
+    body = padded[::-1].tobytes()  # bottom-up row order
+    header = struct.pack("<2sIHHI", b"BM", _BMP_HEADER_SIZE + len(body), 0, 0,
+                         _BMP_HEADER_SIZE)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body),
+                      2835, 2835, 256, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i, 0))
+    return header + dib + palette + body
+
+
+def decode_bmp_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an 8-bit uncompressed BMP → (width, height, (h, w) uint8
+    pixels, top-down). Handles both bottom-up (positive height) and
+    top-down (negative height) files and strips row padding."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 8 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 8-bit BMP supported (got {bpp}bpp, "
+            f"compression={compression})"
+        )
+    stride = (w + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * abs(h), offset=offset
+    ).reshape(abs(h), stride)[:, :w]
+    if h > 0:  # bottom-up storage → flip to top-down
+        rows = rows[::-1]
+    return w, abs(h), rows.copy()
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode a 1-D int16 array as a canonical RIFF/WAVE file (PCM, mono,
+    16-bit little-endian) — playable by any audio tool."""
+    body = samples.astype("<i2").tobytes()
+    return struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(body), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(body),
+    ) + body
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF/WAVE file → (sample_rate, int16 samples). Walks the
+    chunk list (so files with extra chunks still parse); PCM mono 16-bit
+    only — anything else needs a real audio library."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, csz = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, pos)
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM mono 16-bit WAV supported (fmt={fmt}, "
+                    f"channels={ch}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(data, dtype="<i2", count=csz // 2, offset=pos)
+        pos += csz + (csz & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, samples
 
 
 def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -41,6 +131,83 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             (F.pmod(F.col(id_col), F.lit(48)) + 16).cast("int").alias("height"),
             (F.pmod(F.col(id_col), F.lit(10)) + 1).cast("int").alias("n_frames"),
         ).alias("meta"),
+    )
+
+
+def attach_image_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize REAL BMP payloads from the documents fixture: the pixel
+    plane is the utf-8 text bytes truncated / zero-padded to width×height
+    (deterministic → oracle-replayable), wrapped in a spec-compliant 8-bit
+    grayscale BMP by ``encode_bmp_gray8``. Width/height derive from the id
+    exactly like ``attach_payload``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(doc_id) % 64 + 16
+                h = int(doc_id) % 48 + 16
+                raw = text.encode("utf-8")[: w * h].ljust(w * h, b"\x00")
+                pixels = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+                payloads.append(encode_bmp_gray8(pixels))
+                metas.append(
+                    {"format": "image/bmp", "width": w, "height": h, "n_frames": 1}
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")) \
+        .mapInPandas(kernel, schema=f"doc_id long, payload binary, meta {META_SCHEMA}")
+
+
+def attach_audio_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Synthesize REAL WAV payloads: sample i is (byte_i - 128) << 8 of the
+    utf-8 text (deterministic and exactly invertible — the decode side
+    recovers the original bytes as (sample >> 8) + 128), wrapped in a
+    canonical RIFF/PCM16 file by ``encode_wav_pcm16``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for text in pdf["text"]:
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                samples = (raw.astype(np.int16) - 128) << 8
+                payloads.append(encode_wav_pcm16(samples, sample_rate))
+                metas.append(
+                    {"format": "audio/wav", "width": 0, "height": 0,
+                     "n_frames": int(len(samples))}
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")) \
+        .mapInPandas(kernel, schema=f"doc_id long, payload binary, meta {META_SCHEMA}")
+
+
+def decode_payload_bytes(buf: bytes, fmt: str) -> bytes:
+    """Decode a container payload to its content byte plane: BMP → pixel
+    bytes (top-down row-major), WAV → samples mapped back to bytes
+    ((s >> 8) + 128), raw → as-is. The single dispatch point every real
+    (fake=False) kernel shares; unsupported container formats raise
+    NotImplementedError naming the absent library."""
+    if fmt == "image/bmp":
+        _, _, pixels = decode_bmp_gray8(bytes(buf))
+        return pixels.tobytes()
+    if fmt == "audio/wav":
+        _, samples = decode_wav_pcm16(bytes(buf))
+        return (((samples.astype(np.int32) >> 8) + 128) & 0xFF).astype(np.uint8).tobytes()
+    if fmt.endswith("raw"):
+        return bytes(buf)
+    raise NotImplementedError(
+        f"decode of format {fmt!r} needs an absent codec library "
+        "(PIL for JPEG/PNG, ffmpeg for video containers)"
     )
 
 
@@ -68,9 +235,15 @@ def extract_features(
     """Decode + feature-extract each payload → fixed-size float vector.
 
     ``mapInPandas``: one Arrow batch in, one out; the UDF never sees a
-    Python object per row for the hot fields. Fake kernel = normalized
-    16-bin byte histogram (deterministic); real kernel = decode via
-    PIL/ffmpeg then embed — stubbed.
+    Python object per row for the hot fields. The feature is a normalized
+    16-bin high-nibble histogram of the decoded content bytes.
+
+    ``fake=True`` histograms the payload bytes as-is (deterministic fake —
+    schema/batch plumbing without a decode). ``fake=False`` REALLY decodes
+    per ``meta.format`` first: BMP → pixel plane, WAV → recovered sample
+    bytes, raw → identity (``decode_payload_bytes``); formats needing an
+    absent library raise NotImplementedError. The real path therefore
+    requires the ``meta`` struct column.
 
     ``passthrough`` columns are forwarded through the Arrow batch unchanged
     (same batch, no rejoin) so metadata computed upstream doesn't force a
@@ -83,17 +256,21 @@ def extract_features(
         + [f"{c} {by_name[c]}" for c in keep]
         + ["features array<double>"]
     )
+    if not fake and "meta" not in by_name:
+        raise ValueError("fake=False needs the `meta` struct column to dispatch decode")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image/audio decode needs PIL/ffmpeg — not in this "
-                    "container; run with fake=True for the plumbing path"
-                )
             feats = []
-            for buf in pdf["payload"]:
-                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+            metas = pdf["meta"] if not fake else [None] * len(pdf)
+            for buf, meta in zip(pdf["payload"], metas):
+                if fake:
+                    content = bytes(buf)
+                else:
+                    content = decode_payload_bytes(
+                        buf, str(_meta_dict(meta).get("format", ""))
+                    )
+                arr = np.frombuffer(content, dtype=np.uint8)
                 hist = np.bincount(arr >> 4, minlength=FEATURE_BINS).astype("float64")
                 total = hist.sum()
                 feats.append((hist / total if total else hist).round(6).tolist())
@@ -128,12 +305,13 @@ def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFra
     """Resize each payload to width x height.
 
     ``fake=True``: deterministic truncate/pad (schema + batch-shape
-    exercise). ``fake=False``: REAL kernel for the ``raw`` format — the
-    payload is interpreted as a meta.width x meta.height single-channel
-    byte image and nearest-neighbor-resampled in pure numpy (requires the
-    ``meta`` struct column from attach_payload). Non-raw formats (real
-    JPEG/PNG) still need PIL, which is absent from this container —
-    stubbed with NotImplementedError at that exact branch."""
+    exercise). ``fake=False``: REAL kernels — ``image/bmp`` payloads are
+    decoded, nearest-neighbor-resampled, and re-encoded as BMP
+    (stdlib codec, no PIL); ``raw`` payloads are interpreted as a
+    meta.width x meta.height single-channel byte image and resampled in
+    pure numpy. Both require the ``meta`` struct column. Formats that
+    genuinely need PIL (JPEG/PNG) raise NotImplementedError at that exact
+    branch."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = width * height
@@ -146,13 +324,22 @@ def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFra
                 out = []
                 for buf, meta in zip(pdf["payload"], pdf["meta"]):
                     m = _meta_dict(meta)
-                    if not str(m.get("format", "")).endswith("raw"):
-                        raise NotImplementedError(
-                            f"resize of format {m.get('format')!r} needs PIL — stubbed"
+                    fmt = str(m.get("format", ""))
+                    if fmt == "image/bmp":
+                        w, h, pixels = decode_bmp_gray8(bytes(buf))
+                        rows = np.arange(height) * h // height
+                        cols = np.arange(width) * w // width
+                        out.append(encode_bmp_gray8(pixels[rows][:, cols]))
+                    elif fmt.endswith("raw"):
+                        out.append(
+                            _nn_resize_raw(
+                                buf, int(m["width"]), int(m["height"]), width, height
+                            )
                         )
-                    out.append(
-                        _nn_resize_raw(buf, int(m["width"]), int(m["height"]), width, height)
-                    )
+                    else:
+                        raise NotImplementedError(
+                            f"resize of format {fmt!r} needs PIL — stubbed"
+                        )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
     return df.mapInPandas(kernel, schema="doc_id long, payload binary")

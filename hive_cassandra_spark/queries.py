@@ -1507,9 +1507,9 @@ def q41_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metadata verified via byte length + sha256 (JVM-side), then decode + "
     "feature-extract via Arrow mapInPandas with metadata passed through the "
     "same batch — no rejoin shuffle (decode kernel stubbed: real codec libs "
-    "absent — SURVEY.md §2.C multimodal; the deterministic fake kernel is "
-    "oracle-replayed from hex(payload); q43 keeps the standalone features "
-    "variant)",
+    "absent for THIS payload's raw format — SURVEY.md §2.C multimodal; the "
+    "deterministic fake kernel is oracle-replayed from hex(payload); q43 "
+    "carries the REAL container decode — BMP via the stdlib codec)",
 )
 def q42_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1534,33 +1534,44 @@ def q42_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q43_multimodal_features",
-    # The fake decode kernel is a pure function of the payload bytes (16-bin
-    # high-nibble histogram), so SQL replays it: odd-position chars of
-    # hex(payload) ARE the high nibbles.
+    # REAL container decode in-plan (r02 verdict item 4): the payload is a
+    # spec-compliant 8-bit grayscale BMP whose pixel plane is the utf-8 text
+    # truncated / zero-padded to width×height, so SQL replays the decoded
+    # pixels exactly: first min(len, w*h) high nibbles from hex(text), then
+    # (w*h - len) zero-nibbles from the padding.
     oracle="""
-    WITH h AS (SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents),
-         nib AS (SELECT doc_id,
-                        unnest(list_transform(range(0, length(hx) // 2),
-                          i -> strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1))
-                          AS bin
-                 FROM h),
-         counts AS (SELECT doc_id, bin, count(*) AS c FROM nib GROUP BY 1, 2),
-         tot AS (SELECT doc_id, sum(c) AS total FROM counts GROUP BY 1),
-         f AS (SELECT c.doc_id, bin, round_even(c * 1.0 / total, 6) AS fb
-               FROM counts c JOIN tot USING (doc_id))
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len,
+                      CAST(doc_id % 64 + 16 AS BIGINT)
+                        * CAST(doc_id % 48 + 16 AS BIGINT) AS n
+               FROM documents),
+         nib AS (SELECT doc_id, n,
+                        unnest(list_transform(range(0, n),
+                          i -> CASE WHEN i < len
+                               THEN strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1
+                               ELSE 0 END)) AS bin
+                 FROM d),
+         counts AS (SELECT doc_id, bin, count(*) AS c, any_value(n) AS n
+                    FROM nib GROUP BY 1, 2),
+         f AS (SELECT doc_id, bin, round_even(c * 1.0 / n, 6) AS fb FROM counts)
     SELECT doc_id,
            coalesce(max(CASE WHEN bin = 0 THEN fb END), 0.0) AS f0,
            coalesce(max(CASE WHEN bin = 7 THEN fb END), 0.0) AS f7,
            round(sum(fb), 4) AS f_sum
     FROM f GROUP BY doc_id
     """,
-    doc="decode + feature-extract via Arrow mapInPandas (decode kernel stubbed: "
-    "real codec libs absent — SURVEY.md §2.C multimodal); the deterministic "
-    "fake kernel is oracle-replayed from hex(payload)",
+    doc="REAL container-format decode + feature-extract via Arrow "
+    "mapInPandas: payloads are genuine 8-bit grayscale BMP files "
+    "(stdlib struct codec — encode_bmp_gray8/decode_bmp_gray8, no PIL), "
+    "decoded to their pixel plane in the fake=False path and histogrammed "
+    "(SURVEY.md §2.C multimodal); the oracle replays the deterministic "
+    "pixel plane from hex(text)",
 )
 def q43_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    feats = multimodal.extract_features(multimodal.attach_payload(docs), fake=True)
+    feats = multimodal.extract_features(
+        multimodal.attach_image_payload(docs), fake=False
+    )
     return feats.select(
         "doc_id",
         F.round(F.element_at("features", 1), 6).alias("f0"),
@@ -2361,6 +2372,8 @@ def q62_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # families keep in-window bearers: q45 (cell_store → q44/q49), q51
 # (stream_window → q50), q61 (sampling → q69, which subsumes it: same
 # md5-bucket determinism plus per-stratum rates), q63 (subquery → q23).
+# Also swapped q43 (REAL BMP container decode, r02 verdict item 4) in for
+# q42 (fake-kernel plumbing variant; multimodal family keeps its bearer).
 
 _WINDOW_ORDER = [
     # relational surface — one representative per capability
@@ -2402,7 +2415,7 @@ _WINDOW_ORDER = [
     "q68_similarity_quantized",
     "q38_text_stats",                 # stats + lang-id + tokens + fingerprint
     "q70_repetition_stats",
-    "q42_multimodal_payload",         # payload stats + features
+    "q43_multimodal_features",        # REAL BMP container decode in-plan
     "q69_stratified_sample",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",

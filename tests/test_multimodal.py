@@ -40,9 +40,99 @@ def test_extract_features_matches_numpy(spark, sf_dir):
         assert np.allclose(out[r.doc_id], hist)
 
 
-def test_real_decode_is_stubbed(spark, sf_dir):
-    with pytest.raises(Exception, match="NotImplementedError|PythonException|decode"):
-        multimodal.extract_features(_payloads(spark, sf_dir, 2), fake=False).collect()
+def test_real_decode_unsupported_format_is_stubbed(spark, sf_dir):
+    """Formats that genuinely need PIL/ffmpeg still raise; raw/BMP/WAV are
+    real paths now."""
+    src = _payloads(spark, sf_dir, 2).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/jpeg").alias("format"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.n_frames").alias("n_frames"),
+        ),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PythonException|PIL"):
+        multimodal.extract_features(src, fake=False).collect()
+
+
+def test_bmp_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    for w, h in [(16, 16), (17, 5), (63, 48), (1, 1)]:
+        pixels = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        data = multimodal.encode_bmp_gray8(pixels)
+        assert data[:2] == b"BM"
+        # stride padding means non-multiple-of-4 widths change the file size
+        dw, dh, out = multimodal.decode_bmp_gray8(data)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(out, pixels)
+
+
+def test_wav_codec_roundtrip():
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, size=777, dtype=np.int16)
+    data = multimodal.encode_wav_pcm16(samples, sample_rate=8000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    rate, out = multimodal.decode_wav_pcm16(data)
+    assert rate == 8000
+    assert np.array_equal(out, samples)
+
+
+def test_attach_image_payload_real_bmp_decode(spark, sf_dir):
+    """attach_image_payload emits spec-compliant BMPs whose decoded pixel
+    plane is the text truncated/zero-padded to w*h — verified by decoding
+    the collected payload bytes driver-side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 8)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in multimodal.attach_image_payload(docs).collect():
+        w, h, pixels = multimodal.decode_bmp_gray8(bytes(r.payload))
+        assert (w, h) == (r.meta.width, r.meta.height)
+        want = texts[r.doc_id].encode("utf-8")[: w * h].ljust(w * h, b"\x00")
+        assert pixels.tobytes() == want
+        assert r.meta.format == "image/bmp"
+
+
+def test_real_features_bmp_and_wav_match_fake_of_content(spark, sf_dir):
+    """fake=False features of a BMP/WAV payload must equal fake=True
+    features of the underlying content bytes — decode really inverts the
+    encode. WAV carries the full text (no truncation), so its features
+    equal the raw-payload fake features exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 12)
+    fake_raw = {
+        r.doc_id: r.features
+        for r in multimodal.extract_features(
+            multimodal.attach_payload(docs), fake=True
+        ).collect()
+    }
+    real_wav = {
+        r.doc_id: r.features
+        for r in multimodal.extract_features(
+            multimodal.attach_audio_payload(docs), fake=False
+        ).collect()
+    }
+    assert real_wav == fake_raw
+    real_bmp = multimodal.extract_features(
+        multimodal.attach_image_payload(docs), fake=False
+    ).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in real_bmp:
+        w = r.doc_id % 64 + 16
+        h = r.doc_id % 48 + 16
+        content = texts[r.doc_id].encode("utf-8")[: w * h].ljust(w * h, b"\x00")
+        arr = np.frombuffer(content, dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16).astype("float64")
+        assert np.allclose(r.features, (hist / hist.sum()).round(6))
+
+
+def test_resize_real_bmp_reencodes(spark, sf_dir):
+    """fake=False resize of a BMP payload: decode → nn-resample → re-encode;
+    output is a valid BMP of the target geometry."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 4)
+    src = multimodal.attach_image_payload(docs)
+    for r in multimodal.resize(src, 8, 4, fake=False).collect():
+        w, h, pixels = multimodal.decode_bmp_gray8(bytes(r.payload))
+        assert (w, h) == (8, 4)
+        assert pixels.shape == (4, 8)
 
 
 def test_resize_real_raw_kernel(spark, sf_dir):
