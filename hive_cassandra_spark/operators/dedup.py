@@ -456,18 +456,31 @@ def simhash_pairs(
 
 # ---------------------------------------------------- embedding near-dup ---
 
+EMBEDDING_MAX_BLOCK = 10_000
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block: int = EMBEDDING_MAX_BLOCK,
+    validate_blocks: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold within a blocking key.
 
     Blocking bounds the pair space (|block|² per block, not |corpus|²);
-    at 100 TB the block key is an LSH bucket or cluster id — here the
+    at 100 TB the block key must be an LSH bucket or cluster id — use
+    ``embedding_neardup_lsh_pairs`` when no natural key exists. Here the
     fixture's label. Cosine in double precision, rounded to 6.
+
+    ``validate_blocks`` (default on) runs one cheap aggregation pass and
+    REFUSES to build the plan if any block exceeds ``max_block`` members —
+    a degenerate block key (constant column, giant cluster) silently turns
+    this into the all-pairs quadratic join it exists to avoid, and the
+    guard scan costs ~nothing next to that. Opt out only when the key's
+    distribution is already known-bounded.
     """
     from hive_cassandra_spark.operators.similarity import cosine
 
@@ -476,11 +489,94 @@ def embedding_neardup_pairs(
         F.col(block_col).alias("blk"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    if validate_blocks:
+        over = (
+            base.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_block)
+            .limit(1)
+            .collect()
+        )
+        if over:
+            raise ValueError(
+                f"block {over[0].blk!r} has {over[0].n} members (> max_block="
+                f"{max_block}): the within-block self-join would be "
+                "quadratic. Use embedding_neardup_lsh_pairs, pass a finer "
+                "block_col, or raise max_block explicitly."
+            )
     a, b = base.alias("a"), base.alias("b")
     cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos)
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 12,
+    tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production blocking path: block key = random-hyperplane LSH
+    signature, so no natural cluster column is needed and bucket width is
+    ~|corpus| / 2^bits by construction. Candidates collide on the full
+    signature in ≥1 of ``tables`` tables (recall knob); every candidate is
+    verified with exact double cosine, so precision is exact — identical
+    output contract to ``embedding_neardup_pairs``.
+
+    One shuffle on (table, signature) — the same uniformly-spread key
+    ``similarity.lsh_topk`` uses; vectors ride the explode (×tables bytes,
+    tables is small) so verification happens in-bucket with no rejoin.
+    """
+    from hive_cassandra_spark.operators.similarity import (
+        _bucket_cols,
+        _hyperplanes,
+        cosine,
+    )
+
+    planes = _hyperplanes(dim, bits, tables, seed)
+    v = F.col(vec_col).cast("array<double>")
+    sigs = _bucket_cols(v, planes)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), s.alias("sig"))
+                    for t, s in enumerate(sigs)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "v", "b.tbl", "b.sig")
+    a, b = base.alias("a"), base.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 

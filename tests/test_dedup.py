@@ -169,6 +169,60 @@ def test_embedding_neardup_blocks(spark, sf_dir):
         assert r.cosine >= 0.3 and r.id_a < r.id_b
 
 
+def test_embedding_neardup_rejects_giant_block(spark, sf_dir):
+    """A degenerate block key (one block holding the whole corpus) must be
+    refused, not silently joined all-pairs."""
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "blk_const", F.lit("all")
+    )
+    with pytest.raises(ValueError, match="max_block"):
+        dedup.embedding_neardup_pairs(emb, block_col="blk_const", max_block=100)
+    # explicit opt-outs still work: raise the cap or skip validation
+    assert dedup.embedding_neardup_pairs(
+        emb, threshold=0.99, block_col="blk_const", validate_blocks=False
+    ).columns == ["id_a", "id_b", "cosine"]
+
+
+def test_embedding_neardup_lsh_path(spark, sf_dir):
+    """LSH-bucketed blocking needs no natural key and must find the
+    high-cosine pairs the exhaustive join finds (recall at high threshold),
+    with every reported pair exact-verified (precision 1)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    truth = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_neardup_pairs(
+            emb, threshold=0.9, block_col="label"
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_neardup_lsh_pairs(
+            emb, threshold=0.9, bits=6, tables=8
+        ).collect()
+    }
+    # precision: every reported cosine is the exact double cosine
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_neardup_pairs(
+            emb.withColumn("one", F.lit(1)),
+            threshold=0.9,
+            block_col="one",
+            validate_blocks=False,
+        ).collect()
+    }
+    assert set(got) <= set(brute)
+    for p, c in got.items():
+        assert brute[p] == c
+    # recall vs the label-blocked truth: near-identical vectors collide in
+    # >= 1 of 8 tables with 6-bit signatures with overwhelming probability
+    found = sum(1 for p in truth if p in got)
+    assert found >= 0.8 * len(truth), (found, len(truth))
+
+
 def test_neardup_components_match_union_find(spark):
     """Min-label propagation must equal a driver-side union-find on the
     same graph — chains (a~b, b~c), multi-cluster, and singleton-free
