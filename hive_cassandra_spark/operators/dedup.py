@@ -601,10 +601,13 @@ def neardup_components(
     step anywhere, so it scales like any shuffle. Rounds needed = graph
     diameter, and near-dup clusters are small-diameter by construction
     (every member pair met an LSH/Jaccard/SimHash threshold), so the loop
-    converges in a handful of rounds; ``max_iters`` bounds the pathological
-    chain case. ``localCheckpoint`` truncates lineage each round — without
-    it the plan doubles per iteration and the job dies on analysis cost
-    long before data cost.
+    converges in a handful of rounds. ``max_iters`` is a hard SAFETY CAP,
+    not a result truncation: if the cap is hit before the labeling
+    stabilizes the function RAISES rather than silently returning split
+    components (a dup chain with diameter > max_iters used to yield
+    wrong clusters with no diagnostic). ``localCheckpoint`` truncates
+    lineage each round — without it the plan doubles per iteration and
+    the job dies on analysis cost long before data cost.
 
     No reference analogue (SURVEY.md §2.C adjacency — reference is a
     storage connector); the composition-of-DataFrame-ops tier of the
@@ -626,6 +629,7 @@ def neardup_components(
     # sum proves an unchanged labeling. One scalar aggregate per round
     # instead of a join-and-compare pass.
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         prop = und.join(labels, und["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("component")
@@ -638,9 +642,17 @@ def neardup_components(
         )
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"neardup_components did not reach a fixpoint within max_iters="
+            f"{max_iters} rounds — the pair graph has a component with "
+            "diameter beyond the cap, and returning now would silently "
+            "split it. Raise max_iters (rounds needed = graph diameter)."
+        )
     return labels
 
 

@@ -318,7 +318,9 @@ def estimated_input_bytes(df: DataFrame) -> int | None:
 
 
 def choose_ann_strategy(
-    items: DataFrame, brute_force_max_bytes: int = DEFAULT_BRUTE_FORCE_MAX_BYTES
+    items: DataFrame,
+    brute_force_max_bytes: int = DEFAULT_BRUTE_FORCE_MAX_BYTES,
+    on_unknown: str = "ivf",
 ) -> str:
     """'brute' or 'ivf', from a size estimate of the item side.
 
@@ -326,11 +328,19 @@ def choose_ann_strategy(
     similarity_topk onto an LSH/IVF pre-filter plan"), expressed at the
     library layer: below the threshold the exact broadcast-queries scan is
     both faster and exact; above it, scoring every pair is the 100 TB
-    mistake and the IVF pre-filter bounds the candidate set. An unknown
-    size routes to 'ivf' — the scale-safe default."""
+    mistake and the IVF pre-filter bounds the candidate set.
+
+    ``on_unknown`` decides when NO size estimate is obtainable (non-file
+    source under Spark Connect, remote fs without stat): 'ivf' is the
+    scale-safe default for open-ended pipelines; callers under an exactness
+    contract (a correctness gate, a published benchmark) pass 'brute' so an
+    environment quirk can never silently swap exact results for
+    approximate ones."""
+    if on_unknown not in ("brute", "ivf"):
+        raise ValueError(f"on_unknown must be 'brute' or 'ivf', got {on_unknown!r}")
     size_in_bytes = estimated_input_bytes(items)
     if size_in_bytes is None:
-        return "ivf"
+        return on_unknown
     return "brute" if size_in_bytes <= brute_force_max_bytes else "ivf"
 
 
@@ -341,12 +351,13 @@ def auto_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     brute_force_max_bytes: int = DEFAULT_BRUTE_FORCE_MAX_BYTES,
+    on_unknown: str = "ivf",
     **ivf_kwargs,
 ) -> DataFrame:
     """Top-k neighbors with the execution strategy picked from plan stats
-    (see choose_ann_strategy). Same output schema either way:
-    (query_id, neighbor_id, cosine, rank)."""
-    if choose_ann_strategy(items, brute_force_max_bytes) == "brute":
+    (see choose_ann_strategy; ``on_unknown`` pins the no-estimate fallback).
+    Same output schema either way: (query_id, neighbor_id, cosine, rank)."""
+    if choose_ann_strategy(items, brute_force_max_bytes, on_unknown) == "brute":
         return brute_force_topk(items, queries, k, id_col, vec_col)
     return ivf_topk(items, queries, k, id_col=id_col, vec_col=vec_col, **ivf_kwargs)
 

@@ -1272,9 +1272,14 @@ def q36_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # auto_topk routes via the stats-driven strategy (estimated_input_bytes):
     # the fixture corpus sits far below the brute-force threshold, so this
     # IS the exact broadcast-queries plan — and the driver thereby exercises
-    # the strategy probe itself (COVERAGE §2.C stats-driven ANN row)
+    # the strategy probe itself (COVERAGE §2.C stats-driven ANN row).
+    # on_unknown='brute' pins the no-estimate fallback to the exact plan:
+    # this query carries an exact oracle, so an environment where the size
+    # probe fails must NOT silently swap in approximate IVF results.
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.auto_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return similarity.auto_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, on_unknown="brute"
+    )
 
 
 def _sql_lsh_oracle(bits: int, tables: int, dim: int, seed: int, k: int) -> str:

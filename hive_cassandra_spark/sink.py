@@ -196,6 +196,14 @@ def write_cells(
     )
 
 
+def _next_lww_ts(last_ts: int, now_millis: int) -> int:
+    """Next streaming LWW timestamp: wall clock, but never ≤ the previous
+    batch's stamp — strict monotonicity is what makes last-write-wins mean
+    last WRITE wins when micro-batches land within one millisecond (or the
+    clock stalls or steps backwards)."""
+    return max(now_millis, last_ts + 1)
+
+
 def stream_to_cells(
     stream_df: DataFrame,
     mapping: ColumnMapping,
@@ -214,20 +222,29 @@ def stream_to_cells(
     Returns the StreamingQuery; callers own awaitTermination/stop.
     """
 
+    # Monotone LWW clock across micro-batches: each batch stamps
+    # _next_lww_ts = max(wall-clock epoch millis, previous batch's ts + 1).
+    # Epoch-millis magnitude keeps cross-path LWW (a store written by both
+    # this and the batch sink's _ts_column) following actual write order,
+    # and the max() guarantees a later batch NEVER gets a smaller ts — the
+    # previous pmod(batch_id, 1000) sub-second tiebreaker wrapped every
+    # 1000 batches, so batches 1000 apart landing in the same second
+    # inverted last-write-wins. foreachBatch runs driver-side, so closure
+    # state is the standard place for this watermark (it survives
+    # micro-batches of one streaming query; a restarted query re-bases
+    # from wall clock, which is still monotone unless the clock itself
+    # steps back).
+    last_ts = {"v": -1}
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         clk = clock_millis if clock_millis is not None else None
         cells = to_cells(batch_df, mapping, hive_types, clock_millis=clk)
         if clk is None:
-            # epoch-millis base — same magnitude as the batch sink's
-            # _ts_column, so LWW over a store written by both paths follows
-            # actual write order; the sub-second millis are replaced by
-            # batch_id as a deterministic tiebreaker (monotone per batch
-            # within a second, reproducible in tests)
-            cells = cells.withColumn(
-                "ts",
-                F.floor(F.unix_millis(F.current_timestamp()) / 1000).cast("long") * 1000
-                + F.pmod(F.lit(batch_id).cast("long"), F.lit(1000)),
-            )
+            import time
+
+            ts = _next_lww_ts(last_ts["v"], int(time.time() * 1000))
+            last_ts["v"] = ts
+            cells = cells.withColumn("ts", F.lit(ts).cast("long"))
         cells.write.mode("append").parquet(path)
 
     return (

@@ -272,3 +272,14 @@ def test_neardup_components_long_chain_converges(spark):
     comp = dedup.neardup_components(df, max_iters=50).collect()
     assert {r.component for r in comp} == {0}
     assert len(comp) == 41
+
+
+def test_neardup_components_raises_when_cap_hit(spark):
+    """max_iters is a safety cap, not a truncation: exhausting it before
+    the fixpoint must raise, never silently return split components."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="fixpoint|max_iters"):
+        dedup.neardup_components(df, max_iters=10)

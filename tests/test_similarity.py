@@ -120,6 +120,20 @@ def test_auto_topk_strategy_choice(spark, sf_dir):
     assert approx.count() > 0
 
 
+def test_choose_ann_strategy_unknown_size_fallback(spark, sf_dir, monkeypatch):
+    """When no size estimate is obtainable, the fallback is configurable:
+    'ivf' (scale-safe default) vs 'brute' for exactness-gated callers —
+    q36's oracle must never silently receive approximate results."""
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    monkeypatch.setattr(similarity, "estimated_input_bytes", lambda df: None)
+    assert similarity.choose_ann_strategy(emb) == "ivf"
+    assert similarity.choose_ann_strategy(emb, on_unknown="brute") == "brute"
+    with pytest.raises(ValueError, match="on_unknown"):
+        similarity.choose_ann_strategy(emb, on_unknown="maybe")
+
+
 def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     """int8 quantization must preserve the neighborhood structure: top-5
     sets from quantized and float cosine overlap strongly, and the

@@ -210,3 +210,17 @@ def test_complex_types_json_roundtrip(spark):
     got = {r.id: (r.tags, (r.meta.a, r.meta.b)) for r in back.collect()}
     assert got["r1"] == ([1, 2, 3], ("x", 1.5))
     assert got["r2"] == ([], ("y", -2.0))
+
+
+def test_next_lww_ts_monotone():
+    """Streaming LWW stamps never regress: same-millisecond batches get +1
+    increments, and a clock step backwards cannot invert write order (the
+    old pmod(batch_id, 1000) tiebreaker wrapped every 1000 batches)."""
+    from hive_cassandra_spark.sink import _next_lww_ts
+
+    ts1 = _next_lww_ts(-1, 5_000)
+    ts2 = _next_lww_ts(ts1, 5_000)   # same wall millisecond
+    ts3 = _next_lww_ts(ts2, 4_000)   # clock stepped back
+    ts4 = _next_lww_ts(ts3, 9_000)   # clock jumped ahead
+    assert ts1 == 5_000 and ts2 == 5_001 and ts3 == 5_002 and ts4 == 9_000
+    assert ts1 < ts2 < ts3 < ts4
