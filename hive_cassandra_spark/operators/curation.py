@@ -1,0 +1,214 @@
+"""Training-corpus curation operators beyond the basic text suite
+(SURVEY.md §2.C extensions): sequence packing, benchmark decontamination,
+PII detection/redaction, keyword extraction.
+
+Scale posture:
+
+- **pack_sequences** is the GPT-style concat-and-chunk packer. Its core is
+  a GLOBAL prefix sum of token counts, which a naive single-key window
+  would funnel through one task; here it is the classic two-phase
+  distributed prefix sum — per-partition running sums (window keyed by the
+  range-partition id) plus a tiny broadcast table of per-partition offsets
+  — so no task ever sees more than its own partition.
+- **contamination** broadcasts the benchmark's distinct shingle set (small
+  by definition — benchmarks are thousands of items, not billions) against
+  the corpus shingle explode: one broadcast join + one groupBy(doc).
+- **pii_stats / pii_redact** are pure per-row regex projections — zero
+  shuffle, codegen'd, no Python.
+- **keywords** is two hash aggregations plus an aggregated-side equi-join;
+  ranking is INTEGER-ONLY (tf desc, doc-frequency asc, term asc) — the
+  tf-idf ordering without the float idf, so results are bit-exact across
+  engines and immune to log() libm drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from hive_cassandra_spark.operators.dedup import shingle_table
+from hive_cassandra_spark.operators.text import tokens
+
+# Regexes chosen to behave identically under Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PHONE_RE = "555-[0-9][0-9][0-9][0-9]"
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: conceptually concatenate every document's
+    tokens in ``id_col`` order and cut the stream into fixed ``capacity``
+    token chunks; documents may straddle a cut. Returns one row per doc:
+    (doc_id, tok_count, start_offset, first_chunk, last_chunk, n_chunks).
+
+    The global offset is a distributed two-phase prefix sum:
+
+    1. ``repartitionByRange(id)`` so partition p holds an id range wholly
+       before partition p+1 (RangePartitioner assigns ascending ranges to
+       ascending partition ids), then a window prefix sum WITHIN each
+       partition (keyed by the partition id — parallel across partitions).
+    2. One tiny aggregation (#partitions rows) produces per-partition token
+       totals; their exclusive prefix sum — computed in the same window
+       form over the one-row-per-partition table — broadcast-joins back as
+       each partition's base offset.
+
+    No task ever windows over more than its own partition; the only
+    all-to-one structure is the #partitions-row offset table.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be a positive token count")
+    sess = df.sparkSession
+    nparts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Persist the narrow (id, tok, pid) projection: both the in-partition
+    # cumsum and the per-partition totals derive from it, and without the
+    # persist each branch re-scans and re-range-exchanges the full corpus
+    # (plan-verified: 2 scans + 2 range exchanges → 1 of each). ~16
+    # bytes/doc — negligible next to the text it replaces.
+    base = (
+        df.repartitionByRange(nparts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.size(tokens(F.col(text_col))).alias("tok"),
+            F.spark_partition_id().alias("pid"),
+        )
+        .persist()
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("cum_in", F.sum("tok").over(w_in) - F.col("tok"))
+    w_off = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        base.groupBy("pid")
+        .agg(F.sum("tok").alias("part_tok"))
+        .withColumn("part_off", F.sum("part_tok").over(w_off) - F.col("part_tok"))
+        .select("pid", "part_off")
+    )
+    packed = local.join(F.broadcast(offsets), "pid").select(
+        F.col(id_col),
+        F.col("tok").alias("tok_count"),
+        (F.col("part_off") + F.col("cum_in")).alias("start_offset"),
+    )
+    first = F.expr(f"start_offset div {capacity}")
+    last = F.when(
+        F.col("tok_count") > 0,
+        F.expr(f"(start_offset + tok_count - 1) div {capacity}"),
+    ).otherwise(first)
+    return packed.select(
+        id_col,
+        "tok_count",
+        F.col("start_offset").cast("long"),
+        first.cast("long").alias("first_chunk"),
+        last.cast("long").alias("last_chunk"),
+        F.when(F.col("tok_count") > 0, (last - first + 1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_chunks"),
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination signal: for every corpus document, how many
+    of its distinct word n-gram shingles appear anywhere in the benchmark
+    set (the GPT-3-style n-gram-collision test). Returns
+    (doc_id, n_shingles, overlap, contaminated).
+
+    Shape: the benchmark's DISTINCT shingles broadcast (benchmarks are
+    small); corpus shingles explode once, inner-broadcast-join, one
+    groupBy(doc); docs with zero collisions are restored by a left join
+    against the compact per-doc shingle table. The corpus is never
+    shuffled except by the aggregate on doc — and that input is already
+    collision rows only.
+    """
+    corp_tbl = shingle_table(corpus, text_col, id_col, n).persist()
+    bench_sh = (
+        shingle_table(benchmark, text_col, id_col, n)
+        .select(F.explode("shs").alias("sh"))
+        .distinct()
+    )
+    hits = (
+        corp_tbl.select("doc", F.explode("shs").alias("sh"))
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        corp_tbl.select("doc", F.size("shs").alias("n_shingles"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias("overlap"),
+            (F.coalesce(F.col("overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (emails, phone numbers) — a pure regex
+    projection, zero shuffle. The patterns are the dual-engine-safe subset
+    (no lookaround); real deployments extend the list the same way."""
+    t = F.lower(F.col(text_col))
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias("email_count"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).alias("phone_count"),
+    )
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """Replace detected PII spans with typed placeholders. Redaction runs on
+    the lowercased text (matching the detection pass), emails first so a
+    phone-like digit run inside an address can't be double-redacted."""
+    t = F.lower(F.col(text_col))
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return df.withColumn(out_col, red)
+
+
+def keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document, ranked by
+    (term frequency DESC, document frequency ASC, term ASC) — the tf-idf
+    ordering with the float idf replaced by its integer monotone surrogate
+    (df asc ≡ idf desc), so ranking is bit-exact across engines with no
+    log() in sight. Returns (doc_id, term, tf, df, rank).
+
+    Two hash aggregations (doc×term, then term) and one equi-join on term;
+    the join's right side is already aggregated to term granularity so the
+    exchange carries one row per distinct term, not per occurrence.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "term", "tf", "df", "rank")
+    )

@@ -1,0 +1,123 @@
+"""Curation operators (packing, decontamination, PII, keywords) vs
+driver-side brute force on the documents fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_cassandra_spark.operators import curation
+from hive_cassandra_spark.operators.text import tokens
+
+
+def _docs(spark, sf_dir, n=200):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < n)
+    )
+
+
+def test_pack_sequences_matches_serial_packing(spark, sf_dir):
+    """The distributed two-phase prefix sum must equal a driver-side serial
+    concat-and-chunk walk in id order — offsets, chunk spans, straddling."""
+    docs = _docs(spark, sf_dir)
+    toks = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n")).collect()
+    }
+    cap = 100
+    out = {r.doc_id: r for r in curation.pack_sequences(docs, capacity=cap).collect()}
+    offset = 0
+    for doc_id in sorted(toks):
+        r = out[doc_id]
+        assert r.tok_count == toks[doc_id]
+        assert r.start_offset == offset
+        assert r.first_chunk == offset // cap
+        if toks[doc_id] > 0:
+            assert r.last_chunk == (offset + toks[doc_id] - 1) // cap
+            assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+        else:
+            assert r.n_chunks == 0
+        offset += toks[doc_id]
+    # at least one doc must straddle a chunk boundary for the test to bite
+    assert any(r.n_chunks > 1 for r in out.values())
+    with pytest.raises(ValueError, match="capacity"):
+        curation.pack_sequences(docs, capacity=0)
+
+
+def test_contamination_matches_set_overlap(spark, sf_dir):
+    from hive_cassandra_spark.operators.dedup import shingles
+
+    docs = _docs(spark, sf_dir, 120)
+    sets = {
+        r.doc_id: set(r.sh)
+        for r in docs.select("doc_id", shingles(F.col("text")).alias("sh")).collect()
+    }
+    bench_union = set().union(*(sets[d] for d in sets if d < 20))
+    out = {
+        r.doc_id: r
+        for r in curation.contamination(
+            docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+        ).collect()
+    }
+    for doc_id, s in sets.items():
+        if doc_id < 20:
+            assert doc_id not in out
+            continue
+        r = out[doc_id]
+        assert r.n_shingles == len(s)
+        assert r.overlap == len(s & bench_union)
+        assert r.contaminated == (r.overlap > 0)
+
+
+def test_pii_detect_and_redact(spark):
+    rows = [
+        (1, "mail me at John.Doe+spam@Example.COM please"),
+        (2, "call 555-0199 or 555-1234 now"),
+        (3, "nothing sensitive here"),
+        (4, "two mails a@b.io and c.d@e-f.org plus 555-0000"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r.doc_id: r for r in curation.pii_stats(df).collect()}
+    assert (stats[1].email_count, stats[1].phone_count) == (1, 0)
+    assert (stats[2].email_count, stats[2].phone_count) == (0, 2)
+    assert (stats[3].email_count, stats[3].phone_count) == (0, 0)
+    assert (stats[4].email_count, stats[4].phone_count) == (2, 1)
+    red = {r.doc_id: r.redacted for r in curation.pii_redact(df).collect()}
+    assert red[1] == "mail me at [EMAIL] please"
+    assert red[2] == "call [PHONE] or [PHONE] now"
+    assert "[EMAIL]" in red[4] and "[PHONE]" in red[4]
+    assert "a@b.io" not in red[4] and "555-0000" not in red[4]
+
+
+def test_keywords_integer_ordering(spark):
+    rows = [
+        (1, "apple apple apple banana banana cherry"),
+        (2, "banana banana banana date date cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r.doc_id, r.term, r.tf, r.df, r.rank)
+        for r in curation.keywords(df, k=3).orderBy("doc_id", "rank").collect()
+    ]
+    # doc 1: apple tf=3 (df 1) > banana tf=2 (df 2) > cherry tf=1 (df 2)
+    # doc 2: banana tf=3 > date tf=2 (df 1) > cherry tf=1 (df 2)
+    assert out == [
+        (1, "apple", 3, 1, 1),
+        (1, "banana", 2, 2, 2),
+        (1, "cherry", 1, 2, 3),
+        (2, "banana", 3, 2, 1),
+        (2, "date", 2, 1, 2),
+        (2, "cherry", 1, 2, 3),
+    ]
+
+
+def test_keywords_df_breaks_tf_ties(spark):
+    """Equal tf → the rarer-across-corpus term (lower df) ranks first."""
+    rows = [
+        (1, "zebra common"),
+        (2, "common filler"),
+        (3, "common filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.rank): r.term for r in curation.keywords(df, k=2).collect()}
+    # doc 1: zebra (df=1) beats common (df=3) despite equal tf=1
+    assert out[(1, 1)] == "zebra" and out[(1, 2)] == "common"

@@ -66,10 +66,23 @@ def test_registration_window_covers_every_family():
     assert set(names) == set(QUERY_FAMILIES), (
         set(names) ^ set(QUERY_FAMILIES)
     )
+    from hive_cassandra_spark.queries import PENDING_ROTATION
+
     in_window_tags = set().union(*(QUERY_FAMILIES[n] for n in window))
     for n in names[50:]:
+        if n in PENDING_ROTATION:
+            continue  # new capability awaiting its window slot (documented)
         uncovered = QUERY_FAMILIES[n] - in_window_tags
         assert not uncovered, (n, sorted(uncovered))
+    # pending-rotation queries must be genuinely NEW (tags with no bearer),
+    # out-of-window, and oracle-gated — not a loophole for untagged slop
+    oracles = entrymod.oracle_sql()
+    for n in PENDING_ROTATION:
+        assert n in names[50:], n
+        assert n in oracles, n
+        assert QUERY_FAMILIES[n] - in_window_tags, (
+            n, "tags fully covered in-window — rotate it in or drop the exemption"
+        )
 
 
 def test_queries_survive_driver_like_session(spark, sf_dir):
