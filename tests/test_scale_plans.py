@@ -87,3 +87,62 @@ def test_merged_multimodal_zero_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q42_multimodal_payload")
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_jaccard_hot_set_broadcast_anti_join(spark, sf_dir):
+    """The max_df hot-shingle filter must be a BROADCAST anti-join (the hot
+    set is tiny) — a shuffled anti-join would add a full exchange of the
+    exploded doc×shingle relation."""
+    plan = _plan(spark, sf_dir, "q32_dedup_ngram_jaccard")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    anti_idx = plan.index("LeftAnti")
+    # the anti join itself must be the broadcast flavor
+    assert "BroadcastHashJoin" in plan[max(0, anti_idx - 60): anti_idx + 60]
+
+
+def test_simhash_single_shuffle_to_buckets(spark, sf_dir):
+    """SimHash banding is a pure projection off the signature aggregate:
+    exactly one exchange keys the signature groupBy(doc), one more the
+    (pos, band) bucket groupBy — nothing else."""
+    import re
+
+    from hive_cassandra_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grouped = (
+        dedup.simhash_bands(dedup.simhash(docs))
+        .groupBy("pos", "band")
+        .count()
+    )
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange\b", plan)) == 2, plan
+
+
+def test_pack_sequences_single_corpus_scan(spark, sf_dir):
+    """The two-phase prefix sum must reuse ONE persisted corpus pass: the
+    executed plan shows the InMemoryRelation on both branches, a pid-keyed
+    window for the big side, and a broadcast of the offsets table."""
+    from hive_cassandra_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation.pack_sequences(docs, capacity=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan
+    # the corpus-side window is keyed by pid (parallel), never unpartitioned
+    assert "Window" in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast; the corpus must never
+    shuffle on the shingle key."""
+    plan = _plan(spark, sf_dir, "q72_contamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redact_zero_shuffle(spark, sf_dir):
+    """PII detection + redaction is a pure projection: no exchange, no
+    Python worker."""
+    plan = _plan(spark, sf_dir, "q73_pii_redact")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
