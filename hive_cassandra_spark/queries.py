@@ -1716,7 +1716,8 @@ def q46_dual_decode_text_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q66_connector_roundtrip",
     oracle="""
-    SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS p_retailprice
+    SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS p_retailprice,
+           'Standard' AS cf_type
     FROM part
     """,
     doc="storage-handler facade end-to-end (≙ CassandraStorageHandler."
@@ -1726,7 +1727,10 @@ def q46_dual_decode_text_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "normalizes the consistency level, then write_table persists encoded "
     "cells batched and co-located by row key and read_table decodes the "
     "store back through LWW — the single-seam path a reference user "
-    "actually calls, DDL write included",
+    "actually calls, DDL write included. The inferred CF type (SURVEY §2.A "
+    "row 20, mapping.cf_type_for_mapping ≙ the Standard/Super switch in "
+    "AbstractColumnSerDe) rides the output so the synthesized-mapping → "
+    "inference path is externally gated, not pytest-only",
 )
 def q66_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1758,6 +1762,7 @@ def q66_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "p_partkey", "p_name", "p_brand",
         F.round("p_retailprice", 2).alias("p_retailprice"),
+        F.lit(tdef.cf_type).alias("cf_type"),
     )
 
 
