@@ -36,6 +36,7 @@ HEADLINE = [
     "q28_lww_compaction",
     "q31_dedup_exact",
     "q33_dedup_minhash_lsh",
+    "q34_dedup_simhash",
     "q36_similarity_topk",
     "q44_cell_store_roundtrip",
     "q47_similarity_ivf",
@@ -48,6 +49,8 @@ HEADLINE = [
     "q59_percentiles",
     "q64_hypertable_rollup",
     "q65_batch_sessionize",
+    "q71_pack_sequences",
+    "q72_contamination",
 ]
 
 
@@ -64,7 +67,14 @@ def main() -> None:
     # cluster sees (measured: q33 ~4.1 s cold vs 2.5-2.8 s warm at sf0.1).
     QUERIES["q02_revenue_forecast"].fn(spark, sf_dir).collect()
     warm_dir = "/root/testdata/sf0.001"
-    for warm_q in ("q33_dedup_minhash_lsh", "q47_similarity_ivf", "q36_similarity_topk"):
+    for warm_q in (
+        "q33_dedup_minhash_lsh",
+        "q47_similarity_ivf",
+        "q36_similarity_topk",
+        "q34_dedup_simhash",
+        "q71_pack_sequences",
+        "q72_contamination",
+    ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()
         except Exception:

@@ -25,8 +25,6 @@ No collect(), no driver-side loops anywhere.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, functions as F
 
 from hive_cassandra_spark.operators.text import normalize, tokens
@@ -320,6 +318,11 @@ def simhash(
     shift/xor identically everywhere — which keeps the full pipeline
     oracle-comparable in ANSI SQL.
     """
+    # Every repeated expression is built as ONE F.expr string parse: the
+    # nested-Column form (sum(when(shiftright(...)...)) × 64 plus two
+    # 32-term assemblies) costs ~450 py4j round-trips of driver-side plan
+    # construction — measured 1.5 s build vs 0.6 s execution at sf0.1.
+    # Same lesson as similarity._lit_double_array.
     tok = (
         _spread(df, id_col)
         .select(
@@ -327,37 +330,29 @@ def simhash(
             F.explode(tokens(F.col(text_col))).alias("tok"),
         )
         .withColumn("md5", F.md5("tok"))
-        .withColumn("h_hi", F.conv(F.substring("md5", 1, 8), 16, 10).cast("long"))
-        .withColumn("h_lo", F.conv(F.substring("md5", 9, 8), 16, 10).cast("long"))
+        .withColumn("h_hi", F.expr("cast(conv(substring(md5, 1, 8), 16, 10) as bigint)"))
+        .withColumn("h_lo", F.expr("cast(conv(substring(md5, 9, 8), 16, 10) as bigint)"))
     )
     half_bits = SIMHASH_BITS // 2
     votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h_lo" if b < half_bits else "h_hi"), b % half_bits)
-                .bitwiseAND(F.lit(1))
-                == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h_{'lo' if b < half_bits else 'hi'}, "
+            f"{b % half_bits}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        )
         for b in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc").agg(*votes)
 
-    def _assemble(bit_range) -> Column:
-        return reduce(
-            lambda acc, b: acc
-            + F.when(
-                F.col(f"b{b}") > 0, F.lit(1 << (b % half_bits)).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-            bit_range,
-            F.lit(0).cast("long"),
+    def _assemble_sql(bit_range) -> str:
+        return " + ".join(
+            f"(CASE WHEN b{b} > 0 THEN {1 << (b % half_bits)}L ELSE 0L END)"
+            for b in bit_range
         )
 
     return agg.select(
         "doc",
-        _assemble(range(half_bits, SIMHASH_BITS)).alias("sim_hi"),
-        _assemble(range(half_bits)).alias("sim_lo"),
+        F.expr(f"{_assemble_sql(range(half_bits, SIMHASH_BITS))} AS sim_hi"),
+        F.expr(f"{_assemble_sql(range(half_bits))} AS sim_lo"),
     )
 
 
