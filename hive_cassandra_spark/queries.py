@@ -2369,6 +2369,35 @@ def q62_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "q75_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name,
+           round(e.value, 2) AS value
+    FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+    """,
+    doc="stream-static dimension join (fact stream × broadcast dimension): "
+    "stateless, append-safe, no watermark or buffering — the static side "
+    "broadcasts per micro-batch; on bounded input it equals the batch "
+    "broadcast join. Completes the streaming join matrix next to q62's "
+    "stream-stream join",
+)
+def q75_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir).withColumn(
+        "n_nationkey", F.pmod(F.col("user_id"), F.lit(25)).cast("bigint")
+    )
+    dim = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = streaming_events.stream_static_join(ev, dim, "n_nationkey")
+    out = streaming_events.run_bounded(
+        joined.select(
+            "event_id", "user_id", "n_name", F.round("value", 2).alias("value")
+        ),
+        spark,
+        "append",
+    )
+    return out
+
+
 # =====================================================================
 # §2.C continued — round-3 curation additions (sequence packing,
 # decontamination, PII, keywords). Registered past the 50-slot window
@@ -2685,6 +2714,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q70_repetition_stats": {"text_quality"},
     "q42_multimodal_payload": {"multimodal"},
     "q43_multimodal_features": {"multimodal"},
+    "q75_stream_static_join": {"stream_join"},
     "q71_pack_sequences": {"packing"},
     "q72_contamination": {"contamination"},
     "q73_pii_redact": {"pii"},

@@ -161,6 +161,19 @@ def stream_stream_join(events: DataFrame, max_delay: str = "6 hours") -> DataFra
     )
 
 
+def stream_static_join(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static dimension join: each streaming row enriched from a
+    broadcast static table (the classic fact-stream × dimension pattern).
+    Both sides must already carry the equi-join column ``key``.
+
+    Stateless — no watermark needed, nothing buffered: the static side is
+    broadcast once per micro-batch plan and the join is append-safe. At
+    scale the dimension must fit the broadcast threshold; bigger dims
+    become a stream-stream join with a slowly-changing-dimension feed.
+    """
+    return stream.join(F.broadcast(dim), key)
+
+
 def run_bounded(
     df: DataFrame,
     spark: SparkSession,

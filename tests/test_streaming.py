@@ -189,3 +189,33 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         & (F.col("view_ts") <= F.col("click_ts"))
     ).select("click_id", "view_id", "user_id")
     assert _norm(stream.collect()) == _norm(batch.collect())
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """The stream-static dimension join on bounded input must equal the
+    batch broadcast join row-for-row (stateless, append-safe)."""
+    from pyspark.sql import functions as F
+
+    from hive_cassandra_spark.queries import load_events
+    from hive_cassandra_spark.streaming import events as se
+
+    ev = se.read_events_stream(spark, sf_dir).withColumn(
+        "n_nationkey", F.pmod(F.col("user_id"), F.lit(25)).cast("bigint")
+    )
+    dim = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    out = se.run_bounded(
+        se.stream_static_join(ev, dim, "n_nationkey").select(
+            "event_id", "n_name"
+        ),
+        spark,
+        "append",
+    )
+    batch = (
+        load_events(spark, sf_dir)
+        .withColumn("n_nationkey", F.pmod(F.col("user_id"), F.lit(25)).cast("bigint"))
+        .join(dim, "n_nationkey")
+        .select("event_id", "n_name")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
