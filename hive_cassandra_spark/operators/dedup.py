@@ -190,6 +190,21 @@ def _signatures_from_shingles(sh_tbl: DataFrame, num_hashes: int) -> DataFrame:
     return exploded.groupBy("doc").agg(*mins)
 
 
+def merge_signatures(
+    sig_a: DataFrame, sig_b: DataFrame, num_hashes: int = 12
+) -> DataFrame:
+    """Merge two MinHash signature tables over the SAME doc ids: the
+    min-hash of a shingle-set union is the elementwise min of the parts'
+    signatures, so signatures are composable partial aggregates — the
+    dedup analogue of the q64 continuous-aggregate property. An
+    incremental 100 TB ingest therefore signatures only the NEW batch of
+    content and min-merges into the standing table, never rescanning the
+    corpus. Docs present in one side only pass through unchanged (their
+    other part contributed no shingles)."""
+    cols = [F.min(f"m{s}").alias(f"m{s}") for s in _seed_tags(num_hashes)]
+    return sig_a.unionByName(sig_b).groupBy("doc").agg(*cols)
+
+
 def lsh_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(doc, band, bucket) from a wide signature: bucket = md5 of the band's
     seed-tagged minhashes joined in seed order (seeds are fixed-width, so

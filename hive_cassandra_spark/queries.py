@@ -2398,6 +2398,43 @@ def q75_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_MINHASH_WIDE_SQL = ", ".join(
+    f"max(CASE WHEN seed = '{i:02d}' THEN minh END) AS m{i:02d}" for i in range(12)
+)
+
+
+@register(
+    "q76_mergeable_minhash",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         seeds AS (SELECT lpad(CAST(i AS VARCHAR), 2, '0') AS seed
+                   FROM range(12) r(i)),
+         mh AS (SELECT doc_id AS doc, seed, min(md5(seed || '|' || sh)) AS minh
+                FROM sh CROSS JOIN seeds GROUP BY 1, 2)
+    SELECT doc, {_MINHASH_WIDE_SQL} FROM mh GROUP BY doc
+    """,
+    doc="mergeable MinHash signatures — the partial-aggregate property that "
+    "makes incremental ingest possible at 100 TB: each document's shingle "
+    "set is split deterministically (md5 parity) into two batches, each "
+    "batch is signatured independently, and dedup.merge_signatures "
+    "min-merges the parts; the oracle computes the whole-corpus signature "
+    "in one pass, so the gate PROVES merge(partial_a, partial_b) == "
+    "full — the dedup analogue of q64's hourly→daily rollup composition",
+)
+def q76_mergeable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh_tbl = dedup.shingle_table(_t(spark, sf_dir, "documents")).persist()
+
+    def part(keep_first: bool) -> DataFrame:
+        cond = (lambda x: F.substring(F.md5(x), 1, 1) < "8") if keep_first else (
+            lambda x: F.substring(F.md5(x), 1, 1) >= "8"
+        )
+        return sh_tbl.select("doc", F.filter("shs", cond).alias("shs"))
+
+    sig_a = dedup._signatures_from_shingles(part(True), 12)
+    sig_b = dedup._signatures_from_shingles(part(False), 12)
+    return dedup.merge_signatures(sig_a, sig_b, 12)
+
+
 # =====================================================================
 # §2.C continued — round-3 curation additions (sequence packing,
 # decontamination, PII, keywords). Registered past the 50-slot window
@@ -2715,6 +2752,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q42_multimodal_payload": {"multimodal"},
     "q43_multimodal_features": {"multimodal"},
     "q75_stream_static_join": {"stream_join"},
+    "q76_mergeable_minhash": {"dedup_minhash"},
     "q71_pack_sequences": {"packing"},
     "q72_contamination": {"contamination"},
     "q73_pii_redact": {"pii"},

@@ -283,3 +283,24 @@ def test_neardup_components_raises_when_cap_hit(spark):
     df = spark.createDataFrame(chain, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="fixpoint|max_iters"):
         dedup.neardup_components(df, max_iters=10)
+
+
+def test_merge_signatures_equals_full_corpus(spark, sf_dir):
+    """Signatures are composable partial aggregates: splitting each doc's
+    shingles into arbitrary batches, signaturing each, and min-merging must
+    equal the one-pass whole-set signature — including docs whose shingles
+    land entirely in one batch."""
+    docs = _docs(spark, sf_dir, 60)
+    sh_tbl = dedup.shingle_table(docs)
+    full = {r.doc: tuple(r)[1:] for r in
+            dedup._signatures_from_shingles(sh_tbl, 12).collect()}
+    a = sh_tbl.select("doc", F.filter(
+        "shs", lambda x: F.substring(F.md5(x), 1, 1) < "8").alias("shs"))
+    b = sh_tbl.select("doc", F.filter(
+        "shs", lambda x: F.substring(F.md5(x), 1, 1) >= "8").alias("shs"))
+    merged = dedup.merge_signatures(
+        dedup._signatures_from_shingles(a, 12),
+        dedup._signatures_from_shingles(b, 12),
+    )
+    got = {r.doc: tuple(r)[1:] for r in merged.collect()}
+    assert got == full
