@@ -2614,6 +2614,13 @@ def q74_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5-bucket determinism plus per-stratum rates), q63 (subquery → q23).
 # Also swapped q43 (REAL BMP container decode, r02 verdict item 4) in for
 # q42 (fake-kernel plumbing variant; multimodal family keeps its bearer).
+#
+# Round-3 second rotation: the four new curation capabilities (q71-q74,
+# formerly PENDING_ROTATION) take window slots immediately rather than
+# waiting a round. Evicted: q44 (cell_store → q49, codec_decode → q48),
+# q60 (cube_rollup → q20), q37 (similarity_ann → q47), and q10 (join_cross
+# — sole bearer, but driver-green in BOTH r01 and r02, so it GRADUATES:
+# the rotation scheme's goal is a driver row at least once across rounds).
 
 _WINDOW_ORDER = [
     # relational surface — one representative per capability
@@ -2621,7 +2628,6 @@ _WINDOW_ORDER = [
     "q03_shipping_priority",          # inner+broadcast join, sort/limit (TakeOrdered)
     "q04_order_priority_check",       # semi + anti joins
     "q07_customer_order_stats",       # left + full outer joins
-    "q10_region_nation_matrix",       # cross join
     "q11_priority_distinct_customers",  # DISTINCT agg + HAVING
     "q13_top_orders_per_customer",    # window rank + running frame
     "q16_active_keys_union",          # union all / intersect / except
@@ -2633,7 +2639,6 @@ _WINDOW_ORDER = [
     "q24_transpose_read",
     "q25_transpose_implode",
     "q26_cf_map_roundtrip",
-    "q44_cell_store_roundtrip",
     # events family (round-1 env failures — verdict item 1)
     "q27_super_column_roundtrip",
     "q28_lww_compaction",
@@ -2650,13 +2655,17 @@ _WINDOW_ORDER = [
     "q35_dedup_embedding",
     "q67_neardup_clusters",
     "q36_similarity_topk",
-    "q37_similarity_ann_lsh",
     "q47_similarity_ivf",
     "q68_similarity_quantized",
     "q38_text_stats",                 # stats + lang-id + tokens + fingerprint
     "q70_repetition_stats",
     "q43_multimodal_features",        # REAL BMP container decode in-plan
     "q69_stratified_sample",
+    # round-3 curation capabilities (formerly PENDING_ROTATION)
+    "q71_pack_sequences",
+    "q72_contamination",
+    "q73_pii_redact",
+    "q74_keywords",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q49_slice_range",
@@ -2669,7 +2678,6 @@ _WINDOW_ORDER = [
     "q57_asof_join",
     "q58_range_join",
     "q59_percentiles",
-    "q60_grouping_sets",
     "q62_stream_stream_join",
     # the storage-handler facade roundtrip (DDL write + synthesized mapping +
     # consistency + batched cell I/O in one driver row)
@@ -2765,11 +2773,14 @@ QUERY_FAMILIES: dict[str, set[str]] = {
 # for rotation into the window next round — exactly how q67-q70 moved
 # in during round 3. Keep this list short-lived: anything still here two
 # rounds after introduction is a bookkeeping failure.
-PENDING_ROTATION = {
-    "q71_pack_sequences",
-    "q72_contamination",
-    "q73_pii_redact",
-    "q74_keywords",
+PENDING_ROTATION: set[str] = set()
+
+# Queries rotated OUT whose family tag would otherwise lose its only
+# in-window bearer. Graduation requires a green driver CORRECTNESS row in
+# at least one prior round (cited), consistent with the rotation goal:
+# every operator earns a driver row at least once across rounds.
+GRADUATED = {
+    "q10_region_nation_matrix",  # join_cross: green in r01 AND r02
 }
 
 
@@ -2786,6 +2797,7 @@ def _apply_registration_order() -> None:
         for n in QUERIES
         if n not in window
         and n not in PENDING_ROTATION
+        and n not in GRADUATED
         and not QUERY_FAMILIES[n] <= in_window_tags
     }
     assert not orphans, (

@@ -54,10 +54,13 @@ def test_registration_window_covers_every_family():
         "q52_stream_session", "q53_stream_dedup",
         "q54_stream_stateful", "q55_json_extract", "q56_corpus_curation",
         "q57_asof_join", "q58_range_join", "q59_percentiles",
-        "q60_grouping_sets", "q62_stream_stream_join",
+        "q62_stream_stream_join",
         # round-2 verdict item 6: previously past the window
         "q67_neardup_clusters", "q68_similarity_quantized",
         "q69_stratified_sample", "q70_repetition_stats",
+        # round-3 curation capabilities, rotated in the same round
+        "q71_pack_sequences", "q72_contamination",
+        "q73_pii_redact", "q74_keywords",
     }
     assert pinned <= window, sorted(pinned - window)
     # every query (in or out) must carry family tags, and every overflow
@@ -66,12 +69,12 @@ def test_registration_window_covers_every_family():
     assert set(names) == set(QUERY_FAMILIES), (
         set(names) ^ set(QUERY_FAMILIES)
     )
-    from hive_cassandra_spark.queries import PENDING_ROTATION
+    from hive_cassandra_spark.queries import GRADUATED, PENDING_ROTATION
 
     in_window_tags = set().union(*(QUERY_FAMILIES[n] for n in window))
     for n in names[50:]:
-        if n in PENDING_ROTATION:
-            continue  # new capability awaiting its window slot (documented)
+        if n in PENDING_ROTATION or n in GRADUATED:
+            continue  # documented exemptions, checked below
         uncovered = QUERY_FAMILIES[n] - in_window_tags
         assert not uncovered, (n, sorted(uncovered))
     # pending-rotation queries must be genuinely NEW (tags with no bearer),
@@ -82,6 +85,15 @@ def test_registration_window_covers_every_family():
         assert n in oracles, n
         assert QUERY_FAMILIES[n] - in_window_tags, (
             n, "tags fully covered in-window — rotate it in or drop the exemption"
+        )
+    # graduated queries must be out-of-window, still oracle-gated locally,
+    # and must actually be sole bearers (else graduation is unnecessary —
+    # drop them from the list so the exemption can't rot into a loophole)
+    for n in GRADUATED:
+        assert n in names[50:], n
+        assert n in oracles, n
+        assert QUERY_FAMILIES[n] - in_window_tags, (
+            n, "tags fully covered in-window — graduation exemption unneeded"
         )
 
 
