@@ -212,3 +212,50 @@ def keywords(
         .filter(F.col("rank") <= k)
         .select(F.col("doc").alias(id_col), "term", "tf", "df", "rank")
     )
+
+
+# URL structure shared by the Spark parser and the oracle SQL: scheme,
+# host, then everything to end-of-string or the first /?# . No lookaround
+# (Java regex and RE2 agree).
+URL_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Split a URL column into host and top-level domain — the grouping
+    keys of crawl-style curation (per-domain caps, blocklists, domain
+    mixing). Pure regex projection, zero shuffle. Adds ``host`` (empty
+    string when the URL does not parse) and ``tld`` (the host's last
+    dot-segment, or the whole host when it has no dot)."""
+    host = F.regexp_extract(F.lower(F.col(url_col)), URL_HOST_RE, 1)
+    return df.withColumn("host", host).withColumn(
+        "tld", F.element_at(F.split(F.col("host"), "\\."), -1)
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    k: int,
+    domain_col: str = "host",
+    order_cols: list | None = None,
+    blocked_tlds: list[str] | None = None,
+) -> DataFrame:
+    """Crawl-curation domain policy: drop documents from blocklisted TLDs,
+    then keep at most ``k`` documents per domain, preferring by
+    ``order_cols`` (a deterministic total order — callers include a unique
+    key as the final tiebreak). The standard defense against a single
+    boilerplate-heavy domain dominating a 100 TB crawl mix.
+
+    Shape: one narrow blocklist filter (the blocklist is a literal
+    in-plan set, not a join), then one rank window keyed by domain —
+    a single hash-partitioned sort, spillable, no collect. Adds ``rank``.
+    """
+    if order_cols is None:
+        raise ValueError("order_cols must define a deterministic total order")
+    out = df
+    if blocked_tlds:
+        out = out.filter(~F.col("tld").isin(*blocked_tlds))
+    w = Window.partitionBy(domain_col).orderBy(*order_cols)
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -181,3 +181,50 @@ def stratified_sample(
         else threshold.otherwise(F.lit(int(round(default_pct * 100))))
     )
     return df.filter(bucket < threshold)
+
+
+def assign_shards(df: DataFrame, n_shards: int, key_col: str) -> DataFrame:
+    """Deterministic output-shard assignment for training-data writes:
+    shard = 52-bit md5 hash of the key, mod ``n_shards``. A pure function
+    of the key — stable across runs, engines, and cluster sizes (never
+    ``spark_partition_id`` or round-robin, which depend on physical
+    layout) — so shard membership is reproducible and re-runs overwrite
+    the same shard files. Zero-shuffle codegen projection; the writer then
+    ``repartition(n_shards, "shard_id")`` so one task owns one shard file.
+    Adds a ``shard_id`` column."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    return df.withColumn("shard_id", (h % n_shards).cast("long"))
+
+
+def shard_manifest(
+    df: DataFrame, n_shards: int, key_col: str, size_col: str
+) -> DataFrame:
+    """Shard-level write manifest: per shard, row count, total payload
+    size, key span, and an order-independent content checksum (sum of
+    per-key hashes mod 1_000_003 — commutative, so it is insensitive to
+    row order within the shard and map-side-combinable). The manifest is
+    what a 100 TB writer publishes for readers to audit shard balance and
+    detect partial/duplicated writes; skew shows up directly as
+    ``total_size`` spread across the ``n_shards`` rows.
+
+    One map-side-combined aggregation on shard_id — the input is never
+    sorted or collected."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    return (
+        assign_shards(df, n_shards, key_col)
+        .withColumn("__chk", h % 1000003)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(size_col)).cast("long").alias("total_size"),
+            F.min(F.col(key_col)).alias("min_key"),
+            F.max(F.col(key_col)).alias("max_key"),
+            F.sum("__chk").cast("long").alias("checksum"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Distributed, DETERMINISTIC cardinality sketches (SURVEY.md §2.C
+extension): KMV (k-minimum-values) distinct-count estimation.
+
+Why KMV and not HyperLogLog: Spark's ``approx_count_distinct`` (HLL++) and
+DataSketches HLL are engine-specific — their estimates cannot be replicated
+bit-for-bit by an ANSI-SQL oracle, so they would downgrade the correctness
+gate to a rows-only check. KMV ("distinct sampling" / bottom-k, Bar-Yossef
+et al. 2002) has the same one-pass, mergeable, bounded-state profile but is
+a pure function of an md5-derived hash both engines compute identically, so
+the gate proves the DISTRIBUTED sketch equals the oracle's serial one.
+
+Scale posture (the reason a 100 TB engine carries a sketch at all):
+
+- state per group is k hashes (k=64 → ~512 bytes), independent of input
+  size; exact ``count(DISTINCT x)`` shuffles every distinct value.
+- construction is (1) a map-side-combinable distinct on (group, hash) —
+  duplicates of a value collapse inside each task before any exchange —
+  then (2) a per-group sort window that keeps the k smallest. The window
+  input is ALREADY distinct hashes, i.e. at most one row per distinct
+  value, and Spark's window sort spills; no collect, no driver state.
+- sketches MERGE: union two groups' k-minimum sets and re-take the k
+  smallest (``merge_kmv_hashes``) — the partial-aggregate property that
+  lets per-day sketches roll up to per-month without rescanning, exactly
+  like q76's mergeable MinHash signatures.
+
+Hash: the top 52 bits of md5 (13 hex chars) as a BIGINT. Both engines
+agree exactly (Spark ``conv(substr(md5(x),1,13),16,10)``; DuckDB
+``CAST('0x' || substr(md5(x),1,13) AS BIGINT)``), 52 bits keeps every
+integer exact even if a reader round-trips through a double, and
+(k-1)·2^52 stays well inside BIGINT for the estimator arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+HASH_SPACE = 1 << 52  # top 52 bits of md5 → hashes uniform on [0, 2^52)
+
+
+def hash52(col: Column) -> Column:
+    """Deterministic 52-bit hash of a value's string form, identical across
+    Spark and DuckDB (see module docstring)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_hashes(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """The sketch itself: per group, the k smallest distinct 52-bit hashes
+    of ``value_col``. Returns (group..., h) with ≤ k rows per group —
+    bounded state, mergeable via ``merge_kmv_hashes``."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator divides by k-1)")
+    distinct_h = (
+        df.select(*group_cols, hash52(F.col(value_col)).alias("h")).distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        distinct_h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def merge_kmv_hashes(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge two KMV sketches: union the hash sets and keep each group's k
+    smallest again. merge(kmv(A), kmv(B)) == kmv(A ∪ B) exactly — the
+    k-minimum set of a union depends only on the operands' k-minimum sets."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_estimate(
+    hashes: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Distinct-count estimate from a ``kmv_hashes`` table. INTEGER-ONLY
+    arithmetic so both engines agree bit-for-bit: with fewer than k hashes
+    the sketch saw every distinct value and the count is exact; otherwise
+    the classic KMV estimator (k-1) / normalized-kth-minimum, computed as
+    ``(k-1)·2^52 div h_k`` in BIGINT (h_k ≥ 1 guard: a genuine zero hash
+    has probability 2^-52; ``greatest`` keeps the expression total)."""
+    scaled = (k - 1) * HASH_SPACE
+    return (
+        hashes.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth_hash"))
+        .select(
+            *group_cols,
+            "k_used",
+            "kth_hash",
+            F.when(F.col("k_used") < k, F.col("k_used"))
+            .otherwise(
+                F.expr(f"{scaled} div greatest(kth_hash, 1L)")
+            )
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """One-shot per-group distinct estimate: sketch + estimator."""
+    return kmv_estimate(kmv_hashes(df, group_cols, value_col, k), group_cols, k)

@@ -10,7 +10,7 @@ are oracle-comparable against ANSI SQL (see queries.py / oracle_sql).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Small per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deterministic scoring, not a trained model.
@@ -159,4 +159,61 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             _max_equal_run(F.array_sort(bigrams)) / F.greatest(nb, F.lit(1)), 4
         ).alias("top_bigram_ratio"),
         _max_equal_run(toks).alias("max_token_run"),
+    )
+
+
+def build_vocab(df: DataFrame, size: int, text_col: str = "text") -> DataFrame:
+    """Corpus-derived token vocabulary: the ``size`` most frequent tokens,
+    ids assigned densely by (frequency DESC, token ASC) — a total order, so
+    the mapping is deterministic. Returns (term, token_id, cnt).
+
+    Scale shape: one map-side-combinable groupBy(term), then the global
+    top-``size`` via orderBy+limit (planned as TakeOrderedAndProject — each
+    task keeps its local top-``size``, the driver merges heaps; the full
+    term table is never globally sorted). Only the ≤``size``-row result
+    passes through the id-assigning window."""
+    tf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("term").asc()]
+    top = tf.orderBy(*order).limit(size)
+    w = Window.orderBy(*order)  # ≤ size rows — the single partition is tiny
+    return top.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def tokenize_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    vocab_size: int,
+    oov_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents to integer ids: positional explode of the token
+    stream, broadcast-join against the vocabulary, out-of-vocabulary terms
+    hashed into ``oov_buckets`` ids past the vocab (feature-hashing trick,
+    md5-derived so both engines agree). Returns one row per token:
+    (doc_id, pos [1-based], term, token_id).
+
+    Scale shape: the corpus explodes once (narrow), the vocabulary
+    broadcasts (it is ≤ vocab_size rows by construction) — the corpus is
+    never shuffled. The id column stays JVM-side end to end."""
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).withColumn("pos", F.col("pos") + 1)
+    oov = vocab_size + F.conv(
+        F.substring(F.md5(F.col("term")), 1, 4), 16, 10
+    ).cast("long") % oov_buckets
+    return tok.join(
+        F.broadcast(vocab.select("term", "token_id")), "term", "left"
+    ).select(
+        id_col,
+        "pos",
+        "term",
+        F.coalesce(F.col("token_id"), oov).cast("long").alias("token_id"),
     )

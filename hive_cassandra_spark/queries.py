@@ -32,6 +32,7 @@ from hive_cassandra_spark.operators import (
     multimodal,
     relational,
     similarity,
+    sketches,
     temporal,
     text,
     transpose,
@@ -2595,6 +2596,237 @@ def q74_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# §2.C continued — round-3 batch 2: deterministic sketches, tokenization,
+# output sharding, TTL cell semantics, URL curation. Registered past the
+# 50-slot window (pending rotation next round); fully oracle-gated locally.
+# =====================================================================
+
+
+@register(
+    "q77_kmv_distinct",
+    oracle="""
+    WITH h AS (SELECT DISTINCT event_type,
+                      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) AS h
+               FROM events),
+         r AS (SELECT event_type, h,
+                      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h),
+         sk AS (SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS k_used,
+                       max(h) AS kth_hash
+                FROM r WHERE rn <= 64 GROUP BY 1),
+         exact AS (SELECT event_type,
+                          CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+                   FROM events GROUP BY 1)
+    SELECT event_type, k_used, kth_hash,
+           CAST(CASE WHEN k_used < 64 THEN k_used
+                     ELSE (63 * 4503599627370496) // greatest(kth_hash, 1)
+                END AS BIGINT) AS est_distinct,
+           exact_distinct
+    FROM sk JOIN exact USING (event_type)
+    """,
+    doc="KMV (bottom-k) distinct-count sketch: per event_type, the 64 "
+    "smallest distinct 52-bit md5 hashes of user_id yield a bounded-state, "
+    "MERGEABLE cardinality estimate in pure integer arithmetic — the only "
+    "sketch family an exact cross-engine oracle can gate (HLL estimates "
+    "are engine-specific). The exact count rides along so the gate also "
+    "pins the estimator's accuracy contract, not just its determinism; "
+    "merge(kmv(A), kmv(B)) == kmv(A∪B) is pinned in test_sketches",
+)
+def q77_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    sk = sketches.kmv_distinct(ev, ["event_type"], "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type")
+
+
+@register(
+    "q78_tokenize_ids",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, u.term, u.pos
+                 FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents) d,
+                      LATERAL (SELECT unnest(t) AS term,
+                                      generate_subscripts(t, 1) AS pos) u),
+         tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         vocab AS (SELECT term,
+                          CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1
+                               AS BIGINT) AS token_id
+                   FROM tf ORDER BY cnt DESC, term LIMIT 512)
+    SELECT t.doc_id, CAST(t.pos AS INT) AS pos, t.term,
+           CAST(COALESCE(v.token_id,
+                         512 + CAST('0x' || substr(md5(t.term), 1, 4) AS BIGINT) % 256)
+                AS BIGINT) AS token_id
+    FROM tok t LEFT JOIN vocab v USING (term)
+    """,
+    doc="tokenize-to-ids: corpus-derived 512-term vocabulary (frequency "
+    "DESC, term ASC — a total order, so ids are deterministic) built via "
+    "TakeOrderedAndProject, broadcast against the positional token "
+    "explode; out-of-vocabulary terms feature-hash into 256 md5 buckets "
+    "past the vocab. The corpus is never shuffled — the id mapping rides "
+    "a broadcast join",
+)
+def q78_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    vocab = text.build_vocab(docs, 512)
+    return text.tokenize_ids(docs, vocab, 512, oov_buckets=256)
+
+
+@register(
+    "q79_shard_manifest",
+    oracle="""
+    WITH s AS (SELECT doc_id, n_chars,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) AS h
+               FROM documents)
+    SELECT h % 16 AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_size,
+           min(doc_id) AS min_key, max(doc_id) AS max_key,
+           CAST(sum(h % 1000003) AS BIGINT) AS checksum
+    FROM s GROUP BY 1
+    """,
+    doc="deterministic output sharding + write manifest: shard = md5(key) "
+    "mod 16 (a pure key function — stable across runs, engines, cluster "
+    "sizes; never round-robin or spark_partition_id), manifest = per-shard "
+    "row count, payload bytes, key span, and an order-independent additive "
+    "checksum. One map-side-combined aggregation; what a 100 TB writer "
+    "publishes so readers can audit shard balance and partial writes",
+)
+def q79_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.shard_manifest(
+        _t(spark, sf_dir, "documents"), 16, "doc_id", "n_chars"
+    )
+
+
+@register(
+    "q80_ttl_expiry",
+    oracle="""
+    WITH t AS (SELECT c_custkey,
+                      (c_custkey + 6) % 3 AS cls_name,
+                      (c_custkey + 11) % 3 AS cls_nat,
+                      (c_custkey + 9) % 3 AS cls_bal
+               FROM customer
+               WHERE c_custkey % 7 <> 0)
+    SELECT c.c_custkey,
+           CASE WHEN cls_name <> 0 THEN c.c_name END AS c_name,
+           CASE WHEN cls_nat <> 0 THEN c.c_nationkey END AS c_nationkey,
+           CASE WHEN cls_bal <> 0 THEN round(c.c_acctbal, 2) END AS c_acctbal,
+           CAST((CASE WHEN cls_name <> 0 THEN 1 ELSE 0 END) +
+                (CASE WHEN cls_nat <> 0 THEN 1 ELSE 0 END) +
+                (CASE WHEN cls_bal <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_live_cells
+    FROM customer c JOIN t ON c.c_custkey = t.c_custkey
+    """,
+    doc="per-cell TTL expiry (Cassandra ExpiringColumn read semantics — a "
+    "superset of the reference, whose serde never surfaces TTLs): customer "
+    "rows marshal to cells with id-derived TTLs (key%7==0 rows expire "
+    "whole; else per-cell class (key+namelen)%3 picks ttl 5 s / 50 s / "
+    "none), written at t=1 s and read at t=21 s, so ttl-5 cells are dead "
+    "and ttl-50 live. Expired cells vanish column-wise (NULL on decode) "
+    "and fully-expired rows vanish entirely — the TTL analogue of the "
+    "ghost-row skip. The oracle replays the expiry arithmetic relationally",
+)
+def q80_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_cassandra_spark import sink as _sink, source as _source
+    from hive_cassandra_spark.codecs import decode_col
+    from hive_cassandra_spark.mapping import parse_mapping
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    m = parse_mapping(":key,c_name,c_nationkey,c_acctbal", 4)
+    types = ["bigint", "string", "bigint", "double"]
+    cells = _sink.to_cells(cust, m, types, clock_millis=1000)
+    key_num = decode_col(F.col("row_key"), "bigint")
+    with_ttl = cells.withColumn(
+        "ttl_s",
+        F.when(key_num % 7 == 0, F.lit(5))
+        .when((key_num + F.length("column_name")) % 3 == 0, F.lit(5))
+        .when((key_num + F.length("column_name")) % 3 == 1, F.lit(50))
+        .otherwise(F.lit(None).cast("int")),
+    )
+    live = _source.expire_cells(with_ttl, now_millis=21_000)
+    back = _source.cells_to_table(live, m, cust.columns, types)
+    return back.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        (
+            F.col("c_name").isNotNull().cast("int")
+            + F.col("c_nationkey").isNotNull().cast("int")
+            + F.col("c_acctbal").isNotNull().cast("int")
+        )
+        .cast("long")
+        .alias("n_live_cells"),
+    )
+
+
+# Deterministic id-derived URLs shared by q81's Spark plan and oracle — the
+# documents fixture has no URL column, so both sides synthesize the same
+# one (the q73 non-vacuous-injection pattern).
+_URL_SQL = (
+    "'https://site' || CAST(doc_id % 37 AS VARCHAR) || "
+    "CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.org' "
+    "WHEN 2 THEN '.net' WHEN 3 THEN '.io' ELSE '.biz' END || "
+    "'/p/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+@register(
+    "q81_url_domains",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, n_chars, {_URL_SQL} AS url FROM documents),
+         p AS (SELECT doc_id, n_chars, url,
+                      regexp_extract(lower(url), '{curation.URL_HOST_RE}', 1) AS host
+               FROM u),
+         d AS (SELECT *, string_split(host, '.')[-1] AS tld FROM p),
+         r AS (SELECT doc_id, host, tld, n_chars,
+                      row_number() OVER (PARTITION BY host
+                                         ORDER BY n_chars DESC, doc_id ASC)
+                        AS rank
+               FROM d WHERE tld <> 'biz')
+    SELECT doc_id, host, tld, n_chars, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 2
+    """,
+    doc="crawl-style URL curation: parse host + TLD out of the URL (regex "
+    "projection, no shuffle), drop blocklisted TLDs ('.biz'), cap every "
+    "domain at its 2 largest documents (n_chars DESC, doc_id tiebreak) — "
+    "one rank window keyed by host. URLs are synthesized id-derived on "
+    "both sides (q73 pattern: the fixture has no URL column)",
+)
+def q81_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.element_at(
+                F.array(
+                    F.lit(".com"), F.lit(".org"), F.lit(".net"),
+                    F.lit(".io"), F.lit(".biz"),
+                ),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    parsed = curation.parse_urls(docs)
+    capped = curation.domain_cap(
+        parsed,
+        k=2,
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        blocked_tlds=["biz"],
+    )
+    return capped.select("doc_id", "host", "tld", "n_chars", "rank")
+
+
+# =====================================================================
 # Registration-order contract
 # =====================================================================
 # The driver's correctness gate evaluates the FIRST 50 registered queries
@@ -2765,6 +2997,11 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q72_contamination": {"contamination"},
     "q73_pii_redact": {"pii"},
     "q74_keywords": {"keywords"},
+    "q77_kmv_distinct": {"sketch_distinct"},
+    "q78_tokenize_ids": {"tokenize"},
+    "q79_shard_manifest": {"sharding"},
+    "q80_ttl_expiry": {"ttl"},
+    "q81_url_domains": {"url_curation"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -2773,7 +3010,13 @@ QUERY_FAMILIES: dict[str, set[str]] = {
 # for rotation into the window next round — exactly how q67-q70 moved
 # in during round 3. Keep this list short-lived: anything still here two
 # rounds after introduction is a bookkeeping failure.
-PENDING_ROTATION: set[str] = set()
+PENDING_ROTATION = {
+    "q77_kmv_distinct",
+    "q78_tokenize_ids",
+    "q79_shard_manifest",
+    "q80_ttl_expiry",
+    "q81_url_domains",
+}
 
 # Queries rotated OUT whose family tag would otherwise lose its only
 # in-window bearer. Graduation requires a green driver CORRECTNESS row in

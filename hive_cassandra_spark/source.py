@@ -59,6 +59,26 @@ def _live(cells: DataFrame) -> DataFrame:
     return cells.filter(F.col("value").isNotNull())
 
 
+def expire_cells(
+    cells: DataFrame, now_millis: int, ttl_col: str = "ttl_s"
+) -> DataFrame:
+    """Drop TTL-expired cells — Cassandra's ExpiringColumn read semantics
+    (public Cassandra data model; the reference serde never surfaces TTLs,
+    so this is a superset capability next to the §2.A ghost-row skip).
+    A cell with ``ttl_col`` NULL never expires; otherwise it is live while
+    ``ts + ttl_s·1000 > now_millis`` (ts is the writer's epoch-millis
+    timestamp from sink._ts_column). A row whose every cell expires
+    disappears entirely from the pivoted read — the TTL analogue of the
+    ghost-row elimination in ``_live`` — because cells_to_table sees no
+    live cells for its key. Narrow codegen filter, zero shuffle; the
+    ``ttl_col`` column is dropped so downstream decode sees the standard
+    cell schema."""
+    alive = F.col(ttl_col).isNull() | (
+        F.col("ts") + F.col(ttl_col).cast("long") * 1000 > F.lit(now_millis)
+    )
+    return cells.filter(alive).drop(ttl_col)
+
+
 def lww_latest(cells: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
     """Keep the newest version of each cell — Cassandra's last-write-wins
     reconciliation, which the reference inherits from the server. Expressed

@@ -121,3 +121,43 @@ def test_keywords_df_breaks_tf_ties(spark):
     out = {(r.doc_id, r.rank): r.term for r in curation.keywords(df, k=2).collect()}
     # doc 1: zebra (df=1) beats common (df=3) despite equal tf=1
     assert out[(1, 1)] == "zebra" and out[(1, 2)] == "common"
+
+
+def test_parse_urls_host_and_tld(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/x?q=1"),
+            (2, "http://plain/path"),
+            (3, "not a url"),
+        ],
+        "id long, url string",
+    )
+    rows = {r.id: r for r in curation.parse_urls(df).collect()}
+    assert rows[1].host == "a.example.com" and rows[1].tld == "com"
+    assert rows[2].host == "plain" and rows[2].tld == "plain"  # no dot
+    assert rows[3].host == ""
+
+
+def test_domain_cap_blocklist_and_k(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a.com", "com", 50),
+            (2, "a.com", "com", 90),
+            (3, "a.com", "com", 70),
+            (4, "b.biz", "biz", 99),
+        ],
+        "doc_id long, host string, tld string, n_chars long",
+    )
+    out = curation.domain_cap(
+        df, k=2, order_cols=[F.col("n_chars").desc(), F.col("doc_id")],
+        blocked_tlds=["biz"],
+    )
+    got = sorted((r.doc_id, r.rank) for r in out.collect())
+    assert got == [(2, 1), (3, 2)]  # largest two of a.com; b.biz dropped
+
+
+def test_domain_cap_requires_order(spark):
+    df = spark.createDataFrame([(1, "a.com", "com", 5)],
+                               "doc_id long, host string, tld string, n_chars long")
+    with pytest.raises(ValueError):
+        curation.domain_cap(df, k=1)

@@ -140,3 +140,31 @@ def test_stratified_sample_deterministic_and_rate_accurate(spark, sf_dir):
     )
     keys_c = {r.o_orderkey for r in c.select("o_orderkey").collect()}
     assert keys_c != keys_a
+
+
+def test_assign_shards_stable_under_repartition(spark, sf_dir):
+    from hive_cassandra_spark.operators.relational import assign_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r.doc_id: r.shard_id for r in assign_shards(docs, 8, "doc_id").collect()}
+    b = {
+        r.doc_id: r.shard_id
+        for r in assign_shards(docs.repartition(17), 8, "doc_id").collect()
+    }
+    assert a == b
+    assert set(a.values()) <= set(range(8))
+
+
+def test_shard_manifest_checksum_order_independent(spark, sf_dir):
+    from hive_cassandra_spark.operators.relational import shard_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = {r.shard_id: tuple(r) for r in shard_manifest(docs, 8, "doc_id", "n_chars").collect()}
+    shuffled = {
+        r.shard_id: tuple(r)
+        for r in shard_manifest(
+            docs.orderBy(F.col("text")), 8, "doc_id", "n_chars"
+        ).collect()
+    }
+    assert base == shuffled
+    assert sum(r[1] for r in base.values()) == docs.count()

@@ -1,0 +1,94 @@
+"""KMV distinct sketch: exactness below k, estimator accuracy, bounded
+state, and the merge property merge(kmv(A), kmv(B)) == kmv(A ∪ B)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_cassandra_spark.operators import sketches
+
+
+def _events(spark, sf_dir):
+    from hive_cassandra_spark.queries import load_events
+
+    return load_events(spark, sf_dir)
+
+
+def test_exact_below_k(spark):
+    """Fewer distinct values than k → the sketch saw everything and the
+    estimate IS the exact count."""
+    df = spark.range(1000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 40).alias("v")
+    )
+    out = {
+        r.g: r
+        for r in sketches.kmv_distinct(df, ["g"], "v", k=64).collect()
+    }
+    for g in (0, 1):
+        assert out[g].k_used == 20
+        assert out[g].est_distinct == 20
+
+
+def test_estimator_accuracy(spark):
+    """10k distinct values, k=64 → the KMV estimator's relative standard
+    error is ~1/sqrt(k-2) ≈ 13%; assert within 4 sigma."""
+    df = spark.range(10_000).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    row = sketches.kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert row.k_used == 64
+    assert abs(row.est_distinct - 10_000) / 10_000 < 0.52
+
+
+def test_bounded_state(spark):
+    """The sketch never holds more than k hashes per group, whatever the
+    input cardinality — the whole point at 100 TB."""
+    df = spark.range(5_000).select((F.col("id") % 3).alias("g"), F.col("id").alias("v"))
+    h = sketches.kmv_hashes(df, ["g"], "v", k=16)
+    sizes = h.groupBy("g").count().collect()
+    assert all(r["count"] == 16 for r in sizes)
+
+
+def test_merge_equals_union(spark):
+    """merge(kmv(A), kmv(B)) must equal kmv(A ∪ B) exactly — the partial-
+    aggregate property that lets per-day sketches roll up to per-month.
+    A and B overlap, so the merge must also dedup shared hashes."""
+    base = spark.range(4_000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    a = base.filter(F.col("v") < 3_000)
+    b = base.filter(F.col("v") >= 1_000)  # 1000..2999 in both
+    k = 32
+    merged = sketches.merge_kmv_hashes(
+        sketches.kmv_hashes(a, ["g"], "v", k),
+        sketches.kmv_hashes(b, ["g"], "v", k),
+        ["g"],
+        k,
+    )
+    direct = sketches.kmv_hashes(base, ["g"], "v", k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_k_below_two_rejected(spark):
+    df = spark.range(10).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        sketches.kmv_hashes(df, ["g"], "v", k=1)
+
+
+def test_hash52_matches_duckdb(spark):
+    """The 52-bit hash must be the SAME number both engines compute — the
+    whole determinism contract rests on it."""
+    import duckdb
+
+    vals = ["0", "12345", "hello"]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "s string")
+        .select(sketches.hash52(F.col("s")).alias("h"))
+        .collect()
+    )
+    want = [
+        duckdb.sql(
+            f"SELECT CAST('0x' || substr(md5('{v}'), 1, 13) AS BIGINT)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert [r.h for r in got] == want

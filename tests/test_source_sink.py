@@ -224,3 +224,39 @@ def test_next_lww_ts_monotone():
     ts4 = _next_lww_ts(ts3, 9_000)   # clock jumped ahead
     assert ts1 == 5_000 and ts2 == 5_001 and ts3 == 5_002 and ts4 == 9_000
     assert ts1 < ts2 < ts3 < ts4
+
+
+def test_expire_cells_ttl_semantics(spark):
+    """ExpiringColumn read semantics: NULL ttl never expires, live iff
+    ts + ttl*1000 > now, and a row whose every cell expires vanishes from
+    the pivoted read (no ghost row)."""
+    from hive_cassandra_spark import sink as _sink, source as _source
+    from hive_cassandra_spark.mapping import parse_mapping
+
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20)], "k long, s string, v long"
+    )
+    m = parse_mapping(":key,s,v", 3)
+    types = ["bigint", "string", "bigint"]
+    cells = _sink.to_cells(df, m, types, clock_millis=1000)
+    # key 1: both cells ttl=5 (dead at now=10_000); key 2: s has no ttl,
+    # v ttl=5 (dead) → row 2 survives with s only
+    from hive_cassandra_spark.codecs import decode_col
+
+    key_num = decode_col(F.col("row_key"), "bigint")
+    with_ttl = cells.withColumn(
+        "ttl_s",
+        F.when(key_num == 1, F.lit(5)).otherwise(
+            F.when(F.col("column_name").cast("string") == "v", F.lit(5))
+        ),
+    )
+    live = _source.expire_cells(with_ttl, now_millis=10_000)
+    back = _source.cells_to_table(live, m, ["k", "s", "v"], types).collect()
+    assert len(back) == 1
+    row = back[0]
+    assert row.k == 2 and row.s == "y" and row.v is None
+    # at now just before expiry everything is still live
+    early = _source.cells_to_table(
+        _source.expire_cells(with_ttl, now_millis=5_999), m, ["k", "s", "v"], types
+    )
+    assert early.count() == 2

@@ -86,3 +86,28 @@ def test_repetition_stats_zero_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = t.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_build_vocab_deterministic_ids(spark):
+    df = spark.createDataFrame(
+        [("a a a b b c",), ("b c d",)], "text string"
+    )
+    from hive_cassandra_spark.operators import text as T
+
+    vocab = {r.term: (r.token_id, r.cnt) for r in T.build_vocab(df, 3).collect()}
+    # counts: a=3, b=3, c=2, d=1; ties break term-ASC → a=0, b=1, c=2
+    assert vocab == {"a": (0, 3), "b": (1, 3), "c": (2, 2)}
+
+
+def test_tokenize_ids_vocab_and_oov(spark):
+    from hive_cassandra_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "a b zzz")], "doc_id long, text string")
+    vocab = T.build_vocab(df, 2)  # a=0, b=1; zzz is OOV
+    rows = {r.pos: r for r in T.tokenize_ids(df, vocab, 2, oov_buckets=16).collect()}
+    assert rows[1].token_id == 0 and rows[1].term == "a"
+    assert rows[2].token_id == 1
+    # OOV: vocab_size + 16-bit md5 bucket — in range, stable
+    assert 2 <= rows[3].token_id < 2 + 16
+    again = {r.pos: r.token_id for r in T.tokenize_ids(df, vocab, 2, 16).collect()}
+    assert again[3] == rows[3].token_id
