@@ -159,25 +159,35 @@ def contamination(
     )
 
 
+# Case-insensitive flag shared by detection and redaction: `(?i)` is inline
+# syntax in BOTH Java regex (Spark) and RE2 (DuckDB), so the operators can
+# run on the ORIGINAL-case text — non-PII characters keep their casing in
+# the redacted output (r03 ADVICE item 1; the old version lowered the whole
+# document before redacting, lossy for every PII-free doc too).
+_CI = "(?i)"
+
+
 def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document PII hit counts (emails, phone numbers) — a pure regex
     projection, zero shuffle. The patterns are the dual-engine-safe subset
-    (no lookaround); real deployments extend the list the same way."""
-    t = F.lower(F.col(text_col))
+    (no lookaround, inline ``(?i)`` for case-insensitivity); real
+    deployments extend the list the same way."""
+    t = F.col(text_col)
     return df.select(
         "*",
-        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias("email_count"),
-        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).alias("phone_count"),
+        F.size(F.regexp_extract_all(t, F.lit(_CI + EMAIL_RE), F.lit(0))).alias("email_count"),
+        F.size(F.regexp_extract_all(t, F.lit(_CI + PHONE_RE), F.lit(0))).alias("phone_count"),
     )
 
 
 def pii_redact(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
-    """Replace detected PII spans with typed placeholders. Redaction runs on
-    the lowercased text (matching the detection pass), emails first so a
-    phone-like digit run inside an address can't be double-redacted."""
-    t = F.lower(F.col(text_col))
+    """Replace detected PII spans with typed placeholders, preserving the
+    original casing of everything outside the spans (patterns carry inline
+    ``(?i)``). Emails first, so a phone-like digit run inside an address
+    can't be double-redacted."""
+    t = F.col(text_col)
     red = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+        F.regexp_replace(t, _CI + EMAIL_RE, "[EMAIL]"), _CI + PHONE_RE, "[PHONE]"
     )
     return df.withColumn(out_col, red)
 
@@ -253,7 +263,11 @@ def domain_cap(
         raise ValueError("order_cols must define a deterministic total order")
     out = df
     if blocked_tlds:
-        out = out.filter(~F.col("tld").isin(*blocked_tlds))
+        # NULL tld (unparseable host) is not blocklisted — keep it. A bare
+        # ~isin() would drop NULLs via three-valued logic (r03 ADVICE 2).
+        out = out.filter(
+            F.col("tld").isNull() | ~F.col("tld").isin(*blocked_tlds)
+        )
     w = Window.partitionBy(domain_col).orderBy(*order_cols)
     return (
         out.withColumn("rank", F.row_number().over(w))

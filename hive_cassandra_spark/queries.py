@@ -2853,6 +2853,13 @@ def q81_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q60 (cube_rollup → q20), q37 (similarity_ann → q47), and q10 (join_cross
 # — sole bearer, but driver-green in BOTH r01 and r02, so it GRADUATES:
 # the rotation scheme's goal is a driver row at least once across rounds).
+#
+# Round-4 rotation (r03 verdict item 1): q77-q81 (KMV sketch, tokenize-ids,
+# shard manifest, TTL expiry, URL domains) move in-window — the last five
+# operators with no driver CORRECTNESS row ever. Evicted five sole-bearer
+# queries, each driver-green in ALL of r01+r02+r03, so all GRADUATE:
+# q16 (setops), q22 (pivot), q24 (transpose_read), q25 (transpose_write),
+# q26 (cf_map). PENDING_ROTATION is now empty, as its contract requires.
 
 _WINDOW_ORDER = [
     # relational surface — one representative per capability
@@ -2862,15 +2869,9 @@ _WINDOW_ORDER = [
     "q07_customer_order_stats",       # left + full outer joins
     "q11_priority_distinct_customers",  # DISTINCT agg + HAVING
     "q13_top_orders_per_customer",    # window rank + running frame
-    "q16_active_keys_union",          # union all / intersect / except
     "q19_scalar_functions",           # scalar fn surface
     "q20_flag_status_cube",           # cube + rollup
-    "q22_flag_pivot",                 # pivot
     "q23_orders_above_average",       # scalar subquery
-    # cell-store / connector semantics (§2.A)
-    "q24_transpose_read",
-    "q25_transpose_implode",
-    "q26_cf_map_roundtrip",
     # events family (round-1 env failures — verdict item 1)
     "q27_super_column_roundtrip",
     "q28_lww_compaction",
@@ -2898,6 +2899,13 @@ _WINDOW_ORDER = [
     "q72_contamination",
     "q73_pii_redact",
     "q74_keywords",
+    # round-4 rotation (r03 verdict item 1): the last five never-windowed
+    # operators earn driver rows
+    "q77_kmv_distinct",
+    "q78_tokenize_ids",
+    "q79_shard_manifest",
+    "q80_ttl_expiry",
+    "q81_url_domains",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q49_slice_range",
@@ -3010,13 +3018,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
 # for rotation into the window next round — exactly how q67-q70 moved
 # in during round 3. Keep this list short-lived: anything still here two
 # rounds after introduction is a bookkeeping failure.
-PENDING_ROTATION = {
-    "q77_kmv_distinct",
-    "q78_tokenize_ids",
-    "q79_shard_manifest",
-    "q80_ttl_expiry",
-    "q81_url_domains",
-}
+PENDING_ROTATION: set[str] = set()  # emptied in round 4: q77-q81 rotated in
 
 # Queries rotated OUT whose family tag would otherwise lose its only
 # in-window bearer. Graduation requires a green driver CORRECTNESS row in
@@ -3024,6 +3026,12 @@ PENDING_ROTATION = {
 # every operator earns a driver row at least once across rounds.
 GRADUATED = {
     "q10_region_nation_matrix",  # join_cross: green in r01 AND r02
+    # round-4 graduations — each driver-green in r01 AND r02 AND r03
+    "q16_active_keys_union",     # setops
+    "q22_flag_pivot",            # pivot
+    "q24_transpose_read",        # transpose_read
+    "q25_transpose_implode",     # transpose_write
+    "q26_cf_map_roundtrip",      # cf_map
 }
 
 
