@@ -74,14 +74,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
-    only surfaces as a nanos long (spark.sql.legacy.parquet.nanosAsLong);
-    truncate to micros (integer div — matches DuckDB's own nanos→micros
-    truncation) and restore TimestampType.
+    """Load events.parquet with ``ts`` normalized to TIMESTAMP (LTZ @ UTC
+    session) regardless of how the fixture stores it:
 
-    Self-sufficient under any session: pins nanosAsLong at runtime before the
-    read, and if the deployment rejects that conf, retries with the explicit
-    bigint-ts schema the streaming reader uses."""
+    - TIMESTAMP(NANOS): Spark only surfaces it as a nanos long
+      (spark.sql.legacy.parquet.nanosAsLong); truncate to micros (integer
+      div — matches DuckDB's own nanos→micros truncation) and restore
+      TimestampType.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): read directly; if the
+      session still infers TIMESTAMP_NTZ (conf rejected), cast to
+      TIMESTAMP — identity on wall clock under the pinned UTC session.
+
+    Self-sufficient under any session: pins the confs at runtime before the
+    read, and if the deployment rejects nanosAsLong, retries with the
+    explicit bigint-ts schema the streaming reader uses."""
     ensure_session_confs(spark)
     try:
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -90,8 +96,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.schema(streaming_events.EVENTS_SCHEMA)
             .parquet(f"{sf_dir}/events.parquet")
         )
-    if dict(raw.dtypes)["ts"] == "bigint":
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
@@ -2508,29 +2517,35 @@ def q72_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # synthetic corpus contains no PII, so the query plants its own (id-derived
 # emails on 1-in-7 docs, phone numbers on 1-in-11) — otherwise the oracle
 # would compare all-zeros against all-zeros and prove nothing (the vacuous-
-# gate trap in the round-2 notes).
+# gate trap in the round-2 notes). The injected spans are MIXED-case
+# ('Contact User<id>@Example.COM') so the gate actually exercises the
+# operators' case-insensitive match + case-preserving redaction — with
+# all-lowercase injection both properties would be untested (r04 ADVICE 1).
 _PII_EMAIL_SQL = (
-    "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || "
-    "'@example.com now' ELSE '' END"
+    "CASE WHEN doc_id % 7 = 0 THEN ' Contact User' || doc_id || "
+    "'@Example.COM now' ELSE '' END"
 )
 _PII_PHONE_SQL = (
-    "CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || "
+    "CASE WHEN doc_id % 11 = 0 THEN ' Call 555-' || "
     "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
 )
 
 
 @register(
     "q73_pii_redact",
+    # (?i) is valid inline syntax in both RE2 (DuckDB) and Java regex
+    # (Spark); no lower() — the oracle must see the same original-case
+    # text the operators run on, or redacted_md5 checks nothing.
     oracle=f"""
     WITH injected AS (
         SELECT doc_id,
-               lower(text || {_PII_EMAIL_SQL} || {_PII_PHONE_SQL}) AS t
+               text || {_PII_EMAIL_SQL} || {_PII_PHONE_SQL} AS t
         FROM documents)
     SELECT doc_id,
-           len(regexp_extract_all(t, '{curation.EMAIL_RE}')) AS email_count,
-           len(regexp_extract_all(t, '{curation.PHONE_RE}')) AS phone_count,
-           md5(regexp_replace(regexp_replace(t, '{curation.EMAIL_RE}', '[EMAIL]', 'g'),
-                              '{curation.PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+           len(regexp_extract_all(t, '(?i){curation.EMAIL_RE}')) AS email_count,
+           len(regexp_extract_all(t, '(?i){curation.PHONE_RE}')) AS phone_count,
+           md5(regexp_replace(regexp_replace(t, '(?i){curation.EMAIL_RE}', '[EMAIL]', 'g'),
+                              '(?i){curation.PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
     FROM injected
     """,
     doc="PII detection + redaction: regex projections (emails, phones) with "
@@ -2548,14 +2563,14 @@ def q73_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("doc_id") % 7 == 0,
                 F.concat(
-                    F.lit(" contact user"), F.col("doc_id").cast("string"),
-                    F.lit("@example.com now"),
+                    F.lit(" Contact User"), F.col("doc_id").cast("string"),
+                    F.lit("@Example.COM now"),
                 ),
             ).otherwise(F.lit("")),
             F.when(
                 F.col("doc_id") % 11 == 0,
                 F.concat(
-                    F.lit(" call 555-"),
+                    F.lit(" Call 555-"),
                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
                 ),
             ).otherwise(F.lit("")),
@@ -2788,7 +2803,7 @@ _URL_SQL = (
                       row_number() OVER (PARTITION BY host
                                          ORDER BY n_chars DESC, doc_id ASC)
                         AS rank
-               FROM d WHERE tld <> 'biz')
+               FROM d WHERE tld IS NULL OR tld <> 'biz')
     SELECT doc_id, host, tld, n_chars, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 2
     """,

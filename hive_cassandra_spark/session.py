@@ -35,6 +35,12 @@ _BASE_CONF: dict[str, str] = {
     # the events fixture stores TIMESTAMP(NANOS); Spark only reads it as a
     # long — converted back to timestamp in the loader (queries.load_events)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # fixtures store naive timestamps (isAdjustedToUTC=false); Spark 4
+    # infers TIMESTAMP_NTZ for those by default, which breaks the
+    # LTZ-only functions (unix_micros/unix_timestamp/watermarks) and
+    # diverges from DuckDB's naive-read + UTC-session equivalence the
+    # oracle gate depends on. Read them as TIMESTAMP (UTC session).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # decode() replaces malformed bytes instead of raising (Spark 4 made it
     # strict): the expression codecs (codecs.decode_col) rely on replacement
     # — U+FFFD then fails the numeric-text regexes, netting NULL, exactly
@@ -68,6 +74,10 @@ _REQUIRED_RUNTIME_CONF: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.legacy.codingErrorAction": "true",
+    # naive parquet timestamps must surface as TIMESTAMP (LTZ @ UTC), not
+    # TIMESTAMP_NTZ: LTZ is what unix_micros/watermarks accept and what
+    # matches the DuckDB oracle's naive reading under a UTC session.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -20,10 +20,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# ts is declared bigint: the fixture stores TIMESTAMP(NANOS), which Spark
-# reads as a nanos long (legacy.parquet.nanosAsLong) — converted below.
+# ts declared bigint: for TIMESTAMP(NANOS) fixtures Spark reads ts as a
+# nanos long (legacy.parquet.nanosAsLong) — converted in the reader.
 EVENTS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+# ts declared timestamp: for TIMESTAMP(MICROS) fixtures (naive,
+# isAdjustedToUTC=false) read directly as LTZ under the pinned UTC session.
+EVENTS_SCHEMA_TS = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -32,14 +39,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-replay streaming source over the events parquet.
 
     The path is a glob (FileStreamSource wants a directory or pattern, not
-    a bare file); ts nanos → micros truncation matches the batch loader.
+    a bare file). The fixture's physical ts layout is probed via a batch
+    footer read (cheap, no data scan): TIMESTAMP(NANOS) surfaces as bigint
+    (nanosAsLong) and gets the nanos → micros truncation matching the batch
+    loader; TIMESTAMP(MICROS) streams directly as TimestampType.
     """
+    from hive_cassandra_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    batch_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    if batch_ts == "bigint":
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .load(f"{sf_dir}/events.parque*")
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_TS)
         .format("parquet")
         .load(f"{sf_dir}/events.parque*")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:

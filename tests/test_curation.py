@@ -145,6 +145,7 @@ def test_domain_cap_blocklist_and_k(spark):
             (2, "a.com", "com", 90),
             (3, "a.com", "com", 70),
             (4, "b.biz", "biz", 99),
+            (5, None, None, 10),
         ],
         "doc_id long, host string, tld string, n_chars long",
     )
@@ -153,7 +154,9 @@ def test_domain_cap_blocklist_and_k(spark):
         blocked_tlds=["biz"],
     )
     got = sorted((r.doc_id, r.rank) for r in out.collect())
-    assert got == [(2, 1), (3, 2)]  # largest two of a.com; b.biz dropped
+    # largest two of a.com; b.biz dropped; NULL tld (unparseable host)
+    # survives the blocklist — three-valued-logic regression guard
+    assert got == [(2, 1), (3, 2), (5, 1)]
 
 
 def test_domain_cap_requires_order(spark):
