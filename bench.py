@@ -51,6 +51,12 @@ HEADLINE = [
     "q65_batch_sessionize",
     "q71_pack_sequences",
     "q72_contamination",
+    # round-5 additions (r03 verdict item 4): join-heavy keywords,
+    # sketch paths, explode-heavy tokenize
+    "q74_keywords",
+    "q77_kmv_distinct",
+    "q78_tokenize_ids",
+    "q82_quantile_sketch",
 ]
 
 
@@ -74,6 +80,9 @@ def main() -> None:
         "q34_dedup_simhash",
         "q71_pack_sequences",
         "q72_contamination",
+        "q74_keywords",
+        "q78_tokenize_ids",
+        "q82_quantile_sketch",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

@@ -7,13 +7,15 @@ frame-sample) runs as Arrow-batched ``mapInPandas`` so each Python worker
 sees a whole batch — the only sane shape for 100 TB of blobs.
 
 Real container formats, no external libraries: **BMP** (8-bit grayscale,
-palette, bottom-up rows, 4-byte row padding) and **WAV** (RIFF/PCM
-16-bit mono) are encoded AND decoded with ``struct`` + numpy below, so
+palette, bottom-up rows, 4-byte row padding), **PNG** (8-bit grayscale,
+zlib DEFLATE + full scanline unfiltering — stdlib ``zlib`` + numpy, no
+PIL) and **WAV** (RIFF/PCM 16-bit mono) are encoded AND decoded below, so
 ``fake=False`` is a genuinely working path for those formats and for raw
-byte images. Formats that truly need an absent codec library (JPEG/PNG →
-PIL, MP4 → ffmpeg) raise NotImplementedError at the exact branch the
-library call belongs. ``fake=True`` remains the deterministic byte-level
-fake (real schema, real partitioning, real batch plumbing — fake pixels).
+byte images. Formats that truly need an absent codec library (JPEG →
+PIL/libjpeg, MP4 → ffmpeg) raise NotImplementedError at the exact branch
+the library call belongs. ``fake=True`` remains the deterministic
+byte-level fake (real schema, real partitioning, real batch plumbing —
+fake pixels).
 
 The binary type itself mirrors the reference's binary cells incl. their
 Base64 sniff (CassandraLazyBinary.java:26-51 → codecs.decode_binary).
@@ -22,6 +24,7 @@ Base64 sniff (CassandraLazyBinary.java:26-51 → codecs.decode_binary).
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -81,6 +84,103 @@ def decode_bmp_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
     return w, abs(h), rows.copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray8(pixels: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 array as a real 8-bit grayscale PNG (color
+    type 0): IHDR + one zlib-DEFLATE IDAT + IEND, CRC32 per chunk. Every
+    scanline uses the Up filter (type 2, row minus previous row mod 256 —
+    vectorized both directions), so decoding genuinely exercises
+    unfiltering, not just zlib passthrough. Readable by any PNG viewer."""
+    h, w = pixels.shape
+    filtered = pixels.astype(np.int16)
+    filtered[1:] -= pixels[:-1]
+    filtered = (filtered & 0xFF).astype(np.uint8)
+    raw = b"".join(b"\x02" + row.tobytes() for row in filtered)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an 8-bit grayscale non-interlaced PNG → (width, height,
+    (h, w) uint8 pixels). Walks the chunk list (multi-IDAT files parse),
+    inflates with stdlib zlib, and reverses ALL five scanline filters
+    (None/Sub/Up/Average/Paeth) per the PNG spec — Up is vectorized (the
+    encoder's output), the sequential filters take the per-pixel path.
+    Other color types / bit depths / interlacing need a real image
+    library."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, idat, header = 8, [], None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            header = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if header is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, bit_depth, color, _, _, interlace = header
+    if bit_depth != 8 or color != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit grayscale non-interlaced PNG supported (got "
+            f"depth={bit_depth}, color={color}, interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w + 1
+    arr = np.frombuffer(raw, dtype=np.uint8, count=stride * h).reshape(h, stride)
+    ftypes, scan = arr[:, 0], arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        f, rec = int(ftypes[y]), scan[y].copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            rec = (rec + prev) & 0xFF
+        elif f == 1:  # Sub
+            for x in range(1, w):
+                rec[x] = (rec[x] + rec[x - 1]) & 0xFF
+        elif f == 3:  # Average
+            rec[0] = (rec[0] + prev[0] // 2) & 0xFF
+            for x in range(1, w):
+                rec[x] = (rec[x] + (rec[x - 1] + prev[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(w):
+                a = int(rec[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG scanline filter {f}")
+        out[y] = rec
+        prev = rec
+    return w, h, out
+
+
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """Encode a 1-D int16 array as a canonical RIFF/WAVE file (PCM, mono,
     16-bit little-endian) — playable by any audio tool."""
@@ -135,13 +235,20 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def attach_image_payload(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    container: str = "bmp",
 ) -> DataFrame:
-    """Synthesize REAL BMP payloads from the documents fixture: the pixel
+    """Synthesize REAL image payloads from the documents fixture: the pixel
     plane is the utf-8 text bytes truncated / zero-padded to width×height
     (deterministic → oracle-replayable), wrapped in a spec-compliant 8-bit
-    grayscale BMP by ``encode_bmp_gray8``. Width/height derive from the id
-    exactly like ``attach_payload``."""
+    grayscale container — ``container='bmp'`` (``encode_bmp_gray8``) or
+    ``'png'`` (``encode_png_gray8``: zlib DEFLATE + Up-filtered
+    scanlines). Width/height derive from the id exactly like
+    ``attach_payload``."""
+    if container not in ("bmp", "png"):
+        raise ValueError(f"unsupported image container {container!r}")
+    encode = encode_bmp_gray8 if container == "bmp" else encode_png_gray8
+    fmt = f"image/{container}"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -151,9 +258,9 @@ def attach_image_payload(
                 h = int(doc_id) % 48 + 16
                 raw = text.encode("utf-8")[: w * h].ljust(w * h, b"\x00")
                 pixels = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
-                payloads.append(encode_bmp_gray8(pixels))
+                payloads.append(encode(pixels))
                 metas.append(
-                    {"format": "image/bmp", "width": w, "height": h, "n_frames": 1}
+                    {"format": fmt, "width": w, "height": h, "n_frames": 1}
                 )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
@@ -200,6 +307,9 @@ def decode_payload_bytes(buf: bytes, fmt: str) -> bytes:
     if fmt == "image/bmp":
         _, _, pixels = decode_bmp_gray8(bytes(buf))
         return pixels.tobytes()
+    if fmt == "image/png":
+        _, _, pixels = decode_png_gray8(bytes(buf))
+        return pixels.tobytes()
     if fmt == "audio/wav":
         _, samples = decode_wav_pcm16(bytes(buf))
         return (((samples.astype(np.int32) >> 8) + 128) & 0xFF).astype(np.uint8).tobytes()
@@ -207,7 +317,7 @@ def decode_payload_bytes(buf: bytes, fmt: str) -> bytes:
         return bytes(buf)
     raise NotImplementedError(
         f"decode of format {fmt!r} needs an absent codec library "
-        "(PIL for JPEG/PNG, ffmpeg for video containers)"
+        "(PIL/libjpeg for JPEG, ffmpeg for video containers)"
     )
 
 
@@ -305,13 +415,13 @@ def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFra
     """Resize each payload to width x height.
 
     ``fake=True``: deterministic truncate/pad (schema + batch-shape
-    exercise). ``fake=False``: REAL kernels — ``image/bmp`` payloads are
-    decoded, nearest-neighbor-resampled, and re-encoded as BMP
-    (stdlib codec, no PIL); ``raw`` payloads are interpreted as a
-    meta.width x meta.height single-channel byte image and resampled in
-    pure numpy. Both require the ``meta`` struct column. Formats that
-    genuinely need PIL (JPEG/PNG) raise NotImplementedError at that exact
-    branch."""
+    exercise). ``fake=False``: REAL kernels — ``image/bmp`` and
+    ``image/png`` payloads are decoded, nearest-neighbor-resampled, and
+    re-encoded in their container (stdlib codecs, no PIL); ``raw``
+    payloads are interpreted as a meta.width x meta.height single-channel
+    byte image and resampled in pure numpy. All require the ``meta``
+    struct column. Formats that genuinely need PIL (JPEG) raise
+    NotImplementedError at that exact branch."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = width * height
@@ -325,11 +435,16 @@ def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFra
                 for buf, meta in zip(pdf["payload"], pdf["meta"]):
                     m = _meta_dict(meta)
                     fmt = str(m.get("format", ""))
-                    if fmt == "image/bmp":
-                        w, h, pixels = decode_bmp_gray8(bytes(buf))
+                    if fmt in ("image/bmp", "image/png"):
+                        dec, enc = (
+                            (decode_bmp_gray8, encode_bmp_gray8)
+                            if fmt == "image/bmp"
+                            else (decode_png_gray8, encode_png_gray8)
+                        )
+                        w, h, pixels = dec(bytes(buf))
                         rows = np.arange(height) * h // height
                         cols = np.arange(width) * w // width
-                        out.append(encode_bmp_gray8(pixels[rows][:, cols]))
+                        out.append(enc(pixels[rows][:, cols]))
                     elif fmt.endswith("raw"):
                         out.append(
                             _nn_resize_raw(

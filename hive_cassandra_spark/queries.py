@@ -2841,6 +2841,111 @@ def q81_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "host", "tld", "n_chars", "rank")
 
 
+@register(
+    "q82_quantile_sketch",
+    oracle="""
+    WITH keyed AS (SELECT l_returnflag,
+                          l_extendedprice AS v,
+                          CAST(l_orderkey AS VARCHAR) || '-' ||
+                          CAST(l_linenumber AS VARCHAR) || '-' ||
+                          CAST(l_partkey AS VARCHAR) || '-' ||
+                          CAST(l_suppkey AS VARCHAR) AS k
+                   FROM lineitem),
+         h AS (SELECT l_returnflag, v,
+                      CAST('0x' || substr(md5(k), 1, 13) AS BIGINT) AS h
+               FROM keyed),
+         samp AS (SELECT l_returnflag, v, h FROM
+                    (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                                  ORDER BY h, v) AS hr
+                     FROM h) WHERE hr <= 256),
+         r AS (SELECT l_returnflag, v,
+                      row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY v, h) AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS n
+               FROM samp)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_sample,
+           max(CASE WHEN rn = 1 + ((n - 1) * 25) // 100 THEN v END) AS p25,
+           max(CASE WHEN rn = 1 + ((n - 1) * 50) // 100 THEN v END) AS p50,
+           max(CASE WHEN rn = 1 + ((n - 1) * 75) // 100 THEN v END) AS p75
+    FROM r GROUP BY l_returnflag
+    """,
+    doc="mergeable quantile sketch (bottom-k row sample, the KMV/q77 hash "
+    "family): per return flag, a deterministic ≤256-row uniform sample — "
+    "the rows whose 52-bit md5 hash of the unique row key is among the "
+    "group's smallest — then discrete p25/p50/p75 picked at integer index "
+    "⌊(n-1)·p⌋ of the sorted sample. Bounded state per group (the "
+    "scale-safe replacement for q59's exact F.percentile, whose agg "
+    "buffer holds every value); merge(sketch(A), sketch(B)) == "
+    "sketch(A∪B) is pinned in test_sketches, q59 stays as the exact "
+    "small-scale cross-check",
+)
+def q82_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.concat_ws(
+            "-", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+        ).alias("row_key"),
+    )
+    sk = sketches.quantile_sketch(
+        keyed, ["l_returnflag"], "price", "row_key", k=256
+    )
+    return sketches.quantile_estimate(
+        sk, ["l_returnflag"], [("p25", 25, 100), ("p50", 50, 100), ("p75", 75, 100)]
+    )
+
+
+@register(
+    "q83_multimodal_png",
+    # Same pixel-plane oracle as q43: BMP and PNG wrap the IDENTICAL
+    # deterministic pixel plane (utf-8 text truncated / zero-padded to
+    # width×height), so the SQL replay is unchanged — what differs is the
+    # Spark side, which genuinely zlib-inflates and unfilters the PNG
+    # scanline stream (Up-filtered rows) before histogramming.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len,
+                      CAST(doc_id % 64 + 16 AS BIGINT)
+                        * CAST(doc_id % 48 + 16 AS BIGINT) AS n
+               FROM documents),
+         nib AS (SELECT doc_id, n,
+                        unnest(list_transform(range(0, n),
+                          i -> CASE WHEN i < len
+                               THEN strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1
+                               ELSE 0 END)) AS bin
+                 FROM d),
+         counts AS (SELECT doc_id, bin, count(*) AS c, any_value(n) AS n
+                    FROM nib GROUP BY 1, 2),
+         f AS (SELECT doc_id, bin, round_even(c * 1.0 / n, 6) AS fb FROM counts)
+    SELECT doc_id,
+           coalesce(max(CASE WHEN bin = 0 THEN fb END), 0.0) AS f0,
+           coalesce(max(CASE WHEN bin = 7 THEN fb END), 0.0) AS f7,
+           round(sum(fb), 4) AS f_sum
+    FROM f GROUP BY doc_id
+    """,
+    doc="REAL PNG container decode + feature-extract via Arrow mapInPandas: "
+    "payloads are genuine 8-bit grayscale PNGs (stdlib zlib DEFLATE + "
+    "CRC32 chunks + Up-filtered scanlines — encode_png_gray8/"
+    "decode_png_gray8, no PIL), inflated + unfiltered to the pixel plane "
+    "in the fake=False path and histogrammed (SURVEY.md §2.C multimodal; "
+    "r03 verdict item 3 — PNG was the last common image format behind a "
+    "NotImplementedError)",
+)
+def q83_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(
+        multimodal.attach_image_payload(docs, container="png"), fake=False
+    )
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("f_sum"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -2875,6 +2980,13 @@ def q81_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries, each driver-green in ALL of r01+r02+r03, so all GRADUATE:
 # q16 (setops), q22 (pivot), q24 (transpose_read), q25 (transpose_write),
 # q26 (cf_map). PENDING_ROTATION is now empty, as its contract requires.
+#
+# Round-5 rotation: the two new round-5 capabilities take window slots
+# immediately (the q71-q74 precedent): q82 (mergeable bottom-k quantile
+# sketch — clears the r03 verdict's last weak-for-scale item) and q83
+# (REAL stdlib PNG decode — r03 verdict item 3). Evicted two sole-bearer
+# queries, each driver-green in r02+r03+r04, so both GRADUATE:
+# q29 (counters), q30 (ghost_rows).
 
 _WINDOW_ORDER = [
     # relational surface — one representative per capability
@@ -2890,8 +3002,6 @@ _WINDOW_ORDER = [
     # events family (round-1 env failures — verdict item 1)
     "q27_super_column_roundtrip",
     "q28_lww_compaction",
-    "q29_counter_rollup",
-    "q30_ghost_row_filter",
     "q64_hypertable_rollup",
     "q65_batch_sessionize",
     # LLM-pipeline operators (§2.C) — r03: all four previously-unwindowed
@@ -2921,6 +3031,9 @@ _WINDOW_ORDER = [
     "q79_shard_manifest",
     "q80_ttl_expiry",
     "q81_url_domains",
+    # round-5 capabilities (immediate rotation, q71-q74 precedent)
+    "q82_quantile_sketch",
+    "q83_multimodal_png",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q49_slice_range",
@@ -3025,6 +3138,8 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q79_shard_manifest": {"sharding"},
     "q80_ttl_expiry": {"ttl"},
     "q81_url_domains": {"url_curation"},
+    "q82_quantile_sketch": {"sketch_quantile"},
+    "q83_multimodal_png": {"multimodal"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -3047,6 +3162,10 @@ GRADUATED = {
     "q24_transpose_read",        # transpose_read
     "q25_transpose_implode",     # transpose_write
     "q26_cf_map_roundtrip",      # cf_map
+    # round-5 graduations — each driver-green in r02 AND r03 AND r04
+    # (r01 was the events-family env failure round)
+    "q29_counter_rollup",        # counters
+    "q30_ghost_row_filter",      # ghost_rows
 }
 
 

@@ -48,8 +48,9 @@ def test_registration_window_covers_every_family():
     window = set(names[:50])
     pinned = {
         # round-1 env failures + families with no round-1 driver row
-        "q27_super_column_roundtrip", "q28_lww_compaction", "q29_counter_rollup",
-        "q30_ghost_row_filter", "q64_hypertable_rollup", "q65_batch_sessionize",
+        # (q29/q30 GRADUATED in round 5 after green rows in r02+r03+r04)
+        "q27_super_column_roundtrip", "q28_lww_compaction",
+        "q64_hypertable_rollup", "q65_batch_sessionize",
         "q48_validator_decode", "q49_slice_range", "q50_stream_tumbling",
         "q52_stream_session", "q53_stream_dedup",
         "q54_stream_stateful", "q55_json_extract", "q56_corpus_curation",
@@ -61,6 +62,11 @@ def test_registration_window_covers_every_family():
         # round-3 curation capabilities, rotated in the same round
         "q71_pack_sequences", "q72_contamination",
         "q73_pii_redact", "q74_keywords",
+        # round-4 rotation: the last never-windowed operators
+        "q77_kmv_distinct", "q78_tokenize_ids", "q79_shard_manifest",
+        "q80_ttl_expiry", "q81_url_domains",
+        # round-5 capabilities, rotated in the same round
+        "q82_quantile_sketch", "q83_multimodal_png",
     }
     assert pinned <= window, sorted(pinned - window)
     # every query (in or out) must carry family tags, and every overflow

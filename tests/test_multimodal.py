@@ -187,3 +187,87 @@ def test_resize_and_frame_sample_shapes(spark, sf_dir):
     frames = multimodal.frame_sample(_payloads(spark, sf_dir, 6), n_frames=3, fake=True).collect()
     assert len(frames) == 18
     assert {r.frame_idx for r in frames} == {0, 1, 2}
+
+
+def test_png_codec_roundtrip():
+    rng = np.random.default_rng(13)
+    for w, h in [(16, 16), (17, 5), (63, 48), (1, 1)]:
+        pixels = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        data = multimodal.encode_png_gray8(pixels)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        dw, dh, out = multimodal.decode_png_gray8(data)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(out, pixels)
+
+
+def test_png_decoder_handles_all_filters():
+    """The decoder must reverse every PNG scanline filter type, not just
+    the Up filter our encoder emits — hand-build a 4-row image using
+    None/Sub/Average/Paeth against known reconstructed rows."""
+    import struct
+    import zlib
+
+    recon = np.array(
+        [[10, 20, 30, 40], [12, 22, 32, 42], [20, 30, 40, 50], [25, 35, 45, 55]],
+        dtype=np.uint8,
+    )
+    lines = []
+    prev = np.zeros(4, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 3, 4]):
+        row = recon[y].astype(np.int32)
+        if ftype == 0:
+            raw = row
+        elif ftype == 1:  # Sub: raw[x] = row[x] - row[x-1]
+            raw = row - np.concatenate(([0], row[:-1]))
+        elif ftype == 3:  # Average
+            left = np.concatenate(([0], row[:-1]))
+            raw = row - (left + prev) // 2
+        else:  # Paeth
+            raw = row.copy()
+            for x in range(4):
+                a = int(row[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw[x] = row[x] - pred
+        lines.append(bytes([ftype]) + (raw & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, out = multimodal.decode_png_gray8(data)
+    assert (w, h) == (4, 4)
+    assert np.array_equal(out, recon)
+
+
+def test_attach_image_payload_real_png_decode(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 8)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in multimodal.attach_image_payload(docs, container="png").collect():
+        w, h, pixels = multimodal.decode_png_gray8(bytes(r.payload))
+        assert (w, h) == (r.meta.width, r.meta.height)
+        want = texts[r.doc_id].encode("utf-8")[: w * h].ljust(w * h, b"\x00")
+        assert pixels.tobytes() == want
+        assert r.meta.format == "image/png"
+
+
+def test_resize_real_png_reencodes(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 6)
+    src = multimodal.attach_image_payload(docs, container="png")
+    out = multimodal.resize(src, 8, 8, fake=False).collect()
+    assert len(out) == 6
+    for r in out:
+        w, h, pixels = multimodal.decode_png_gray8(bytes(r.payload))
+        assert (w, h) == (8, 8) and pixels.shape == (8, 8)

@@ -146,3 +146,34 @@ def test_pii_redact_zero_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q73_pii_redact")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_build_vocab_window_bounded_by_takeordered(spark, sf_dir):
+    """The vocab id-assignment window is single-partition BY DESIGN but
+    provably bounded: its input must be the TakeOrderedAndProject(limit=
+    size) output — ≤ size rows — so a refactor can't silently widen it to
+    the full term table (r03 verdict item 5)."""
+    from hive_cassandra_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = text.build_vocab(docs, 512)._jdf.queryExecution().executedPlan().toString()
+    w, t = plan.find("Window"), plan.find("TakeOrderedAndProject(limit=512")
+    assert w != -1 and t != -1
+    # parent prints first: the window consumes the TakeOrdered output
+    assert w < t, plan
+
+
+def test_quantile_sketch_single_exchange_with_partial_limit(spark, sf_dir):
+    """The bottom-k quantile sample must shuffle ONCE (on the group key)
+    and prune map-side: WindowGroupLimit Partial runs before the exchange,
+    so each task ships at most k rows per group — the property that makes
+    the sketch 100 TB-safe."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q82_quantile_sketch")
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+    partial = plan.find("Partial")
+    exchange = plan.find("Exchange")
+    assert "WindowGroupLimit" in plan and partial != -1
+    # tree prints parents first: the Partial limit sits BELOW the exchange
+    assert partial > exchange, plan

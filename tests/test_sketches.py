@@ -92,3 +92,65 @@ def test_hash52_matches_duckdb(spark):
         for v in vals
     ]
     assert [r.h for r in got] == want
+
+
+# ---------------------------------------------------------------------
+# bottom-k quantile sketch
+# ---------------------------------------------------------------------
+
+
+def _quantile_fixture(spark):
+    # two groups, values 0..999 (g=a) and 0..499 doubled (g=b); unique key
+    return spark.range(1500).select(
+        F.when(F.col("id") < 1000, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        F.when(F.col("id") < 1000, F.col("id"))
+        .otherwise((F.col("id") - 1000) * 2)
+        .cast("double")
+        .alias("v"),
+        F.concat(F.lit("k"), F.col("id")).alias("rk"),
+    )
+
+
+def test_quantile_sketch_bounded_state(spark):
+    df = _quantile_fixture(spark)
+    sk = sketches.quantile_sketch(df, ["g"], "v", "rk", k=64)
+    per_group = {r.g: r.c for r in sk.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    assert per_group == {"a": 64, "b": 64}
+
+
+def test_quantile_sketch_merge_equals_full(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) for a disjoint split —
+    the partial-aggregate property that makes the sketch scale-safe."""
+    df = _quantile_fixture(spark)
+    a = df.filter(F.col("rk") < "k5")  # lexicographic split, disjoint
+    b = df.filter(~(F.col("rk") < "k5"))
+    k = 48
+    merged = sketches.merge_quantile_sketch(
+        sketches.quantile_sketch(a, ["g"], "v", "rk", k),
+        sketches.quantile_sketch(b, ["g"], "v", "rk", k),
+        ["g"],
+        k,
+    )
+    direct = sketches.quantile_sketch(df, ["g"], "v", "rk", k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_quantile_estimate_tracks_exact(spark):
+    """Sanity: sketch estimates land near the exact percentiles (uniform
+    values 0..999, k=256 → sampling error well under 15 percentile
+    points), and the full-population sketch (k >= n) is EXACTLY the
+    discrete percentile."""
+    df = _quantile_fixture(spark).filter(F.col("g") == "a")
+    est = sketches.quantile_estimate(
+        sketches.quantile_sketch(df, ["g"], "v", "rk", k=256), ["g"]
+    ).collect()[0]
+    assert est.n_sample == 256
+    assert abs(est.p25 - 250) < 150 and abs(est.p50 - 500) < 150 \
+        and abs(est.p75 - 750) < 150
+    full = sketches.quantile_estimate(
+        sketches.quantile_sketch(df, ["g"], "v", "rk", k=2000), ["g"]
+    ).collect()[0]
+    # n=1000: index ⌊999·p⌋ of sorted 0..999 = 249 / 499 / 749
+    assert (full.n_sample, full.p25, full.p50, full.p75) == (1000, 249.0, 499.0, 749.0)
