@@ -1,0 +1,252 @@
+"""DSv2 connector seam: the cell store as a first-class Spark data source.
+
+``spark.read.format("cassandra_cells")`` runs the cell store through
+Spark's Python Data Source API — the exact architectural slot where a live
+Cassandra client would sit. The reference expressed the same seam through
+Hadoop InputFormat plumbing; each piece maps one-to-one:
+
+- split generation from the ring, sized by ``cassandra.input.split.size``
+  (65,536 keys/split — AbstractColumnSerDe.java:42,69; splits built in
+  HiveCassandraStandardColumnInputFormat.getSplits):
+  ``CellStoreReader.partitions()`` bin-packs the store's parquet files
+  (hash-buckets of row_key, i.e. token ranges — sink.write_cells
+  repartitions on the key) into ``split_size``-row splits.
+- per-split host placement (HiveCassandraStandardSplit.java:13-158 carries
+  start/end token + preferred hosts): each ``CellSplit`` carries a
+  ``preferred_hosts`` tuple. Over a file-backed store it is synthesized
+  and advisory; a live implementation fills it with the range's replica
+  endpoints — the Python API records it as split metadata (the engine's
+  scheduler only consumes locality from JVM sources).
+- batched range paging, ``cassandra.range.size`` = 1000 rows/fetch
+  (AbstractColumnSerDe.java:40,70; the resumable wide-row iterator,
+  ColumnFamilyWideRowRecordReader.java:240-429): ``read()`` yields Arrow
+  record batches of at most ``page_size`` rows, ordered by
+  (row_key, column_name) — the slice order — within each split.
+- slice-predicate pushdown (SlicePredicate push,
+  HiveCassandraStandardColumnInputFormat.java:73-98): ``pushFilters()``
+  accepts comparisons/equality/IN on ``column_name`` and ``row_key`` plus
+  the live-cell ``value IS NOT NULL`` filter and evaluates them inside
+  the pyarrow scan (row-group statistics prune); everything else is
+  returned to Spark to re-apply.
+
+Scale posture: one split never materializes more than ~``split_size``
+cells (the same bounded-memory contract the reference's split reader
+makes), footers only are read at planning time, and no driver collect
+exists anywhere — at 100 TB the store is many files and splits simply
+multiply.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "cassandra_cells"
+DEFAULT_SPLIT_SIZE = 65536  # ≙ cassandra.input.split.size
+DEFAULT_PAGE_SIZE = 1000  # ≙ cassandra.range.size
+
+_BASE_SCHEMA = "row_key binary, column_name binary, value binary, ts bigint"
+_OPTIONAL_COLS = ("sub_column_name", "ttl_s")
+
+
+def _store_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return sorted(glob.glob(path))
+
+
+@dataclass
+class CellSplit(InputPartition):
+    """One scan split: a token-range bucket of the store. ``files`` are the
+    parquet hash-buckets assigned to this split; ``preferred_hosts`` is the
+    placement metadata a live cluster client would populate with replica
+    endpoints (advisory here — see module docstring)."""
+
+    files: tuple
+    est_rows: int
+    preferred_hosts: tuple
+
+
+class CellStoreReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "cassandra_cells needs a store path: .load('<dir>')"
+            )
+        self.path = path
+        self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        if self.split_size < 1 or self.page_size < 1:
+            raise ValueError("split_size and page_size must be >= 1")
+        self.out_schema = schema
+        self.pushed: list[Filter] = []
+
+    # -- slice-predicate pushdown ---------------------------------------
+    _PUSHABLE = (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+        In,
+    )
+
+    def pushFilters(self, filters: list[Filter]):
+        for f in filters:
+            attr = f.attribute[0] if len(f.attribute) == 1 else None
+            if isinstance(f, self._PUSHABLE) and attr in (
+                "column_name",
+                "row_key",
+                "ts",
+            ):
+                self.pushed.append(f)
+            elif isinstance(f, IsNotNull) and attr in (
+                "value",
+                "row_key",
+                "column_name",
+            ):
+                self.pushed.append(f)
+            else:
+                yield f  # unsupported → Spark re-applies it
+
+    def _arrow_filter(self):
+        import pyarrow.dataset as ds
+
+        expr = None
+        for f in self.pushed:
+            name = f.attribute[0]
+            field = ds.field(name)
+            if isinstance(f, EqualTo):
+                e = field == f.value
+            elif isinstance(f, GreaterThan):
+                e = field > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                e = field >= f.value
+            elif isinstance(f, LessThan):
+                e = field < f.value
+            elif isinstance(f, LessThanOrEqual):
+                e = field <= f.value
+            elif isinstance(f, In):
+                e = field.isin(list(f.values))
+            else:  # IsNotNull
+                e = field.is_valid()
+            expr = e if expr is None else expr & e
+        return expr
+
+    # -- split generation -----------------------------------------------
+    def partitions(self) -> list[CellSplit]:
+        import pyarrow.parquet as pq
+
+        files = _store_files(self.path)
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {self.path}")
+        # footer-only row counts: planning never scans data
+        sized = [(f, pq.read_metadata(f).num_rows) for f in files]
+        splits: list[CellSplit] = []
+        cur: list[str] = []
+        cur_rows = 0
+
+        def flush():
+            nonlocal cur, cur_rows
+            if cur:
+                idx = len(splits)
+                splits.append(
+                    CellSplit(
+                        files=tuple(cur),
+                        est_rows=cur_rows,
+                        # synthesized RF=3-style placement; a live client
+                        # fills the range's actual replica endpoints here
+                        preferred_hosts=tuple(
+                            f"node-{(idx + r) % 8}" for r in range(3)
+                        ),
+                    )
+                )
+                cur, cur_rows = [], 0
+
+        for f, n in sized:
+            cur.append(f)
+            cur_rows += n
+            if cur_rows >= self.split_size:
+                flush()
+        flush()
+        return splits
+
+    # -- batched, ordered scan ------------------------------------------
+    def read(self, split: CellSplit):
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(list(split.files), format="parquet")
+        avail = set(dataset.schema.names)
+        wanted = [f.name for f in self.out_schema.fields]
+        table = dataset.scanner(
+            columns=[c for c in wanted if c in avail],
+            filter=self._arrow_filter(),
+        ).to_table()
+        # the slice order the reference's iterator guarantees; bounded by
+        # the split's ~split_size rows (same contract as the Thrift reader)
+        sort_keys = [
+            (c, "ascending") for c in ("row_key", "column_name") if c in avail
+        ]
+        if sort_keys:
+            table = table.sort_by(sort_keys)
+        # requested columns the store lacks (e.g. ttl_s) surface as nulls
+        arrays, names = [], []
+        for f in self.out_schema.fields:
+            names.append(f.name)
+            if f.name in avail:
+                arrays.append(table.column(f.name))
+            else:
+                arrays.append(pa.nulls(table.num_rows))
+        out = pa.table(dict(zip(names, arrays)))
+        # page-size Arrow batches ≙ cassandra.range.size fetch units
+        yield from out.to_batches(max_chunksize=self.page_size)
+
+
+class CellStoreDataSource(DataSource):
+    """format("cassandra_cells"): see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        # default schema mirrors sink.to_cells; optional store columns
+        # (sub_column_name, ttl_s) are appended when the footer has them
+        parts = [_BASE_SCHEMA]
+        files = _store_files(self.options.get("path", ""))
+        if files:
+            import pyarrow.parquet as pq
+
+            names = set(pq.read_schema(files[0]).names)
+            for c in _OPTIONAL_COLS:
+                if c in names:
+                    parts.append(
+                        f"{c} binary" if c == "sub_column_name" else f"{c} int"
+                    )
+        return ", ".join(parts)
+
+    def reader(self, schema: StructType) -> CellStoreReader:
+        return CellStoreReader(dict(self.options), schema)
+
+
+def register(spark) -> None:
+    """Idempotently register the format with a session."""
+    spark.dataSource.register(CellStoreDataSource)

@@ -2946,6 +2946,75 @@ def q83_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q84_connector_datasource",
+    # The store holds one cell per (customer, value column); the slice
+    # range [c_mktsegment, c_name] keeps exactly two of the three value
+    # cells (c_nation sorts after c_name), so the oracle replays the
+    # surviving cells as a two-branch unpivot of the base table.
+    oracle="""
+    WITH cells AS (
+        SELECT c_custkey, 'c_mktsegment' AS cell, c_mktsegment AS v FROM customer
+        UNION ALL
+        SELECT c_custkey, 'c_name' AS cell, c_name AS v FROM customer)
+    SELECT cell,
+           count(*) AS n_cells,
+           count(DISTINCT c_custkey) AS n_rows,
+           min(v) AS min_val,
+           max(v) AS max_val
+    FROM cells GROUP BY cell
+    """,
+    doc="the DSv2 connector seam end-to-end (datasource.py ≙ the "
+    "reference's InputFormat stack): write a cell store through the "
+    "storage handler, then read it back as spark.read.format("
+    "'cassandra_cells') — real Python Data Source with token-bucket split "
+    "generation (split_size ≙ cassandra.input.split.size, "
+    "HiveCassandraStandardSplit.java:13-158), per-split placement "
+    "metadata, page_size Arrow batches (≙ cassandra.range.size), and the "
+    "slice-range predicate pushed through DataSourceReader.pushFilters "
+    "into the pyarrow scan (≙ SlicePredicate push, "
+    "HiveCassandraStandardColumnInputFormat.java:73-98)",
+)
+def q84_connector_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_cassandra_spark import datasource, handler
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("string").alias("c_nation"),
+        "c_mktsegment",
+    )
+    store = f"/tmp/hcs_q84_{os.path.basename(sf_dir.rstrip('/'))}"
+    tdef = handler.define_table(
+        "cust_cells",
+        store,
+        ["c_custkey", "c_name", "c_nation", "c_mktsegment"],
+        ["bigint", "string", "string", "string"],
+    )
+    handler.write_table(cust, tdef, mode="overwrite", clock_millis=1)
+    datasource.register(spark)
+    cells = (
+        spark.read.format("cassandra_cells")
+        .option("split_size", 65536)
+        .option("page_size", 1000)
+        .load(store)
+        .filter(
+            (F.col("column_name") >= F.lit(b"c_mktsegment"))
+            & (F.col("column_name") <= F.lit(b"c_name"))
+        )
+    )
+    return cells.groupBy(
+        F.col("column_name").cast("string").alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("row_key").alias("n_rows"),
+        F.min(F.col("value").cast("string")).alias("min_val"),
+        F.max(F.col("value").cast("string")).alias("max_val"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -2981,12 +3050,13 @@ def q83_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q16 (setops), q22 (pivot), q24 (transpose_read), q25 (transpose_write),
 # q26 (cf_map). PENDING_ROTATION is now empty, as its contract requires.
 #
-# Round-5 rotation: the two new round-5 capabilities take window slots
+# Round-5 rotation: the three new round-5 capabilities take window slots
 # immediately (the q71-q74 precedent): q82 (mergeable bottom-k quantile
-# sketch — clears the r03 verdict's last weak-for-scale item) and q83
-# (REAL stdlib PNG decode — r03 verdict item 3). Evicted two sole-bearer
-# queries, each driver-green in r02+r03+r04, so both GRADUATE:
-# q29 (counters), q30 (ghost_rows).
+# sketch — clears the r03 verdict's last weak-for-scale item), q83
+# (REAL stdlib PNG decode — r03 verdict item 3), and q84 (the DSv2
+# connector seam — r03 verdict item 7). Evicted three sole-bearer
+# queries, each driver-green in r02+r03+r04, so all GRADUATE:
+# q29 (counters), q30 (ghost_rows), q55 (json_fns).
 
 _WINDOW_ORDER = [
     # relational surface — one representative per capability
@@ -3034,6 +3104,7 @@ _WINDOW_ORDER = [
     # round-5 capabilities (immediate rotation, q71-q74 precedent)
     "q82_quantile_sketch",
     "q83_multimodal_png",
+    "q84_connector_datasource",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q49_slice_range",
@@ -3041,7 +3112,6 @@ _WINDOW_ORDER = [
     "q52_stream_session",
     "q53_stream_dedup",
     "q54_stream_stateful",
-    "q55_json_extract",
     "q56_corpus_curation",
     "q57_asof_join",
     "q58_range_join",
@@ -3140,6 +3210,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q81_url_domains": {"url_curation"},
     "q82_quantile_sketch": {"sketch_quantile"},
     "q83_multimodal_png": {"multimodal"},
+    "q84_connector_datasource": {"connector_datasource"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -3163,9 +3234,10 @@ GRADUATED = {
     "q25_transpose_implode",     # transpose_write
     "q26_cf_map_roundtrip",      # cf_map
     # round-5 graduations — each driver-green in r02 AND r03 AND r04
-    # (r01 was the events-family env failure round)
+    # (r01 was the events-family env failure round; q55 had no r01 row)
     "q29_counter_rollup",        # counters
     "q30_ghost_row_filter",      # ghost_rows
+    "q55_json_extract",          # json_fns
 }
 
 

@@ -47,6 +47,9 @@ _BASE_CONF: dict[str, str] = {
     # the reference's text-fallback failure mode (SURVEY.md §1.3)
     "spark.sql.legacy.codingErrorAction": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # the cassandra_cells Python data source (datasource.py) pushes slice
+    # predicates through DataSourceReader.pushFilters — gated off by default
+    "spark.sql.python.filterPushdown.enabled": "true",
     # 128 MB input partitions — the parquet analogue of the reference's
     # 64k-keys-per-split sizing (one task ≈ one comfortably-memory-resident
     # chunk at any scale factor).
@@ -78,6 +81,10 @@ _REQUIRED_RUNTIME_CONF: dict[str, str] = {
     # TIMESTAMP_NTZ: LTZ is what unix_micros/watermarks accept and what
     # matches the DuckDB oracle's naive reading under a UTC session.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # the cassandra_cells data source refuses to run with its pushFilters
+    # hook disabled (fail-closed in Spark 4.1) — required wherever a
+    # query reads through the connector seam.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

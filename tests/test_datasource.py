@@ -1,0 +1,127 @@
+"""The cassandra_cells Python data source: split generation sized like the
+reference's cassandra.input.split.size, slice-predicate pushdown via
+pushFilters, page-size Arrow batching, and read-equivalence with the
+direct parquet read of the same store."""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull, StringContains
+from pyspark.sql.types import StructType
+
+from hive_cassandra_spark import datasource, handler
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cells") / "store")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    tdef = handler.define_table(
+        "cust_cf_ds", path,
+        ["c_custkey", "c_name", "c_mktsegment"],
+        ["bigint", "string", "string"],
+    )
+    handler.write_table(cust, tdef, mode="overwrite", clock_millis=1)
+    datasource.register(spark)
+    return path
+
+
+def test_read_matches_direct_parquet(spark, store):
+    via_ds = spark.read.format("cassandra_cells").load(store)
+    direct = spark.read.parquet(store).select("row_key", "column_name", "value", "ts")
+    a = sorted(map(tuple, via_ds.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_split_generation_respects_split_size(spark, store):
+    import glob
+
+    files = sorted(glob.glob(f"{store}/*.parquet"))
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    reader = datasource.CellStoreReader(
+        {"path": store, "split_size": "1"},
+        StructType.fromDDL(datasource._BASE_SCHEMA),
+    )
+    splits = reader.partitions()
+    # split_size=1: every non-empty file flushes its own split
+    assert len(splits) == len([f for f in files if pq.read_metadata(f).num_rows])
+    assert sum(s.est_rows for s in splits) == total
+    assert all(len(s.preferred_hosts) == 3 for s in splits)
+    # and the DataFrame actually plans that many input partitions
+    df = spark.read.format("cassandra_cells").option("split_size", "1").load(store)
+    assert df.rdd.getNumPartitions() == len(splits)
+    assert df.count() == total
+
+
+def test_push_filters_partitioning(spark, store):
+    reader = datasource.CellStoreReader(
+        {"path": store}, StructType.fromDDL(datasource._BASE_SCHEMA)
+    )
+    supported = [
+        EqualTo(("column_name",), b"c_name"),
+        GreaterThanOrEqual(("ts",), 0),
+        IsNotNull(("value",)),
+    ]
+    unsupported = [StringContains(("column_name",), "c_")]
+    leftover = list(reader.pushFilters(supported + unsupported))
+    assert leftover == unsupported
+    assert reader.pushed == supported
+
+
+def test_pushed_slice_filter_correct_results(spark, store):
+    df = spark.read.format("cassandra_cells").load(store)
+    got = (
+        df.filter(F.col("column_name") == F.lit(b"c_mktsegment"))
+        .select(F.col("value").cast("string").alias("seg"))
+        .groupBy("seg").count()
+    )
+    want = (
+        spark.read.parquet(store)
+        .filter(F.col("column_name").cast("string") == "c_mktsegment")
+        .select(F.col("value").cast("string").alias("seg"))
+        .groupBy("seg").count()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_read_pages_are_bounded_and_ordered(spark, store):
+    reader = datasource.CellStoreReader(
+        # one split holding the whole store
+        {"path": store, "page_size": "7", "split_size": "1000000000"},
+        StructType.fromDDL(datasource._BASE_SCHEMA),
+    )
+    (split,) = reader.partitions()
+    batches = list(reader.read(split))
+    assert all(b.num_rows <= 7 for b in batches)
+    keys = [
+        (rk, cn)
+        for b in batches
+        for rk, cn in zip(
+            b.column("row_key").to_pylist(), b.column("column_name").to_pylist()
+        )
+    ]
+    assert keys == sorted(keys)  # slice order across page boundaries
+    assert sum(b.num_rows for b in batches) == split.est_rows
+
+
+def test_missing_optional_column_surfaces_null(spark, store):
+    df = (
+        spark.read.format("cassandra_cells")
+        .schema(datasource._BASE_SCHEMA + ", ttl_s int")
+        .load(store)
+    )
+    rows = df.limit(5).collect()
+    assert rows and all(r.ttl_s is None for r in rows)
+
+
+def test_missing_path_and_empty_store_raise(spark, tmp_path):
+    with pytest.raises(ValueError, match="path"):
+        datasource.CellStoreReader({}, StructType.fromDDL(datasource._BASE_SCHEMA))
+    reader = datasource.CellStoreReader(
+        {"path": str(tmp_path)}, StructType.fromDDL(datasource._BASE_SCHEMA)
+    )
+    with pytest.raises(FileNotFoundError):
+        reader.partitions()

@@ -53,7 +53,7 @@ def test_registration_window_covers_every_family():
         "q64_hypertable_rollup", "q65_batch_sessionize",
         "q48_validator_decode", "q49_slice_range", "q50_stream_tumbling",
         "q52_stream_session", "q53_stream_dedup",
-        "q54_stream_stateful", "q55_json_extract", "q56_corpus_curation",
+        "q54_stream_stateful", "q56_corpus_curation",
         "q57_asof_join", "q58_range_join", "q59_percentiles",
         "q62_stream_stream_join",
         # round-2 verdict item 6: previously past the window
@@ -67,6 +67,7 @@ def test_registration_window_covers_every_family():
         "q80_ttl_expiry", "q81_url_domains",
         # round-5 capabilities, rotated in the same round
         "q82_quantile_sketch", "q83_multimodal_png",
+        "q84_connector_datasource",
     }
     assert pinned <= window, sorted(pinned - window)
     # every query (in or out) must carry family tags, and every overflow
