@@ -28,6 +28,13 @@ Hadoop InputFormat plumbing; each piece maps one-to-one:
   the live-cell ``value IS NOT NULL`` filter and evaluates them inside
   the pyarrow scan (row-group statistics prune); everything else is
   returned to Spark to re-apply.
+- batched mutation writes, ``cassandra.batchmutate.size`` = 500
+  (AbstractColumnSerDe.java:47,75; consistency coercion
+  output/CassandraAbstractPut.java:39-50): ``df.write.format(
+  "cassandra_cells")`` streams each task's Arrow batches into row groups
+  capped at ``batch_size`` with an atomic temp-file/rename commit
+  protocol (``CellStoreWriter``); the store path must be shared storage,
+  the same assumption every parquet sink makes.
 
 Scale posture: one split never materializes more than ~``split_size``
 cells (the same bounded-memory contract the reference's split reader
@@ -44,6 +51,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -54,6 +62,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -220,6 +229,94 @@ class CellStoreReader(DataSourceReader):
         yield from out.to_batches(max_chunksize=self.page_size)
 
 
+DEFAULT_BATCH_SIZE = 500  # ≙ cassandra.batchmutate.size
+
+
+@dataclass
+class CellCommit(WriterCommitMessage):
+    """One task's pending output: a hidden temp file the driver publishes
+    (renames) at commit — the all-or-nothing protocol standing in for the
+    reference's per-batch ``batch_mutate`` acknowledgements."""
+
+    tmp_file: str
+    rows: int
+
+
+class CellStoreWriter(DataSourceArrowWriter):
+    """df.write.format("cassandra_cells"): the mutation path of the seam.
+
+    ≙ the reference's output side (output/CassandraAbstractPut.java:39-50
+    consistency coercion, batch_mutate flushing sized by
+    ``cassandra.batchmutate.size`` = 500): each executor task streams its
+    Arrow batches into one hidden temp file whose row groups are capped at
+    ``batch_size`` rows — the bounded unit of work a mutation flush ships —
+    and the driver publishes all temp files atomically on commit (or
+    deletes them on abort). ``consistency`` is validated with the
+    reference's coercion rule (bad → ONE) and recorded; over a file store
+    it has no runtime effect, exactly as SURVEY §2.A row 17 prescribes.
+    """
+
+    _REQUIRED = ("row_key", "column_name", "value", "ts")
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool) -> None:
+        from hive_cassandra_spark.sink import normalize_consistency
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("cassandra_cells needs a store path: .save('<dir>')")
+        self.path = path
+        self.batch_size = int(options.get("batch_size", DEFAULT_BATCH_SIZE))
+        if self.batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        self.consistency = normalize_consistency(options.get("consistency"))
+        self.overwrite = overwrite
+        names = {f.name for f in schema.fields}
+        missing = [c for c in self._REQUIRED if c not in names]
+        if missing:
+            raise ValueError(f"cell schema missing columns: {missing}")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"._tmp-{uuid.uuid4().hex}.parquet")
+        writer, rows = None, 0
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, batch.schema)
+            # row groups capped at batch_size: the batch_mutate flush unit
+            writer.write_table(
+                pa.Table.from_batches([batch]), row_group_size=self.batch_size
+            )
+            rows += batch.num_rows
+        if writer is None:  # empty task still commits (zero-row message)
+            return CellCommit(tmp_file="", rows=0)
+        writer.close()
+        return CellCommit(tmp_file=tmp, rows=rows)
+
+    def commit(self, messages):
+        import glob as _glob
+
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "*.parquet")):
+                os.remove(old)
+        for i, m in enumerate(messages):
+            if m and m.tmp_file:
+                os.rename(
+                    m.tmp_file, os.path.join(self.path, f"part-{i:05d}.parquet")
+                )
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m and m.tmp_file and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)
+
+
 class CellStoreDataSource(DataSource):
     """format("cassandra_cells"): see module docstring."""
 
@@ -245,6 +342,9 @@ class CellStoreDataSource(DataSource):
 
     def reader(self, schema: StructType) -> CellStoreReader:
         return CellStoreReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> CellStoreWriter:
+        return CellStoreWriter(dict(self.options), schema, overwrite)
 
 
 def register(spark) -> None:

@@ -2993,8 +2993,26 @@ def q84_connector_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_custkey", "c_name", "c_nation", "c_mktsegment"],
         ["bigint", "string", "string", "string"],
     )
-    handler.write_table(cust, tdef, mode="overwrite", clock_millis=1)
     datasource.register(spark)
+    # write THROUGH the data source too: encoded cells stream out as
+    # batch_size-capped row groups with the temp-file/rename commit —
+    # both directions of the seam run under the driver's gate
+    from hive_cassandra_spark import sink
+
+    cells_out = sink.to_cells(
+        cust.select(*tdef.column_names),
+        tdef.mapping,
+        list(tdef.hive_types),
+        clock_millis=1,
+    )
+    (
+        cells_out.repartition(F.col("row_key"))
+        .write.format("cassandra_cells")
+        .option("batch_size", tdef.batch_size)
+        .option("consistency", tdef.consistency)
+        .mode("overwrite")
+        .save(store)
+    )
     cells = (
         spark.read.format("cassandra_cells")
         .option("split_size", 65536)

@@ -125,3 +125,58 @@ def test_missing_path_and_empty_store_raise(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         reader.partitions()
+
+
+# ---------------------------------------------------------------------
+# write path: df.write.format("cassandra_cells")
+# ---------------------------------------------------------------------
+
+
+def test_write_roundtrip_and_batch_bound(spark, store, tmp_path):
+    out = str(tmp_path / "written")
+    cells = spark.read.parquet(store).select("row_key", "column_name", "value", "ts")
+    (
+        cells.write.format("cassandra_cells")
+        .option("batch_size", "50")
+        .mode("append")
+        .save(out)
+    )
+    back = spark.read.parquet(out).select("row_key", "column_name", "value", "ts")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cells.collect()))
+    # every row group obeys the batch_mutate bound
+    import glob
+
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.read_metadata(f)
+        assert all(
+            md.row_group(i).num_rows <= 50 for i in range(md.num_row_groups)
+        )
+    # no temp litter after commit
+    assert not glob.glob(f"{out}/._tmp-*")
+
+
+def test_write_overwrite_replaces(spark, store, tmp_path):
+    out = str(tmp_path / "written_ow")
+    cells = spark.read.parquet(store).select("row_key", "column_name", "value", "ts")
+    cells.write.format("cassandra_cells").mode("append").save(out)
+    one = cells.limit(1)
+    one.write.format("cassandra_cells").mode("overwrite").save(out)
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_writer_validates_options_and_schema():
+    from pyspark.sql.types import StructType
+
+    good = StructType.fromDDL(datasource._BASE_SCHEMA)
+    w = datasource.CellStoreWriter(
+        {"path": "/tmp/x", "consistency": "banana"}, good, False
+    )
+    assert w.consistency == "ONE"  # reference coercion: bad -> ONE
+    w2 = datasource.CellStoreWriter({"path": "/tmp/x", "consistency": "quorum"}, good, False)
+    assert w2.consistency == "QUORUM"
+    with pytest.raises(ValueError, match="missing columns"):
+        datasource.CellStoreWriter(
+            {"path": "/tmp/x"}, StructType.fromDDL("row_key binary, ts bigint"), False
+        )
+    with pytest.raises(ValueError, match="path"):
+        datasource.CellStoreWriter({}, good, False)
