@@ -28,6 +28,7 @@ INTERESTING = [
     ("InMemoryTableScan", "cached subtree read"),
     ("AQEShuffleRead", "AQE shuffle read (coalesced)"),
     ("TakeOrderedAndProject", "top-K without global sort"),
+    ("WindowGroupLimit", "window group limit (map-side rank pruning)"),
     ("Window", "window"),
     ("HashAggregate", "hash aggregate"),
     ("ObjectHashAggregate", "object hash aggregate (collect-style)"),
@@ -42,6 +43,12 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q82_quantile_sketch": (
+        "bottom-k sample: WindowGroupLimit Partial prunes to <=256 rows/group "
+        "inside each map task BEFORE the single exchange, so the shuffle "
+        "carries O(groups x k) rows regardless of input size; the estimate "
+        "windows run over the already-bounded sample."
+    ),
     "q47_similarity_ivf": (
         "cost is whole-stage-codegen of the 16x64 literal centroid vectors — "
         "fixed compile overhead, amortized on a long-lived cluster (bench.py "
