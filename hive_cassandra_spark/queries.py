@@ -3033,6 +3033,47 @@ def q84_connector_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q85_stream_kmv_distinct",
+    oracle="""
+    WITH b AS (SELECT DISTINCT
+                      strftime(time_bucket(INTERVAL '1 hour', ts),
+                               '%Y-%m-%d %H:%M:%S') AS window_start,
+                      event_type,
+                      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) AS h
+               FROM events),
+         r AS (SELECT window_start, event_type, h,
+                      row_number() OVER (PARTITION BY window_start, event_type
+                                         ORDER BY h) AS rn
+               FROM b),
+         sk AS (SELECT window_start, event_type,
+                       CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth
+                FROM r WHERE rn <= 64 GROUP BY 1, 2)
+    SELECT window_start, event_type, k_used,
+           CAST(CASE WHEN k_used < 64 THEN k_used
+                     ELSE (63 * 4503599627370496) // greatest(kth, 1)
+                END AS BIGINT) AS est_distinct
+    FROM sk
+    """,
+    doc="streaming KMV distinct-count: per (tumbling hour, event_type) the "
+    "k=64 smallest 52-bit user-id hashes ride applyInPandasWithState as "
+    "bounded per-key state (~512 bytes — never the user set); the "
+    "set-union + re-min merge is batching-order-independent, so the "
+    "bounded replay equals the serial oracle exactly — the q76/q77 "
+    "mergeability contract carried across micro-batches as streaming "
+    "state",
+)
+def q85_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    return streaming_events.run_bounded(
+        streaming_events.stream_kmv_distinct(ev, width_s=3600, k=64),
+        spark,
+        "update",
+        state_partitions=8,
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -3071,10 +3112,12 @@ def q84_connector_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-5 rotation: the three new round-5 capabilities take window slots
 # immediately (the q71-q74 precedent): q82 (mergeable bottom-k quantile
 # sketch — clears the r03 verdict's last weak-for-scale item), q83
-# (REAL stdlib PNG decode — r03 verdict item 3), and q84 (the DSv2
-# connector seam — r03 verdict item 7). Evicted three sole-bearer
-# queries, each driver-green in r02+r03+r04, so all GRADUATE:
-# q29 (counters), q30 (ghost_rows), q55 (json_fns).
+# (REAL stdlib PNG decode — r03 verdict item 3), q84 (the DSv2
+# connector seam — r03 verdict item 7), and q85 (streaming KMV sketch —
+# the mergeable-sketch tier carried into stateful streaming). Evicted
+# four sole-bearer queries, each driver-green in r02+r03+r04, so all
+# GRADUATE: q29 (counters), q30 (ghost_rows), q55 (json_fns),
+# q53 (stream_dedup).
 
 _WINDOW_ORDER = [
     # relational surface — one representative per capability
@@ -3123,12 +3166,12 @@ _WINDOW_ORDER = [
     "q82_quantile_sketch",
     "q83_multimodal_png",
     "q84_connector_datasource",
+    "q85_stream_kmv_distinct",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q49_slice_range",
     "q50_stream_tumbling",
     "q52_stream_session",
-    "q53_stream_dedup",
     "q54_stream_stateful",
     "q56_corpus_curation",
     "q57_asof_join",
@@ -3229,6 +3272,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q82_quantile_sketch": {"sketch_quantile"},
     "q83_multimodal_png": {"multimodal"},
     "q84_connector_datasource": {"connector_datasource"},
+    "q85_stream_kmv_distinct": {"stream_sketch"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -3256,6 +3300,7 @@ GRADUATED = {
     "q29_counter_rollup",        # counters
     "q30_ghost_row_filter",      # ghost_rows
     "q55_json_extract",          # json_fns
+    "q53_stream_dedup",          # stream_dedup
 }
 
 

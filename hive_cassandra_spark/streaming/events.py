@@ -140,6 +140,67 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_kmv_distinct(
+    events: DataFrame, width_s: int = 3600, k: int = 64
+) -> DataFrame:
+    """Streaming approximate distinct-count: per (tumbling window,
+    event_type), the number of distinct users estimated by the KMV
+    bottom-k sketch (operators/sketches.py) maintained as arbitrary
+    per-key state.
+
+    The state is the k smallest 52-bit hashes seen for the key — ~k·8
+    bytes, NEVER the user set itself — and the merge (set-union then
+    re-take the k smallest) is order- and batching-independent, so the
+    final estimate is deterministic however the stream is micro-batched:
+    exactly the mergeability contract q76/q77 pin for the batch sketches,
+    now carried across batches as streaming state. The reference's
+    stateless MR engine had no streaming face at all (SURVEY.md §2.B);
+    this is the superset's sketch tier. A production deployment bounds
+    the key space with a state timeout (GroupStateTimeout) or window
+    retention; the bounded-replay harness needs neither.
+    """
+    import pandas as pd
+
+    from hive_cassandra_spark.operators.sketches import HASH_SPACE, hash52
+
+    bucket = F.to_timestamp(
+        F.floor(F.unix_timestamp("ts") / width_s) * width_s
+    )
+    keyed = events.select(
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        hash52(F.col("user_id")).alias("h"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            seen.update(int(x) for x in pdf["h"])
+        best = sorted(seen)[:k]
+        state.update((best,))
+        n = len(best)
+        est = n if n < k else (k - 1) * HASH_SPACE // max(best[-1], 1)
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]],
+                "event_type": [key[1]],
+                "k_used": [n],
+                "est_distinct": [est],
+            }
+        )
+
+    return keyed.groupBy("window_start", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "window_start string, event_type string, "
+            "k_used bigint, est_distinct bigint"
+        ),
+        stateStructType="hs array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_stream_join(events: DataFrame, max_delay: str = "6 hours") -> DataFrame:
     """Watermarked stream-stream self-join: each click paired with every
     view by the same user in the preceding ``max_delay``.

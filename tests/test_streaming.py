@@ -219,3 +219,70 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         .select("event_id", "n_name")
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_kmv_equals_batch_sketch(spark, sf_dir):
+    """The streaming KMV state must land on exactly the batch sketch's
+    numbers: same bottom-k hashes, same integer estimator."""
+    from hive_cassandra_spark.operators import sketches
+
+    stream = se.run_bounded(
+        se.stream_kmv_distinct(se.read_events_stream(spark, sf_dir)),
+        spark,
+        "update",
+    ).select("window_start", "event_type", "k_used", "est_distinct")
+    ev = load_events(spark, sf_dir)
+    bucket = F.to_timestamp(F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+    keyed = ev.select(
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "user_id",
+    )
+    batch = sketches.kmv_distinct(
+        keyed, ["window_start", "event_type"], "user_id", k=64
+    ).select("window_start", "event_type", "k_used", "est_distinct")
+    assert _norm(stream.collect()) == _norm(batch.collect())
+
+
+def test_stream_kmv_multi_batch_state_converges(spark, sf_dir, tmp_path):
+    """Split the fixture into two files and replay one file per
+    micro-batch: the per-key FINAL state (max k_used, then max estimate —
+    k_used is monotone and the kth hash only shrinks) must equal the
+    serial batch sketch, proving the state merge is batching-independent."""
+    from hive_cassandra_spark.operators import sketches
+
+    ev = load_events(spark, sf_dir)
+    half = str(tmp_path / "halves")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    a.coalesce(1).write.parquet(half)
+    b.coalesce(1).write.mode("append").parquet(half)
+    stream_src = (
+        spark.readStream.schema(se.EVENTS_SCHEMA_TS)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(f"{half}/*.parquet")
+    )
+    out = se.run_bounded(
+        se.stream_kmv_distinct(stream_src), spark, "update"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("k_used").desc(), F.col("est_distinct").desc()
+    )
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "event_type", "k_used", "est_distinct")
+    )
+    bucket = F.to_timestamp(F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+    keyed = ev.select(
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "user_id",
+    )
+    batch = sketches.kmv_distinct(
+        keyed, ["window_start", "event_type"], "user_id", k=64
+    ).select("window_start", "event_type", "k_used", "est_distinct")
+    assert _norm(final.collect()) == _norm(batch.collect())
