@@ -1,14 +1,18 @@
 """Text-analysis operators over document tables (SURVEY.md §2.C).
 
 All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
-whole-stage-codegen'd) — no Python UDFs — so they scale to 100 TB of text:
-every operator here is a narrow per-row projection (no shuffle at all).
+whole-stage-codegen'd) so they scale to 100 TB of text: every operator
+here is a narrow per-row projection (no shuffle at all). The single
+exception is ``unicode_normalize`` — Spark has no NFC builtin, so it is
+an Arrow-vectorized pandas_udf, the documented escape hatch.
 
 Determinism contract: everything is a pure function of the text, so results
 are oracle-comparable against ANSI SQL (see queries.py / oracle_sql).
 """
 
 from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -31,6 +35,33 @@ def normalize(text: Column) -> Column:
     """Lowercase + whitespace-collapse + trim; the canonical form used by
     fingerprinting and dedup."""
     return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def unicode_normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Unicode NFC normalization (+ optional lowercasing): canonical
+    composition so visually-identical strings ('e' + COMBINING ACUTE vs
+    precomposed 'é') hash, dedup, and join identically — a prerequisite
+    for any multilingual corpus dedup.
+
+    The ONE text operator here that is not a JVM expression: Spark SQL has
+    no normalization builtin, so this is the documented escape hatch — an
+    Arrow-vectorized ``pandas_udf`` (``Series.str.normalize``), never
+    row-at-a-time Python. Still a narrow zero-shuffle projection.
+    ``lowercase`` uses ``str.lower`` (unicode-aware, matches SQL
+    ``lower``), not ``str.casefold`` whose ß→ss fold has no SQL
+    equivalent.
+    """
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        out = s.str.normalize("NFC")
+        return out.str.lower() if lowercase else out
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))
 
 
 def tokens(text: Column) -> Column:

@@ -3074,6 +3074,71 @@ def q85_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q86_normalize_unicode",
+    # Deterministic decomposed-unicode injection (the q73 pattern — the
+    # ASCII fixture alone would make the gate vacuous): 1-in-3 docs get
+    # ' Cafe' + COMBINING ACUTE (U+0301) + <id>, which NFC composes to
+    # ' Café<id>'; 1-in-5 get precomposed ' É<id>'. The oracle replays
+    # with chr() so both engines see identical codepoints; md5 of the
+    # normalized+lowered text proves composition AND case behavior, and
+    # the character-length delta proves composition actually shortened
+    # the decomposed strings.
+    oracle="""
+    WITH injected AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' Cafe' || chr(769) || CAST(doc_id AS VARCHAR)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' ' || chr(201) || CAST(doc_id AS VARCHAR)
+                    ELSE '' END AS t
+        FROM documents)
+    SELECT doc_id,
+           length(t) - length(nfc_normalize(t)) AS composed_delta,
+           md5(lower(nfc_normalize(t))) AS norm_md5
+    FROM injected
+    """,
+    doc="unicode NFC normalization + lowercasing (text.unicode_normalize — "
+    "Arrow-vectorized pandas_udf; Spark has no NFC builtin): decomposed "
+    "e+U+0301 composes to é so multilingual text hashes/dedups stably; "
+    "non-vacuous via injected decomposed and precomposed spans, gated "
+    "against DuckDB's nfc_normalize + lower by md5 and by the "
+    "codepoint-count delta",
+)
+def q86_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                # DECOMPOSED on purpose: 'e' + U+0301 combining acute --
+                # exactly what unicode_normalize must compose to '\u00e9'
+                F.concat(
+                    F.lit(" Cafe\u0301"), F.col("doc_id").cast("string")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                # precomposed U+00C9: composition is a no-op, only the
+                # lowercase step changes it
+                F.concat(F.lit(" \u00c9"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    norm = text.unicode_normalize(injected, "t", "norm", lowercase=True)
+    # lower() preserves codepoint counts here, so the delta isolates
+    # exactly the combining marks NFC merged away
+    return norm.select(
+        "doc_id",
+        (F.length("t") - F.length("norm")).alias("composed_delta"),
+        F.md5("norm").alias("norm_md5"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -3117,7 +3182,9 @@ def q85_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the mergeable-sketch tier carried into stateful streaming). Evicted
 # four sole-bearer queries, each driver-green in r02+r03+r04, so all
 # GRADUATE: q29 (counters), q30 (ghost_rows), q55 (json_fns),
-# q53 (stream_dedup).
+# q53 (stream_dedup), q54 (stream_stateful — its applyInPandasWithState
+# machinery stays in-window through q85's stateful sketch), and q86
+# (unicode NFC normalization) joins for the final slot.
 
 _WINDOW_ORDER = [
     # relational surface — one representative per capability
@@ -3167,12 +3234,12 @@ _WINDOW_ORDER = [
     "q83_multimodal_png",
     "q84_connector_datasource",
     "q85_stream_kmv_distinct",
+    "q86_normalize_unicode",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q49_slice_range",
     "q50_stream_tumbling",
     "q52_stream_session",
-    "q54_stream_stateful",
     "q56_corpus_curation",
     "q57_asof_join",
     "q58_range_join",
@@ -3273,6 +3340,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q83_multimodal_png": {"multimodal"},
     "q84_connector_datasource": {"connector_datasource"},
     "q85_stream_kmv_distinct": {"stream_sketch"},
+    "q86_normalize_unicode": {"unicode_norm"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -3301,6 +3369,7 @@ GRADUATED = {
     "q30_ghost_row_filter",      # ghost_rows
     "q55_json_extract",          # json_fns
     "q53_stream_dedup",          # stream_dedup
+    "q54_stream_stateful",       # stream_stateful
 }
 
 

@@ -52,8 +52,7 @@ def test_registration_window_covers_every_family():
         "q27_super_column_roundtrip", "q28_lww_compaction",
         "q64_hypertable_rollup", "q65_batch_sessionize",
         "q48_validator_decode", "q49_slice_range", "q50_stream_tumbling",
-        "q52_stream_session",
-        "q54_stream_stateful", "q56_corpus_curation",
+        "q52_stream_session", "q56_corpus_curation",
         "q57_asof_join", "q58_range_join", "q59_percentiles",
         "q62_stream_stream_join",
         # round-2 verdict item 6: previously past the window
@@ -68,6 +67,7 @@ def test_registration_window_covers_every_family():
         # round-5 capabilities, rotated in the same round
         "q82_quantile_sketch", "q83_multimodal_png",
         "q84_connector_datasource", "q85_stream_kmv_distinct",
+        "q86_normalize_unicode",
     }
     assert pinned <= window, sorted(pinned - window)
     # every query (in or out) must carry family tags, and every overflow

@@ -111,3 +111,19 @@ def test_tokenize_ids_vocab_and_oov(spark):
     assert 2 <= rows[3].token_id < 2 + 16
     again = {r.pos: r.token_id for r in T.tokenize_ids(df, vocab, 2, 16).collect()}
     assert again[3] == rows[3].token_id
+
+
+def test_unicode_normalize_composes_and_lowers(spark):
+    from hive_cassandra_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "Café"), (2, "Éclair"), (3, "plain")],
+        "id long, s string",
+    )
+    out = {r.id: r.norm for r in t.unicode_normalize(df, "s", "norm").collect()}
+    assert out[1] == "café"  # decomposed e+U+0301 -> precomposed, lowered
+    assert out[2] == "éclair"
+    assert out[3] == "plain"
+    keep = {r.id: r.norm for r in
+            t.unicode_normalize(df, "s", "norm", lowercase=False).collect()}
+    assert keep[1] == "Café" and keep[2] == "Éclair"
