@@ -3139,6 +3139,80 @@ def q86_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q87_quality_cascade",
+    # Rules fire in order; reject_reason is the FIRST hit. The fixture has
+    # no digits and near-constant alpha ratio, so 1-in-13 docs get a
+    # deterministic 80-digit suffix injected (q73 pattern) and the
+    # alpha/length thresholds sit inside the observed distribution —
+    # every rule fires on some docs at every scale factor (non-vacuous)
+    # while most documents survive. Ratio tests are integer
+    # cross-multiplications (no float division) and the regexes behave
+    # identically under Java regex and RE2.
+    oracle="""
+    WITH injected AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 13 = 0
+                            THEN ' ' || repeat('0123456789', 8)
+                            ELSE '' END AS t
+        FROM documents),
+      scored AS (
+        SELECT doc_id, length(t) AS n,
+               length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(t, '[^0-9]', '', 'g')) AS n_digit,
+               len(regexp_extract_all(t, '\\b(the|and|of|to|in)\\b')) AS stop_hits
+        FROM injected),
+      flagged AS (
+        SELECT doc_id,
+               CASE WHEN n < 120 THEN 'too_short'
+                    WHEN n > 500 THEN 'too_long'
+                    WHEN n_digit * 100 > n * 15 THEN 'digit_heavy'
+                    WHEN n_alpha * 1000 < n * 812 THEN 'low_alpha'
+                    WHEN stop_hits < 2 THEN 'no_stopwords'
+               END AS reject_reason
+        FROM scored)
+    SELECT doc_id, reject_reason, reject_reason IS NULL AS kept
+    FROM flagged
+    """,
+    doc="explainable quality-filter cascade (Gopher/C4-style): ordered "
+    "reject rules — length bounds, digit ratio, alphabetic ratio, "
+    "stopword floor — each drop attributed to the FIRST rule that fired "
+    "(curation.quality_cascade); one codegen CASE chain, zero shuffle, "
+    "and the per-rule attribution is what makes a 100 TB curation run "
+    "auditable",
+)
+def q87_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(" "), F.repeat(F.lit("0123456789"), 8)),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    t = F.col("t")
+    n = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    stop_hits = F.size(
+        F.regexp_extract_all(t, F.lit("\\b(the|and|of|to|in)\\b"), F.lit(0))
+    )
+    out = curation.quality_cascade(
+        injected,
+        [
+            ("too_short", n < 120),
+            ("too_long", n > 500),
+            ("digit_heavy", n_digit * 100 > n * 15),
+            ("low_alpha", n_alpha * 1000 < n * 812),
+            ("no_stopwords", stop_hits < 2),
+        ],
+    )
+    return out.select("doc_id", "reject_reason", "kept")
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -3341,6 +3415,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q84_connector_datasource": {"connector_datasource"},
     "q85_stream_kmv_distinct": {"stream_sketch"},
     "q86_normalize_unicode": {"unicode_norm"},
+    "q87_quality_cascade": {"quality_cascade"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -3349,7 +3424,12 @@ QUERY_FAMILIES: dict[str, set[str]] = {
 # for rotation into the window next round — exactly how q67-q70 moved
 # in during round 3. Keep this list short-lived: anything still here two
 # rounds after introduction is a bookkeeping failure.
-PENDING_ROTATION: set[str] = set()  # emptied in round 4: q77-q81 rotated in
+PENDING_ROTATION: set[str] = {
+    # round-5 late addition: the 50-slot window was already fully
+    # re-packed this round (q82-q86 rotated in); q87 is locally
+    # oracle-green and takes a slot next round per the q77-q81 precedent.
+    "q87_quality_cascade",
+}
 
 # Queries rotated OUT whose family tag would otherwise lose its only
 # in-window bearer. Graduation requires a green driver CORRECTNESS row in

@@ -164,3 +164,31 @@ def test_domain_cap_requires_order(spark):
                                "doc_id long, host string, tld string, n_chars long")
     with pytest.raises(ValueError):
         curation.domain_cap(df, k=1)
+
+
+def test_quality_cascade_first_rule_wins(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 0), (2, 10, 9), (3, 500, 9), (4, 100, 0)],
+        "doc_id long, n long, digits long",
+    )
+    out = curation.quality_cascade(
+        df,
+        [
+            ("too_short", F.col("n") < 50),
+            ("digit_heavy", F.col("digits") > 5),
+        ],
+    )
+    got = {r.doc_id: (r.reject_reason, r.kept) for r in out.collect()}
+    # doc 2 trips BOTH rules -> attributed to the FIRST in order
+    assert got == {
+        1: ("too_short", False),
+        2: ("too_short", False),
+        3: ("digit_heavy", False),
+        4: (None, True),
+    }
+
+
+def test_quality_cascade_requires_rules(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        curation.quality_cascade(df, [])
