@@ -57,6 +57,11 @@ HEADLINE = [
     "q77_kmv_distinct",
     "q78_tokenize_ids",
     "q82_quantile_sketch",
+    # round-5 Python-boundary paths: PNG decode kernel, stateful
+    # streaming sketch, pandas_udf normalization
+    "q83_multimodal_png",
+    "q85_stream_kmv_distinct",
+    "q86_normalize_unicode",
 ]
 
 
@@ -83,6 +88,9 @@ def main() -> None:
         "q74_keywords",
         "q78_tokenize_ids",
         "q82_quantile_sketch",
+        "q83_multimodal_png",
+        "q85_stream_kmv_distinct",
+        "q86_normalize_unicode",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

@@ -228,3 +228,28 @@ def shard_manifest(
             F.sum("__chk").cast("long").alias("checksum"),
         )
     )
+
+
+def exact_n_sample(
+    df: DataFrame, n: int, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Deterministic global sample of EXACTLY min(n, count) rows: the n
+    rows whose md5 hash of (salt, key) is globally smallest. Fractional
+    samplers (stratified_sample) can't hit an exact row budget; this is
+    the "give me exactly 10k eval documents, stable across runs and
+    cluster sizes" primitive.
+
+    Scale shape: orderBy(hash).limit(n) plans as TakeOrderedAndProject —
+    each task keeps its local n smallest, the driver merges heaps; the
+    input is never globally sorted and no task materializes more than n
+    rows. Adds ``__h`` is NOT retained — output schema equals input.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", key_col)
+        .limit(n)
+        .drop("__h")
+    )

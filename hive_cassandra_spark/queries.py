@@ -3213,6 +3213,27 @@ def q87_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "reject_reason", "kept")
 
 
+@register(
+    "q88_exact_n_sample",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM (SELECT doc_id, n_chars, md5('ev1' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+          ORDER BY h, doc_id LIMIT 100)
+    ORDER BY doc_id
+    """,
+    doc="exact-N deterministic global sample (relational.exact_n_sample): "
+    "the 100 documents with globally smallest salted md5 — run-stable, "
+    "partitioning-stable membership with an exact row budget, planned as "
+    "TakeOrderedAndProject (per-task top-N + driver heap merge, no "
+    "global sort); overflow variant of the in-window sampling family "
+    "(q69)",
+)
+def q88_exact_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return relational.exact_n_sample(docs, 100, "doc_id", salt="ev1")
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -3416,6 +3437,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q85_stream_kmv_distinct": {"stream_sketch"},
     "q86_normalize_unicode": {"unicode_norm"},
     "q87_quality_cascade": {"quality_cascade"},
+    "q88_exact_n_sample": {"sampling"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -1,5 +1,6 @@
 """Relational helpers: plan-shape guarantees and skew-safe equivalence."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from hive_cassandra_spark.operators import relational as rel
@@ -168,3 +169,22 @@ def test_shard_manifest_checksum_order_independent(spark, sf_dir):
     }
     assert base == shuffled
     assert sum(r[1] for r in base.values()) == docs.count()
+
+
+def test_exact_n_sample_deterministic_and_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = rel.exact_n_sample(docs, 50, "doc_id", salt="s1")
+    b = rel.exact_n_sample(docs.repartition(7), 50, "doc_id", salt="s1")
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert len(ids_a) == 50 and ids_a == ids_b  # partitioning-stable
+    other = sorted(
+        r.doc_id
+        for r in rel.exact_n_sample(docs, 50, "doc_id", salt="s2").collect()
+    )
+    assert other != ids_a  # salt changes membership
+    assert a.columns == docs.columns  # helper column dropped
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort
+    with pytest.raises(ValueError):
+        rel.exact_n_sample(docs, 0, "doc_id")
