@@ -122,6 +122,110 @@ def kmv_distinct(
 
 
 # ------------------------------------------------------------------------
+# Bloom filter: deterministic membership sketch. The runtime-filter
+# pattern for 100 TB joins — when the "small" side's key set is too big to
+# broadcast as data, its bloom BITS are still tiny (n_words × 8 bytes,
+# independent of key count), so the fact table can be prefiltered with a
+# single broadcast and ZERO shuffle; false positives then resolve in a
+# much smaller exact join. md5-derived positions, so Spark and an ANSI
+# oracle compute bit-identical filters; merge = bitwise OR (partial
+# filters compose, like every sketch in this module).
+# ------------------------------------------------------------------------
+
+# 62 usable bits per word: bit index ≤ 61 keeps 1<<bit inside signed
+# BIGINT in BOTH engines (DuckDB raises on 1<<63 overflow).
+BLOOM_BITS_PER_WORD = 62
+
+
+def _bloom_positions(col: Column, k: int, n_words: int):
+    """The k (word, bit) positions of a key: hash_i = 52-bit md5 of
+    'i:key', reduced mod the filter's bit size."""
+    size = n_words * BLOOM_BITS_PER_WORD
+    for i in range(k):
+        h = hash52(F.concat(F.lit(f"{i}:"), col.cast("string"))) % size
+        yield (h / BLOOM_BITS_PER_WORD).cast("long"), h % BLOOM_BITS_PER_WORD
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, n_words: int = 16, k: int = 4
+) -> DataFrame:
+    """Build the filter: one row per word, (word_idx, bits) — bits is the
+    OR of 1<<bit over every key position landing in that word. One
+    map-side-combinable aggregation; output is ≤ n_words rows regardless
+    of key count."""
+    pos = []
+    for w, b in _bloom_positions(F.col(key_col), k, n_words):
+        pos.append(F.struct(w.alias("word_idx"), b.alias("bit")))
+    exploded = df.select(F.explode(F.array(*pos)).alias("p")).select(
+        "p.word_idx", "p.bit"
+    )
+    # SQL form: the shiftleft Python wrapper only takes a literal count
+    return exploded.groupBy("word_idx").agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))").alias(
+            "bits"
+        )
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two filters built with the same (n_words, k):
+    merge(bloom(A), bloom(B)) == bloom(A ∪ B) exactly."""
+    return a.unionByName(b).groupBy("word_idx").agg(
+        F.bit_or("bits").alias("bits")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_words: int = 16,
+    k: int = 4,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Probe: flag each row whether ALL k of its positions are set. The
+    filter is collapsed to ONE row holding the words as an array (missing
+    words → 0) and broadcast — the probe side is a pure zero-shuffle
+    expression over that single crossed-in row. No false negatives;
+    false-positive rate ~(1 - e^{-kn/m})^k."""
+    size = n_words * BLOOM_BITS_PER_WORD
+    words = F.array(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("word_idx") == i, F.col("bits"))),
+                F.lit(0).cast("long"),
+            )
+            for i in range(n_words)
+        ]
+    ).alias("__bloom_words")
+    one_row = bloom.groupBy().agg(words)
+    probed = df.crossJoin(F.broadcast(one_row))
+    hcols = []
+    for i in range(k):
+        hc = f"__bh{i}"
+        probed = probed.withColumn(
+            hc,
+            hash52(F.concat(F.lit(f"{i}:"), F.col(key_col).cast("string")))
+            % size,
+        )
+        hcols.append(hc)
+    # SQL-form bit test (the shiftright Python wrapper only takes a
+    # literal count): word div/bit extraction in pure integer arithmetic
+    tests = [
+        F.expr(
+            f"(shiftright(element_at(__bloom_words, "
+            f"cast({hc} div {BLOOM_BITS_PER_WORD} + 1 as int)), "
+            f"cast({hc} % {BLOOM_BITS_PER_WORD} as int)) % 2) = 1"
+        )
+        for hc in hcols
+    ]
+    member = tests[0]
+    for t in tests[1:]:
+        member = member & t
+    return probed.withColumn(out_col, member).drop("__bloom_words", *hcols)
+
+
+# ------------------------------------------------------------------------
 # Quantile sketch: bottom-k uniform row sample (same deterministic-hash
 # family as KMV — Cohen & Kaplan's bottom-k sampling), the scale-safe
 # replacement for exact F.percentile whose aggregation buffer holds EVERY

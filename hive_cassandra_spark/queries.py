@@ -3234,6 +3234,80 @@ def q88_exact_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.exact_n_sample(docs, 100, "doc_id", salt="ev1")
 
 
+@register(
+    "q89_bloom_filter",
+    # The oracle replays the ENTIRE filter bit-for-bit: same md5 positions
+    # (52-bit hash of 'i:key' mod 992), same 62-bit words, same bit_or /
+    # shift arithmetic — so the gate proves the distributed build+probe
+    # equals a serial bloom filter exactly, including which probe keys are
+    # false positives. exact_member rides along: (False, True) rows are
+    # impossible (no false negatives) and would break the row-count match.
+    oracle="""
+    WITH rich AS (SELECT DISTINCT c_custkey AS k FROM customer
+                  WHERE c_acctbal > 5000),
+         hidx AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         pos AS (SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                        CAST(k AS VARCHAR)), 1, 13) AS BIGINT) % 992 AS h
+                 FROM rich CROSS JOIN hidx),
+         bits AS (SELECT h // 62 AS word_idx,
+                         bit_or(CAST(1 AS BIGINT) << CAST(h % 62 AS INT)) AS bits
+                  FROM pos GROUP BY 1),
+         arr AS (SELECT list(COALESCE(b.bits, 0) ORDER BY w.i) AS ws
+                 FROM (SELECT unnest(range(0, 16)) AS i) w
+                 LEFT JOIN bits b ON b.word_idx = w.i),
+         ph AS (SELECT o_orderkey, o_custkey,
+                       CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                       CAST(o_custkey AS VARCHAR)), 1, 13) AS BIGINT) % 992 AS h
+                FROM orders CROSS JOIN hidx),
+         pt AS (SELECT o_orderkey, o_custkey,
+                       bool_and(((a.ws[CAST(h // 62 AS INT) + 1]
+                                  >> CAST(h % 62 AS INT)) % 2) = 1) AS maybe_member
+                FROM ph CROSS JOIN arr a GROUP BY 1, 2),
+         lab AS (SELECT pt.o_custkey, pt.maybe_member,
+                        (r.k IS NOT NULL) AS exact_member
+                 FROM pt LEFT JOIN rich r ON r.k = pt.o_custkey)
+    SELECT maybe_member, exact_member,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_custkeys
+    FROM lab GROUP BY 1, 2
+    """,
+    doc="bloom-filter membership sketch (sketches.bloom_build/bloom_probe): "
+    "the runtime-filter pattern — the filter is 16 x 62-bit words "
+    "(~128 bytes) INDEPENDENT of the key count, so a fact table is "
+    "prefiltered by one broadcast row + pure expressions, zero shuffle, "
+    "no false negatives; false positives then resolve in a much smaller "
+    "exact join. merge(bloom(A), bloom(B)) == bloom(A∪B) (bitwise OR) is "
+    "pinned in test_sketches",
+)
+def q89_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = (
+        cust.filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    bloom = sketches.bloom_build(rich, "k", n_words=16, k=4)
+    probed = sketches.bloom_probe(
+        orders.select(F.col("o_custkey").alias("k"), "o_orderkey"),
+        bloom,
+        "k",
+        n_words=16,
+        k=4,
+    )
+    labeled = probed.join(
+        rich.withColumn("__rich", F.lit(True)), "k", "left"
+    ).select(
+        "k",
+        "maybe_member",
+        F.coalesce(F.col("__rich"), F.lit(False)).alias("exact_member"),
+    )
+    return labeled.groupBy("maybe_member", "exact_member").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("k").alias("n_custkeys"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -3438,6 +3512,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q86_normalize_unicode": {"unicode_norm"},
     "q87_quality_cascade": {"quality_cascade"},
     "q88_exact_n_sample": {"sampling"},
+    "q89_bloom_filter": {"bloom_filter"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -3451,6 +3526,7 @@ PENDING_ROTATION: set[str] = {
     # re-packed this round (q82-q86 rotated in); q87 is locally
     # oracle-green and takes a slot next round per the q77-q81 precedent.
     "q87_quality_cascade",
+    "q89_bloom_filter",
 }
 
 # Queries rotated OUT whose family tag would otherwise lose its only

@@ -154,3 +154,47 @@ def test_quantile_estimate_tracks_exact(spark):
     ).collect()[0]
     # n=1000: index ⌊999·p⌋ of sorted 0..999 = 249 / 499 / 749
     assert (full.n_sample, full.p25, full.p50, full.p75) == (1000, 249.0, 499.0, 749.0)
+
+
+# ---------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    keys = spark.range(900).filter(F.col("id") % 3 == 0).select(F.col("id").alias("k"))
+    bloom = sketches.bloom_build(keys, "k", n_words=16, k=4)
+    assert bloom.count() <= 16  # bounded regardless of key count
+    probe = spark.range(900).select(F.col("id").alias("k"))
+    rows = sketches.bloom_probe(probe, bloom, "k", n_words=16, k=4).collect()
+    members = {r.k for r in rows if r.maybe_member}
+    truth = {i for i in range(900) if i % 3 == 0}
+    assert truth <= members  # NO false negatives, ever
+    fp = len(members - truth) / (900 - len(truth))
+    assert fp < 0.6  # loaded filter, but far from degenerate
+
+
+def test_bloom_merge_equals_full(spark):
+    keys = spark.range(400).select(F.col("id").alias("k"))
+    a = keys.filter(F.col("k") < 200)
+    b = keys.filter(F.col("k") >= 200)
+    merged = sketches.bloom_merge(
+        sketches.bloom_build(a, "k"), sketches.bloom_build(b, "k")
+    )
+    full = sketches.bloom_build(keys, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_bloom_probe_zero_shuffle_on_fact_side(spark):
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    bloom = sketches.bloom_build(keys, "k")
+    probe = spark.range(1000).select(F.col("id").alias("k"))
+    out = sketches.bloom_probe(probe, bloom, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the probe side must see only a broadcast of the 1-row word array —
+    # its own data never exchanges; the sole hash exchange allowed is the
+    # tiny bloom-build groupBy(word_idx) on the OTHER side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
