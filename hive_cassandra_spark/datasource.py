@@ -27,7 +27,11 @@ Hadoop InputFormat plumbing; each piece maps one-to-one:
   accepts comparisons/equality/IN on ``column_name`` and ``row_key`` plus
   the live-cell ``value IS NOT NULL`` filter and evaluates them inside
   the pyarrow scan (row-group statistics prune); everything else is
-  returned to Spark to re-apply.
+  returned to Spark to re-apply. The slice's ``reversed`` flag
+  (HiveCassandraStandardColumnInputFormat.java:88-92 pushes
+  ``slice_range.reversed`` into the predicate) is the reader option
+  ``reversed=true``: rows stay keyed ascending, the column slice within
+  each row comes back descending — the contract get_slice makes.
 - batched mutation writes, ``cassandra.batchmutate.size`` = 500
   (AbstractColumnSerDe.java:47,75; consistency coercion
   output/CassandraAbstractPut.java:39-50): ``df.write.format(
@@ -104,6 +108,11 @@ class CellStoreReader(DataSourceReader):
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
         if self.split_size < 1 or self.page_size < 1:
             raise ValueError("split_size and page_size must be >= 1")
+        # ≙ slice_range.reversed: column order flips, row order does not
+        self.reversed = str(options.get("reversed", "false")).lower() in (
+            "true",
+            "1",
+        )
         self.out_schema = schema
         self.pushed: list[Filter] = []
 
@@ -205,14 +214,20 @@ class CellStoreReader(DataSourceReader):
         dataset = ds.dataset(list(split.files), format="parquet")
         avail = set(dataset.schema.names)
         wanted = [f.name for f in self.out_schema.fields]
+        projected = [c for c in wanted if c in avail]
         table = dataset.scanner(
-            columns=[c for c in wanted if c in avail],
+            columns=projected,
             filter=self._arrow_filter(),
         ).to_table()
         # the slice order the reference's iterator guarantees; bounded by
-        # the split's ~split_size rows (same contract as the Thrift reader)
+        # the split's ~split_size rows (same contract as the Thrift reader).
+        # Only sortable over columns the projection kept — a user schema
+        # may omit the key columns entirely.
+        col_order = "descending" if self.reversed else "ascending"
         sort_keys = [
-            (c, "ascending") for c in ("row_key", "column_name") if c in avail
+            (c, d)
+            for c, d in (("row_key", "ascending"), ("column_name", col_order))
+            if c in projected
         ]
         if sort_keys:
             table = table.sort_by(sort_keys)
@@ -259,6 +274,8 @@ class CellStoreWriter(DataSourceArrowWriter):
     _REQUIRED = ("row_key", "column_name", "value", "ts")
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool) -> None:
+        import uuid
+
         from hive_cassandra_spark.sink import normalize_consistency
 
         path = options.get("path")
@@ -270,6 +287,11 @@ class CellStoreWriter(DataSourceArrowWriter):
             raise ValueError("batch_size must be >= 1")
         self.consistency = normalize_consistency(options.get("consistency"))
         self.overwrite = overwrite
+        # the driver constructs the writer once and pickles it to every
+        # task: job_id scopes temp files AND committed names to this job,
+        # so appends never clobber a prior job's parts and the stale-temp
+        # sweep can't touch a concurrent job's in-flight files
+        self.job_id = uuid.uuid4().hex[:12]
         names = {f.name for f in schema.fields}
         missing = [c for c in self._REQUIRED if c not in names]
         if missing:
@@ -282,7 +304,9 @@ class CellStoreWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
 
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"._tmp-{uuid.uuid4().hex}.parquet")
+        tmp = os.path.join(
+            self.path, f"._tmp-{self.job_id}-{uuid.uuid4().hex}.parquet"
+        )
         writer, rows = None, 0
         for batch in iterator:
             if batch.num_rows == 0:
@@ -307,14 +331,37 @@ class CellStoreWriter(DataSourceArrowWriter):
                 os.remove(old)
         for i, m in enumerate(messages):
             if m and m.tmp_file:
+                # committed names carry the job id + task index: appends to
+                # a non-empty store never collide with earlier jobs' parts
                 os.rename(
-                    m.tmp_file, os.path.join(self.path, f"part-{i:05d}.parquet")
+                    m.tmp_file,
+                    os.path.join(
+                        self.path, f"part-{self.job_id}-{i:05d}.parquet"
+                    ),
                 )
+        self._sweep_stale_tmp()
 
     def abort(self, messages):
         for m in messages or []:
             if m and m.tmp_file and os.path.exists(m.tmp_file):
                 os.remove(m.tmp_file)
+        self._sweep_stale_tmp()
+
+    def _sweep_stale_tmp(self):
+        """Failed/speculative tasks never hand the driver a commit message,
+        so their hidden temp files would otherwise litter the store forever.
+        Only THIS job's prefix is swept — dot-prefixed names are invisible
+        to readers, so deleting them is safe; another job's temps are not
+        ours to touch."""
+        import glob as _glob
+
+        for stale in _glob.glob(
+            os.path.join(self.path, f"._tmp-{self.job_id}-*.parquet")
+        ):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass  # a racing cleanup already removed it
 
 
 class CellStoreDataSource(DataSource):

@@ -2948,21 +2948,39 @@ def q83_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q84_connector_datasource",
-    # The store holds one cell per (customer, value column); the slice
-    # range [c_mktsegment, c_name] keeps exactly two of the three value
-    # cells (c_nation sorts after c_name), so the oracle replays the
-    # surviving cells as a two-branch unpivot of the base table.
+    # Two sections, one per seam direction/shape. slice_asc: the customer
+    # store holds one cell per (customer, value column); the slice range
+    # [c_mktsegment, c_name] keeps exactly two of the three value cells
+    # (c_nation sorts after c_name), so the oracle replays the surviving
+    # cells as a two-branch unpivot of the base table. super_ttl_rev: the
+    # events store roundtrips the OPTIONAL cell columns — sub_column_name
+    # (super-CF shape) and ttl_s — through the same format, read back with
+    # reversed=true (descending column slice) and TTL-filtered, so the
+    # oracle is the events table under the same deterministic ttl rule.
     oracle="""
     WITH cells AS (
         SELECT c_custkey, 'c_mktsegment' AS cell, c_mktsegment AS v FROM customer
         UNION ALL
-        SELECT c_custkey, 'c_name' AS cell, c_name AS v FROM customer)
-    SELECT cell,
-           count(*) AS n_cells,
-           count(DISTINCT c_custkey) AS n_rows,
-           min(v) AS min_val,
-           max(v) AS max_val
-    FROM cells GROUP BY cell
+        SELECT c_custkey, 'c_name' AS cell, c_name AS v FROM customer),
+    std AS (
+        SELECT 'slice_asc' AS section, cell,
+               count(*) AS n_cells,
+               count(DISTINCT c_custkey) AS n_rows,
+               min(v) AS min_val,
+               max(v) AS max_val,
+               CAST(0 AS BIGINT) AS sum_ttl
+        FROM cells GROUP BY cell),
+    sup AS (
+        SELECT 'super_ttl_rev' AS section, event_type AS cell,
+               count(*) AS n_cells,
+               count(DISTINCT user_id) AS n_rows,
+               CAST(min(event_id) AS VARCHAR) AS min_val,
+               CAST(max(event_id) AS VARCHAR) AS max_val,
+               CAST(sum((event_id % 100) + 1) AS BIGINT) AS sum_ttl
+        FROM events
+        WHERE (event_id % 100) + 1 > 50
+        GROUP BY event_type)
+    SELECT * FROM std UNION ALL SELECT * FROM sup
     """,
     doc="the DSv2 connector seam end-to-end (datasource.py ≙ the "
     "reference's InputFormat stack): write a cell store through the "
@@ -2973,12 +2991,27 @@ def q83_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metadata, page_size Arrow batches (≙ cassandra.range.size), and the "
     "slice-range predicate pushed through DataSourceReader.pushFilters "
     "into the pyarrow scan (≙ SlicePredicate push, "
-    "HiveCassandraStandardColumnInputFormat.java:73-98)",
+    "HiveCassandraStandardColumnInputFormat.java:73-98). The second "
+    "section drives the seam's optional columns: super-CF cells "
+    "(sub_column_name ≙ the reference's Super shape, "
+    "CassandraSuperPut.java) with per-cell ttl_s (≙ ExpiringColumn) "
+    "written and read back via format('cassandra_cells') with "
+    "reversed=true — the descending column slice of "
+    "HiveCassandraStandardColumnInputFormat.java:88-92",
 )
 def q84_connector_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
     import os
+    import tempfile
 
-    from hive_cassandra_spark import datasource, handler
+    from hive_cassandra_spark import codecs, datasource, handler, sink
+
+    # store paths: full-sf_dir hash + pid — two datasets sharing a
+    # basename, or two concurrent processes, never race on one directory
+    # (r05 ADVICE); within one process the overwrite-mode rewrite is safe.
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hcs_q84_{tok}_{os.getpid()}")
+    store, store_super = base + "_cust", base + "_super"
 
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -2986,7 +3019,6 @@ def q84_connector_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("string").alias("c_nation"),
         "c_mktsegment",
     )
-    store = f"/tmp/hcs_q84_{os.path.basename(sf_dir.rstrip('/'))}"
     tdef = handler.define_table(
         "cust_cells",
         store,
@@ -2997,8 +3029,6 @@ def q84_connector_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write THROUGH the data source too: encoded cells stream out as
     # batch_size-capped row groups with the temp-file/rename commit —
     # both directions of the seam run under the driver's gate
-    from hive_cassandra_spark import sink
-
     cells_out = sink.to_cells(
         cust.select(*tdef.column_names),
         tdef.mapping,
@@ -3023,14 +3053,76 @@ def q84_connector_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("column_name") <= F.lit(b"c_name"))
         )
     )
-    return cells.groupBy(
-        F.col("column_name").cast("string").alias("cell")
-    ).agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.count_distinct("row_key").alias("n_rows"),
-        F.min(F.col("value").cast("string")).alias("min_val"),
-        F.max(F.col("value").cast("string")).alias("max_val"),
+    std = (
+        cells.groupBy(F.col("column_name").cast("string").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count_distinct("row_key").alias("n_rows"),
+            F.min(F.col("value").cast("string")).alias("min_val"),
+            F.max(F.col("value").cast("string")).alias("max_val"),
+        )
+        .select(
+            F.lit("slice_asc").alias("section"),
+            "cell",
+            "n_cells",
+            "n_rows",
+            "min_val",
+            "max_val",
+            F.lit(0).cast("long").alias("sum_ttl"),
+        )
     )
+
+    # super-CF + TTL shape: one cell per event, keyed (user, event_type,
+    # event_id) with a deterministic per-cell ttl — both optional store
+    # columns ride the seam
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    sup_cells = ev.select(
+        codecs.encode_col(F.col("user_id"), "bigint").alias("row_key"),
+        codecs.encode_col(F.col("event_type"), "string").alias("column_name"),
+        codecs.encode_col(F.col("event_id"), "bigint").alias("sub_column_name"),
+        codecs.encode_col(F.col("user_id"), "bigint").alias("value"),
+        F.lit(1).cast("long").alias("ts"),
+        ((F.col("event_id") % 100) + 1).cast("int").alias("ttl_s"),
+    )
+    (
+        sup_cells.repartition(F.col("row_key"))
+        .write.format("cassandra_cells")
+        .option("batch_size", 500)
+        .mode("overwrite")
+        .save(store_super)
+    )
+    back = (
+        spark.read.format("cassandra_cells")
+        .option("reversed", "true")  # descending column slice
+        .load(store_super)
+        .filter(F.col("ttl_s") > F.lit(50))  # residual: Spark re-applies
+    )
+    sup = (
+        back.groupBy(
+            codecs.decode_col(F.col("column_name"), "string").alias("cell")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count_distinct("row_key").alias("n_rows"),
+            F.min(codecs.decode_col(F.col("sub_column_name"), "bigint"))
+            .cast("string")
+            .alias("min_val"),
+            F.max(codecs.decode_col(F.col("sub_column_name"), "bigint"))
+            .cast("string")
+            .alias("max_val"),
+            F.sum("ttl_s").alias("sum_ttl"),
+        )
+        .select(
+            F.lit("super_ttl_rev").alias("section"),
+            "cell",
+            "n_cells",
+            "n_rows",
+            "min_val",
+            "max_val",
+            "sum_ttl",
+        )
+    )
+    return std.unionByName(sup)
 
 
 @register(

@@ -180,3 +180,83 @@ def test_writer_validates_options_and_schema():
         )
     with pytest.raises(ValueError, match="path"):
         datasource.CellStoreWriter({}, good, False)
+
+
+def test_append_to_nonempty_store_keeps_prior_parts(spark, store, tmp_path):
+    """r05 ADVICE (medium): deterministic part names silently clobbered
+    earlier jobs' files on append; committed names are now job-unique."""
+    out = str(tmp_path / "appended")
+    cells = spark.read.parquet(store).select("row_key", "column_name", "value", "ts")
+    n = cells.count()
+    cells.write.format("cassandra_cells").mode("append").save(out)
+    cells.write.format("cassandra_cells").mode("append").save(out)
+    assert spark.read.parquet(out).count() == 2 * n
+    via_ds = spark.read.format("cassandra_cells").load(out)
+    assert via_ds.count() == 2 * n
+
+
+def test_commit_sweeps_this_jobs_stale_tmp_only(tmp_path):
+    """r05 ADVICE (low): speculative/failed task temps are swept at
+    commit/abort — but only this job's prefix; a concurrent job's
+    in-flight temps are untouched."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    path = str(tmp_path / "sweep")
+    os.makedirs(path)
+    good = StructType.fromDDL(datasource._BASE_SCHEMA)
+    w = datasource.CellStoreWriter({"path": path}, good, False)
+    mine = os.path.join(path, f"._tmp-{w.job_id}-deadbeef.parquet")
+    other = os.path.join(path, "._tmp-0123456789ab-cafe.parquet")
+    for f in (mine, other):
+        with open(f, "wb"):
+            pass
+    w.commit([])
+    assert not os.path.exists(mine)
+    assert os.path.exists(other)
+    w2 = datasource.CellStoreWriter({"path": path}, good, False)
+    mine2 = os.path.join(path, f"._tmp-{w2.job_id}-beef.parquet")
+    with open(mine2, "wb"):
+        pass
+    w2.abort([])
+    assert not os.path.exists(mine2)
+    assert os.path.exists(other)
+
+
+def test_user_schema_without_key_columns(spark, store):
+    """r05 ADVICE (low): a user schema omitting row_key/column_name must
+    not break the slice-order sort (sort keys intersect the projection)."""
+    df = spark.read.format("cassandra_cells").schema("value binary, ts bigint").load(store)
+    rows = df.collect()
+    assert len(rows) > 0 and set(df.columns) == {"value", "ts"}
+
+
+def test_reversed_slice_order(spark, store):
+    """reversed=true ≙ slice_range.reversed
+    (HiveCassandraStandardColumnInputFormat.java:88-92): rows stay keyed
+    ascending, the column slice within each row comes back descending."""
+    reader = datasource.CellStoreReader(
+        {"path": store, "split_size": "1000000000", "reversed": "true"},
+        StructType.fromDDL(datasource._BASE_SCHEMA),
+    )
+    (split,) = reader.partitions()
+    keys = [
+        (rk, cn)
+        for b in reader.read(split)
+        for rk, cn in zip(
+            b.column("row_key").to_pylist(), b.column("column_name").to_pylist()
+        )
+    ]
+    # expected: row_key ascending, column_name descending within row
+    assert keys == sorted(keys, key=lambda t: (t[0], _desc_bytes(t[1])))
+    # and the DataFrame-level read returns the same multiset of cells
+    rev = spark.read.format("cassandra_cells").option("reversed", "true").load(store)
+    fwd = spark.read.format("cassandra_cells").load(store)
+    assert sorted(map(tuple, rev.collect())) == sorted(map(tuple, fwd.collect()))
+
+
+def _desc_bytes(b: bytes):
+    # order-reversing key for bytes: negate each octet, pad-sensitive via
+    # length complement (shorter sorts AFTER any extension in desc order)
+    return tuple(255 - x for x in b) + (256,)
