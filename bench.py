@@ -62,6 +62,14 @@ HEADLINE = [
     "q83_multimodal_png",
     "q85_stream_kmv_distinct",
     "q86_normalize_unicode",
+    # round-6 additions (r05 verdict item 2 + nitpick 1): the DSv2
+    # connector roundtrip — the one headline-class path previously
+    # unbenched — plus the new gate queries
+    "q84_connector_datasource",
+    "q87_quality_cascade",
+    "q88_exact_n_sample",
+    "q89_bloom_filter",
+    "q90_skew_salted_join",
 ]
 
 
@@ -91,6 +99,9 @@ def main() -> None:
         "q83_multimodal_png",
         "q85_stream_kmv_distinct",
         "q86_normalize_unicode",
+        "q84_connector_datasource",
+        "q89_bloom_filter",
+        "q90_skew_salted_join",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

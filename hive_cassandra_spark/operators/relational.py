@@ -86,6 +86,37 @@ def skew_safe_count_distinct(
     )
 
 
+def skew_safe_distinct_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    sums: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-group COUNT(DISTINCT value) PLUS row count and sums in ONE
+    skew-safe pass — the fused generalization of
+    ``skew_safe_count_distinct`` for when the same input also needs
+    algebraic aggregates (computing them separately would re-scan or
+    re-join the input).
+
+    Pass 1 groups by (group, value): the shuffle is spread by the value
+    too, so a hot group fans across reducers, and count/sum partials are
+    map-side-combinable. Pass 2 is tiny — one row per distinct
+    (group, value): the distinct count is count(*), the row count and
+    sums fold the partials. Output columns: ``group_cols`` + ``n_rows`` +
+    ``distinct_<value_col>`` + one column per ``sums`` key.
+    """
+    sums = sums or {}
+    partials = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c).alias(f"__s_{name}") for name, c in sums.items()],
+    )
+    return partials.groupBy(*group_cols).agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias(f"distinct_{value_col}"),
+        *[F.sum(f"__s_{name}").alias(name) for name in sums],
+    )
+
+
 def salted_collect_list(
     df: DataFrame, group_cols: list[str], value_col: str, salt_buckets: int = 16
 ) -> DataFrame:

@@ -3400,6 +3400,66 @@ def q89_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q90_skew_salted_join",
+    # Skew BY CONSTRUCTION: every 5th lineitem is remapped to supplier 1,
+    # so one join key owns ~20% of the fact side — the wide-row hot-key
+    # shape the reference's users hit constantly
+    # (ColumnFamilyWideRowRecordReader.java:240-429 exists precisely
+    # because single keys outgrow a task). The oracle replays the same
+    # remap serially; the salted plan must produce identical values.
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE l_suppkey END AS sk,
+               l_extendedprice, l_orderkey
+        FROM lineitem),
+    j AS (SELECT s.s_nationkey AS nation, f.l_extendedprice, f.l_orderkey
+          FROM fact f JOIN supplier s ON f.sk = s.s_suppkey)
+    SELECT nation,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM j GROUP BY nation
+    """,
+    doc="skew-stress join + distinct under a ~20% hot key: "
+    "relational.salted_join spreads the hot key over 16 salt buckets "
+    "(fact side salted, dim side replicated — the join exchange "
+    "partitions on (sk, __salt), never funneling one key into one "
+    "reducer; shuffle_hash-hinted so the salted shape is exercised even "
+    "though this dim would broadcast at test SF) and "
+    "relational.skew_safe_distinct_agg computes the distinct-order "
+    "count, row count, and revenue in ONE pass whose first shuffle is "
+    "spread by (group, value) — the join runs once, nothing funnels — "
+    "the skew tools a 1000-executor run needs, driver-gated on value "
+    "equality with the serial oracle; straggler-free plan shape "
+    "asserted in test_scale_plans",
+)
+def q90_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit(1).cast("bigint"))
+        .otherwise(F.col("l_suppkey"))
+        .alias("sk"),
+        "l_extendedprice",
+        "l_orderkey",
+    )
+    dim = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("sk"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    joined = relational.salted_join(
+        li, dim.hint("shuffle_hash"), "sk", salt_buckets=16
+    )
+    agg = relational.skew_safe_distinct_agg(
+        joined, ["nation"], "l_orderkey", sums={"rev": "l_extendedprice"}
+    )
+    return agg.select(
+        "nation",
+        F.col("n_rows").alias("n_items"),
+        F.round("rev", 2).alias("revenue"),
+        F.col("distinct_l_orderkey").alias("n_orders"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -3434,6 +3494,15 @@ def q89_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries, each driver-green in ALL of r01+r02+r03, so all GRADUATE:
 # q16 (setops), q22 (pivot), q24 (transpose_read), q25 (transpose_write),
 # q26 (cf_map). PENDING_ROTATION is now empty, as its contract requires.
+#
+# Round-6 rotation (r05 verdict items 1+3): q87 (quality cascade) and q89
+# (bloom membership) clear PENDING_ROTATION per its two-round contract, and
+# q90 (skew-stress salted join — the one 100×-scale risk class that had no
+# driver-gated evidence) joins them. Evicted three sole-bearer queries,
+# each driver-green in ALL of r02+r03+r04+r05, so all GRADUATE:
+# q49 (cell_store/pushdown — q84 now bears both tags: the DSv2 seam IS a
+# cell-store read/write with pushFilters slice pushdown), q57 (asof_join),
+# q59 (percentiles — its scale-safe successor q82 stays in-window).
 #
 # Round-5 rotation: the three new round-5 capabilities take window slots
 # immediately (the q71-q74 precedent): q82 (mergeable bottom-k quantile
@@ -3496,15 +3565,17 @@ _WINDOW_ORDER = [
     "q84_connector_datasource",
     "q85_stream_kmv_distinct",
     "q86_normalize_unicode",
+    # round-6 rotation (r05 verdict items 1+3): q87/q89 clear
+    # PENDING_ROTATION per its contract; q90 is the new skew-stress gate
+    "q87_quality_cascade",
+    "q89_bloom_filter",
+    "q90_skew_salted_join",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
-    "q49_slice_range",
     "q50_stream_tumbling",
     "q52_stream_session",
     "q56_corpus_curation",
-    "q57_asof_join",
     "q58_range_join",
-    "q59_percentiles",
     "q62_stream_stream_join",
     # the storage-handler facade roundtrip (DDL write + synthesized mapping +
     # consistency + batched cell I/O in one driver row)
@@ -3599,12 +3670,16 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q81_url_domains": {"url_curation"},
     "q82_quantile_sketch": {"sketch_quantile"},
     "q83_multimodal_png": {"multimodal"},
-    "q84_connector_datasource": {"connector_datasource"},
+    # q84 bears cell_store + pushdown since the round-6 q49 graduation:
+    # the DSv2 seam reads/writes the same cell store with pushFilters
+    # slice pushdown, plus the optional super-CF/TTL columns
+    "q84_connector_datasource": {"connector_datasource", "cell_store", "pushdown"},
     "q85_stream_kmv_distinct": {"stream_sketch"},
     "q86_normalize_unicode": {"unicode_norm"},
     "q87_quality_cascade": {"quality_cascade"},
     "q88_exact_n_sample": {"sampling"},
     "q89_bloom_filter": {"bloom_filter"},
+    "q90_skew_salted_join": {"skew_join"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -3613,13 +3688,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
 # for rotation into the window next round — exactly how q67-q70 moved
 # in during round 3. Keep this list short-lived: anything still here two
 # rounds after introduction is a bookkeeping failure.
-PENDING_ROTATION: set[str] = {
-    # round-5 late addition: the 50-slot window was already fully
-    # re-packed this round (q82-q86 rotated in); q87 is locally
-    # oracle-green and takes a slot next round per the q77-q81 precedent.
-    "q87_quality_cascade",
-    "q89_bloom_filter",
-}
+PENDING_ROTATION: set[str] = set()  # r06: q87+q89 rotated in on schedule
 
 # Queries rotated OUT whose family tag would otherwise lose its only
 # in-window bearer. Graduation requires a green driver CORRECTNESS row in
@@ -3640,6 +3709,12 @@ GRADUATED = {
     "q55_json_extract",          # json_fns
     "q53_stream_dedup",          # stream_dedup
     "q54_stream_stateful",       # stream_stateful
+    # round-6 graduations — each driver-green in r02 AND r03 AND r04 AND r05.
+    # q49 (also 4× green) left the window the same round but needs NO
+    # exemption: q84 bears its cell_store/pushdown tags, so it is an
+    # ordinary redundant overflow variant.
+    "q57_asof_join",             # asof_join
+    "q59_percentiles",           # percentiles (scale-safe successor: q82)
 }
 
 

@@ -51,9 +51,10 @@ def test_registration_window_covers_every_family():
         # (q29/q30 GRADUATED in round 5 after green rows in r02+r03+r04)
         "q27_super_column_roundtrip", "q28_lww_compaction",
         "q64_hypertable_rollup", "q65_batch_sessionize",
-        "q48_validator_decode", "q49_slice_range", "q50_stream_tumbling",
+        # (q49/q57/q59 GRADUATED in round 6 after green rows in r02-r05)
+        "q48_validator_decode", "q50_stream_tumbling",
         "q52_stream_session", "q56_corpus_curation",
-        "q57_asof_join", "q58_range_join", "q59_percentiles",
+        "q58_range_join",
         "q62_stream_stream_join",
         # round-2 verdict item 6: previously past the window
         "q67_neardup_clusters", "q68_similarity_quantized",
@@ -68,6 +69,8 @@ def test_registration_window_covers_every_family():
         "q82_quantile_sketch", "q83_multimodal_png",
         "q84_connector_datasource", "q85_stream_kmv_distinct",
         "q86_normalize_unicode",
+        # round-6 rotation: PENDING_ROTATION cleared + the skew gate
+        "q87_quality_cascade", "q89_bloom_filter", "q90_skew_salted_join",
     }
     assert pinned <= window, sorted(pinned - window)
     # every query (in or out) must carry family tags, and every overflow

@@ -50,6 +50,26 @@ def test_skew_safe_count_distinct(spark, sf_dir):
     assert a == b
 
 
+def test_skew_safe_distinct_agg_matches_naive(spark, sf_dir):
+    """The fused one-pass variant: distinct count + row count + sums must
+    equal the naive single-group aggregation exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    naive = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_partkey").alias("d"),
+        F.sum("l_quantity").alias("q"),
+    )
+    fused = rel.skew_safe_distinct_agg(
+        li, ["l_returnflag"], "l_partkey", sums={"q": "l_quantity"}
+    )
+    a = {r.l_returnflag: (r.n, r.d, round(r.q, 6)) for r in naive.collect()}
+    b = {
+        r.l_returnflag: (r.n_rows, r.distinct_l_partkey, round(r.q, 6))
+        for r in fused.collect()
+    }
+    assert a == b
+
+
 def test_salted_collect_list(spark, sf_dir):
     ord_ = spark.read.parquet(f"{sf_dir}/orders.parquet")
     out = rel.salted_collect_list(ord_, ["o_orderstatus"], "o_orderkey", salt_buckets=4)

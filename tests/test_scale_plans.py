@@ -177,3 +177,41 @@ def test_quantile_sketch_single_exchange_with_partial_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan and partial != -1
     # tree prints parents first: the Partial limit sits BELOW the exchange
     assert partial > exchange, plan
+
+
+def test_skew_salted_join_spreads_hot_key(spark, sf_dir):
+    """q90: the ~20% hot key must never funnel into one reducer. The join
+    exchange partitions on (sk, __salt) — 16-way spread of the hot key —
+    and the distinct-order count shuffles on (group, value) before the
+    map-side-combinable recount. Neither path hashes on the bare hot key
+    alone between the fact scan and the aggregate."""
+    plan = _plan(spark, sf_dir, "q90_skew_salted_join")
+    # the salted join ran as a real shuffle join keyed by the salt
+    assert "__salt" in plan, plan
+    assert "hashpartitioning" in plan
+    # the shuffle_hash hint held: no broadcast on the salted join itself —
+    # and the join runs ONCE (the fused distinct+sum agg never re-joins)
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    # distinct spread by value too: an exchange keyed by BOTH nation and
+    # l_orderkey exists (the skew_safe_count_distinct first hop)
+    import re
+
+    distinct_exchanges = [
+        m
+        for m in re.findall(r"hashpartitioning\([^)]*\)", plan)
+        if "nation" in m and "l_orderkey" in m
+    ]
+    assert distinct_exchanges, plan
+
+
+def test_skew_fixture_is_actually_skewed(spark, sf_dir):
+    """The gate is non-vacuous only if the constructed key really is hot:
+    supplier 1 must own ~20% of the fact rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit(1).cast("bigint"))
+        .otherwise(F.col("l_suppkey"))
+        .alias("sk")
+    )
+    total = li.count()
+    hot = li.filter(F.col("sk") == 1).count()
+    assert hot / total > 0.19, f"hot share {hot/total:.3f}"

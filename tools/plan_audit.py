@@ -62,6 +62,26 @@ NOTES = {
         "bounded on both sides by the 6 h time-range condition, so state "
         "size is O(rate x window), independent of history length."
     ),
+    "q84_connector_datasource": (
+        "the DSv2 seam roundtrips TWO stores (customer cells ascending + "
+        "events super/ttl cells reversed) write-and-read through the Python "
+        "Data Source; the Arrow boundary costs 2.2x a native parquet write "
+        "and 2.8x a native read on the same cells (tools/dsv2_overhead.py, "
+        "medians of 3 warmed trials at sf0.1) — the price of the "
+        "live-client seam, paid only where a Cassandra cluster would sit; "
+        "every non-connector path reads parquet natively. Scans show as "
+        "BatchEvalPython-free: the source yields paged Arrow batches."
+    ),
+    "q90_skew_salted_join": (
+        "skew by construction (one key = ~20% of lineitem): the join "
+        "exchange partitions on (sk, __salt) — 16-way spread, ShuffledHashJoin "
+        "by hint so the salted shape is exercised even though this dim "
+        "would broadcast at test SF — then ONE fused pass "
+        "(skew_safe_distinct_agg) computes distinct orders + row count + "
+        "revenue: first shuffle spread by (nation, l_orderkey), second "
+        "over one row per distinct pair; the join runs once and no "
+        "reducer ever sees the hot key whole."
+    ),
     "q33_dedup_minhash_lsh": (
         "runtime I/O: documents.parquet is scanned ONCE (sh_tbl cache build); "
         "every other reference reads the cache (round-1's '8 scans' was the "
