@@ -57,6 +57,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -364,6 +365,51 @@ class CellStoreWriter(DataSourceArrowWriter):
                 pass  # a racing cleanup already removed it
 
 
+class CellStoreStreamWriter(CellStoreWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("cassandra_cells")``: the streaming face of
+    the mutation sink — each micro-batch lands as one atomically-committed
+    set of part files, the continuous analogue of the reference's
+    ``batch_mutate`` flushes (sink.stream_to_cells is the foreachBatch
+    route; this is the first-class sink the Python Data Source API
+    enables). Task temp files reuse the batch writer's hidden-name
+    protocol; committed names additionally carry the micro-batch id, and
+    ``commit(batchId)`` first sweeps any part files a previously-crashed
+    attempt of the SAME batch left behind (checkpoint replay re-runs the
+    batch under a new writer/job id), making replay idempotent: a batch's
+    cells appear in the store exactly once however often it retries.
+    Concurrent independent streams into one store are undefined, exactly
+    as concurrent batch overwrites are.
+    """
+
+    # write(iterator) is inherited: same Arrow-batch → batch_size-capped
+    # row-group temp file per task, streaming or not.
+
+    def _batch_parts(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"part-*-b{batch_id:09d}-*.parquet")
+
+    def commit(self, messages, batchId: int) -> None:
+        import glob as _glob
+
+        for stale in _glob.glob(self._batch_parts(batchId)):
+            os.remove(stale)  # a crashed attempt of THIS batch half-committed
+        for i, m in enumerate(messages):
+            if m and m.tmp_file:
+                os.rename(
+                    m.tmp_file,
+                    os.path.join(
+                        self.path,
+                        f"part-{self.job_id}-b{batchId:09d}-{i:05d}.parquet",
+                    ),
+                )
+        self._sweep_stale_tmp()
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m and m.tmp_file and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)
+        self._sweep_stale_tmp()
+
+
 class CellStoreDataSource(DataSource):
     """format("cassandra_cells"): see module docstring."""
 
@@ -392,6 +438,9 @@ class CellStoreDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> CellStoreWriter:
         return CellStoreWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> CellStoreStreamWriter:
+        return CellStoreStreamWriter(dict(self.options), schema, overwrite)
 
 
 def register(spark) -> None:

@@ -3460,6 +3460,67 @@ def q90_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q91_stream_cell_sink",
+    # one cell per event lands in the store exactly once (micro-batch
+    # commits are replay-idempotent), so the replayed store equals the
+    # batch table
+    oracle="""
+    SELECT event_type AS cell,
+           count(*) AS n_cells,
+           count(DISTINCT user_id) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+    doc="streaming mutation sink through the connector seam: "
+    "df.writeStream.format('cassandra_cells') — the Python Data Source "
+    "stream writer (datasource.CellStoreStreamWriter) commits each "
+    "micro-batch atomically under batch-id part names with batch_size-"
+    "capped row groups (≙ continuous batch_mutate flushes, "
+    "output/CassandraAbstractPut.java:39-50), replay-idempotent under "
+    "checkpoint recovery; the replayed store is read back through the "
+    "same format and must equal the batch table — exactness pinned "
+    "per-cell in test_datasource, aggregate gated here (overflow "
+    "variant of the in-window q84 connector family)",
+)
+def q91_stream_cell_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import codecs, datasource
+
+    datasource.register(spark)
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hcs_q91_{tok}_{os.getpid()}")
+    store, ckpt = base + "_store", base + "_ckpt"
+    for p in (store, ckpt):  # fresh replay: append mode would duplicate
+        shutil.rmtree(p, ignore_errors=True)
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    cells = ev.select(
+        codecs.encode_col(F.col("user_id"), "bigint").alias("row_key"),
+        codecs.encode_col(F.col("event_type"), "string").alias("column_name"),
+        codecs.encode_col(F.col("event_id"), "bigint").alias("value"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    q = (
+        cells.writeStream.format("cassandra_cells")
+        .option("checkpointLocation", ckpt)
+        .option("batch_size", 500)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(store)
+    )
+    q.awaitTermination()
+    back = spark.read.format("cassandra_cells").load(store)
+    return back.groupBy(
+        codecs.decode_col(F.col("column_name"), "string").alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("row_key").alias("n_rows"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -3680,6 +3741,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q88_exact_n_sample": {"sampling"},
     "q89_bloom_filter": {"bloom_filter"},
     "q90_skew_salted_join": {"skew_join"},
+    "q91_stream_cell_sink": {"connector_datasource"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -256,11 +256,17 @@ def stream_static_join(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame
     return stream.join(F.broadcast(dim), key)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_bounded(
     df: DataFrame,
     spark: SparkSession,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame over its bounded source to completion
     via an in-memory sink; return the materialized result as a batch
@@ -275,12 +281,26 @@ def run_bounded(
     overhead (benched 15s → 1.3s for applyInPandasWithState at sf0.01),
     while a 1000-executor deployment wants hundreds — results are identical
     either way. Restored after the stream finishes.
+
+    ``state_store_provider`` overrides
+    ``spark.sql.streaming.stateStore.providerClass`` for this query (e.g.
+    ``ROCKSDB_PROVIDER``). The default HDFS-backed store keeps every
+    partition's state map ON-HEAP — at 100 TB key cardinalities that is an
+    OOM, so a long-lived deployment runs RocksDB (off-heap, spills to
+    local SSD, bounded memory regardless of key count); results are
+    provider-independent, pinned by test_streaming. Restored after the
+    stream finishes. The provider is captured when the stream STARTS, so
+    per-query override is safe even on a shared session.
     """
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     conf = spark.conf
     prev = conf.get("spark.sql.shuffle.partitions")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = conf.get(provider_key, None)
     if state_partitions is not None:
         conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if state_store_provider is not None:
+        conf.set(provider_key, state_store_provider)
     try:
         q = (
             df.writeStream.outputMode(output_mode)
@@ -293,4 +313,9 @@ def run_bounded(
     finally:
         if state_partitions is not None:
             conf.set("spark.sql.shuffle.partitions", prev)
+        if state_store_provider is not None:
+            if prev_provider is None:
+                conf.unset(provider_key)
+            else:
+                conf.set(provider_key, prev_provider)
     return spark.table(name)

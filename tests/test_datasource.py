@@ -260,3 +260,58 @@ def _desc_bytes(b: bytes):
     # order-reversing key for bytes: negate each octet, pad-sensitive via
     # length complement (shorter sorts AFTER any extension in desc order)
     return tuple(255 - x for x in b) + (256,)
+
+
+def test_streaming_write_through_datasource(spark, store, tmp_path):
+    """df.writeStream.format('cassandra_cells'): each micro-batch commits
+    atomically under batch-id part names; the store's final contents equal
+    the batch write of the same cells."""
+    out = str(tmp_path / "stream_store")
+    schema = spark.read.parquet(store).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(f"{store}/*.parquet")
+    )
+    q = (
+        stream.writeStream.format("cassandra_cells")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("batch_size", 50)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination()
+    import glob
+
+    got = spark.read.format("cassandra_cells").load(out)
+    want = spark.read.parquet(store).select(*[f.name for f in got.schema.fields])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # committed names carry the micro-batch id; no temp litter
+    parts = glob.glob(f"{out}/part-*-b*.parquet")
+    assert parts and not glob.glob(f"{out}/._tmp-*")
+    # row groups obey the batch_mutate bound in the streaming path too
+    for f in parts:
+        md = pq.read_metadata(f)
+        assert all(
+            md.row_group(i).num_rows <= 50 for i in range(md.num_row_groups)
+        )
+
+
+def test_streaming_write_batch_replay_is_idempotent(spark, store, tmp_path):
+    """commit(batchId) sweeps a crashed attempt's half-committed parts of
+    the SAME batch before renaming — replay lands each batch exactly once."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    out = str(tmp_path / "replay_store")
+    os.makedirs(out)
+    good = StructType.fromDDL(datasource._BASE_SCHEMA)
+    # a previous attempt of batch 7 half-committed one part file
+    orphan = os.path.join(out, "part-deadjob-b000000007-00000.parquet")
+    with open(orphan, "wb"):
+        pass
+    w = datasource.CellStoreStreamWriter({"path": out}, good, False)
+    w.commit([], 7)
+    assert not os.path.exists(orphan)

@@ -286,3 +286,60 @@ def test_stream_kmv_multi_batch_state_converges(spark, sf_dir, tmp_path):
         keyed, ["window_start", "event_type"], "user_id", k=64
     ).select("window_start", "event_type", "k_used", "est_distinct")
     assert _norm(final.collect()) == _norm(batch.collect())
+
+
+def test_rocksdb_state_store_matches_default_at_10x_keys(spark, sf_dir, tmp_path):
+    """r05 verdict item 7: the bounded-state claims must survive BOTH a
+    10x key-cardinality fixture and the RocksDB state store provider —
+    the off-heap store a 100 TB deployment runs (the default HDFS-backed
+    provider keeps each partition's state map on-heap, which caps key
+    cardinality at executor heap). Results must be provider-independent
+    for both stateful shapes: the applyInPandasWithState KMV sketch (q85)
+    and the watermarked stream-stream join (q62)."""
+    ev = load_events(spark, sf_dir)
+    tenx = ev.crossJoin(spark.range(10).withColumnRenamed("id", "i")).select(
+        (F.col("event_id") * 10 + F.col("i")).alias("event_id"),
+        "ts",
+        (F.col("user_id") * 10 + F.col("i")).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    src_dir = str(tmp_path / "tenx")
+    tenx.coalesce(2).write.parquet(src_dir)
+    assert tenx.select("user_id").distinct().count() >= 10 * ev.select(
+        "user_id"
+    ).distinct().count()
+
+    def read_src():
+        return (
+            spark.readStream.schema(se.EVENTS_SCHEMA_TS)
+            .format("parquet")
+            .load(f"{src_dir}/*.parquet")
+        )
+
+    for build, mode, cols in (
+        (
+            se.stream_kmv_distinct,
+            "update",
+            ["window_start", "event_type", "k_used", "est_distinct"],
+        ),
+        (se.stream_stream_join, "append", ["click_id", "view_id", "user_id"]),
+    ):
+        default = se.run_bounded(
+            build(read_src()), spark, mode, state_partitions=8
+        ).select(*cols)
+        rocks = se.run_bounded(
+            build(read_src()),
+            spark,
+            mode,
+            state_partitions=8,
+            state_store_provider=se.ROCKSDB_PROVIDER,
+        ).select(*cols)
+        d, r = _norm(default.collect()), _norm(rocks.collect())
+        assert len(d) > 0 and d == r
+    # the override never leaks into the shared session
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        is None
+    )
