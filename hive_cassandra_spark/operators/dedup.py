@@ -678,3 +678,68 @@ def neardup_clusters(
         comp.groupBy(F.col("component").alias("keeper_id"))
         .agg(F.count(F.lit(1)).alias("cluster_size"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = EMBEDDING_MAX_BLOCK,
+    validate_cells: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus into centroid cells
+    (similarity.centroids — one Lloyd step from a deterministic
+    hash-bucket init, centroids collected as literals), compare pairs
+    ONLY within a cell, and drop every item that has a smaller-id
+    neighbor with rounded cosine ≥ ``threshold`` in its cell — the
+    smallest id of each tight semantic group survives. Returns one row
+    per input item: (``id_col``, cell, kept).
+
+    Scale shape: cell assignment is a pure codegen expression over
+    centroid literals (zero shuffle — the q47 IVF pattern); the only
+    corpus-sized exchange is the self-join keyed by cell id. Within-cell
+    comparison is quadratic in cell size, so cells must stay bounded:
+    ``n_centroids`` is the knob (SemDeDup runs ~100k clusters at web
+    scale so cells hold ~thousands), and ``validate_cells`` REFUSES to
+    build the quadratic plan if the largest cell exceeds ``max_cell`` —
+    same guard contract as ``embedding_neardup_pairs``.
+    """
+    from hive_cassandra_spark.operators.similarity import (
+        _cell_cols,
+        centroids,
+        cosine,
+    )
+
+    cents_rows = centroids(df, n_centroids, id_col, vec_col).collect()
+    cents = sorted((r.cid, list(r.centroid)) for r in cents_rows)
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("cell", F.element_at(_cell_cols(F.col("v"), cents, 1), 1))
+    if validate_cells:
+        worst = tagged.groupBy("cell").count().agg(
+            F.max("count").alias("m")
+        ).collect()[0]["m"]
+        if worst and worst > max_cell:
+            raise ValueError(
+                f"largest centroid cell holds {worst} items > max_cell="
+                f"{max_cell}: raise n_centroids (bounded cells are the "
+                "contract that keeps the within-cell join non-quadratic)"
+            )
+    a = tagged.select("cell", F.col("id").alias("a_id"), F.col("v").alias("av"))
+    b = tagged.select("cell", F.col("id").alias("b_id"), F.col("v").alias("bv"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cosine(F.col("av"), F.col("bv")), 6) >= threshold)
+        .select(F.col("b_id").alias("id"))
+        .distinct()
+    )
+    return (
+        tagged.select("id", "cell")
+        .join(dropped.withColumn("__dropped", F.lit(True)), "id", "left")
+        .select("id", "cell", F.col("__dropped").isNull().alias("kept"))
+    )

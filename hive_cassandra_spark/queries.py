@@ -3521,6 +3521,53 @@ def q91_stream_cell_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q92_semantic_dedup",
+    # Same centroid/assignment replay as the q47 oracle (pmod-bucket
+    # element-wise-average centroids as exact 6-digit literals, nearest
+    # cell by the scale-free cosine surrogate, ties to the lower cid),
+    # then the SemDeDup keep rule: an item is dropped iff a smaller-id
+    # neighbor in ITS cell has rounded cosine >= 0.35 (threshold chosen
+    # non-vacuous for this fixture: max pairwise cosine is ~0.51, so
+    # ~9% of items drop at sf0.01 — and every engine compares the SAME
+    # 6-digit-rounded value, the q35/q47 cross-engine float contract).
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pos AS (SELECT vec_id, vec_id % 16 AS cid, generate_subscripts(v, 1) AS i,
+                   unnest(v) AS x FROM e),
+    cent_long AS (SELECT cid, i, round(avg(x), 6) AS c FROM pos GROUP BY cid, i),
+    cent AS (SELECT cid, list(c ORDER BY i) AS cv FROM cent_long GROUP BY cid),
+    asg AS (SELECT e.vec_id, c.cid,
+                   list_dot_product(e.v, c.cv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+            FROM e CROSS JOIN cent c),
+    items AS (SELECT vec_id, cid FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+                 FROM asg) WHERE rn = 1),
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM items a JOIN items b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                JOIN e ea ON ea.vec_id = a.vec_id
+                JOIN e eb ON eb.vec_id = b.vec_id
+                WHERE round(list_dot_product(ea.v, eb.v)
+                        / (sqrt(list_dot_product(ea.v, ea.v))
+                           * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.35)
+    SELECT i.vec_id, CAST(i.cid AS INT) AS cell, d.vec_id IS NULL AS kept
+    FROM items i LEFT JOIN dropped d ON d.vec_id = i.vec_id
+    """,
+    doc="SemDeDup-style semantic deduplication (dedup.semantic_dedup, "
+    "arXiv:2303.09540): centroid cells via one deterministic Lloyd step "
+    "(corpus never shuffles for the index — centroids are literals), "
+    "within-cell pairwise cosine, smallest id of each tight group kept; "
+    "cell-size guard refuses the quadratic plan on degenerate "
+    "clusterings. Per-item verdict (vec_id, cell, kept) fully "
+    "SQL-replayed — a strong oracle for a clustering-based dedup",
+)
+def q92_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup.semantic_dedup(emb, threshold=0.35, n_centroids=16)
+    return out.select(F.col("id").alias("vec_id"), "cell", "kept")
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -3742,6 +3789,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q89_bloom_filter": {"bloom_filter"},
     "q90_skew_salted_join": {"skew_join"},
     "q91_stream_cell_sink": {"connector_datasource"},
+    # semantic dedup composes the in-window embedding-dedup (q35) and
+    # IVF-cell (q47) capabilities: both families have in-window bearers
+    "q92_semantic_dedup": {"dedup_embedding", "similarity_ann"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -304,3 +304,45 @@ def test_merge_signatures_equals_full_corpus(spark, sf_dir):
     )
     got = {r.doc: tuple(r)[1:] for r in merged.collect()}
     assert got == full
+
+
+def test_semantic_dedup_keep_rule_and_guard(spark, sf_dir):
+    """SemDeDup: per-item verdicts — an item is dropped iff a smaller-id
+    same-cell neighbor sits at rounded cosine >= threshold (checked
+    against a brute-force replay); the cell-size guard refuses degenerate
+    clusterings instead of running the quadratic join."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hive_cassandra_spark.operators import dedup as dd
+    from hive_cassandra_spark.operators.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = dd.semantic_dedup(emb, threshold=0.35, n_centroids=16)
+    rows = out.collect()
+    assert len(rows) == emb.count()  # one verdict per item
+    kept = {r.id for r in rows if r.kept}
+    assert 0 < len(kept) <= len(rows)
+    # brute-force replay of the keep rule over the SAME cell assignment
+    tagged = out.select("id", "cell").join(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        ),
+        "id",
+    )
+    a = tagged.select("cell", F.col("id").alias("a_id"), F.col("v").alias("av"))
+    b = tagged.select("cell", F.col("id").alias("b_id"), F.col("v").alias("bv"))
+    dropped_expect = {
+        r.b_id
+        for r in a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cosine(F.col("av"), F.col("bv")), 6) >= 0.35)
+        .select("b_id")
+        .distinct()
+        .collect()
+    }
+    assert kept == {r.id for r in rows} - dropped_expect
+    # guard: one centroid => one giant cell => refused
+    with _pytest.raises(ValueError, match="max_cell"):
+        dd.semantic_dedup(emb, n_centroids=1, max_cell=10)
