@@ -211,8 +211,14 @@ class CellStoreReader(DataSourceReader):
     def read(self, split: CellSplit):
         import pyarrow as pa
         import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
 
-        dataset = ds.dataset(list(split.files), format="parquet")
+        # unify per-file schemas so a store whose later jobs appended the
+        # optional columns (sub_column_name/ttl_s) still scans as one
+        # dataset — files lacking a column surface it as nulls, the same
+        # sparse-cell semantics the store's readers already assume
+        unified = pa.unify_schemas([pq.read_schema(f) for f in split.files])
+        dataset = ds.dataset(list(split.files), format="parquet", schema=unified)
         avail = set(dataset.schema.names)
         wanted = [f.name for f in self.out_schema.fields]
         projected = [c for c in wanted if c in avail]
@@ -419,13 +425,17 @@ class CellStoreDataSource(DataSource):
 
     def schema(self) -> str:
         # default schema mirrors sink.to_cells; optional store columns
-        # (sub_column_name, ttl_s) are appended when the footer has them
+        # (sub_column_name, ttl_s) are appended when ANY sampled footer
+        # has them — appends may have introduced them after the store was
+        # created, and footer-only sampling keeps planning cheap
         parts = [_BASE_SCHEMA]
         files = _store_files(self.options.get("path", ""))
         if files:
             import pyarrow.parquet as pq
 
-            names = set(pq.read_schema(files[0]).names)
+            names: set[str] = set()
+            for f in files[:16]:
+                names |= set(pq.read_schema(f).names)
             for c in _OPTIONAL_COLS:
                 if c in names:
                     parts.append(

@@ -315,3 +315,31 @@ def test_streaming_write_batch_replay_is_idempotent(spark, store, tmp_path):
     w = datasource.CellStoreStreamWriter({"path": out}, good, False)
     w.commit([], 7)
     assert not os.path.exists(orphan)
+
+
+def test_mixed_schema_store_reads_unified(spark, store, tmp_path):
+    """A store created without the optional columns, later appended with
+    super/TTL cells, must scan as ONE dataset: old files surface the
+    missing columns as nulls (sparse-cell semantics), and schema
+    inference sees the optional columns even when the first file lacks
+    them."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "mixed")
+    base = spark.read.parquet(store).select("row_key", "column_name", "value", "ts")
+    n_base = base.count()
+    base.write.format("cassandra_cells").mode("append").save(out)
+    extra = base.limit(10).select(
+        "row_key",
+        "column_name",
+        "value",
+        "ts",
+        F.col("column_name").alias("sub_column_name"),
+        F.lit(60).cast("int").alias("ttl_s"),
+    )
+    extra.write.format("cassandra_cells").mode("append").save(out)
+    df = spark.read.format("cassandra_cells").load(out)
+    assert {"sub_column_name", "ttl_s"} <= set(df.columns)
+    assert df.count() == n_base + 10
+    assert df.filter(F.col("ttl_s").isNull()).count() == n_base
+    assert df.filter(F.col("ttl_s") == 60).count() == 10
