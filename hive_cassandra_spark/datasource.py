@@ -67,6 +67,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -416,6 +417,89 @@ class CellStoreStreamWriter(CellStoreWriter, DataSourceStreamArrowWriter):
         self._sweep_stale_tmp()
 
 
+_BATCH_PART_RE = r"part-[0-9a-f]+-b(\d{9})-\d{5}\.parquet$"
+
+
+class CellStoreStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("cassandra_cells")``: tail a
+    STREAM-WRITTEN cell store as a streaming source — the CDC-ish read
+    face of the seam. The streaming sink's commit protocol is a
+    log-structured sequence of atomically-published micro-batches
+    (``part-<job>-b<batchid>-<task>.parquet``), so the batch id IS the
+    offset: ``read(start)`` consumes every fully-committed batch id ≥
+    start and advances to max+1; ``readBetweenOffsets`` replays a
+    committed range deterministically for failure recovery. Offsets are
+    a single integer — no unbounded seen-file lists.
+
+    Batch-job parts (no batch id in the name) are refused with a pointer
+    to ``spark.read``: only the streaming sink's commit log defines an
+    ordering a tailing reader can trust.
+
+    Scale posture: this is the Simple (driver-side) reader variant —
+    right for tailing control-plane-sized mutation feeds; a
+    partition-parallel ``DataSourceStreamReader`` over the same offsets
+    is the drop-in upgrade when a tailed store is corpus-sized.
+    """
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "cassandra_cells needs a store path: .load('<dir>')"
+            )
+        self.path = path
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _batches(self) -> dict[int, list[str]]:
+        import re
+
+        batches: dict[int, list[str]] = {}
+        for f in _store_files(self.path):
+            m = re.search(_BATCH_PART_RE, os.path.basename(f))
+            if m is None:
+                raise ValueError(
+                    f"{os.path.basename(f)}: cassandra_cells streaming "
+                    "read tails a stream-written store (batch-id part "
+                    "names from the streaming sink); this store holds "
+                    "batch-job parts — read it with spark.read instead"
+                )
+            batches.setdefault(int(m.group(1)), []).append(f)
+        return batches
+
+    def read(self, start: dict):
+        batches = self._batches()
+        avail = sorted(b for b in batches if b >= start["pos"])
+        if not avail:
+            return iter(()), start
+        end = {"pos": avail[-1] + 1}
+        # list-backed iterator: the engine's prefetch cache copy.copy()s
+        # it for replay, which a generator cannot survive. Driver-side
+        # materialization of one micro-batch is the Simple-reader contract
+        # (see class docstring for the partition-parallel upgrade path).
+        return iter(list(self._rows(batches, start["pos"], end["pos"]))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(self._batches(), start["pos"], end["pos"])))
+
+    def _rows(self, batches: dict[int, list[str]], lo: int, hi: int):
+        import pyarrow.parquet as pq
+
+        for b in sorted(batches):
+            if lo <= b < hi:
+                for f in sorted(batches[b]):
+                    t = pq.read_table(f)
+                    cols = [
+                        t.column(n).to_pylist()
+                        if n in t.column_names
+                        else [None] * t.num_rows
+                        for n in self.fields
+                    ]
+                    yield from zip(*cols)
+
+
 class CellStoreDataSource(DataSource):
     """format("cassandra_cells"): see module docstring."""
 
@@ -451,6 +535,9 @@ class CellStoreDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> CellStoreStreamWriter:
         return CellStoreStreamWriter(dict(self.options), schema, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> CellStoreStreamReader:
+        return CellStoreStreamReader(dict(self.options), schema)
 
 
 def register(spark) -> None:

@@ -3568,6 +3568,76 @@ def q92_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), "cell", "kept")
 
 
+@register(
+    "q93_stream_cell_tail",
+    # tail(sink(events)) == events: the streaming sink lands one cell per
+    # event exactly once, and the tailing reader consumes every committed
+    # micro-batch exactly once (batch-id offsets), so the streamed
+    # aggregate equals the batch table
+    oracle="""
+    SELECT event_type AS cell,
+           count(*) AS n_cells,
+           count(DISTINCT user_id) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+    doc="streaming READ through the connector seam: "
+    "spark.readStream.format('cassandra_cells') tails a stream-written "
+    "cell store (datasource.CellStoreStreamReader — the streaming sink's "
+    "atomically-published micro-batches are a commit log, so the batch "
+    "id is the offset; readBetweenOffsets replays committed ranges "
+    "deterministically for recovery). Events flow stream→sink→store→"
+    "tail→aggregate and must equal the batch table — the CDC-shaped "
+    "composition the reference's stateless scans could never express "
+    "(overflow variant of the in-window q84 connector family)",
+)
+def q93_stream_cell_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import codecs, datasource
+
+    datasource.register(spark)
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hcs_q93_{tok}_{os.getpid()}")
+    store, ckpt = base + "_store", base + "_ckpt"
+    for p in (store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    cells = ev.select(
+        codecs.encode_col(F.col("user_id"), "bigint").alias("row_key"),
+        codecs.encode_col(F.col("event_type"), "string").alias("column_name"),
+        codecs.encode_col(F.col("event_id"), "bigint").alias("value"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    wq = (
+        cells.writeStream.format("cassandra_cells")
+        .option("checkpointLocation", ckpt)
+        .option("batch_size", 500)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(store)
+    )
+    wq.awaitTermination()
+    tailed = spark.readStream.format("cassandra_cells").load(store)
+    # distinct aggregates are unsupported on streams: materialize the
+    # tailed cells (append mode — the read is the streaming part under
+    # test), aggregate batch-side
+    cells_out = streaming_events.run_bounded(
+        tailed.select(
+            codecs.decode_col(F.col("column_name"), "string").alias("cell"),
+            "row_key",
+        ),
+        spark,
+        "append",
+    )
+    return cells_out.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("row_key").alias("n_rows"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -3792,6 +3862,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # semantic dedup composes the in-window embedding-dedup (q35) and
     # IVF-cell (q47) capabilities: both families have in-window bearers
     "q92_semantic_dedup": {"dedup_embedding", "similarity_ann"},
+    "q93_stream_cell_tail": {"connector_datasource"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -343,3 +343,73 @@ def test_mixed_schema_store_reads_unified(spark, store, tmp_path):
     assert df.count() == n_base + 10
     assert df.filter(F.col("ttl_s").isNull()).count() == n_base
     assert df.filter(F.col("ttl_s") == 60).count() == 10
+
+
+def test_streaming_read_tails_stream_written_store(spark, store, tmp_path):
+    """readStream.format('cassandra_cells') over a stream-written store:
+    batch ids are the offsets; the tailing read returns exactly the
+    store's cells, and batch-job parts are refused."""
+    out = str(tmp_path / "tail_store")
+    schema = spark.read.parquet(store).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # several committed batch ids
+        .parquet(f"{store}/*.parquet")
+    )
+    q = (
+        src.writeStream.format("cassandra_cells")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination()
+    tailed = spark.readStream.format("cassandra_cells").load(out)
+    sink = (
+        tailed.writeStream.format("memory")
+        .queryName("tail_out")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sink.awaitTermination()
+    got = sorted(map(tuple, spark.table("tail_out").collect()))
+    cols = spark.table("tail_out").columns
+    want = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    assert got and got == want
+    # batch-job parts have no batch-id ordering: the tailing reader refuses
+    batch_store = str(tmp_path / "batch_store")
+    spark.read.parquet(store).write.format("cassandra_cells").mode("append").save(batch_store)
+    reader = datasource.CellStoreStreamReader({"path": batch_store}, schema)
+    with pytest.raises(ValueError, match="stream-written"):
+        reader.read({"pos": 0})
+
+
+def test_streaming_read_offsets_are_deterministic(spark, store, tmp_path):
+    """readBetweenOffsets replays a committed range exactly (failure
+    recovery contract): rows for [0, mid) + [mid, end) == all rows."""
+    out = str(tmp_path / "repl_store")
+    schema = spark.read.parquet(store).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{store}/*.parquet")
+    )
+    q = (
+        src.writeStream.format("cassandra_cells")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination()
+    reader = datasource.CellStoreStreamReader({"path": out}, schema)
+    rows, end = reader.read({"pos": 0})
+    all_rows = sorted(rows)
+    assert end["pos"] >= 1
+    mid = max(1, end["pos"] // 2)
+    replay = sorted(
+        list(reader.readBetweenOffsets({"pos": 0}, {"pos": mid}))
+        + list(reader.readBetweenOffsets({"pos": mid}, end))
+    )
+    assert replay == all_rows and len(all_rows) > 0
