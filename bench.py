@@ -70,6 +70,7 @@ HEADLINE = [
     "q88_exact_n_sample",
     "q89_bloom_filter",
     "q90_skew_salted_join",
+    "q92_semantic_dedup",
 ]
 
 
@@ -102,6 +103,7 @@ def main() -> None:
         "q84_connector_datasource",
         "q89_bloom_filter",
         "q90_skew_salted_join",
+        "q92_semantic_dedup",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()
