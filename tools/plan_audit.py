@@ -88,6 +88,16 @@ NOTES = {
         "over one row per distinct pair; the join runs once and no "
         "reducer ever sees the hot key whole."
     ),
+    "q92_semantic_dedup": (
+        "SemDeDup: cell assignment is a zero-shuffle codegen expression "
+        "over literal centroids (the q47 IVF pattern); the only "
+        "corpus-sized exchanges are the centroid-build aggregation and "
+        "the within-cell self-join keyed by cell id. Cell sizes are "
+        "guard-bounded (refuses degenerate clusterings), so the "
+        "within-cell quadratic never exceeds max_cell^2 per cell — at "
+        "web scale n_centroids rises to keep cells ~thousands, exactly "
+        "the published SemDeDup configuration."
+    ),
     "q33_dedup_minhash_lsh": (
         "runtime I/O: documents.parquet is scanned ONCE (sh_tbl cache build); "
         "every other reference reads the cache (round-1's '8 scans' was the "
