@@ -397,6 +397,11 @@ class CellStoreStreamWriter(CellStoreWriter, DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         import glob as _glob
 
+        if self.overwrite:
+            # complete/truncate output mode: each batch REPLACES the store
+            # (the batch-overwrite semantics, once per micro-batch)
+            for old in _glob.glob(os.path.join(self.path, "*.parquet")):
+                os.remove(old)
         for stale in _glob.glob(self._batch_parts(batchId)):
             os.remove(stale)  # a crashed attempt of THIS batch half-committed
         for i, m in enumerate(messages):

@@ -413,3 +413,28 @@ def test_streaming_read_offsets_are_deterministic(spark, store, tmp_path):
         + list(reader.readBetweenOffsets({"pos": mid}, end))
     )
     assert replay == all_rows and len(all_rows) > 0
+
+
+def test_streaming_write_complete_mode_truncates_per_batch(tmp_path):
+    """overwrite=True (complete/truncate output mode): each micro-batch
+    commit replaces the store contents instead of appending."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    path = str(tmp_path / "complete_store")
+    os.makedirs(path)
+    good = StructType.fromDDL(datasource._BASE_SCHEMA)
+    old = os.path.join(path, "part-oldjob-b000000001-00000.parquet")
+    with open(old, "wb"):
+        pass
+    w = datasource.CellStoreStreamWriter({"path": path}, good, True)
+    w.commit([], 2)
+    assert not os.path.exists(old)
+    # append mode keeps prior batches
+    w2 = datasource.CellStoreStreamWriter({"path": path}, good, False)
+    keep = os.path.join(path, "part-other-b000000003-00000.parquet")
+    with open(keep, "wb"):
+        pass
+    w2.commit([], 4)
+    assert os.path.exists(keep)
