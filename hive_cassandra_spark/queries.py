@@ -3638,6 +3638,108 @@ def q93_stream_cell_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q94_store_compaction",
+    # Three generations land in the store as separate append jobs
+    # (duplicate versions across part files, exactly SSTable shape);
+    # compaction must keep each cell's winner (highest ts), let the
+    # tombstone generation suppress-and-vanish, and drop the expired-TTL
+    # cells — the oracle replays the same generations and rules serially.
+    oracle="""
+    WITH g AS (
+        SELECT c_custkey AS k, 'seg' AS col, c_mktsegment AS v,
+               1000 AS ts, CAST(NULL AS INT) AS ttl FROM customer
+        UNION ALL
+        SELECT c_custkey, 'seg', c_name, 2000, NULL
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 'seg', NULL, 3000, NULL
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, 'tmp', c_name, 1000,
+               CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 100 END
+        FROM customer),
+    win AS (SELECT k, col, v, ts, ttl,
+                   row_number() OVER (PARTITION BY k, col
+                                      ORDER BY ts DESC, v DESC) AS rn
+            FROM g),
+    live AS (SELECT k, col, v, ttl FROM win
+             WHERE rn = 1 AND v IS NOT NULL
+               AND (ttl IS NULL OR ts + ttl * 1000 > 10000))
+    SELECT col AS cell,
+           count(*) AS n_cells,
+           count(DISTINCT k) AS n_keys,
+           min(v) AS min_val,
+           max(v) AS max_val,
+           CAST(coalesce(sum(ttl), 0) AS BIGINT) AS sum_ttl
+    FROM live GROUP BY col
+    """,
+    doc="store compaction (sink.compact_store — the Cassandra SSTable-"
+    "compaction analogue the reference delegates to the server): three "
+    "append jobs leave duplicate cell versions across part files; "
+    "compaction keeps each cell's LWW winner (highest ts, ties to the "
+    "lexically greater value — Cassandra's reconciliation rule), lets "
+    "the tombstone generation suppress older versions then vanish "
+    "(post-gc_grace), drops TTL-expired winners, and atomically swaps "
+    "the rewritten store in; gated by reading the compacted store back "
+    "through format('cassandra_cells') against a serial replay",
+)
+def q94_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import codecs, datasource, sink
+
+    datasource.register(spark)
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    store = os.path.join(
+        tempfile.gettempdir(), f"hcs_q94_{tok}_{os.getpid()}_store"
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer")
+
+    def cell(df, col_name, value_col, ts, ttl_col=None):
+        return df.select(
+            codecs.encode_col(F.col("c_custkey"), "bigint").alias("row_key"),
+            codecs.encode_col(F.lit(col_name), "string").alias("column_name"),
+            codecs.encode_col(value_col, "string").alias("value"),
+            F.lit(ts).cast("long").alias("ts"),
+            (ttl_col if ttl_col is not None else F.lit(None)).cast("int").alias("ttl_s"),
+        )
+
+    gen1 = cell(cust, "seg", F.col("c_mktsegment"), 1000)
+    gen2 = cell(cust.filter(F.col("c_custkey") % 3 == 0), "seg", F.col("c_name"), 2000)
+    tomb = cell(
+        cust.filter(F.col("c_custkey") % 5 == 0), "seg", F.lit(None), 3000
+    )
+    tmp = cell(
+        cust,
+        "tmp",
+        F.col("c_name"),
+        1000,
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(1)).otherwise(F.lit(100)),
+    )
+    # three separate append jobs: duplicate versions across part files,
+    # the SSTable accumulation compaction exists for
+    for gen in (gen1, gen2.unionByName(tomb), tmp):
+        gen.write.format("cassandra_cells").mode("append").save(store)
+
+    sink.compact_store(spark, store, now_millis=10000)
+
+    back = spark.read.format("cassandra_cells").load(store)
+    return back.groupBy(
+        codecs.decode_col(F.col("column_name"), "string").alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("row_key").alias("n_keys"),
+        F.min(codecs.decode_col(F.col("value"), "string")).alias("min_val"),
+        F.max(codecs.decode_col(F.col("value"), "string")).alias("max_val"),
+        F.coalesce(F.sum("ttl_s"), F.lit(0)).cast("long").alias("sum_ttl"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -3863,6 +3965,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # IVF-cell (q47) capabilities: both families have in-window bearers
     "q92_semantic_dedup": {"dedup_embedding", "similarity_ann"},
     "q93_stream_cell_tail": {"connector_datasource"},
+    # compaction composes in-window LWW (q28), TTL (q80), and the
+    # connector store (q84) semantics into the maintenance op
+    "q94_store_compaction": {"lww", "ttl", "connector_datasource"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

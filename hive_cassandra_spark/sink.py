@@ -253,3 +253,93 @@ def stream_to_cells(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_store(
+    spark,
+    path: str,
+    now_millis: int | None = None,
+    drop_tombstones: bool = True,
+    target_buckets: int = 8,
+) -> dict:
+    """Compact a file-backed cell store in place — the Cassandra
+    compaction analogue the reference's engine delegates to the server
+    (SSTables accumulate versions; compaction keeps each cell's winner and
+    garbage-collects tombstones/expired cells). Appends and streaming
+    micro-batch commits accumulate part files with duplicate cell
+    versions exactly like SSTables do; readers stay correct via LWW at
+    read time, and this maintenance op makes the store itself small and
+    single-versioned again.
+
+    Semantics per cell key (row_key, column_name[, sub_column_name]):
+    - the winner is the version with the highest ``ts``; ties go to the
+      lexically greater ``value`` — Cassandra's actual reconciliation
+      rule, so the result is deterministic and oracle-checkable;
+    - a NULL-value winner is a tombstone: it suppresses every older
+      version, then (``drop_tombstones``) vanishes itself — the
+      post-gc_grace moment;
+    - with ``now_millis`` given, TTL-expired winners are dropped
+      (``source.expire_cells`` arithmetic: live while
+      ts + ttl_s*1000 > now).
+
+    One map-side-combinable aggregation (max of a (ts, value, ...)
+    struct — no window, no skew funnel: the key includes column_name so
+    wide rows spread), then an atomic swap: compacted parts land in a
+    sibling temp dir that replaces the store only after a fully
+    successful write. Like Cassandra's, this compaction assumes one
+    maintainer per store at a time. Returns
+    {cells_in, cells_out, files_in, files_out}.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import uuid
+
+    from hive_cassandra_spark import datasource
+
+    datasource.register(spark)
+    cells = spark.read.format("cassandra_cells").load(path)
+    cols = set(cells.columns)
+    key = ["row_key", "column_name"] + (
+        ["sub_column_name"] if "sub_column_name" in cols else []
+    )
+    extras = [c for c in ("ttl_s",) if c in cols]
+    cells_in = cells.count()
+    files_in = len(_glob.glob(os.path.join(path, "*.parquet")))
+
+    packed = F.struct(*(["ts", "value"] + extras))
+    won = cells.groupBy(*key).agg(F.max(packed).alias("w"))
+    flat = won.select(
+        *key,
+        F.col("w.value").alias("value"),
+        F.col("w.ts").alias("ts"),
+        *[F.col(f"w.{c}").alias(c) for c in extras],
+    )
+    if drop_tombstones:
+        flat = flat.filter(F.col("value").isNotNull())
+    if now_millis is not None and "ttl_s" in cols:
+        flat = flat.filter(
+            F.col("ttl_s").isNull()
+            | (F.col("ts") + F.col("ttl_s").cast("long") * 1000 > F.lit(now_millis))
+        )
+
+    token = uuid.uuid4().hex[:8]
+    tmp_dir = f"{path.rstrip('/')}.compacting-{token}"
+    (
+        flat.repartition(target_buckets, F.col("row_key"))
+        .write.format("cassandra_cells")
+        .mode("overwrite")
+        .save(tmp_dir)
+    )
+    cells_out = spark.read.parquet(tmp_dir).count()
+    files_out = len(_glob.glob(os.path.join(tmp_dir, "*.parquet")))
+    old_dir = f"{path.rstrip('/')}.old-{token}"
+    os.rename(path, old_dir)
+    os.rename(tmp_dir, path)
+    shutil.rmtree(old_dir)
+    return {
+        "cells_in": cells_in,
+        "cells_out": cells_out,
+        "files_in": files_in,
+        "files_out": files_out,
+    }

@@ -260,3 +260,43 @@ def test_expire_cells_ttl_semantics(spark):
         _source.expire_cells(with_ttl, now_millis=5_999), m, ["k", "s", "v"], types
     )
     assert early.count() == 2
+
+
+def test_compact_store_semantics(spark, tmp_path):
+    """sink.compact_store: LWW winner per cell (highest ts, ties to the
+    lexically greater value — Cassandra's reconciliation rule), tombstone
+    suppress-and-vanish, TTL GC, atomic swap with no temp leftovers."""
+    import glob
+    import os
+
+    from hive_cassandra_spark import datasource, sink
+
+    datasource.register(spark)
+    store = str(tmp_path / "cstore")
+    rows = [
+        (b"k1", b"c1", b"v1", 10, None),
+        (b"k1", b"c1", b"v2", 20, None),  # winner by ts
+        (b"k2", b"c1", b"aa", 5, None),
+        (b"k2", b"c1", b"zz", 5, None),  # ts tie -> greater value wins
+        (b"k3", b"c1", None, 30, None),  # tombstone wins, then vanishes
+        (b"k3", b"c1", b"old", 10, None),
+        (b"k4", b"c1", b"x", 1000, 1),  # expired at now=10000
+        (b"k5", b"c1", b"y", 1000, 100),  # alive
+    ]
+    df = spark.createDataFrame(
+        rows, "row_key binary, column_name binary, value binary, ts long, ttl_s int"
+    )
+    df.write.format("cassandra_cells").mode("append").save(store)
+    df.write.format("cassandra_cells").mode("append").save(store)  # 2nd gen of files
+    stats = sink.compact_store(spark, store, now_millis=10000, target_buckets=2)
+    assert stats["cells_in"] == 16 and stats["files_in"] >= 2
+    assert stats["cells_out"] == 3 and stats["files_out"] <= 2
+    back = {
+        bytes(r.row_key): bytes(r.value)
+        for r in spark.read.format("cassandra_cells").load(store).collect()
+    }
+    assert back == {b"k1": b"v2", b"k2": b"zz", b"k5": b"y"}
+    # atomic swap left no temp/old dirs behind
+    parent = os.path.dirname(store)
+    assert not glob.glob(f"{parent}/*.compacting-*")
+    assert not glob.glob(f"{parent}/*.old-*")
