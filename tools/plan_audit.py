@@ -198,8 +198,11 @@ def _scaling_section() -> str:
         "quadratic blowup despite pair output scaling with volume. "
         "q82's shuffle stays O(partitions × groups × k) — megabytes at any "
         "volume. q47's exchanges carry only top-k candidates per probe; "
-        "q62's state is bounded by the join's time-range condition, and its "
-        "shuffle scales with the micro-batch volume, not history. "
+        "q92's centroid-build + cell-join shuffles grow sub-linearly (3× at "
+        "5× volume) because the exchanges carry ids and partial sums, not "
+        "vectors; q62's state is bounded by the join's time-range "
+        "condition, and its shuffle scales with the micro-batch volume, "
+        "not history. "
         "Sub-linear wall-clock ratios at 5× volume mean fixed per-query "
         "overhead (micro-batch setup, codegen) still dominates at sf0.1 "
         "scale — the shuffle-bytes column is the scale-truthful signal.",

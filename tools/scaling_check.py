@@ -6,7 +6,7 @@ the assertions into measurements.
 It synthesizes an N-replica scale-up of sf0.1 under /tmp (keys offset per
 replica so CARDINALITIES scale with volume — near-dup text perturbed so
 the dedup pair structure doesn't degenerate into N-way identical
-clusters), then runs the 5 most expensive queries at both points,
+clusters), then runs the most expensive headline queries at both points,
 recording wall-clock AND actual shuffle-write bytes (REST status API on a
 UI-enabled session). A bounded-shuffle plan must scale shuffle bytes
 sub-linearly — or, where the shuffle carries the data (dedup pipelines),
@@ -39,6 +39,7 @@ QUERIES_UNDER_TEST = [
     "q62_stream_stream_join",
     "q82_quantile_sketch",
     "q34_dedup_simhash",
+    "q92_semantic_dedup",
 ]
 # which table each query reads (only these get synthesized)
 TABLES = ["documents", "embeddings", "events", "lineitem"]
