@@ -71,6 +71,12 @@ HEADLINE = [
     "q89_bloom_filter",
     "q90_skew_salted_join",
     "q92_semantic_dedup",
+    # round-6 second batch: incremental bloom dedup, the grouped-prefix-sum
+    # mixture fill, the chunk-window dedup, and the MG+exact heavy hitters
+    "q95_incremental_dedup",
+    "q96_corpus_mixing",
+    "q97_chunk_dedup",
+    "q98_heavy_hitters",
 ]
 
 
@@ -104,6 +110,10 @@ def main() -> None:
         "q89_bloom_filter",
         "q90_skew_salted_join",
         "q92_semantic_dedup",
+        "q95_incremental_dedup",
+        "q96_corpus_mixing",
+        "q97_chunk_dedup",
+        "q98_heavy_hitters",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

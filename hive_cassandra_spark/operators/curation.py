@@ -25,7 +25,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from hive_cassandra_spark.operators import relational
 from hive_cassandra_spark.operators.dedup import shingle_table
+from hive_cassandra_spark.operators.sketches import hash52
 from hive_cassandra_spark.operators.text import tokens
 
 # Regexes chosen to behave identically under Java regex (Spark) and RE2
@@ -297,4 +299,66 @@ def domain_cap(
     return (
         out.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def mixture_select(
+    df: DataFrame,
+    total_budget: int,
+    weight: F.Column,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixture selection: fill a global token budget from many
+    sources in proportion to per-source weights — the operator that turns
+    a raw multi-source crawl into a training mix ("40% web, 30% code, ...")
+    without materializing or shuffling the full corpus more than once.
+
+    Per source s with weight w_s, the token budget is
+    ``floor(total_budget * w_s / sum(w))``. Within a source, documents are
+    ranked by a deterministic md5 hash of (source, id) — a stable
+    pseudo-random order, reproducible across runs and cluster sizes — and
+    a document is kept while the tokens of the docs ranked before it
+    (``cum_before``) are still under the source's budget (greedy fill: the
+    document that crosses the boundary is included).
+
+    Scale shape: the per-source running token sum is
+    ``relational.prefix_sum_by_group`` — the two-phase distributed prefix
+    sum — NOT a ``Window.partitionBy(source)``, which would funnel each
+    source (one of maybe a dozen, each carrying terabytes) through a
+    single task. Weights reduce to one ≤#sources-row broadcast table.
+    ``weight`` must be a deterministic expression over the input row
+    (constant within a source).
+
+    Output: one row per input doc — (id, source, tok_count, cum_before,
+    source_budget, keep).
+    """
+    if total_budget <= 0:
+        raise ValueError("total_budget must be a positive token count")
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        weight.cast("long").alias("__w"),
+        F.size(tokens(F.col(text_col))).alias("tok_count"),
+        hash52(
+            F.concat(F.col(source_col), F.lit(":"), F.col(id_col).cast("string"))
+        ).alias("__rank"),
+    )
+    cum = relational.prefix_sum_by_group(
+        base, [source_col], "__rank", "tok_count", out_col="cum_before"
+    )
+    # one row per source + the scalar weight total: both broadcast-sized
+    per_source = cum.groupBy(source_col).agg(F.max("__w").alias("__w"))
+    total_w = per_source.groupBy().agg(F.sum("__w").alias("__sum_w"))
+    budgets = per_source.crossJoin(F.broadcast(total_w)).select(
+        source_col,
+        F.expr(f"cast({total_budget} as bigint) * __w div __sum_w").alias(
+            "source_budget"
+        ),
+    )
+    return (
+        cum.join(F.broadcast(budgets), source_col)
+        .withColumn("keep", F.col("cum_before") < F.col("source_budget"))
+        .drop("__w", "__rank")
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from hive_cassandra_spark.operators import sketches
 from hive_cassandra_spark.operators.text import normalize, tokens
 
 
@@ -742,4 +743,129 @@ def semantic_dedup(
         tagged.select("id", "cell")
         .join(dropped.withColumn("__dropped", F.lit(True)), "id", "left")
         .select("id", "cell", F.col("__dropped").isNull().alias("kept"))
+    )
+
+
+def doc_chunks(
+    df: DataFrame,
+    chunk_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut each document's normalized token stream into disjoint
+    ``chunk_tokens``-token chunks (last chunk may be short). One narrow
+    codegen'd projection + posexplode — NO shuffle. Output:
+    (doc, chunk_idx, chunk)."""
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # guard: sequence(0, -1) would COUNT DOWN, not return empty
+    chunks = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc"), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup (the "exact substring dedup" of
+    Lee et al. 2022, *Deduplicating Training Data Makes Language Models
+    Better*, restricted to disjoint token windows so reassembly is
+    deterministic): a chunk of text is kept only at its globally FIRST
+    occurrence — ordered by (doc, chunk_idx) — and every later repetition,
+    in the same or any other document, is dropped; each document is then
+    reassembled from its surviving chunks. This removes boilerplate
+    (headers, license blocks, navigation chrome) that whole-document
+    dedup can never see.
+
+    Scale shape: chunking is a zero-shuffle projection+explode; the
+    first-occurrence rank is ONE window partitioned by the chunk text —
+    high-cardinality, well-spread, each partition a handful of rows (hot
+    boilerplate chunks cap at their repetition count, and the window only
+    ranks — never materializes — the partition); reassembly is ONE
+    groupBy(doc) whose collect_list holds ≤ the doc's own chunks. Two
+    shuffles total, both spread, no driver participation.
+
+    Output: one row per input doc with ≥1 token — (doc, n_chunks,
+    kept_chunks, rebuilt_md5) where rebuilt_md5 hashes the
+    space-joined surviving chunks ('' when none survive).
+    """
+    from pyspark.sql import Window as W
+
+    chunks = doc_chunks(df, chunk_tokens, text_col=text_col, id_col=id_col)
+    w = W.partitionBy("chunk").orderBy("doc", "chunk_idx")
+    ranked = chunks.withColumn("first_here", F.row_number().over(w) == 1)
+    kept_struct = F.when(
+        F.col("first_here"), F.struct("chunk_idx", "chunk")
+    )  # collect_list drops the NULLs for non-first occurrences
+    return ranked.groupBy(F.col("doc")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("first_here").cast("long")).alias("kept_chunks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.chunk,
+                ),
+            )
+        ).alias("rebuilt_md5"),
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_words: int = 64,
+    k: int = 4,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the incremental
+    crawl-ingest op: is this page already in the last 100 TB? — without
+    joining the full corpus against the full batch. A bloom filter over
+    the corpus's normalized texts (``sketches.bloom_build``: ≤ n_words
+    rows total, independent of corpus size) is broadcast and probed
+    map-side; only probe-positive batch docs reach the exact confirmation
+    anti-join, so the shuffle carries the (tiny) candidate set, never the
+    batch. The result is EXACT: bloom has no false negatives, and its
+    false positives are cleared by the confirm join.
+
+    Output: every batch row as (id, maybe_member, is_new) —
+    ``maybe_member`` the bloom verdict, ``is_new`` the exact one;
+    (maybe_member=false, is_new=false) is impossible.
+    """
+    key = normalize(F.col(text_col)).alias("__key")
+    corpus_keys = corpus.select(key)
+    bloom = sketches.bloom_build(corpus_keys, "__key", n_words=n_words, k=k)
+    probed = sketches.bloom_probe(
+        batch.select(F.col(id_col).alias("id"), key),
+        bloom,
+        "__key",
+        n_words=n_words,
+        k=k,
+    )
+    clean = probed.filter(~F.col("maybe_member"))  # never shuffled
+    candidates = probed.filter(F.col("maybe_member"))
+    confirmed_dup = candidates.join(
+        corpus_keys.distinct().withColumn("__hit", F.lit(True)), "__key", "left"
+    )
+    return (
+        clean.withColumn("__hit", F.lit(None).cast("boolean"))
+        .unionByName(confirmed_dup)
+        .select(
+            "id",
+            "maybe_member",
+            F.col("__hit").isNull().alias("is_new"),
+        )
     )

@@ -261,6 +261,69 @@ def shard_manifest(
     )
 
 
+def prefix_sum_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value_col`` per group in ``order_col``
+    order, without ever windowing one group in one task — the grouped
+    generalization of the two-phase distributed prefix sum used by
+    ``curation.pack_sequences`` (a single-key ``Window.partitionBy(group)``
+    would funnel each group through one reducer: the straggler shape this
+    module exists to avoid).
+
+    1. ``repartitionByRange(group..., order)`` — the RangePartitioner
+       assigns lexicographically ascending (group, order) ranges to
+       ascending partition ids, so within any group, partition p's rows
+       all precede partition p+1's.
+    2. Window prefix sum WITHIN (partition id, group) — parallel across
+       partitions, no task sees more than its own partition.
+    3. One tiny aggregation (≤ #partitions × #groups-straddling rows)
+       yields per-(pid, group) totals; their per-group exclusive prefix
+       sum over pid — computed in window form over that small table —
+       broadcast-joins back as each (pid, group)'s base offset.
+
+    Output: input columns + ``out_col`` (long). ``order_col`` must be
+    unique within a group for a deterministic sum.
+    """
+    sess = df.sparkSession
+    nparts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = df.repartitionByRange(
+        nparts, *[F.col(c) for c in group_cols], F.col(order_col)
+    ).withColumn("__pid", F.spark_partition_id()).persist()
+    w_in = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn(
+        "__cum_in", F.sum(value_col).over(w_in) - F.col(value_col)
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        base.groupBy("__pid", *group_cols)
+        .agg(F.sum(value_col).alias("__part_tot"))
+        .withColumn(
+            "__part_off", F.sum("__part_tot").over(w_off) - F.col("__part_tot")
+        )
+        .select("__pid", *group_cols, "__part_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(
+            out_col, (F.col("__part_off") + F.col("__cum_in")).cast("long")
+        )
+        .drop("__pid", "__cum_in", "__part_off")
+    )
+
+
 def exact_n_sample(
     df: DataFrame, n: int, key_col: str, salt: str = ""
 ) -> DataFrame:

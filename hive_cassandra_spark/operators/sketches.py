@@ -312,3 +312,87 @@ def quantile_estimate(
     return ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_sample"), *aggs
     )
+
+
+# ------------------------------------------------------------------------
+# Heavy hitters: EXACT frequent items in two bounded-memory passes — the
+# Misra-Gries candidate sweep plus an exact confirmation count. The sketch
+# does candidate GENERATION only, so the final answer is exact and
+# oracle-comparable (unlike a raw MG/count-min readout, whose counts are
+# approximate and partition-order-dependent).
+# ------------------------------------------------------------------------
+
+
+def mg_candidates(df: DataFrame, col: str, capacity: int = 512) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned. Guarantee: any value
+    whose GLOBAL frequency exceeds N/(capacity+1) appears in the output —
+    if a value is absent from partition p's summary, its count there is
+    ≤ N_p/(capacity+1); summing over partitions bounds its global count.
+
+    Batch-form MG inside ``mapInPandas`` (Arrow-vectorized value_counts
+    per batch, then one threshold-subtraction when the dict overflows —
+    every subtraction event removes ≥ m·(capacity+1) total mass, which is
+    what preserves the per-partition bound). State is ≤ ~2×capacity
+    entries per task regardless of input size; output ≤ capacity rows per
+    partition. No shuffle at all — the union IS the per-partition yield.
+    """
+    import pandas as pd
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+
+    def mg(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].dropna().value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > capacity:
+                m = sorted(counts.values(), reverse=True)[capacity]
+                counts = {v: c - m for v, c in counts.items() if c > m}
+        yield pd.DataFrame({col: list(counts.keys())})
+
+    return df.select(col).mapInPandas(mg, schema=f"{col} string")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_count_num: int,
+    min_count_den: int,
+    capacity: int = 512,
+) -> DataFrame:
+    """All values of ``col`` with frequency ≥ N·min_count_num/min_count_den
+    (N = total rows), with their EXACT counts. Requires
+    min_count_num/min_count_den > 1/(capacity+1) so the Misra-Gries
+    candidate union provably contains every qualifying value.
+
+    Two passes over the input, both bounded: (1) ``mg_candidates`` — no
+    shuffle; (2) one counting aggregation where every non-candidate
+    collapses into a single NULL group map-side (count partials combine,
+    so the lumped group is NOT a hot key) — the shuffle carries
+    ≤ candidates+1 rows per upstream partition. N falls out of the same
+    pass (sum of all group counts), so the input is never scanned a third
+    time. The threshold is INTEGER arithmetic (cnt·den ≥ N·num): bit-exact
+    across engines. Output: (col, cnt), exact.
+    """
+    if min_count_den <= 0 or min_count_num <= 0:
+        raise ValueError("threshold fraction must be positive")
+    if min_count_num * (capacity + 1) <= min_count_den:
+        raise ValueError(
+            "threshold must exceed 1/(capacity+1) for the MG guarantee"
+        )
+    cands = mg_candidates(df, col, capacity=capacity).distinct()
+    tagged = df.select(col).join(
+        F.broadcast(cands.withColumn("__cand", F.lit(True))), col, "left"
+    )
+    grouped = (
+        tagged.groupBy(F.when(F.col("__cand"), F.col(col)).alias(col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = grouped.groupBy().agg(F.sum("cnt").alias("__n"))
+    return (
+        grouped.filter(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * min_count_den >= F.col("__n") * min_count_num)
+        .select(col, "cnt")
+    )

@@ -3740,6 +3740,212 @@ def q94_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q95_incremental_dedup",
+    # The corpus is everything outside src0 PLUS injected copies of every
+    # third src0 doc, so the batch provably contains both true duplicates
+    # and fresh docs; the oracle replays the ENTIRE 64-word bloom filter
+    # bit-for-bit (same md5 positions mod 3968, same 62-bit words — the
+    # q89 arithmetic) plus the exact EXISTS, so the gate pins which batch
+    # docs were bloom candidates AND which survived, including false
+    # positives. (maybe_member=false, is_new=false) rows are impossible
+    # (no false negatives) and would break the row-count match.
+    oracle="""
+    WITH corpus AS (
+        SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS key
+        FROM documents WHERE source <> 'src0'
+        UNION ALL
+        SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        FROM documents WHERE source = 'src0' AND doc_id % 3 = 0),
+    batch AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS key
+        FROM documents WHERE source = 'src0'),
+    hidx AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    pos AS (SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || key),
+                   1, 13) AS BIGINT) % 3968 AS h
+            FROM corpus CROSS JOIN hidx),
+    bits AS (SELECT h // 62 AS word_idx,
+                    bit_or(CAST(1 AS BIGINT) << CAST(h % 62 AS INT)) AS bits
+             FROM pos GROUP BY 1),
+    arr AS (SELECT list(COALESCE(b.bits, 0) ORDER BY w.i) AS ws
+            FROM (SELECT unnest(range(0, 64)) AS i) w
+            LEFT JOIN bits b ON b.word_idx = w.i),
+    ph AS (SELECT doc_id, key,
+                  CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || key),
+                  1, 13) AS BIGINT) % 3968 AS h
+           FROM batch CROSS JOIN hidx),
+    pt AS (SELECT doc_id, key,
+                  bool_and(((a.ws[CAST(h // 62 AS INT) + 1]
+                             >> CAST(h % 62 AS INT)) % 2) = 1) AS maybe_member
+           FROM ph CROSS JOIN arr a GROUP BY 1, 2)
+    SELECT pt.doc_id, pt.maybe_member,
+           NOT EXISTS (SELECT 1 FROM corpus c WHERE c.key = pt.key) AS is_new
+    FROM pt
+    """,
+    doc="incremental crawl-ingest dedup (dedup.incremental_dedup): is this "
+    "batch doc already in the existing 100 TB corpus? The corpus reduces "
+    "to a 64-word (~512-byte) bloom filter — ONE map-side-combined "
+    "aggregation whose output size is independent of corpus size — "
+    "broadcast and probed as a pure zero-shuffle expression over the "
+    "batch; only probe-positive docs reach the exact confirmation join, "
+    "so the shuffle carries the candidate set, never batch×corpus. "
+    "Result is exact (bloom false positives cleared by the confirm "
+    "join); overflow variant of the in-window dedup_exact (q31) + "
+    "bloom_filter (q89) families",
+)
+def q95_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0").unionByName(
+        docs.filter(
+            (F.col("source") == "src0") & (F.col("doc_id") % 3 == 0)
+        )
+    )
+    res = dedup.incremental_dedup(batch, corpus, n_words=64, k=4)
+    return res.select(
+        F.col("id").alias("doc_id"), "maybe_member", "is_new"
+    )
+
+
+@register(
+    "q96_corpus_mixing",
+    # weights are a deterministic function of the source name (1..4), so
+    # the oracle can replay budget allocation, the md5 rank order, and
+    # the greedy boundary-crossing fill exactly; sums CAST to BIGINT
+    # (DuckDB HUGEINT is banned by the gate's fetch-path contract)
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               (CAST(substr(source, 4) AS INT) % 4) + 1 AS w,
+               len(list_filter(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok,
+               CAST('0x' || substr(md5(source || ':' ||
+                   CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS rnk
+        FROM documents),
+    sw AS (SELECT DISTINCT source, w FROM d),
+    tw AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM sw),
+    b AS (SELECT source, CAST(12000 AS BIGINT) * w // sum_w AS source_budget
+          FROM sw CROSS JOIN tw),
+    c AS (SELECT *, COALESCE(sum(tok) OVER (
+              PARTITION BY source ORDER BY rnk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS cum_before
+          FROM d)
+    SELECT c.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN cum_before < source_budget
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN cum_before < source_budget
+                    THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+           max(source_budget) AS source_budget
+    FROM c JOIN b ON c.source = b.source
+    GROUP BY c.source
+    """,
+    doc="training-data mixture selection (curation.mixture_select): fill a "
+    "12k-token global budget from 20 sources in proportion to per-source "
+    "weights, docs ranked by a deterministic md5 hash (stable across "
+    "runs and cluster sizes), greedy fill including the budget-crossing "
+    "doc. The per-source running token sum is the two-phase distributed "
+    "prefix sum (relational.prefix_sum_by_group) — per-range-partition "
+    "window + a broadcast offsets table — NOT a Window.partitionBy("
+    "source), which would funnel each multi-TB source through ONE task; "
+    "weights/budgets reduce to a ≤#sources-row broadcast table",
+)
+def q96_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.expr("cast(substring(source, 4) as int)") % 4 + 1)
+    sel = curation.mixture_select(docs, 12000, w)
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("tok_count")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.max("source_budget").alias("source_budget"),
+    )
+
+
+@register(
+    "q97_chunk_dedup",
+    # 4-token chunks over the fixture vocabulary produce a real (~6%)
+    # cross-document duplicate-chunk rate, so the first-occurrence rank,
+    # the drops, and the reassembled md5 are all non-vacuously gated
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+               lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS ts
+        FROM documents),
+    toks AS (SELECT doc_id, unnest(range(1, len(ts)+1)) AS i, ts FROM d),
+    tok2 AS (SELECT doc_id, i, ts[i] AS tok FROM toks),
+    chunks AS (SELECT doc_id, (i-1)//4 AS chunk_idx,
+                      string_agg(tok, ' ' ORDER BY i) AS chunk
+               FROM tok2 GROUP BY doc_id, (i-1)//4),
+    ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+               FROM chunks)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_chunks,
+           md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+               ORDER BY chunk_idx), '')) AS rebuilt_md5
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="sub-document exact dedup (dedup.chunk_dedup — Lee et al. 2022 "
+    "exact-substring dedup on disjoint 4-token windows): a chunk "
+    "survives only at its globally first (doc, chunk_idx) occurrence; "
+    "every later repetition in ANY document is dropped and the doc is "
+    "reassembled from survivors — removes boilerplate whole-document "
+    "dedup can never see. Chunking is a zero-shuffle codegen'd "
+    "projection+posexplode; first-occurrence is ONE window partitioned "
+    "by the high-cardinality chunk text (hot chunks cap at their "
+    "repetition count); reassembly is ONE groupBy(doc). Two spread "
+    "shuffles total — gated on the rebuilt text md5 per doc",
+)
+def q97_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    res = dedup.chunk_dedup(docs, chunk_tokens=4)
+    return res.select(
+        F.col("doc").alias("doc_id"), "n_chunks", "kept_chunks", "rebuilt_md5"
+    )
+
+
+@register(
+    "q98_heavy_hitters",
+    # exact output despite the sketch: Misra-Gries only GENERATES
+    # candidates (provable superset of every ≥1% token for capacity 512,
+    # since 1/100 > 1/513); the counts that reach the result are exact,
+    # so the oracle is plain GROUP BY / HAVING with integer threshold
+    # arithmetic
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(trim(regexp_replace(
+               lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok
+        FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks CROSS JOIN tot
+    GROUP BY tok, tot.n
+    HAVING count(*) * 100 >= n
+    """,
+    doc="exact heavy hitters (sketches.heavy_hitters): all tokens with "
+    "≥1% global frequency and their exact counts, in two bounded passes "
+    "— (1) per-partition Misra-Gries summaries via Arrow-batched "
+    "mapInPandas (≤ ~2×512 entries of state per task, NO shuffle; the "
+    "union provably contains every value above N/513) and (2) one "
+    "counting aggregation where all non-candidates collapse into a "
+    "single NULL group map-side (count partials combine, so the lumped "
+    "group is not a hot key) — the shuffle carries ≤ candidates+1 rows "
+    "per upstream partition and N falls out of the same pass. The "
+    "100 TB frequent-vocabulary op with no unbounded state anywhere",
+)
+def q98_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    return sketches.heavy_hitters(toks, "tok", 1, 100, capacity=512)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -3784,6 +3990,19 @@ def q94_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cell-store read/write with pushFilters slice pushdown), q57 (asof_join),
 # q59 (percentiles — its scale-safe successor q82 stays in-window).
 #
+# Round-6 second rotation: the three new round-6 capabilities take window
+# slots immediately (the q71-q74 precedent): q96 (token-budget corpus
+# mixing), q97 (sub-document chunk dedup), q98 (exact heavy hitters).
+# q95 (incremental dedup) needs NO slot: it composes the in-window
+# dedup_exact (q31) + bloom_filter (q89) families, so it is an ordinary
+# redundant overflow variant. Evicted three sole-bearer queries, each
+# driver-green in ALL of r02+r03+r04+r05, so all GRADUATE: q19
+# (scalar_fns — every remaining query exercises the scalar surface in
+# passing), q27 (super_cf — the optional-column roundtrip lives on
+# in-window through q84's sub_column_name/ttl_s path), q56
+# (curation_pipeline — its stages all have in-window bearers: q87
+# cascade, q81 domains, q73 PII).
+#
 # Round-5 rotation: the three new round-5 capabilities take window slots
 # immediately (the q71-q74 precedent): q82 (mergeable bottom-k quantile
 # sketch — clears the r03 verdict's last weak-for-scale item), q83
@@ -3804,11 +4023,9 @@ _WINDOW_ORDER = [
     "q07_customer_order_stats",       # left + full outer joins
     "q11_priority_distinct_customers",  # DISTINCT agg + HAVING
     "q13_top_orders_per_customer",    # window rank + running frame
-    "q19_scalar_functions",           # scalar fn surface
     "q20_flag_status_cube",           # cube + rollup
     "q23_orders_above_average",       # scalar subquery
     # events family (round-1 env failures — verdict item 1)
-    "q27_super_column_roundtrip",
     "q28_lww_compaction",
     "q64_hypertable_rollup",
     "q65_batch_sessionize",
@@ -3850,11 +4067,14 @@ _WINDOW_ORDER = [
     "q87_quality_cascade",
     "q89_bloom_filter",
     "q90_skew_salted_join",
+    # round-6 second rotation: new capabilities, immediate slots
+    "q96_corpus_mixing",
+    "q97_chunk_dedup",
+    "q98_heavy_hitters",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q50_stream_tumbling",
     "q52_stream_session",
-    "q56_corpus_curation",
     "q58_range_join",
     "q62_stream_stream_join",
     # the storage-handler facade roundtrip (DDL write + synthesized mapping +
@@ -3968,6 +4188,12 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # compaction composes in-window LWW (q28), TTL (q80), and the
     # connector store (q84) semantics into the maintenance op
     "q94_store_compaction": {"lww", "ttl", "connector_datasource"},
+    # incremental dedup composes the in-window exact-dedup (q31) and
+    # bloom-filter (q89) capabilities
+    "q95_incremental_dedup": {"dedup_exact", "bloom_filter"},
+    "q96_corpus_mixing": {"corpus_mixing"},
+    "q97_chunk_dedup": {"dedup_substring"},
+    "q98_heavy_hitters": {"heavy_hitters"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -4003,6 +4229,11 @@ GRADUATED = {
     # ordinary redundant overflow variant.
     "q57_asof_join",             # asof_join
     "q59_percentiles",           # percentiles (scale-safe successor: q82)
+    # round-6 second-rotation graduations — each driver-green in ALL of
+    # r02+r03+r04+r05
+    "q19_scalar_functions",      # scalar_fns
+    "q27_super_column_roundtrip",  # super_cf (q84 carries sub_column_name on)
+    "q56_corpus_curation",       # curation_pipeline
 }
 
 

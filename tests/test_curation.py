@@ -192,3 +192,60 @@ def test_quality_cascade_requires_rules(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         curation.quality_cascade(df, [])
+
+
+# ------------------------------------------------------------ mixture select
+
+
+def test_mixture_select_greedy_fill_matches_serial(spark):
+    """The distributed greedy fill must equal a serial replay: per source,
+    rank docs by the md5 hash, keep while cum_before < budget (the
+    boundary-crossing doc is included)."""
+    import hashlib
+
+    rows = [
+        (i, f"s{i % 2}", " ".join(["w"] * (5 + i % 7))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    total = 100
+    out = curation.mixture_select(
+        df, total, weight=F.when(F.col("source") == "s0", 3).otherwise(1)
+    )
+    got = {r.doc_id: (r.keep, r.cum_before, r.source_budget)
+           for r in out.collect()}
+    # serial replay
+    h = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+    budgets = {"s0": total * 3 // 4, "s1": total * 1 // 4}
+    for src in ("s0", "s1"):
+        docs = sorted(
+            [r for r in rows if r[1] == src],
+            key=lambda r: h(f"{src}:{r[0]}"),
+        )
+        cum = 0
+        for doc_id, _, txt in docs:
+            tok = len(txt.split())
+            keep, cum_before, budget = got[doc_id]
+            assert budget == budgets[src]
+            assert cum_before == cum
+            assert keep == (cum < budgets[src])
+            cum += tok
+    assert len(got) == len(rows)
+
+
+def test_mixture_select_partition_invariant_and_validates(spark):
+    rows = [(i, f"s{i % 3}", " ".join(["x"] * (3 + i % 5))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = F.lit(1)
+    a = sorted(
+        (r.doc_id, r.keep)
+        for r in curation.mixture_select(df, 50, weight=w).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.keep)
+        for r in curation.mixture_select(
+            df.repartition(13), 50, weight=w
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="total_budget"):
+        curation.mixture_select(df, 0, weight=w)

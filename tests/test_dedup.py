@@ -2,6 +2,7 @@
 
 import itertools
 
+import pytest
 from pyspark.sql import functions as F
 
 from hive_cassandra_spark.operators import dedup
@@ -346,3 +347,58 @@ def test_semantic_dedup_keep_rule_and_guard(spark, sf_dir):
     # guard: one centroid => one giant cell => refused
     with _pytest.raises(ValueError, match="max_cell"):
         dd.semantic_dedup(emb, n_centroids=1, max_cell=10)
+
+
+# ------------------------------------------------------------- chunk dedup
+
+
+def test_chunk_dedup_first_occurrence_and_reassembly(spark):
+    """A chunk survives only at its globally first (doc, chunk_idx)
+    occurrence; docs reassemble from survivors; a fully-duplicate doc
+    keeps 0 chunks and hashes the empty string."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d x y z w"),
+            (3, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc: (r.n_chunks, r.kept_chunks, r.rebuilt_md5)
+        for r in dedup.chunk_dedup(df, chunk_tokens=4).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1] == (2, 2, md5("a b c d e f g h"))
+    assert out[2] == (2, 1, md5("x y z w"))
+    assert out[3] == (1, 0, md5(""))
+
+
+def test_chunk_dedup_short_tail_and_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    row = dedup.chunk_dedup(df, chunk_tokens=2).collect()[0]
+    assert (row.n_chunks, row.kept_chunks) == (2, 2)  # "a b" + short "c"
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        dedup.doc_chunks(df, 0)
+
+
+# -------------------------------------------------------- incremental dedup
+
+
+def test_incremental_dedup_exact_no_false_negatives(spark):
+    corpus = spark.createDataFrame(
+        [(10, "foo bar"), (11, "baz qux")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "Foo   Bar"), (2, "genuinely new"), (3, "BAZ qux")],
+        "doc_id long, text string",
+    )
+    out = {r.id: (r.maybe_member, r.is_new) for r in
+           dedup.incremental_dedup(batch, corpus).collect()}
+    assert out[1] == (True, False)   # normalization-equal duplicate
+    assert out[3] == (True, False)
+    assert out[2][1] is True         # fresh doc survives
+    # bloom has no false negatives: maybe=false ⇒ is_new=true
+    assert all(m or new for m, new in out.values())

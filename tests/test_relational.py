@@ -208,3 +208,34 @@ def test_exact_n_sample_deterministic_and_exact(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # no global sort
     with pytest.raises(ValueError):
         rel.exact_n_sample(docs, 0, "doc_id")
+
+
+# ------------------------------------------------------ grouped prefix sum
+
+
+def test_prefix_sum_by_group_matches_single_window(spark):
+    """The two-phase distributed form must equal the naive
+    Window.partitionBy(group) exclusive cumsum, under any partitioning."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", (i * 7) % 11 + 1) for i in range(200)],
+        "k long, g string, v long",
+    )
+    naive = df.withColumn(
+        "cum_before",
+        F.sum("v").over(
+            W.partitionBy("g")
+            .orderBy("k")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        - F.col("v"),
+    )
+    expect = sorted((r.k, r.cum_before) for r in naive.collect())
+    got = sorted(
+        (r.k, r.cum_before)
+        for r in rel.prefix_sum_by_group(
+            df.repartition(9), ["g"], "k", "v"
+        ).collect()
+    )
+    assert got == expect

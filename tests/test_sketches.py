@@ -198,3 +198,64 @@ def test_bloom_probe_zero_shuffle_on_fact_side(spark):
     # tiny bloom-build groupBy(word_idx) on the OTHER side
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+# ---------------------------------------------------------------- heavy hitters
+
+
+def test_mg_candidates_superset_guarantee(spark):
+    """Any value with global frequency > N/(capacity+1) must appear in the
+    per-partition Misra-Gries union, whatever the partitioning."""
+    # 10k rows: value 'hot' 2000x, 'warm' 500x, the rest a long tail
+    rows = (
+        [("hot",)] * 2000
+        + [("warm",)] * 500
+        + [(f"tail{i % 750}",) for i in range(7500)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    cap = 20
+    cands = {
+        r.v for r in sketches.mg_candidates(df, "v", capacity=cap).collect()
+    }
+    n = len(rows)
+    exact = {
+        r.v
+        for r in df.groupBy("v")
+        .count()
+        .filter(F.col("count") > n / (cap + 1))
+        .collect()
+    }
+    assert exact <= cands
+    # bounded output: ≤ capacity rows per partition
+    assert len(cands) <= cap * 8
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    rows = [(f"v{i % 37}",) for i in range(11100)] + [("big",)] * 900
+    df = spark.createDataFrame(rows, "v string")
+    out = {
+        (r.v, r.cnt)
+        for r in sketches.heavy_hitters(df, "v", 1, 20, capacity=64).collect()
+    }
+    n = len(rows)
+    exact = {
+        (r.v, r["count"])
+        for r in df.groupBy("v")
+        .count()
+        .filter(F.col("count") * 20 >= n)
+        .collect()
+    }
+    assert out == exact
+    out7 = {
+        (r.v, r.cnt)
+        for r in sketches.heavy_hitters(
+            df.repartition(7), "v", 1, 20, capacity=64
+        ).collect()
+    }
+    assert out7 == exact
+
+
+def test_heavy_hitters_threshold_guard(spark):
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="MG guarantee"):
+        sketches.heavy_hitters(df, "v", 1, 1000, capacity=64)

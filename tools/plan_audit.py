@@ -98,6 +98,39 @@ NOTES = {
         "web scale n_centroids rises to keep cells ~thousands, exactly "
         "the published SemDeDup configuration."
     ),
+    "q95_incremental_dedup": (
+        "the 8 filter-pushed scans are the gate fixture re-deriving corpus "
+        "and batch from ONE documents table (bloom build + confirm join + "
+        "probe branches); in production the corpus-side bloom is built once "
+        "per ingest epoch and cached — the per-batch work is the zero-"
+        "shuffle probe plus a candidate-only join. The two nested-loop "
+        "joins are the 1-row bloom word-array and count broadcasts."
+    ),
+    "q96_corpus_mixing": (
+        "the exchange count is dominated by the grouped two-phase prefix "
+        "sum's bookkeeping branches over BROADCAST-SIZED tables (per-"
+        "partition offsets, per-source weights/budgets — rows ≤ partitions "
+        "× sources); the corpus itself moves through exactly one range "
+        "exchange into the cached (id, tok, rank, pid) projection (1 "
+        "distinct scan) and is never globally sorted or single-task-"
+        "windowed."
+    ),
+    "q97_chunk_dedup": (
+        "the 100 TB plan shape exactly: zero-shuffle chunking (projection + "
+        "posexplode), ONE window partitioned by high-cardinality chunk "
+        "text, ONE groupBy(doc) reassembly — 2 exchanges total; the "
+        "ObjectHashAggregates are the per-doc collect_list whose size is "
+        "bounded by the doc's own chunk count."
+    ),
+    "q98_heavy_hitters": (
+        "two passes by design: the Misra-Gries candidate sweep (mapInPandas, "
+        "Arrow-batched, bounded state, NO shuffle) and the exact confirm "
+        "aggregation where non-candidates collapse into one NULL group "
+        "map-side — the only exchange over data carries ≤ candidates+1 "
+        "rows per upstream partition. Scan count reflects the two passes "
+        "plus the plan printer; at 100 TB the second pass re-scans rather "
+        "than caching the corpus (cheaper than materializing it)."
+    ),
     "q33_dedup_minhash_lsh": (
         "runtime I/O: documents.parquet is scanned ONCE (sh_tbl cache build); "
         "every other reference reads the cache (round-1's '8 scans' was the "
