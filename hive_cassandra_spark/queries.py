@@ -1743,14 +1743,21 @@ def q46_dual_decode_text_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inference path is externally gated, not pytest-only",
 )
 def q66_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
     import os
+    import tempfile
 
     from hive_cassandra_spark import handler
 
     part = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_retailprice"
     )
-    store = f"/tmp/hcs_q66_{os.path.basename(sf_dir.rstrip('/'))}"
+    # full-path hash + pid: two concurrent runs (or two sf dirs sharing a
+    # basename) must never race on one store (the q84 ADVICE pattern)
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    store = os.path.join(
+        tempfile.gettempdir(), f"hcs_q66_{tok}_{os.getpid()}"
+    )
     tdef = handler.define_table(
         "part_cf",
         store,

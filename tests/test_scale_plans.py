@@ -215,3 +215,64 @@ def test_skew_fixture_is_actually_skewed(spark, sf_dir):
     total = li.count()
     hot = li.filter(F.col("sk") == 1).count()
     assert hot / total > 0.19, f"hot share {hot/total:.3f}"
+
+
+def test_chunk_dedup_two_exchanges_chunk_keyed(spark, sf_dir):
+    """q97: chunking is a zero-shuffle projection+posexplode; the only two
+    exchanges are the chunk-keyed first-occurrence window and the
+    groupBy(doc) reassembly — never a global sort or driver hop."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q97_chunk_dedup")
+    assert len(re.findall(r"\bExchange\b", plan)) == 2, plan
+    # the window partitions on the high-cardinality chunk text, not doc
+    assert "hashpartitioning(chunk#" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_heavy_hitters_candidate_sweep_no_shuffle(spark, sf_dir):
+    """q98: the Misra-Gries sweep must run as Arrow-batched mapInPandas
+    DIRECTLY over the scan (no exchange between them), and the fact-side
+    confirm join must be a broadcast of the candidate set — the corpus
+    itself shuffles only as ≤ candidates+1 map-side-combined partials."""
+    plan = _plan(spark, sf_dir, "q98_heavy_hitters")
+    # candidates reach the fact side by broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    # the sweep consumes the scan in place: under the MapInPandas node the
+    # explode+FileScan print BEFORE any exchange (sibling branches with
+    # their own exchanges print after the subtree)
+    sweep = plan.find("MapInPandas")
+    below = plan[sweep:]
+    assert sweep != -1 and 0 <= below.find("FileScan") < below.find(
+        "Exchange"
+    ), below[:800]
+
+
+def test_mixture_select_no_per_source_global_window(spark, sf_dir):
+    """q96: the running token sum must come from the two-phase grouped
+    prefix sum — every Window in the plan is keyed by (__pid, source) or
+    runs over the broadcast-sized offsets table; no Window partitions on
+    bare source over the corpus (the one-task-per-source straggler)."""
+    plan = _plan(spark, sf_dir, "q96_corpus_mixing")
+    import re
+
+    # corpus-side windows carry the partition id in their key
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        if "source" in spec:
+            assert "__pid" in spec, spec
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_probe_side_zero_shuffle(spark, sf_dir):
+    """q95: the batch is probed against a ONE-ROW broadcast word array —
+    the batch itself never exchanges before its bloom verdict; the only
+    hash exchanges belong to the corpus-side bloom build and the
+    candidate-only confirm join."""
+    plan = _plan(spark, sf_dir, "q95_incremental_dedup")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # probe expressions are pure codegen: no Python anywhere
+    assert "EvalPython" not in plan, plan
