@@ -396,3 +396,41 @@ def heavy_hitters(
         .filter(F.col("cnt") * min_count_den >= F.col("__n") * min_count_num)
         .select(col, "cnt")
     )
+
+
+def bloom_words(bloom: DataFrame, n_words: int) -> list[int]:
+    """Materialize a built filter as its ≤ ``n_words`` word list (missing
+    words → 0). The ONE deliberate driver collect in this module — bounded
+    at n_words rows (~KBs) independent of key count, the IVF-centroid
+    precedent — so the filter can be embedded as plan literals where a
+    broadcast join is unavailable or unwanted (streaming plans, runtime
+    filters pushed into scans)."""
+    got = {r["word_idx"]: r["bits"] for r in bloom.collect()}
+    return [int(got.get(i, 0)) for i in range(n_words)]
+
+
+def bloom_probe_expr(
+    key: Column, words: list[int], n_words: int, k: int
+) -> Column:
+    """Pure-expression membership test against a literalized filter: the
+    words ride the plan as an array literal, so the probe is zero-join,
+    zero-shuffle, zero-state — usable in a streaming projection (where a
+    per-batch cross join would add a stream-static join) or as a pushed
+    runtime filter. Bit-identical to ``bloom_probe``."""
+    size = n_words * BLOOM_BITS_PER_WORD
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    member = None
+    for i in range(k):
+        h = hash52(F.concat(F.lit(f"{i}:"), key.cast("string"))) % size
+        word = F.element_at(arr, (h / BLOOM_BITS_PER_WORD).cast("int") + 1)
+        # the F.shiftright wrapper takes only literal counts; the SQL
+        # function itself accepts a column count — call it by name
+        t = (
+            F.call_function(
+                "shiftright", word, (h % BLOOM_BITS_PER_WORD).cast("int")
+            )
+            % 2
+            == 1
+        )
+        member = t if member is None else (member & t)
+    return member

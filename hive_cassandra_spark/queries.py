@@ -3953,6 +3953,63 @@ def q98_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.heavy_hitters(toks, "tok", 1, 100, capacity=512)
 
 
+@register(
+    "q99_stream_incremental_dedup",
+    # corpus = every 37th event; the oracle replays the 128-word literal
+    # bloom bit-for-bit, and the exact verdict collapses to the membership
+    # predicate itself (event_id is the key), so each streamed row's
+    # (maybe_member, is_new) pair — false positives included — is pinned
+    oracle="""
+    WITH corpus AS (SELECT DISTINCT CAST(event_id AS VARCHAR) AS key
+                    FROM events WHERE event_id % 37 = 0),
+    hidx AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    pos AS (SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || key),
+                   1, 13) AS BIGINT) % 7936 AS h
+            FROM corpus CROSS JOIN hidx),
+    bits AS (SELECT h // 62 AS word_idx,
+                    bit_or(CAST(1 AS BIGINT) << CAST(h % 62 AS INT)) AS bits
+             FROM pos GROUP BY 1),
+    arr AS (SELECT list(COALESCE(b.bits, 0) ORDER BY w.i) AS ws
+            FROM (SELECT unnest(range(0, 128)) AS i) w
+            LEFT JOIN bits b ON b.word_idx = w.i),
+    ph AS (SELECT event_id,
+                  CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                  CAST(event_id AS VARCHAR)), 1, 13) AS BIGINT) % 7936 AS h
+           FROM events CROSS JOIN hidx),
+    pt AS (SELECT event_id,
+                  bool_and(((a.ws[CAST(h // 62 AS INT) + 1]
+                             >> CAST(h % 62 AS INT)) % 2) = 1) AS maybe_member
+           FROM ph CROSS JOIN arr a GROUP BY 1)
+    SELECT event_id, maybe_member, (event_id % 37 <> 0) AS is_new
+    FROM pt
+    """,
+    doc="streaming incremental dedup (streaming.events."
+    "stream_incremental_dedup): the continuous form of q95 for a live "
+    "ingest feed — the static corpus reduces to a 128-word bloom whose "
+    "words ride the streaming plan as LITERALS (one bounded ≤128-row "
+    "collect at plan build; IVF-centroid precedent), so the membership "
+    "verdict is a zero-state zero-shuffle streaming projection needing "
+    "no watermark; only probe-positive rows take the exact stream-static "
+    "confirmation join (broadcast static side). Append-mode exact: every "
+    "event exactly once with its (maybe_member, is_new) pair. Overflow "
+    "variant of the in-window stream_join (q62) + bloom_filter (q89) "
+    "families",
+)
+def q99_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir).select(
+        "event_id", F.col("event_id").cast("string").alias("__key")
+    )
+    corpus = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_id") % 37 == 0)
+        .select(F.col("event_id").cast("string").alias("__key"))
+    )
+    flagged = streaming_events.stream_incremental_dedup(ev, corpus)
+    return streaming_events.run_bounded(
+        flagged.select("event_id", "maybe_member", "is_new"), spark, "append"
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4201,6 +4258,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q96_corpus_mixing": {"corpus_mixing"},
     "q97_chunk_dedup": {"dedup_substring"},
     "q98_heavy_hitters": {"heavy_hitters"},
+    # streaming form of q95: composes the in-window stream-join (q62) and
+    # bloom-filter (q89) capabilities
+    "q99_stream_incremental_dedup": {"stream_join", "bloom_filter"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

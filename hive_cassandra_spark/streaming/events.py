@@ -319,3 +319,48 @@ def run_bounded(
             else:
                 conf.set(provider_key, prev_provider)
     return spark.table(name)
+
+
+def stream_incremental_dedup(
+    stream: DataFrame,
+    corpus_keys: DataFrame,
+    key_col: str = "__key",
+    n_words: int = 128,
+    k: int = 4,
+) -> DataFrame:
+    """Streaming incremental dedup: flag each streaming row against an
+    existing static corpus — the continuous form of
+    ``dedup.incremental_dedup`` for a live ingest feed.
+
+    The corpus reduces to a bloom filter whose words are embedded as PLAN
+    LITERALS (``sketches.bloom_words`` — one bounded ≤n_words driver
+    collect at plan build, the IVF-centroid precedent), so the
+    ``maybe_member`` verdict is a pure zero-state streaming projection:
+    no join, no shuffle, no watermark. Only probe-positive rows take the
+    exact stream-static confirmation join (static side broadcast), so
+    per-micro-batch work is candidates only. Output is exact and
+    append-mode safe: every input row exactly once with
+    (maybe_member, is_new); (false, false) rows are impossible.
+    """
+    from hive_cassandra_spark.operators import sketches
+
+    bloom = sketches.bloom_build(corpus_keys, key_col, n_words=n_words, k=k)
+    words = sketches.bloom_words(bloom, n_words)
+    probed = stream.withColumn(
+        "maybe_member",
+        sketches.bloom_probe_expr(
+            F.col(key_col), words, n_words=n_words, k=k
+        ),
+    )
+    hits = corpus_keys.distinct().withColumn("__hit", F.lit(True))
+    cand = probed.filter(F.col("maybe_member")).join(
+        F.broadcast(hits), key_col, "left"
+    )
+    clean = probed.filter(~F.col("maybe_member")).withColumn(
+        "__hit", F.lit(None).cast("boolean")
+    )
+    return (
+        clean.unionByName(cand)
+        .withColumn("is_new", F.col("__hit").isNull())
+        .drop("__hit")
+    )

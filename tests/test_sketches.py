@@ -259,3 +259,23 @@ def test_heavy_hitters_threshold_guard(spark):
     df = spark.range(10).select(F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError, match="MG guarantee"):
         sketches.heavy_hitters(df, "v", 1, 1000, capacity=64)
+
+
+def test_bloom_probe_expr_matches_probe(spark):
+    """The literalized-words probe must be bit-identical to the broadcast
+    one-row probe — same members, same false positives."""
+    keys = spark.range(200).select((F.col("id") * 3).cast("string").alias("k"))
+    bloom = sketches.bloom_build(keys, "k", n_words=16, k=4)
+    probe = spark.range(900).select(F.col("id").cast("string").alias("k"))
+    via_join = {
+        (r.k, r.maybe_member)
+        for r in sketches.bloom_probe(probe, bloom, "k", n_words=16, k=4).collect()
+    }
+    words = sketches.bloom_words(bloom, 16)
+    via_expr = {
+        (r.k, r.m)
+        for r in probe.withColumn(
+            "m", sketches.bloom_probe_expr(F.col("k"), words, n_words=16, k=4)
+        ).collect()
+    }
+    assert via_expr == via_join

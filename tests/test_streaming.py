@@ -343,3 +343,26 @@ def test_rocksdb_state_store_matches_default_at_10x_keys(spark, sf_dir, tmp_path
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
         is None
     )
+
+
+def test_stream_incremental_dedup_equals_batch_and_exact(spark, sf_dir):
+    """The streamed (maybe_member, is_new) flags must equal a batch replay
+    of the same bloom + exact membership; no false negatives; every event
+    appears exactly once (append-mode exactness through the union)."""
+    ev = se.read_events_stream(spark, sf_dir).select(
+        "event_id", F.col("event_id").cast("string").alias("__key")
+    )
+    corpus = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_id") % 37 == 0)
+        .select(F.col("event_id").cast("string").alias("__key"))
+    )
+    out = se.run_bounded(
+        se.stream_incremental_dedup(ev, corpus), spark, "append"
+    ).collect()
+    n_events = load_events(spark, sf_dir).count()
+    assert len(out) == n_events  # exactly once per event
+    for r in out:
+        assert r.is_new == (r.event_id % 37 != 0)  # exact verdict
+        if not r.maybe_member:
+            assert r.is_new  # bloom has no false negatives

@@ -235,7 +235,11 @@ def _scaling_section() -> str:
         "5× volume) because the exchanges carry ids and partial sums, not "
         "vectors; q62's state is bounded by the join's time-range "
         "condition, and its shuffle scales with the micro-batch volume, "
-        "not history. "
+        "not history. Round-6 second batch: q95's shuffle is the ~KB "
+        "bloom build alone (too small to ratio — the probe ships "
+        "nothing); q96 ships narrow (id, tok, rank) bookkeeping rows "
+        "~linearly; q97's chunk-keyed window and q98's candidate-bounded "
+        "confirm agg grow ≤ linearly with volume at flat wall-clock. "
         "Sub-linear wall-clock ratios at 5× volume mean fixed per-query "
         "overhead (micro-batch setup, codegen) still dominates at sf0.1 "
         "scale — the shuffle-bytes column is the scale-truthful signal.",

@@ -40,6 +40,16 @@ QUERIES_UNDER_TEST = [
     "q82_quantile_sketch",
     "q34_dedup_simhash",
     "q92_semantic_dedup",
+    # round-6 second batch: the new heavy shapes over documents. The
+    # Caesar substitution makes replica token/chunk spaces disjoint, so
+    # chunk-dup structure scales per replica (q97), candidate vocab grows
+    # with volume while MG state stays capped (q98), the corpus-side bloom
+    # build carries 5x keys into the same 64-word filter (q95), and the
+    # grouped prefix sum ships 5x narrow bookkeeping rows (q96).
+    "q95_incremental_dedup",
+    "q96_corpus_mixing",
+    "q97_chunk_dedup",
+    "q98_heavy_hitters",
 ]
 # which table each query reads (only these get synthesized)
 TABLES = ["documents", "embeddings", "events", "lineitem"]
