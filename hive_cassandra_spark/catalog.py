@@ -66,6 +66,35 @@ class Catalog:
         self.registered[name] = path
         return df
 
+    def register_cells_table(
+        self, name: str, path: str, **options
+    ) -> DataFrame:
+        """Expose a cell store through the ``cassandra_cells`` data source
+        as a SQL-queryable temp view — the working analogue of the
+        reference's ``CREATE EXTERNAL TABLE ... STORED BY
+        CassandraStorageHandler`` DDL (CassandraStorageHandler.java:26).
+
+        A direct ``CREATE TABLE ... USING cassandra_cells OPTIONS(...)``
+        parses, but Spark 4.1 does not forward SQL OPTIONS (path included)
+        to a PYTHON data source reader — the options dict arrives empty
+        (measured; JVM DSv2 sources don't have this gap). Until upstream
+        closes it, view registration is the honest SQL-DDL seam: the scan
+        still runs through the full datasource path (splits, pushdown,
+        paging). ``options`` forwards reader options (reversed,
+        split_size, page_size, ...).
+        """
+        from hive_cassandra_spark import datasource as _ds
+
+        _ds.register(self.spark)
+        name = self.table_name(name)
+        reader = self.spark.read.format("cassandra_cells")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        df = reader.load(path)
+        df.createOrReplaceTempView(name)
+        self.registered[name] = path
+        return df
+
     def table(self, name: str) -> DataFrame:
         return self.spark.table(self.table_name(name))
 

@@ -49,3 +49,34 @@ def test_multi_insert_pattern(spark, sf_dir, tmp_path):
         assert cat.table("big_orders").count() == b.count()
     finally:
         src.unpersist()
+
+
+def test_register_cells_table_sql_over_datasource(spark, sf_dir, tmp_path):
+    """SQL over the cassandra_cells seam via view registration — the
+    working CREATE EXTERNAL TABLE analogue (direct CREATE TABLE ... USING
+    a PYTHON data source parses but Spark 4.1 forwards it an EMPTY
+    options dict, path included — measured; so the view IS the seam)."""
+    from pyspark.sql import functions as F
+
+    from hive_cassandra_spark import codecs, datasource
+    from hive_cassandra_spark.catalog import Catalog
+
+    datasource.register(spark)
+    store = str(tmp_path / "cells")
+    df = spark.range(50).select(
+        codecs.encode_col(F.col("id"), "bigint").alias("row_key"),
+        codecs.encode_col(F.lit("c"), "string").alias("column_name"),
+        codecs.encode_col(F.col("id") * 2, "bigint").alias("value"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    df.write.format("cassandra_cells").mode("overwrite").save(store)
+    cat = Catalog(spark)
+    cat.register_cells_table("cf_sql", store)
+    n = spark.sql("SELECT count(*) AS n FROM cf_sql").collect()[0].n
+    assert n == 50
+    # bigint cells are 8-byte big-endian binary: hex → decimal in pure SQL
+    total = spark.sql(
+        "SELECT sum(cast(conv(hex(value), 16, 10) as bigint)) AS s FROM cf_sql"
+    ).collect()[0].s
+    assert total == sum(i * 2 for i in range(50))
+    cat.drop_table("cf_sql")
