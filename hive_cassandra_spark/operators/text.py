@@ -175,21 +175,106 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffle, no Python."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    nb = F.size(bigrams)
+    bg = bigrams(F.col(text_col))
+    nb = F.size(bg)
     return df.select(
         "*",
         F.round(_max_equal_run(F.array_sort(toks)) / F.greatest(n, F.lit(1)), 4).alias(
             "top_token_ratio"
         ),
         F.round(
-            _max_equal_run(F.array_sort(bigrams)) / F.greatest(nb, F.lit(1)), 4
+            _max_equal_run(F.array_sort(bg)) / F.greatest(nb, F.lit(1)), 4
         ).alias("top_bigram_ratio"),
         _max_equal_run(toks).alias("max_token_run"),
+    )
+
+
+def bigrams(text: Column) -> Column:
+    """Word-bigram array ("a b", "b c", …) of the normalized text — the
+    same construction repetition_stats folds over, exposed for the LM."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    top_v: int | None = None,
+) -> DataFrame:
+    """Corpus word-bigram language model: (bigram, cnt, bits) where
+    ``bits = length(bin(cnt)) = floor(log2 cnt) + 1`` — an exact-integer
+    log-probability surrogate (both engines' ``bin`` agree bit-for-bit, so
+    scores hash-match cross-engine; float ``log`` would not).
+
+    ``min_count`` floors the table (Zipf tail drops out); ``top_v`` caps it
+    to the most frequent bigrams via orderBy+limit — planned as
+    TakeOrderedAndProject (per-task top-V heaps, never a global sort), the
+    same bound build_vocab uses. A capped LM is broadcast-sized by
+    construction: that is what makes 100 TB scoring a zero-shuffle map
+    (see ngram_lm_score).
+
+    Scale shape: one map-side-combinable groupBy(bigram) — the only
+    exchange; partial counts combine before the shuffle."""
+    lm = (
+        df.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    if top_v is not None:
+        lm = lm.orderBy(F.col("cnt").desc(), F.col("bigram").asc()).limit(top_v)
+    return lm.withColumn("bits", F.length(F.bin(F.col("cnt"))).cast("long"))
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram LM quality score (the CCNet/KenLM-perplexity
+    pattern, integer-exact): explode each document's word bigrams, probe
+    the LM, and fold to
+
+    - ``n_bigrams``        total bigrams in the doc,
+    - ``hit_bigrams``      bigrams the LM knows,
+    - ``lm_bits``          Σ bits over hits — total "information mass",
+    - ``hit_pct``          100·hits ÷ n (integer division),
+    - ``lm_bucket``        'high' ≥ 90 % hits, 'mid' ≥ 50 %, else 'low' —
+                           the keep / review / drop cut CCNet makes on
+                           perplexity tertiles.
+
+    Docs with < 2 tokens survive with zeros (explode_outer) — a curation
+    pass must see every document, not silently drop the short ones.
+
+    Scale shape: the doc side explodes narrow (id + bigram), the LM
+    broadcasts (bounded by ``top_v``/``min_count``), and the per-doc fold
+    is a hash aggregate whose partial combine collapses each document to
+    ONE row before the single exchange (a document's bigrams are co-located
+    by construction — explode never repartitions). The corpus is never
+    shuffled at token granularity."""
+    ex = df.select(
+        F.col(id_col), F.explode_outer(bigrams(F.col(text_col))).alias("bigram")
+    )
+    probed = ex.join(F.broadcast(lm.select("bigram", "bits")), "bigram", "left")
+    n = F.count(F.col("bigram")).cast("long")
+    hits = F.count(F.col("bits")).cast("long")
+    return probed.groupBy(id_col).agg(
+        n.alias("n_bigrams"),
+        hits.alias("hit_bigrams"),
+        F.coalesce(F.sum("bits"), F.lit(0)).cast("long").alias("lm_bits"),
+        F.floor(hits * 100 / F.greatest(n, F.lit(1))).cast("long").alias("hit_pct"),
+    ).withColumn(
+        "lm_bucket",
+        F.when(F.col("hit_pct") >= 90, F.lit("high"))
+        .when(F.col("hit_pct") >= 50, F.lit("mid"))
+        .otherwise(F.lit("low")),
     )
 
 

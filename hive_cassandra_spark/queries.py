@@ -4010,6 +4010,57 @@ def q99_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q100_ngram_lm_score",
+    # integer-exact LM: bits = length(bin(cnt)) = floor(log2 cnt)+1 — both
+    # engines' bin() agree bit-for-bit, so no float log ever enters the hash
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+               lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS ts
+        FROM documents),
+    bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+           FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM d)),
+    lm0 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+            FROM bg GROUP BY bigram HAVING count(*) >= 2),
+    lm1 AS (SELECT bigram, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, bigram ASC) AS rn
+            FROM lm0),
+    lm AS (SELECT bigram, CAST(length(bin(cnt)) AS BIGINT) AS bits
+           FROM lm1 WHERE rn <= 4096),
+    probed AS (SELECT dd.doc_id, b.bigram, l.bits
+               FROM d dd
+               LEFT JOIN bg b ON b.doc_id = dd.doc_id
+               LEFT JOIN lm l ON l.bigram = b.bigram)
+    SELECT doc_id,
+           CAST(count(bigram) AS BIGINT) AS n_bigrams,
+           CAST(count(bits) AS BIGINT) AS hit_bigrams,
+           CAST(COALESCE(sum(bits), 0) AS BIGINT) AS lm_bits,
+           count(bits) * 100 // greatest(count(bigram), 1) AS hit_pct,
+           CASE WHEN count(bits) * 100 // greatest(count(bigram), 1) >= 90
+                THEN 'high'
+                WHEN count(bits) * 100 // greatest(count(bigram), 1) >= 50
+                THEN 'mid' ELSE 'low' END AS lm_bucket
+    FROM probed GROUP BY doc_id
+    """,
+    doc="n-gram LM quality scoring (text.bigram_lm + text.ngram_lm_score): "
+    "the CCNet/KenLM perplexity-filter pattern with an exact-integer "
+    "log-prob surrogate (Σ floor(log2 cnt)+1 over LM hits — bin() parity "
+    "keeps both engines bit-identical where float log could not). LM = "
+    "corpus bigram counts, min_count floor, top-V cap planned as "
+    "TakeOrderedAndProject; scoring = narrow bigram explode + BROADCAST "
+    "LM probe + per-doc hash agg whose partial combine collapses each "
+    "doc to one row pre-exchange (bigrams are co-located by explode). "
+    "Docs with <2 tokens survive with zeros (explode_outer). The "
+    "perplexity-tertile keep/review/drop bucket every crawl-scale "
+    "pipeline cuts on",
+)
+def q100_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lm = text.bigram_lm(docs, min_count=2, top_v=4096)
+    return text.ngram_lm_score(docs, lm)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4101,7 +4152,6 @@ _WINDOW_ORDER = [
     "q34_dedup_simhash",
     "q35_dedup_embedding",
     "q67_neardup_clusters",
-    "q36_similarity_topk",
     "q47_similarity_ivf",
     "q68_similarity_quantized",
     "q38_text_stats",                 # stats + lang-id + tokens + fingerprint
@@ -4135,6 +4185,8 @@ _WINDOW_ORDER = [
     "q96_corpus_mixing",
     "q97_chunk_dedup",
     "q98_heavy_hitters",
+    # round-6 third rotation: new capabilities, immediate slots
+    "q100_ngram_lm_score",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q50_stream_tumbling",
@@ -4261,6 +4313,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # streaming form of q95: composes the in-window stream-join (q62) and
     # bloom-filter (q89) capabilities
     "q99_stream_incremental_dedup": {"stream_join", "bloom_filter"},
+    "q100_ngram_lm_score": {"lm_score"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -4301,6 +4354,9 @@ GRADUATED = {
     "q19_scalar_functions",      # scalar_fns
     "q27_super_column_roundtrip",  # super_cf (q84 carries sub_column_name on)
     "q56_corpus_curation",       # curation_pipeline
+    # round-6 third-rotation graduations — each driver-green in ALL FIVE of
+    # r01+r02+r03+r04+r05; their slots fund the new-capability rotation
+    "q36_similarity_topk",       # similarity_topk (ANN family stays via q47)
 }
 
 

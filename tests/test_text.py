@@ -127,3 +127,48 @@ def test_unicode_normalize_composes_and_lowers(spark):
     keep = {r.id: r.norm for r in
             t.unicode_normalize(df, "s", "norm", lowercase=False).collect()}
     assert keep[1] == "Café" and keep[2] == "Éclair"
+
+
+def test_bigram_lm_counts_and_bits(spark):
+    from hive_cassandra_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y")], "doc_id long, text string"
+    )
+    # bigrams: doc1 = [a b, b a, a b, b c], doc2 = [a b, b x, x y]
+    lm = {r.bigram: (r.cnt, r.bits) for r in T.bigram_lm(df, min_count=2).collect()}
+    assert lm == {"a b": (3, 2)}  # cnt=3 -> bin '11' -> 2 bits
+    # top_v cap keeps the most frequent first
+    lm1 = T.bigram_lm(df, min_count=1, top_v=1).collect()
+    assert len(lm1) == 1 and lm1[0].bigram == "a b"
+
+
+def test_ngram_lm_score_values_and_short_docs(spark):
+    from hive_cassandra_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    lm = T.bigram_lm(df, min_count=2)  # only "a b" (cnt=3, bits=2)
+    out = {r.doc_id: r for r in T.ngram_lm_score(df, lm).collect()}
+    assert set(out) == {1, 2, 3, 4}  # short/empty docs survive with zeros
+    assert (out[1].n_bigrams, out[1].hit_bigrams, out[1].lm_bits) == (4, 2, 4)
+    assert out[1].hit_pct == 50 and out[1].lm_bucket == "mid"
+    assert (out[2].n_bigrams, out[2].hit_bigrams) == (3, 1)
+    assert out[2].hit_pct == 33 and out[2].lm_bucket == "low"
+    assert (out[3].n_bigrams, out[3].lm_bits, out[3].lm_bucket) == (0, 0, "low")
+    assert out[4].n_bigrams == 0
+
+
+def test_ngram_lm_score_plan_shape(spark, sf_dir):
+    """The scale contract: LM probe is a broadcast join (never a
+    shuffled one), and the doc side reaches the per-doc aggregate through
+    a partial hash agg — one exchange total on the scoring path."""
+    from hive_cassandra_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = T.bigram_lm(docs, min_count=2, top_v=4096)
+    plan = T.ngram_lm_score(docs, lm)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
