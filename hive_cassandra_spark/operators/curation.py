@@ -194,6 +194,47 @@ def pii_redact(df: DataFrame, text_col: str = "text", out_col: str = "redacted")
     return df.withColumn(out_col, red)
 
 
+# HTML boilerplate removal: ordered regex passes, dual-engine-safe (Java
+# regex and RE2 both support inline (?is) flags and lazy quantifiers; no
+# lookaround, no backrefs). Script/style/comment BLOCKS go first so their
+# contents (which may contain bare '<' comparisons) never reach the
+# generic tag pass. Entities are LITERAL replaces — '&amp;' is decoded
+# LAST so '&amp;lt;' yields the text '&lt;', never a second decode.
+HTML_BLOCK_PATTERNS = [
+    "(?is)<script\\b[^>]*>.*?</script>",
+    "(?is)<style\\b[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+    "<[^>]+>",
+]
+HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean"
+) -> DataFrame:
+    """Main-text extraction from HTML/markup (the trafilatura/jusText slot
+    in a crawl pipeline, as a deterministic regex cascade): drop script,
+    style, and comment blocks wholesale, strip remaining tags, decode the
+    six ubiquitous entities, collapse whitespace. A pure per-row codegen
+    projection — zero shuffle, no Python — so it runs at scan speed over
+    100 TB of raw crawl. Plain text passes through unchanged (modulo
+    whitespace collapse), so the operator is safe to run unconditionally."""
+    col = F.col(text_col)
+    for pat in HTML_BLOCK_PATTERNS:
+        col = F.regexp_replace(col, pat, " ")
+    for ent, ch in HTML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    col = F.trim(F.regexp_replace(col, "\\s+", " "))
+    return df.withColumn(out_col, col)
+
+
 def keywords(
     df: DataFrame,
     k: int = 3,

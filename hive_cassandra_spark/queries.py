@@ -4061,6 +4061,87 @@ def q100_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_lm_score(docs, lm)
 
 
+# Deterministic markup injection for q101 (the q73-PII precedent: the
+# fixture has no HTML, so the query constructs it in-plan — every branch of
+# the stripper is exercised non-vacuously, including a script body whose
+# bare '<' comparison must NOT leak into the generic tag pass and a
+# double-encoded '&amp;copy;' that must decode exactly once).
+_Q101_PRE0 = (
+    '<html><head><style>p{color:red}</style>'
+    '<script type="text/javascript">if (x<2 && y>1) { alert("hi"); }'
+    "</script></head><body><h1>Doc</h1><p>"
+)
+_Q101_POST0 = "</p><!-- auto footer --></body></html>"
+_Q101_PRE1 = '<div class="main">&quot;'
+_Q101_POST1 = "&quot; &amp;copy; &lt;2026&gt;&nbsp;Inc</div>"
+
+
+@register(
+    "q101_html_extract",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '{_Q101_PRE0.replace("'", "''")}' || text
+                         || '{_Q101_POST0}'
+                    WHEN doc_id % 3 = 1
+                    THEN '{_Q101_PRE1}' || text || '{_Q101_POST1}'
+                    ELSE text END AS raw
+        FROM documents),
+    c AS (
+        SELECT doc_id, raw,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(raw,
+                           '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                           '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                           '<[^>]+>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                   '\\s+', ' ', 'g')) AS clean
+        FROM h)
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS raw_len,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_md5
+    FROM c
+    """,
+    doc="HTML main-text extraction (curation.strip_html): the "
+    "trafilatura/jusText slot of a crawl pipeline as a deterministic "
+    "dual-engine regex cascade — script/style/comment blocks dropped "
+    "wholesale BEFORE the generic tag pass (so a script body's bare '<' "
+    "comparison can't corrupt it), six-entity decode with '&amp;' last "
+    "(single-decode guarantee), whitespace collapse. Zero shuffle, pure "
+    "codegen projection at crawl-scan speed. Markup injected in-plan "
+    "per doc_id%3 (q73 precedent) so all branches are non-vacuous; "
+    "verified by raw/clean lengths + clean md5 per document",
+)
+def q101_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_Q101_PRE0), F.col("text"), F.lit(_Q101_POST0)),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(_Q101_PRE1), F.col("text"), F.lit(_Q101_POST1)),
+        )
+        .otherwise(F.col("text"))
+    )
+    out = curation.strip_html(
+        docs.select("doc_id", raw.alias("raw")), text_col="raw"
+    )
+    return out.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("raw_len"),
+        F.length("clean").cast("long").alias("clean_len"),
+        F.md5(F.col("clean")).alias("clean_md5"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4136,7 +4217,6 @@ _WINDOW_ORDER = [
     "q03_shipping_priority",          # inner+broadcast join, sort/limit (TakeOrdered)
     "q04_order_priority_check",       # semi + anti joins
     "q07_customer_order_stats",       # left + full outer joins
-    "q11_priority_distinct_customers",  # DISTINCT agg + HAVING
     "q13_top_orders_per_customer",    # window rank + running frame
     "q20_flag_status_cube",           # cube + rollup
     "q23_orders_above_average",       # scalar subquery
@@ -4187,6 +4267,7 @@ _WINDOW_ORDER = [
     "q98_heavy_hitters",
     # round-6 third rotation: new capabilities, immediate slots
     "q100_ngram_lm_score",
+    "q101_html_extract",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q50_stream_tumbling",
@@ -4314,6 +4395,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # bloom-filter (q89) capabilities
     "q99_stream_incremental_dedup": {"stream_join", "bloom_filter"},
     "q100_ngram_lm_score": {"lm_score"},
+    "q101_html_extract": {"html_extract"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -4357,6 +4439,7 @@ GRADUATED = {
     # round-6 third-rotation graduations — each driver-green in ALL FIVE of
     # r01+r02+r03+r04+r05; their slots fund the new-capability rotation
     "q36_similarity_topk",       # similarity_topk (ANN family stays via q47)
+    "q11_priority_distinct_customers",  # agg_distinct_having
 }
 
 

@@ -249,3 +249,37 @@ def test_mixture_select_partition_invariant_and_validates(spark):
     assert a == b
     with pytest.raises(ValueError, match="total_budget"):
         curation.mixture_select(df, 0, weight=w)
+
+
+def test_strip_html_blocks_tags_entities(spark):
+    from hive_cassandra_spark.operators import curation as C
+
+    df = spark.createDataFrame(
+        [
+            (1, '<p>Hello <b>world</b></p>'),
+            # script body with a bare '<' comparison: must vanish wholesale,
+            # never reach the generic tag pass
+            (2, '<script>if (x<2 && y>1) { alert("hi"); }</script>after'),
+            (3, '<style>p {color: red}</style>styled'),
+            (4, 'keep <!-- secret comment --> these'),
+            # single-decode: '&amp;lt;' is the TEXT '&lt;', not '<'
+            (5, '&quot;q&quot; &amp;lt; &#39;a&#39; &nbsp;x'),
+            (6, 'plain   text\n\nuntouched'),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.clean for r in C.strip_html(df).collect()}
+    assert out[1] == "Hello world"
+    assert out[2] == "after"
+    assert out[3] == "styled"
+    assert out[4] == "keep these"
+    assert out[5] == '"q" &lt; \'a\' x'
+    assert out[6] == "plain text untouched"
+
+
+def test_strip_html_zero_shuffle(spark, sf_dir):
+    from hive_cassandra_spark.operators import curation as C
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = C.strip_html(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
