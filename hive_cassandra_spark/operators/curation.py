@@ -235,6 +235,52 @@ def strip_html(
     return df.withColumn(out_col, col)
 
 
+def length_batches(
+    df: DataFrame,
+    batch_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batching for transformer inference: order documents
+    by token count DESC (tie: id) and cut consecutive runs of
+    ``batch_size`` docs into batches, so each batch pads to its own max
+    length instead of the corpus max — the standard dynamic-batching trick
+    that turns O(corpus_max) padding into O(batch_max). Returns per batch:
+
+    - ``n_docs / max_tok / min_tok / sum_tok``
+    - ``padded_tok`` = n_docs·max_tok — tokens actually computed
+    - ``waste_pct``  = 100·(padded−sum) ÷ padded (integer) — the fraction
+      of FLOPs spent on padding; length-sorted batching drives this toward
+      zero, which is the operator's whole point.
+
+    Scale shape: the global ordering is ``relational.global_row_number``
+    (range repartition + per-partition window + broadcast offsets — no
+    single-task window anywhere), then one map-side-combinable
+    groupBy(batch_id). The text column is dropped before any exchange; the
+    shuffle carries (id, tok, rn) triples only."""
+    if batch_size <= 0:
+        raise ValueError("batch_size must be a positive doc count")
+    toks = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("tok")
+    )
+    rn = relational.global_row_number(
+        toks, [F.col("tok").desc(), F.col(id_col).asc()]
+    )
+    b = rn.withColumn("batch_id", F.expr(f"rn div {batch_size}"))
+    padded = (F.count(F.lit(1)) * F.max("tok")).cast("long")
+    waste = padded - F.sum("tok").cast("long")
+    return b.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("tok").cast("long").alias("max_tok"),
+        F.min("tok").cast("long").alias("min_tok"),
+        F.sum("tok").cast("long").alias("sum_tok"),
+        padded.alias("padded_tok"),
+        F.floor(waste * 100 / F.greatest(padded, F.lit(1)))
+        .cast("long")
+        .alias("waste_pct"),
+    )
+
+
 def keywords(
     df: DataFrame,
     k: int = 3,

@@ -324,6 +324,50 @@ def prefix_sum_by_group(
     )
 
 
+def global_row_number(
+    df: DataFrame, order_cols: list, out_col: str = "rn"
+) -> DataFrame:
+    """0-based GLOBAL row number in ``order_cols`` order without the
+    single-task global window (`Window.orderBy(...)` with no partition key
+    funnels the whole table through one reducer): the row-count special
+    case of the two-phase distributed prefix sum.
+
+    1. ``repartitionByRange`` on the sort expressions — the
+       RangePartitioner assigns ascending sort ranges to ascending
+       partition ids (descending expressions included: the sampler orders
+       by the same SortOrder), so partition p wholly precedes p+1.
+    2. ``row_number`` WITHIN each partition (window keyed by partition id
+       — parallel), plus a broadcast exclusive prefix of the per-partition
+       row counts (≤ #partitions rows) as each partition's base.
+
+    ``order_cols`` are Column expressions and may carry ``.desc()``; they
+    must form a total order for a deterministic numbering."""
+    sess = df.sparkSession
+    nparts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = base.withColumn("__rn_in", F.row_number().over(w_in) - 1)
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        base.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__part_n"))
+        .withColumn("__part_off", F.sum("__part_n").over(w_off) - F.col("__part_n"))
+        .select("__pid", "__part_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__part_off") + F.col("__rn_in")).cast("long"))
+        .drop("__pid", "__rn_in", "__part_off")
+    )
+
+
 def exact_n_sample(
     df: DataFrame, n: int, key_col: str, salt: str = ""
 ) -> DataFrame:

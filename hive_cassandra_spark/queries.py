@@ -4142,6 +4142,42 @@ def q101_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q102_length_batches",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, len(list_filter(string_split(trim(regexp_replace(
+               lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok
+        FROM documents),
+    r AS (SELECT doc_id, tok,
+                 row_number() OVER (ORDER BY tok DESC, doc_id ASC) - 1 AS rn
+          FROM t),
+    b AS (SELECT rn // 32 AS batch_id, tok FROM r)
+    SELECT batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(tok) AS BIGINT) AS max_tok,
+           CAST(min(tok) AS BIGINT) AS min_tok,
+           CAST(sum(tok) AS BIGINT) AS sum_tok,
+           CAST(count(*) * max(tok) AS BIGINT) AS padded_tok,
+           (count(*) * max(tok) - CAST(sum(tok) AS BIGINT)) * 100
+               // greatest(count(*) * max(tok), 1) AS waste_pct
+    FROM b GROUP BY batch_id
+    """,
+    doc="length-bucketed inference batching (curation.length_batches): "
+    "sort docs by token count desc, cut into fixed-size batches, report "
+    "per-batch padded-token cost and waste_pct — the dynamic-batching "
+    "trick that pads each batch to ITS max instead of the corpus max. "
+    "The global ordering is relational.global_row_number: range "
+    "repartition + per-partition row_number + broadcast offsets — the "
+    "two-phase pattern, never a single-task global window; text drops "
+    "out before any exchange (shuffles carry (id, tok, rn) triples). "
+    "One map-side-combinable groupBy(batch_id) finishes",
+)
+def q102_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return curation.length_batches(docs, batch_size=32)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4216,7 +4252,6 @@ _WINDOW_ORDER = [
     "q01_pricing_summary",            # scan/filter/agg
     "q03_shipping_priority",          # inner+broadcast join, sort/limit (TakeOrdered)
     "q04_order_priority_check",       # semi + anti joins
-    "q07_customer_order_stats",       # left + full outer joins
     "q13_top_orders_per_customer",    # window rank + running frame
     "q20_flag_status_cube",           # cube + rollup
     "q23_orders_above_average",       # scalar subquery
@@ -4268,6 +4303,7 @@ _WINDOW_ORDER = [
     # round-6 third rotation: new capabilities, immediate slots
     "q100_ngram_lm_score",
     "q101_html_extract",
+    "q102_length_batches",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q50_stream_tumbling",
@@ -4396,6 +4432,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q99_stream_incremental_dedup": {"stream_join", "bloom_filter"},
     "q100_ngram_lm_score": {"lm_score"},
     "q101_html_extract": {"html_extract"},
+    "q102_length_batches": {"length_batching"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -4440,6 +4477,7 @@ GRADUATED = {
     # r01+r02+r03+r04+r05; their slots fund the new-capability rotation
     "q36_similarity_topk",       # similarity_topk (ANN family stays via q47)
     "q11_priority_distinct_customers",  # agg_distinct_having
+    "q07_customer_order_stats",  # join_outer (left + full in one pipeline)
 }
 
 

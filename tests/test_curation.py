@@ -283,3 +283,34 @@ def test_strip_html_zero_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = C.strip_html(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_length_batches_vs_serial_replay(spark):
+    import pytest
+    from hive_cassandra_spark.operators import curation as C
+
+    docs = [(i, " ".join(["tok"] * ((i * 7) % 13))) for i in range(100)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.batch_id: r for r in C.length_batches(df, 8).collect()}
+    toks = sorted(((-((i * 7) % 13), i) for i, _ in docs))
+    batches = {}
+    for rn, (neg, i) in enumerate(toks):
+        batches.setdefault(rn // 8, []).append(-neg)
+    assert set(out) == set(batches)
+    for b, ts in batches.items():
+        r = out[b]
+        assert (r.n_docs, r.max_tok, r.min_tok, r.sum_tok) == (
+            len(ts), max(ts), min(ts), sum(ts)
+        )
+        padded = len(ts) * max(ts)
+        assert r.padded_tok == padded
+        assert r.waste_pct == (padded - sum(ts)) * 100 // max(padded, 1)
+    # sorted batching must waste no more than the id-order baseline
+    sorted_waste = sum(r.padded_tok - r.sum_tok for r in out.values())
+    id_batches = {}
+    for rn, (i, _) in enumerate(docs):
+        id_batches.setdefault(rn // 8, []).append((i * 7) % 13)
+    id_waste = sum(len(t) * max(t) - sum(t) for t in id_batches.values())
+    assert sorted_waste <= id_waste
+    with pytest.raises(ValueError):
+        C.length_batches(df, 0)

@@ -239,3 +239,24 @@ def test_prefix_sum_by_group_matches_single_window(spark):
         ).collect()
     )
     assert got == expect
+
+
+def test_global_row_number_matches_sort_order(spark):
+    from hive_cassandra_spark.operators import relational as R
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2654435761 % 97).alias("v")
+    )
+    out = R.global_row_number(df, [F.col("v").desc(), F.col("id").asc()])
+    rows = sorted((r.rn, r.v, r.id) for r in out.collect())
+    expect = sorted(
+        ((r.v, r.id) for r in df.collect()), key=lambda t: (-t[0], t[1])
+    )
+    assert [t[0] for t in rows] == list(range(1000))  # dense, 0-based
+    assert [(v, i) for _, v, i in rows] == expect
+    # repartition-invariant: numbering depends only on the sort order
+    again = R.global_row_number(
+        df.repartition(7), [F.col("v").desc(), F.col("id").asc()]
+    )
+    assert sorted((r.rn, r.v, r.id) for r in again.collect()) == rows
