@@ -121,6 +121,57 @@ def kmv_distinct(
     return kmv_estimate(kmv_hashes(df, group_cols, value_col, k), group_cols, k)
 
 
+def kmv_set_estimates(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Set-operation estimates between two KMV sketches per group — the
+    theta-sketch A∪B / A∩B / Jaccard surface from two ``kmv_hashes``
+    tables that never saw each other's raw data:
+
+    - ``est_union``  from ``merge_kmv_hashes`` — EXACTLY the sketch of
+      A ∪ B (the proven merge identity), so union carries full sketch
+      accuracy;
+    - ``est_inter``  by inclusion–exclusion, floored at 0 (direct
+      θ-intersection has lower variance but needs float normalization;
+      inclusion–exclusion keeps every step in the INTEGER-ONLY estimator
+      both engines replay bit-for-bit);
+    - ``jaccard_pct`` = 100·inter ÷ union (integer).
+
+    Groups present on only one side get 0 for the missing estimate (full
+    alignment via the union sketch, which has every group by construction).
+    All inputs are ≤ k rows per group, so the whole operation is
+    sketch-sized — at 100 TB you compute the sketches once (one bounded
+    shuffle each, possibly on different clusters or days: they are
+    mergeable partial aggregates) and compare them for pennies."""
+    union = kmv_estimate(merge_kmv_hashes(a, b, group_cols, k), group_cols, k)
+    ea = kmv_estimate(a, group_cols, k).select(
+        *group_cols, F.col("est_distinct").alias("est_a")
+    )
+    eb = kmv_estimate(b, group_cols, k).select(
+        *group_cols, F.col("est_distinct").alias("est_b")
+    )
+    out = (
+        union.select(*group_cols, F.col("est_distinct").alias("est_union"))
+        .join(ea, group_cols, "left")
+        .join(eb, group_cols, "left")
+        .withColumn("est_a", F.coalesce(F.col("est_a"), F.lit(0)).cast("long"))
+        .withColumn("est_b", F.coalesce(F.col("est_b"), F.lit(0)).cast("long"))
+    )
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+    ).cast("long")
+    return out.select(
+        *group_cols,
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_inter"),
+        F.floor(inter * 100 / F.greatest(F.col("est_union"), F.lit(1)))
+        .cast("long")
+        .alias("jaccard_pct"),
+    )
+
+
 # ------------------------------------------------------------------------
 # Bloom filter: deterministic membership sketch. The runtime-filter
 # pattern for 100 TB joins — when the "small" side's key set is too big to

@@ -4178,6 +4178,67 @@ def q102_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.length_batches(docs, batch_size=32)
 
 
+@register(
+    "q103_kmv_set_ops",
+    # A = even event_ids, B = odd; sketches of distinct user hashes per
+    # event_type. merge(kmv(A), kmv(B)) == kmv(A∪B) exactly, so the union
+    # branch replays as the sketch over ALL events' hashes.
+    oracle="""
+    WITH h AS (SELECT DISTINCT event_type, event_id % 2 AS side,
+                      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                           1, 13) AS BIGINT) AS h
+               FROM events),
+    est AS (
+        SELECT kind, event_type,
+               CAST(CASE WHEN count(*) < 64 THEN count(*)
+                    ELSE (63 * 4503599627370496) // greatest(max(h), 1)
+                    END AS BIGINT) AS est
+        FROM (SELECT kind, event_type, h,
+                     row_number() OVER (PARTITION BY kind, event_type
+                                        ORDER BY h) AS rn
+              FROM (SELECT 'a' AS kind, event_type, h FROM h WHERE side = 0
+                    UNION ALL
+                    SELECT 'b', event_type, h FROM h WHERE side = 1
+                    UNION ALL
+                    SELECT 'u', event_type, h
+                    FROM (SELECT DISTINCT event_type, h FROM h)))
+        WHERE rn <= 64 GROUP BY kind, event_type)
+    SELECT u.event_type,
+           COALESCE(a.est, 0) AS est_a,
+           COALESCE(b.est, 0) AS est_b,
+           u.est AS est_union,
+           greatest(COALESCE(a.est, 0) + COALESCE(b.est, 0) - u.est, 0)
+               AS est_inter,
+           greatest(COALESCE(a.est, 0) + COALESCE(b.est, 0) - u.est, 0)
+               * 100 // greatest(u.est, 1) AS jaccard_pct
+    FROM (SELECT event_type, est FROM est WHERE kind = 'u') u
+    LEFT JOIN (SELECT event_type, est FROM est WHERE kind = 'a') a
+           USING (event_type)
+    LEFT JOIN (SELECT event_type, est FROM est WHERE kind = 'b') b
+           USING (event_type)
+    """,
+    doc="KMV set-operation estimates (sketches.kmv_set_estimates): the "
+    "theta-sketch union/intersection/Jaccard surface between two "
+    "independently-built per-group KMV sketches — union via the exact "
+    "merge identity (merge(kmv(A),kmv(B)) == kmv(A∪B)), intersection by "
+    "inclusion–exclusion floored at 0, Jaccard as integer percent; the "
+    "whole comparison runs on ≤ k rows per group per side, so two 100 TB "
+    "corpora (or two days of one) compare for the cost of their already-"
+    "built sketches. Integer-only estimator both engines replay "
+    "bit-for-bit. Gated on per-event_type distinct-user overlap between "
+    "even and odd event_id halves",
+)
+def q103_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    a = sketches.kmv_hashes(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id", k=64
+    )
+    b = sketches.kmv_hashes(
+        ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id", k=64
+    )
+    return sketches.kmv_set_estimates(a, b, ["event_type"], k=64)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4264,7 +4325,6 @@ _WINDOW_ORDER = [
     "q31_dedup_exact",
     "q32_dedup_ngram_jaccard",
     "q33_dedup_minhash_lsh",
-    "q34_dedup_simhash",
     "q35_dedup_embedding",
     "q67_neardup_clusters",
     "q47_similarity_ivf",
@@ -4304,6 +4364,7 @@ _WINDOW_ORDER = [
     "q100_ngram_lm_score",
     "q101_html_extract",
     "q102_length_batches",
+    "q103_kmv_set_ops",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q50_stream_tumbling",
@@ -4433,6 +4494,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q100_ngram_lm_score": {"lm_score"},
     "q101_html_extract": {"html_extract"},
     "q102_length_batches": {"length_batching"},
+    "q103_kmv_set_ops": {"sketch_setops"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -4478,6 +4540,7 @@ GRADUATED = {
     "q36_similarity_topk",       # similarity_topk (ANN family stays via q47)
     "q11_priority_distinct_customers",  # agg_distinct_having
     "q07_customer_order_stats",  # join_outer (left + full in one pipeline)
+    "q34_dedup_simhash",         # dedup_simhash
 }
 
 

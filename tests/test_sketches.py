@@ -279,3 +279,51 @@ def test_bloom_probe_expr_matches_probe(spark):
         ).collect()
     }
     assert via_expr == via_join
+
+
+def test_kmv_set_estimates_exact_small_and_identities(spark):
+    from hive_cassandra_spark.operators import sketches as S
+    from pyspark.sql import functions as F
+
+    # A = {0..39}, B = {20..59} per one group: k=64 > all cardinalities, so
+    # every estimate is EXACT and inclusion-exclusion is exact too
+    a_df = spark.range(0, 40).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    b_df = spark.range(20, 60).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    a = S.kmv_hashes(a_df, ["g"], "v", k=64)
+    b = S.kmv_hashes(b_df, ["g"], "v", k=64)
+    r = S.kmv_set_estimates(a, b, ["g"], k=64).collect()[0]
+    assert (r.est_a, r.est_b, r.est_union, r.est_inter) == (40, 40, 60, 20)
+    assert r.jaccard_pct == 20 * 100 // 60
+    # disjoint groups: one-sided groups get 0 for the missing estimate
+    a2 = S.kmv_hashes(
+        a_df.withColumn("g", F.lit("only_a")), ["g"], "v", k=64
+    )
+    b2 = S.kmv_hashes(
+        b_df.withColumn("g", F.lit("only_b")), ["g"], "v", k=64
+    )
+    rows = {r.g: r for r in S.kmv_set_estimates(a2, b2, ["g"], k=64).collect()}
+    assert rows["only_a"].est_b == 0 and rows["only_a"].est_inter == 0
+    assert rows["only_b"].est_a == 0 and rows["only_b"].jaccard_pct == 0
+
+
+def test_kmv_set_estimates_sketch_accuracy(spark):
+    """Above k the estimates are approximate; identical sets must still
+    report ~full overlap and disjoint sets ~none (k=64 -> ~12% rel err)."""
+    from hive_cassandra_spark.operators import sketches as S
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 2000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    a = S.kmv_hashes(base, ["g"], "v", k=64)
+    same = S.kmv_set_estimates(a, a, ["g"], k=64).collect()[0]
+    assert same.est_inter == same.est_union  # identical sketches: exact 100%
+    assert same.jaccard_pct == 100
+    disj = spark.range(2000, 4000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    b = S.kmv_hashes(disj, ["g"], "v", k=64)
+    r = S.kmv_set_estimates(a, b, ["g"], k=64).collect()[0]
+    # true jaccard 0; inclusion-exclusion noise stays small
+    assert r.jaccard_pct <= 25
+    assert r.est_union > r.est_a and r.est_union > r.est_b
