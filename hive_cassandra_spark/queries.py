@@ -4239,6 +4239,58 @@ def q103_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_set_estimates(a, b, ["event_type"], k=64)
 
 
+@register(
+    "q104_stream_quantile_sketch",
+    # serial replay of the bottom-k row sample per (hour window, type):
+    # rank by (h, v), keep 256, quantile = the value at ⌊(n-1)·p⌋ in
+    # (v, h) order — identical to q82's estimator, bucketed like q85
+    oracle="""
+    WITH e AS (SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                               '%Y-%m-%d %H:%M:%S') AS window_start,
+                      event_type,
+                      CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                           1, 13) AS BIGINT) AS h,
+                      value AS v
+               FROM events),
+         sk AS (SELECT window_start, event_type, h, v
+                FROM (SELECT e.*, row_number() OVER (
+                          PARTITION BY window_start, event_type
+                          ORDER BY h, v) AS rn FROM e)
+                WHERE rn <= 256),
+         r AS (SELECT window_start, event_type, v,
+                      row_number() OVER (PARTITION BY window_start, event_type
+                                         ORDER BY v, h) AS vr,
+                      count(*) OVER (PARTITION BY window_start, event_type
+                                     ) AS n
+               FROM sk)
+    SELECT window_start, event_type,
+           CAST(max(n) AS BIGINT) AS n_sample,
+           max(CASE WHEN vr = 1 + ((n - 1) * 25) // 100 THEN v END) AS p25,
+           max(CASE WHEN vr = 1 + ((n - 1) * 50) // 100 THEN v END) AS p50,
+           max(CASE WHEN vr = 1 + ((n - 1) * 75) // 100 THEN v END) AS p75
+    FROM r GROUP BY window_start, event_type
+    """,
+    doc="streaming quantile sketch (streaming.events."
+    "stream_quantile_sketch): p25/p50/p75 of event value per (hourly "
+    "window, event_type) from the bottom-k ROW sample maintained as "
+    "applyInPandasWithState state — the q82 mergeable-quantile tier "
+    "carried into stateful streaming exactly as q85 carries KMV. State "
+    "is ≤ 256 (h, v) pairs per key (~4 KB); bottom-k-of-union is "
+    "batching-order-independent, so the emitted quantiles equal the "
+    "batch sketch over the same rows and replay exactly in SQL. "
+    "Overflow variant of the in-window stream_sketch (q85) + "
+    "sketch_quantile (q82) families",
+)
+def q104_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    return streaming_events.run_bounded(
+        streaming_events.stream_quantile_sketch(ev, width_s=3600, k=256),
+        spark,
+        "update",
+        state_partitions=8,
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4495,6 +4547,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q101_html_extract": {"html_extract"},
     "q102_length_batches": {"length_batching"},
     "q103_kmv_set_ops": {"sketch_setops"},
+    # streaming form of q82's sketch: composes the in-window stream-sketch
+    # (q85) and quantile-sketch (q82) capabilities
+    "q104_stream_quantile_sketch": {"stream_sketch", "sketch_quantile"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

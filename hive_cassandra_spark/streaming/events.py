@@ -201,6 +201,79 @@ def stream_kmv_distinct(
     )
 
 
+def stream_quantile_sketch(
+    events: DataFrame, width_s: int = 3600, k: int = 256
+) -> DataFrame:
+    """Streaming approximate quantiles: per (tumbling window, event_type),
+    p25/p50/p75 of ``value`` from the bottom-k ROW sample
+    (operators/sketches.quantile_sketch) maintained as per-key state —
+    the q82 sketch tier carried across micro-batches exactly as
+    ``stream_kmv_distinct`` carries the KMV tier.
+
+    State per key is the ≤ k (h, v) pairs with the smallest (h, v) —
+    ~16·k bytes, never the value set — and bottom-k-of-union is order-
+    and batching-independent, so the emitted quantiles are deterministic
+    however the stream is micro-batched AND equal to the batch sketch
+    over the same rows (pinned in test_streaming). The estimator is the
+    same discrete ⌊(n−1)·p⌋ pick as the batch path: an actual sampled
+    value, bit-exact across engines, no interpolation, no floats beyond
+    the values themselves."""
+    import pandas as pd
+
+    from hive_cassandra_spark.operators.sketches import hash52
+
+    bucket = F.to_timestamp(
+        F.floor(F.unix_timestamp("ts") / width_s) * width_s
+    )
+    keyed = events.select(
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        hash52(F.col("event_id")).alias("h"),
+        F.col("value").alias("v"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hs, vs = state.get
+            pairs = list(zip(hs, vs))
+        else:
+            pairs = []
+        for pdf in pdfs:
+            pairs.extend(
+                (int(h), float(v)) for h, v in zip(pdf["h"], pdf["v"])
+            )
+        pairs.sort()
+        pairs = pairs[:k]
+        state.update(([h for h, _ in pairs], [v for _, v in pairs]))
+        byv = sorted((v, h) for h, v in pairs)
+        n = len(byv)
+        qs = {
+            name: byv[((n - 1) * num) // 100][0] if n else None
+            for name, num in (("p25", 25), ("p50", 50), ("p75", 75))
+        }
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]],
+                "event_type": [key[1]],
+                "n_sample": [n],
+                "p25": [qs["p25"]],
+                "p50": [qs["p50"]],
+                "p75": [qs["p75"]],
+            }
+        )
+
+    return keyed.groupBy("window_start", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "window_start string, event_type string, n_sample bigint, "
+            "p25 double, p50 double, p75 double"
+        ),
+        stateStructType="hs array<bigint>, vs array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_stream_join(events: DataFrame, max_delay: str = "6 hours") -> DataFrame:
     """Watermarked stream-stream self-join: each click paired with every
     view by the same user in the preceding ``max_delay``.

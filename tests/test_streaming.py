@@ -366,3 +366,75 @@ def test_stream_incremental_dedup_equals_batch_and_exact(spark, sf_dir):
         assert r.is_new == (r.event_id % 37 != 0)  # exact verdict
         if not r.maybe_member:
             assert r.is_new  # bloom has no false negatives
+
+
+def test_stream_quantile_equals_batch_sketch(spark, sf_dir):
+    """The streaming bottom-k row-sample state must land on exactly the
+    batch quantile sketch's numbers: same sampled rows, same discrete
+    estimator."""
+    from hive_cassandra_spark.operators import sketches
+
+    stream = se.run_bounded(
+        se.stream_quantile_sketch(se.read_events_stream(spark, sf_dir)),
+        spark,
+        "update",
+    ).select("window_start", "event_type", "n_sample", "p25", "p50", "p75")
+    ev = load_events(spark, sf_dir)
+    bucket = F.to_timestamp(F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+    keyed = ev.select(
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    batch = sketches.quantile_estimate(
+        sketches.quantile_sketch(
+            keyed, ["window_start", "event_type"], "value", "event_id", k=256
+        ),
+        ["window_start", "event_type"],
+    ).select("window_start", "event_type", "n_sample", "p25", "p50", "p75")
+    assert _norm(stream.collect()) == _norm(batch.collect())
+
+
+def test_stream_quantile_multi_batch_state_converges(spark, sf_dir, tmp_path):
+    """Two micro-batches (one fixture half each): the per-key FINAL emit
+    (max n_sample, which is monotone) must equal the serial batch sketch —
+    bottom-k-of-union is batching-order-independent."""
+    from pyspark.sql import Window
+    from hive_cassandra_spark.operators import sketches
+
+    ev = load_events(spark, sf_dir)
+    half = str(tmp_path / "halves_q")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(half)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(half)
+    stream_src = (
+        spark.readStream.schema(se.EVENTS_SCHEMA_TS)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(f"{half}/*.parquet")
+    )
+    out = se.run_bounded(se.stream_quantile_sketch(stream_src), spark, "update")
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("n_sample").desc()
+    )
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "event_type", "n_sample", "p25", "p50", "p75")
+    )
+    bucket = F.to_timestamp(F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+    keyed = ev.select(
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    batch = sketches.quantile_estimate(
+        sketches.quantile_sketch(
+            keyed, ["window_start", "event_type"], "value", "event_id", k=256
+        ),
+        ["window_start", "event_type"],
+    ).select("window_start", "event_type", "n_sample", "p25", "p50", "p75")
+    assert _norm(final.collect()) == _norm(batch.collect())
