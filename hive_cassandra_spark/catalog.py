@@ -119,8 +119,13 @@ class Catalog:
     # --- scale layouts: bucketing and partitioning ---
 
     def create_bucketed_table(
-        self, name: str, df: DataFrame, bucket_cols: list[str], n_buckets: int = 32
-    ) -> None:
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        path: str | None = None,
+    ) -> DataFrame:
         """CREATE TABLE ... CLUSTERED BY (cols) INTO n BUCKETS.
 
         The Spark analogue of Cassandra's token-partitioned placement
@@ -129,17 +134,31 @@ class Catalog:
         bucketed the same way join with **no Exchange at all** — the
         shuffle is prepaid at write time. This is the co-located-join
         layout a 100 TB fact/fact join needs; verified by plan assertion
-        in tests/test_scale_plans.py. Uses the session warehouse (bucketing
-        metadata needs a catalog table, not a bare parquet dir).
-        """
+        in tests/test_scale_plans.py. Bucketing metadata needs a catalog
+        table, not a bare parquet dir: files go to the session warehouse,
+        or to ``path`` (external table) when given — reading the files by
+        path alone would lose the layout. Returns the re-read table."""
         name = self.table_name(name)
-        (
-            df.write.mode("overwrite")
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # Pre-shuffle onto the bucket key with one partition per bucket:
+        # repartition's HashPartitioning is the same murmur hash bucketing
+        # uses, so every write task holds exactly one bucket → one file per
+        # bucket. That is what (a) lets the scan trust the in-bucket sort
+        # (Spark drops the sorted-bucket property when a bucket spans
+        # files, re-inserting a Sort before every SMJ) and (b) stops a
+        # W-task writer from emitting W×n_buckets small files at scale.
+        writer = (
+            df.repartition(n_buckets, *[df[c] for c in bucket_cols])
+            .write.mode("overwrite")
+            .format("parquet")
             .bucketBy(n_buckets, *bucket_cols)
             .sortBy(*bucket_cols)
-            .saveAsTable(name)
         )
-        self.registered[name] = f"<warehouse>/{name}"
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(name)
+        self.registered[name] = path or f"<warehouse>/{name}"
+        return self.spark.table(name)
 
     def create_partitioned_table(
         self, name: str, df: DataFrame, path: str, partition_cols: list[str]

@@ -391,3 +391,15 @@ def exact_n_sample(
         .limit(n)
         .drop("__h")
     )
+
+
+def colocated_join(
+    left: DataFrame, right: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed tables (see ``write_bucketed``) as a
+    sort-merge join. The MERGE hint pins SMJ so the plan demonstrates the
+    bucketing (broadcast would also be shuffle-free for a small side, but
+    the 100 TB case is two FACT tables, where broadcast is impossible);
+    with matching (bucket_col, n_buckets) on both sides the physical plan
+    contains no Exchange and no Sort — asserted in test_scale_plans."""
+    return left.hint("merge").join(right, on, how)

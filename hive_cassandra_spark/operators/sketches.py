@@ -485,3 +485,107 @@ def bloom_probe_expr(
         )
         member = t if member is None else (member & t)
     return member
+
+
+# ------------------------------------------------------------------------
+# CountMin frequency sketch (Cormode & Muthukrishnan 2005). Where
+# ``heavy_hitters`` answers "which values are frequent" EXACTLY with a
+# second pass, CountMin answers point-frequency queries for ANY value in
+# one pass with bounded state and a one-sided error (estimate >= truth) —
+# and, unlike Misra-Gries summaries, two sketches MERGE by cell-wise
+# addition, so per-day sketches roll up to per-month without rescanning
+# (the same partial-aggregate contract as kmv/bloom/quantile above).
+#
+# Representation: LONG format, one row per non-zero counter cell
+# (group..., d, pos, cnt) with d < depth rows of width counters. Sparse —
+# at most depth x width rows per group regardless of input size, and
+# empty cells cost nothing. Construction is ONE map-side-combinable
+# counting aggregation over the exploded (d, pos) pairs; no window, no
+# driver state. The cell coordinates are the deterministic 52-bit md5
+# hash (seeded per row d), so an ANSI-SQL oracle replays the entire
+# sketch bit-for-bit — the reason this is CountMin and not Spark's
+# engine-private CountMinSketch class (df.stat.countMinSketch), whose
+# murmur placement no oracle can reproduce.
+# ------------------------------------------------------------------------
+
+
+def countmin_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Build the sketch: per group, a sparse depth x width counter table
+    (group..., d, pos, cnt). Each input row increments one counter per
+    hash row d at ``pos = hash52(d || value) % width``. One shuffle, with
+    map-side partial counts; output is bounded by depth·width rows per
+    group."""
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    rows = F.array(*[F.lit(d) for d in range(depth)])
+    v = F.col(value_col).cast("string")
+    exploded = df.select(
+        *group_cols,
+        F.explode(rows).alias("d"),
+        v.alias("__v"),
+    ).select(
+        *group_cols,
+        "d",
+        (
+            hash52(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("__v")))
+            % width
+        ).alias("pos"),
+    )
+    return (
+        exploded.groupBy(*group_cols, "d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge two sketches of the SAME (depth, width) geometry: cell-wise
+    addition. merge(cm(A), cm(B)) == cm(A ++ B) exactly — counters are
+    sums and sums commute with union-all."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "d", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def countmin_query(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-frequency estimates: for each probe row (group..., value),
+    ``est = min over d of cnt[d][hash52(d||value) % width]`` (absent cell
+    → 0). Classic CountMin guarantee: est >= true count always; est <=
+    true + eps·N with probability 1 - (1/2)^depth for width = 2/eps.
+
+    The probe side fans out depth rows per probe, joins the sketch on the
+    full (group, d, pos) coordinate — an equi-join the planner broadcasts
+    when either side is small — then one min-agg per probe. Probes are a
+    DataFrame, not a literal list: runtime probe sets (e.g. yesterday's
+    trending keys) stay distributed."""
+    rows = F.array(*[F.lit(d) for d in range(depth)])
+    v = F.col(value_col).cast("string")
+    fan = probes.select(
+        *group_cols,
+        F.col(value_col),
+        F.explode(rows).alias("d"),
+    ).withColumn(
+        "pos",
+        hash52(F.concat(F.col("d").cast("string"), F.lit(":"), v)) % width,
+    )
+    joined = fan.join(sketch, [*group_cols, "d", "pos"], "left")
+    return (
+        joined.groupBy(*group_cols, value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -4291,6 +4291,143 @@ def q104_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q105_countmin_freq",
+    # The sketch is built SPLIT: events partition on event_id parity, each
+    # half sketched independently, halves merged cell-wise — so the gate
+    # proves merge(cm(A), cm(B)) == cm(A ∪ B) (the oracle builds the
+    # unsplit sketch directly). Probes are every (event_type, user_id) with
+    # user_id % 17 = 0; exact_count rides along so the one-sided guarantee
+    # (est >= exact, with collisions at width=64 making some estimates
+    # strictly larger) is visible in the gated values, not just in pytest.
+    oracle="""
+    WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+        SELECT event_type, d,
+               CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                       || CAST(user_id AS VARCHAR)), 1, 13)
+                    AS BIGINT) % 64 AS pos,
+               count(*) AS cnt
+        FROM events CROSS JOIN ds GROUP BY 1, 2, 3
+    ),
+    probes AS (SELECT DISTINCT event_type, user_id FROM events
+               WHERE user_id % 17 = 0),
+    fan AS (
+        SELECT p.event_type, p.user_id, ds.d,
+               CAST('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':'
+                                       || CAST(p.user_id AS VARCHAR)), 1, 13)
+                    AS BIGINT) % 64 AS pos
+        FROM probes p CROSS JOIN ds
+    ),
+    est AS (
+        SELECT f.event_type, f.user_id,
+               min(coalesce(c.cnt, 0)) AS est_count
+        FROM fan f LEFT JOIN cells c USING (event_type, d, pos)
+        GROUP BY 1, 2
+    ),
+    ex AS (SELECT event_type, user_id, count(*) AS exact_count
+           FROM events WHERE user_id % 17 = 0 GROUP BY 1, 2)
+    SELECT e.event_type, e.user_id, e.est_count, x.exact_count
+    FROM est e JOIN ex x USING (event_type, user_id)
+    """,
+    doc="CountMin frequency sketch (sketches.countmin_*, Cormode & "
+    "Muthukrishnan 2005): one-pass mergeable point-frequency estimation "
+    "with bounded state (4x64 counters per event_type) and a one-sided "
+    "error, vs exact counting's per-distinct-value shuffle. Built split "
+    "on event_id parity and MERGED cell-wise in-plan; the oracle replays "
+    "the unsplit sketch, so the gate proves the merge identity besides "
+    "the md5 cell placement. Complements q98's exact heavy hitters: that "
+    "path answers 'which values are frequent' exactly with a second "
+    "pass; this one answers 'how often is value v' for any v in one "
+    "pass, and rolls up across time partitions without rescanning. NOT "
+    "Spark's df.stat.countMinSketch: that class hashes with "
+    "engine-private murmur placement no oracle can replay",
+)
+def q105_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grp, depth, width = ["event_type"], 4, 64
+    cm = sketches.countmin_merge(
+        sketches.countmin_sketch(
+            ev.filter(F.col("event_id") % 2 == 0), grp, "user_id",
+            depth=depth, width=width,
+        ),
+        sketches.countmin_sketch(
+            ev.filter(F.col("event_id") % 2 == 1), grp, "user_id",
+            depth=depth, width=width,
+        ),
+        grp,
+    )
+    probed = ev.filter(F.col("user_id") % 17 == 0)
+    probes = probed.select("event_type", "user_id").distinct()
+    est = sketches.countmin_query(
+        cm, probes, grp, "user_id", depth=depth, width=width
+    )
+    exact = probed.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, ["event_type", "user_id"])
+
+
+@register(
+    "q106_bucketed_join",
+    # The values are an ordinary join-aggregate; what the query GATES is
+    # that the whole bucketed write→catalog→co-located-SMJ path produces
+    # them (the zero-Exchange/zero-Sort physical shape itself is pinned in
+    # test_scale_plans, where broadcast is off and the plan is asserted).
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="bucketed data layout + co-located join "
+    "(catalog.Catalog.create_bucketed_table + relational.colocated_join): "
+    "both tables are "
+    "persisted hash-bucketed and in-bucket sorted on the join key, so "
+    "the sort-merge join consumes the scan's bucket partitioning "
+    "directly — NO Exchange and NO Sort on either side, vs the usual "
+    "shuffle of both. This is the declared-layout replacement for the "
+    "token-ring co-location the reference inherited from Cassandra "
+    "(every CF shares the row-key ring, so CF⋈CF on row_key was always "
+    "node-aligned — HiveCassandraStandardSplit.java:13-158); at 100 TB, "
+    "fact⋈fact joins on a stable key are only affordable when the "
+    "shuffle is paid ONCE at write time and amortized over every "
+    "subsequent join/agg on that key",
+)
+def q106_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from hive_cassandra_spark.catalog import Catalog
+
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q106_{tok}_{os.getpid()}"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    cat = Catalog(spark)
+    lt = cat.create_bucketed_table(
+        f"hcs_li_bkt_{tok}", li, ["l_orderkey"], 8, path=base + "_li"
+    )
+    ot = cat.create_bucketed_table(
+        f"hcs_ord_bkt_{tok}", orders, ["l_orderkey"], 8, path=base + "_ord"
+    )
+    j = relational.colocated_join(lt, ot, "l_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4550,6 +4687,8 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # streaming form of q82's sketch: composes the in-window stream-sketch
     # (q85) and quantile-sketch (q82) capabilities
     "q104_stream_quantile_sketch": {"stream_sketch", "sketch_quantile"},
+    "q105_countmin_freq": {"sketch_freq"},
+    "q106_bucketed_join": {"bucketed_layout"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -4558,7 +4697,12 @@ QUERY_FAMILIES: dict[str, set[str]] = {
 # for rotation into the window next round — exactly how q67-q70 moved
 # in during round 3. Keep this list short-lived: anything still here two
 # rounds after introduction is a bookkeeping failure.
-PENDING_ROTATION: set[str] = set()  # r06: q87+q89 rotated in on schedule
+PENDING_ROTATION: set[str] = {  # r06: q87+q89 rotated in on schedule;
+    # the round-6 fourth-wave capabilities below rotate in before the
+    # round closes (same-round rotation, the q71-q74 precedent)
+    "q105_countmin_freq",
+    "q106_bucketed_join",
+}
 
 # Queries rotated OUT whose family tag would otherwise lose its only
 # in-window bearer. Graduation requires a green driver CORRECTNESS row in

@@ -62,6 +62,13 @@ _BASE_CONF: dict[str, str] = {
     # aggregation — measured 2.2 s vs 0.9 s for the simhash signature pass
     # at sf0.1. 256 keeps every plan in this repo inside WholeStageCodegen.
     "spark.sql.codegen.maxFields": "256",
+    # Sorted-bucket scans: expose the in-bucket sort order to the planner
+    # so co-located SMJs over Catalog.create_bucketed_table tables drop
+    # their per-side Sort too (off by default since 3.0 because it lists
+    # files per bucket at planning time; create_bucketed_table writes one
+    # file per bucket, which is both the layout this needs and the
+    # small-file posture a 100 TB lake wants anyway).
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

@@ -276,3 +276,35 @@ def test_incremental_dedup_probe_side_zero_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # probe expressions are pure codegen: no Python anywhere
     assert "EvalPython" not in plan, plan
+
+
+def test_colocated_join_no_exchange_no_sort(spark, sf_dir, tmp_path):
+    """relational.colocated_join over two Catalog.create_bucketed_table
+    tables (external path, in-bucket sorted): the merge-hinted SMJ must
+    read both sides in place — zero Exchange AND zero Sort anywhere in the
+    join plan, the prepaid-shuffle layout q106 gates on values."""
+    from hive_cassandra_spark.operators import relational
+
+    cat = Catalog(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    try:
+        lt = cat.create_bucketed_table(
+            "li_coloc", li, ["l_orderkey"], 4, path=str(tmp_path / "li")
+        )
+        ot = cat.create_bucketed_table(
+            "ord_coloc", orders, ["l_orderkey"], 4, path=str(tmp_path / "ord")
+        )
+        j = relational.colocated_join(lt, ot, "l_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"co-located join shuffled:\n{plan}"
+        assert "Sort [" not in plan, f"co-located join re-sorted:\n{plan}"
+        assert j.count() == li.count()  # every lineitem has its order
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_coloc")
+        spark.sql("DROP TABLE IF EXISTS ord_coloc")

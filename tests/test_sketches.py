@@ -327,3 +327,73 @@ def test_kmv_set_estimates_sketch_accuracy(spark):
     # true jaccard 0; inclusion-exclusion noise stays small
     assert r.jaccard_pct <= 25
     assert r.est_union > r.est_a and r.est_union > r.est_b
+
+
+def test_countmin_never_underestimates(spark):
+    """One-sided error: est_count >= true count for every probed value,
+    and with a comfortably wide sketch the estimates are exact."""
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 50).alias("v")
+    )
+    cm = sketches.countmin_sketch(df, ["g"], "v", depth=4, width=512)
+    probes = df.select("g", "v").distinct()
+    est = {
+        (r.g, r.v): r.est_count
+        for r in sketches.countmin_query(
+            cm, probes, ["g"], "v", depth=4, width=512
+        ).collect()
+    }
+    true = {
+        (r.g, r.v): r.cnt
+        for r in df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert est.keys() == true.keys()
+    assert all(est[k] >= true[k] for k in true)
+    # width=512 >> 50 distinct values: collisions are unlikely enough that
+    # a fully-exact readout is the expected outcome for this fixture
+    assert est == true
+
+
+def test_countmin_collisions_overestimate_only(spark):
+    """Squeeze 400 distinct values into width=16: collisions are forced,
+    so some estimates must be strictly larger — but never smaller."""
+    df = spark.range(4000).select(
+        F.lit(0).alias("g"), (F.col("id") % 400).alias("v")
+    )
+    cm = sketches.countmin_sketch(df, ["g"], "v", depth=2, width=16)
+    probes = df.select("g", "v").distinct()
+    rows = sketches.countmin_query(
+        cm, probes, ["g"], "v", depth=2, width=16
+    ).collect()
+    assert all(r.est_count >= 10 for r in rows)  # every value occurs 10x
+    assert any(r.est_count > 10 for r in rows)
+
+
+def test_countmin_merge_equals_full(spark):
+    """merge(cm(A), cm(B)) is cell-for-cell identical to cm(A ++ B)."""
+    df = spark.range(3000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 97).alias("v")
+    )
+    a = df.filter(F.col("id") % 3 == 0)
+    b = df.filter(F.col("id") % 3 != 0)
+    merged = sketches.countmin_merge(
+        sketches.countmin_sketch(a, ["g"], "v", depth=3, width=32),
+        sketches.countmin_sketch(b, ["g"], "v", depth=3, width=32),
+        ["g"],
+    )
+    full = sketches.countmin_sketch(df, ["g"], "v", depth=3, width=32)
+    m = {(r.g, r.d, r.pos): r.cnt for r in merged.collect()}
+    f = {(r.g, r.d, r.pos): r.cnt for r in full.collect()}
+    assert m == f
+
+
+def test_countmin_bounded_state(spark):
+    """Sketch size is capped by depth x width per group no matter how many
+    rows or distinct values flow in."""
+    df = spark.range(50_000).select(
+        F.lit(0).alias("g"), F.col("id").alias("v")
+    )
+    cm = sketches.countmin_sketch(df, ["g"], "v", depth=4, width=64)
+    assert cm.count() <= 4 * 64
+    with pytest.raises(ValueError):
+        sketches.countmin_sketch(df, ["g"], "v", depth=0, width=64)
