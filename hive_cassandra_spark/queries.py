@@ -4428,6 +4428,137 @@ def q106_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q107_merkle_repair",
+    # Two replicas of an events-derived cell store diverge BY CONSTRUCTION
+    # for the ~4% of users with user_id % 23 = 0: replica A dropped their
+    # event_id % 7 = 3 writes, replica B holds a stale older version
+    # (ts 1 < 2, 's'-prefixed value) of their event_id % 11 = 5 cells.
+    # Other users' token ranges stay bit-identical, so SOME buckets
+    # mismatch and some don't (non-vacuous both ways at sf0.01). The
+    # oracle replays the whole protocol serially: same 52-bit md5 cell
+    # hashes, same xor+count range digests, same LWW-with-tie-break
+    # resolution over only the mismatched ranges.
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               event_type || ':' || CAST(event_id AS VARCHAR) AS cell,
+               event_id, (user_id % 23 = 0) AS div
+        FROM events),
+    a AS (SELECT user_id, cell, CAST(2 AS BIGINT) AS ts,
+                 'v' || CAST(event_id AS VARCHAR) AS val
+          FROM base WHERE NOT (div AND event_id % 7 = 3)),
+    b AS (SELECT user_id, cell,
+                 CASE WHEN div AND event_id % 11 = 5
+                      THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS ts,
+                 (CASE WHEN div AND event_id % 11 = 5 THEN 's' ELSE 'v' END)
+                   || CAST(event_id AS VARCHAR) AS val
+          FROM base),
+    da AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                       AS BIGINT) % 16 AS bucket,
+                  count(*) AS a_cells,
+                  bit_xor(CAST('0x' || substr(md5(
+                      CAST(user_id AS VARCHAR) || '|' || cell || '|'
+                      || CAST(ts AS VARCHAR) || '|' || val), 1, 13)
+                      AS BIGINT)) AS a_xor
+           FROM a GROUP BY 1),
+    db AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                       AS BIGINT) % 16 AS bucket,
+                  count(*) AS b_cells,
+                  bit_xor(CAST('0x' || substr(md5(
+                      CAST(user_id AS VARCHAR) || '|' || cell || '|'
+                      || CAST(ts AS VARCHAR) || '|' || val), 1, 13)
+                      AS BIGINT)) AS b_xor
+           FROM b GROUP BY 1),
+    diff AS (SELECT coalesce(da.bucket, db.bucket) AS bucket,
+                    coalesce(a_cells, 0) AS a_cells,
+                    coalesce(b_cells, 0) AS b_cells,
+                    NOT (coalesce(a_cells, -1) = coalesce(b_cells, -2)
+                         AND coalesce(a_xor, -1) = coalesce(b_xor, -2))
+                      AS mismatch
+             FROM da FULL OUTER JOIN db ON da.bucket = db.bucket),
+    u AS (SELECT user_id, cell, ts, val, 'a' AS replica FROM a
+          UNION ALL
+          SELECT user_id, cell, ts, val, 'b' AS replica FROM b),
+    cand AS (SELECT u.*,
+                    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                         AS BIGINT) % 16 AS bucket
+             FROM u),
+    bad AS (SELECT c.* FROM cand c JOIN diff d
+            ON c.bucket = d.bucket AND d.mismatch),
+    win AS (SELECT *, row_number() OVER (
+                PARTITION BY bucket, user_id, cell
+                ORDER BY ts DESC, val DESC, replica) AS rn
+            FROM bad),
+    rep AS (SELECT bucket, count(*) AS repaired_cells,
+                   bit_xor(CAST('0x' || substr(md5(
+                       CAST(user_id AS VARCHAR) || '|' || cell || '|'
+                       || CAST(ts AS VARCHAR) || '|' || val), 1, 13)
+                       AS BIGINT)) AS repaired_xor
+            FROM win WHERE rn = 1 GROUP BY bucket)
+    SELECT d.bucket, d.a_cells, d.b_cells, d.mismatch,
+           coalesce(r.repaired_cells, 0) AS repaired_cells,
+           coalesce(r.repaired_xor, 0) AS repaired_xor
+    FROM diff d LEFT JOIN rep r ON d.bucket = r.bucket
+    """,
+    doc="Merkle-style anti-entropy repair between divergent replicas "
+    "(repair.range_digests/merkle_diff/repair_ranges): per-token-range "
+    "count+xor digests (one map-side-combined agg per replica, "
+    "exchanging 16 rows instead of the data), full-outer digest compare, "
+    "then LWW re-resolution of ONLY the mismatched ranges (bucket list "
+    "broadcast; in-sync ranges move zero bytes — at 100 TB with 0.1% "
+    "drift, repair I/O is proportional to divergence, not store size). "
+    "The reconciliation protocol Cassandra ran behind the reference's "
+    "consistency-level reads (CassandraProxyClient.java:32-313 fails "
+    "over between replicas precisely because they drift), expressed as "
+    "a batch operator a lake-backed store can actually run",
+)
+def q107_merkle_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_cassandra_spark import repair
+
+    base = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")
+        ).alias("cell"),
+        "event_id",
+        (F.col("user_id") % 23 == 0).alias("div"),
+    )
+    a = base.filter(~(F.col("div") & (F.col("event_id") % 7 == 3))).select(
+        "user_id",
+        "cell",
+        F.lit(2).cast("long").alias("ts"),
+        F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("val"),
+    )
+    stale = F.col("div") & (F.col("event_id") % 11 == 5)
+    b = base.select(
+        "user_id",
+        "cell",
+        F.when(stale, F.lit(1)).otherwise(F.lit(2)).cast("long").alias("ts"),
+        F.concat(
+            F.when(stale, F.lit("s")).otherwise(F.lit("v")),
+            F.col("event_id").cast("string"),
+        ).alias("val"),
+    )
+    cell_cols = ["user_id", "cell", "ts", "val"]
+    diff = repair.merkle_diff(
+        repair.range_digests(a, "user_id", cell_cols, 16),
+        repair.range_digests(b, "user_id", cell_cols, 16),
+    )
+    repaired = repair.repair_ranges(
+        a, b, diff, "user_id", ["user_id", "cell"], "ts", ["val"], 16
+    )
+    rd = repair.range_digests(repaired.drop("bucket"), "user_id", cell_cols, 16)
+    return diff.join(rd, "bucket", "left").select(
+        "bucket",
+        "a_cells",
+        "b_cells",
+        "mismatch",
+        F.coalesce("n_cells", F.lit(0)).alias("repaired_cells"),
+        F.coalesce("xor_digest", F.lit(0)).alias("repaired_xor"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4689,6 +4820,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q104_stream_quantile_sketch": {"stream_sketch", "sketch_quantile"},
     "q105_countmin_freq": {"sketch_freq"},
     "q106_bucketed_join": {"bucketed_layout"},
+    "q107_merkle_repair": {"anti_entropy"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -4702,6 +4834,7 @@ PENDING_ROTATION: set[str] = {  # r06: q87+q89 rotated in on schedule;
     # round closes (same-round rotation, the q71-q74 precedent)
     "q105_countmin_freq",
     "q106_bucketed_join",
+    "q107_merkle_repair",
 }
 
 # Queries rotated OUT whose family tag would otherwise lose its only
