@@ -4559,6 +4559,89 @@ def q107_merkle_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q108_secondary_index",
+    # The customer cell store (3 value cells per customer) gets a 2i on
+    # c_mktsegment; the lookup for 'BUILDING' must return exactly the
+    # matching customers' cells — replayed as a plain WHERE on the base
+    # table. n_rows == n_cells/3 proves no stray rows rode along; min/max
+    # of each cell's decoded value pin the fetched content, not just its
+    # cardinality.
+    oracle="""
+    WITH m AS (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'),
+    cells AS (
+        SELECT c_custkey, 'c_name' AS cell, c_name AS v FROM m
+        UNION ALL
+        SELECT c_custkey, 'c_nation', CAST(c_nationkey AS VARCHAR) FROM m
+        UNION ALL
+        SELECT c_custkey, 'c_mktsegment', c_mktsegment FROM m)
+    SELECT cell, count(*) AS n_cells,
+           count(DISTINCT c_custkey) AS n_rows,
+           min(v) AS min_val, max(v) AS max_val
+    FROM cells GROUP BY cell
+    """,
+    doc="secondary index over the cell store (index.build_value_index / "
+    "index_lookup — Cassandra 2i semantics): the index is ITSELF a cell "
+    "store (row_key = indexed value, column_name = base row key), so the "
+    "probe for one value is a row-key point read the datasource's "
+    "pushFilters prunes to the matching row groups; the fetched base "
+    "keys (predicate selectivity, not table size) broadcast into a "
+    "semi-join against the base store — no shuffle of the base side. "
+    "The access path the reference never had: its handler scans every "
+    "token range for a non-key predicate "
+    "(HiveCassandraStandardColumnInputFormat.java narrows columns via "
+    "SlicePredicate, never rows by value)",
+)
+def q108_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from hive_cassandra_spark import handler
+    from hive_cassandra_spark import index as index_mod
+    from hive_cassandra_spark import sink
+
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hcs_q108_{tok}_{os.getpid()}")
+    store, idx_store = base + "_base", base + "_idx"
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("string").alias("c_nation"),
+        "c_mktsegment",
+    )
+    tdef = handler.define_table(
+        "cust_2i_cells",
+        store,
+        ["c_custkey", "c_name", "c_nation", "c_mktsegment"],
+        ["bigint", "string", "string", "string"],
+    )
+    cells_out = sink.to_cells(
+        cust.select(*tdef.column_names),
+        tdef.mapping,
+        list(tdef.hive_types),
+        clock_millis=1,
+    )
+    sink.write_cells(cells_out, store)
+    from hive_cassandra_spark import datasource
+
+    datasource.register(spark)
+    base_cells = spark.read.format("cassandra_cells").load(store)
+    sink.write_cells(
+        index_mod.build_value_index(base_cells, b"c_mktsegment"), idx_store
+    )
+    matched = index_mod.index_lookup(spark, store, idx_store, b"BUILDING")
+    return matched.groupBy(
+        F.col("column_name").cast("string").alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("row_key").alias("n_rows"),
+        F.min(F.col("value").cast("string")).alias("min_val"),
+        F.max(F.col("value").cast("string")).alias("max_val"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4821,6 +4904,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q105_countmin_freq": {"sketch_freq"},
     "q106_bucketed_join": {"bucketed_layout"},
     "q107_merkle_repair": {"anti_entropy"},
+    "q108_secondary_index": {"secondary_index"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -4835,6 +4919,7 @@ PENDING_ROTATION: set[str] = {  # r06: q87+q89 rotated in on schedule;
     "q105_countmin_freq",
     "q106_bucketed_join",
     "q107_merkle_repair",
+    "q108_secondary_index",
 }
 
 # Queries rotated OUT whose family tag would otherwise lose its only
