@@ -403,3 +403,90 @@ def colocated_join(
     with matching (bucket_col, n_buckets) on both sides the physical plan
     contains no Exchange and no Sort — asserted in test_scale_plans."""
     return left.hint("merge").join(right, on, how)
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weight-proportional sample without replacement
+    (priority sampling, Duffield-Lund-Thorup 2007): each row gets priority
+    ``w / u`` with ``u = (hash52(key)+1) / 2^52`` uniform on (0, 1], and
+    the k largest priorities win — rows are included with probability
+    proportional to weight (min(w/τ, 1) for the (k+1)-largest threshold
+    τ), which is what a token-budget corpus selector wants when long
+    documents should be kept proportionally more often.
+
+    Determinism contract (the md5-hash tier used everywhere here): u is
+    EXACT in double (h+1 ≤ 2^52; division by a power of two), and the
+    priority is one correctly-rounded IEEE multiply+divide, so every
+    engine orders identically — no RNG, repartition-stable, and the
+    DuckDB oracle replays it bit-for-bit.
+
+    Plans as TakeOrderedAndProject (per-partition heap of k, k-row driver
+    merge) — no global sort, no full shuffle; the rank window after the
+    limit touches only k rows. Scale-safe for any input size and small k.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from hive_cassandra_spark.operators.sketches import hash52
+
+    pri = (
+        F.col(weight_col).cast("double") * float(1 << 52)
+    ) / (hash52(F.col(key_col).cast("string")) + 1).cast("double")
+    top = (
+        df.withColumn("__pri", pri)
+        .orderBy(F.desc("__pri"), F.col(key_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("__pri"), F.col(key_col))
+    return top.withColumn("rank", F.row_number().over(w)).drop("__pri")
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative integer columns'
+    low ``bits`` bits: bit i of x lands at position 2i, bit i of y at
+    2i+1. Pure integer arithmetic (div/mod/multiply — no engine bitwise
+    builtins), so whole-stage codegen folds it and an ANSI-SQL oracle
+    replays it exactly.
+
+    Rows close in z are close in BOTH dimensions, so range-partitioning
+    files by z gives every file tight min/max on x AND y — parquet
+    row-group pruning then works for predicates on either dimension,
+    where a single-column sort only prunes its own column. This is the
+    multi-dimensional analogue of the reference's token-ordered scan
+    locality (one clustering order, one dimension)."""
+    x = x.cast("long") % (1 << bits)
+    y = y.cast("long") % (1 << bits)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + ((x / (1 << i)).cast("long") % 2) * (1 << (2 * i))
+            + ((y / (1 << i)).cast("long") % 2) * (1 << (2 * i + 1))
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Cluster ``df`` into ``n_files`` parquet files by Z-order of
+    (x_col, y_col): repartitionByRange on the z key (one range exchange,
+    sampled bounds) + in-file sort. Each file covers a compact z-range ⇒
+    tight per-file min/max stats on both dimensions ⇒ file/row-group
+    skipping for filters on either column (asserted against the footer
+    stats in test_relational)."""
+    z = zorder_key(F.col(x_col), F.col(y_col), bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -4642,6 +4642,95 @@ def q108_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q109_weighted_sample",
+    # Priority sampling is a pure function of (md5 hash, weight): u is
+    # exact in double (h+1 <= 2^52, then a power-of-two division) and the
+    # priority is one correctly-rounded multiply+divide, so DuckDB's
+    # serial replay orders identically — a float ORDER BY that is still
+    # bit-deterministic cross-engine. Output stays integer-only.
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, n_chars,
+               (CAST(n_chars AS DOUBLE) * 4503599627370496.0)
+               / CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) + 1 AS DOUBLE) AS pri
+        FROM documents)
+    SELECT doc_id, n_chars AS weight,
+           row_number() OVER (ORDER BY pri DESC, doc_id) AS rank
+    FROM p ORDER BY pri DESC, doc_id LIMIT 100
+    """,
+    doc="weight-proportional sampling without replacement "
+    "(relational.weighted_sample — priority sampling, "
+    "Duffield-Lund-Thorup 2007): documents win k slots with probability "
+    "proportional to n_chars via deterministic md5-derived priorities "
+    "(no RNG: run-stable, repartition-stable, engine-replayable — the "
+    "same contract as deterministic_split/stratified_sample, which "
+    "sample uniformly; this adds the weighted tier a token-budget "
+    "curator needs). Plans as TakeOrderedAndProject: per-partition heap "
+    "of k, k-row merge — no global sort at any input size",
+)
+def q109_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    samp = relational.weighted_sample(doc, "doc_id", "n_chars", 100)
+    return samp.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_Z_TERMS_SQL = " + ".join(
+    f"((x // {1 << i}) % 2) * {1 << (2 * i)}"
+    f" + ((y // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    for i in range(16)
+)
+
+
+@register(
+    "q110_zorder_key",
+    # The oracle replays the full 16-bit interleave as 32 div/mod terms —
+    # the z key is plain integer arithmetic, no engine bitwise builtins,
+    # so both engines agree exactly. Values gate the curve math; the
+    # LAYOUT payoff (tight per-file min/max on both dimensions after
+    # zorder_write, hence row-group skipping on either) is asserted
+    # against real parquet footer stats in test_relational.
+    oracle=f"""
+    WITH b AS (SELECT user_id % 65536 AS x, event_id % 65536 AS y
+               FROM events),
+    z AS (SELECT CAST({_Z_TERMS_SQL} AS BIGINT) AS z FROM b)
+    SELECT z // 1048576 AS z_bucket,
+           count(*) AS n,
+           min(z) AS min_z,
+           max(z) AS max_z,
+           CAST(sum(z) AS BIGINT) AS sum_z
+    FROM z GROUP BY z_bucket
+    """,
+    doc="Z-order (Morton) clustering key (relational.zorder_key / "
+    "zorder_write): interleaves two dimensions' bits so files "
+    "range-partitioned on z carry tight min/max for BOTH columns — "
+    "parquet row-group pruning then serves predicates on either "
+    "dimension, where single-column clustering (the reference's "
+    "token-ordered scans: one clustering order, one dimension) prunes "
+    "only its own. Pure div/mod arithmetic folded by whole-stage "
+    "codegen; zero shuffle for the key itself, one range exchange at "
+    "write time",
+)
+def q110_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    z = relational.zorder_key(F.col("user_id"), F.col("event_id"), 16)
+    return (
+        ev.select(z.alias("z"))
+        .groupBy((F.col("z") / 1048576).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+            F.sum("z").alias("sum_z"),
+        )
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4905,6 +4994,8 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q106_bucketed_join": {"bucketed_layout"},
     "q107_merkle_repair": {"anti_entropy"},
     "q108_secondary_index": {"secondary_index"},
+    "q109_weighted_sample": {"weighted_sampling"},
+    "q110_zorder_key": {"zorder_layout"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -4920,6 +5011,8 @@ PENDING_ROTATION: set[str] = {  # r06: q87+q89 rotated in on schedule;
     "q106_bucketed_join",
     "q107_merkle_repair",
     "q108_secondary_index",
+    "q109_weighted_sample",
+    "q110_zorder_key",
 }
 
 # Queries rotated OUT whose family tag would otherwise lose its only

@@ -260,3 +260,83 @@ def test_global_row_number_matches_sort_order(spark):
         df.repartition(7), [F.col("v").desc(), F.col("id").asc()]
     )
     assert sorted((r.rn, r.v, r.id) for r in again.collect()) == rows
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from hive_cassandra_spark.operators.relational import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 100, F.lit(50)).otherwise(F.lit(1)).alias("w"),
+    )
+    s1 = weighted_sample(df, "k", "w", 100)
+    s2 = weighted_sample(df.repartition(17), "k", "w", 100)
+    r1 = [(r.k, r.rank) for r in s1.orderBy("rank").collect()]
+    r2 = [(r.k, r.rank) for r in s2.orderBy("rank").collect()]
+    assert r1 == r2 and len(r1) == 100  # repartition-stable, exact k
+    # heavy keys are 10% of the population with 50x weight → they should
+    # dominate the sample (expected ~85%; assert a loose majority)
+    heavy = sum(1 for k, _ in r1 if k < 100)
+    assert heavy > 60
+    # TakeOrdered plan, not a global sort
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_small_input_returns_all(spark):
+    from hive_cassandra_spark.operators.relational import weighted_sample
+
+    df = spark.range(7).select(F.col("id").alias("k"), F.lit(3).alias("w"))
+    assert weighted_sample(df, "k", "w", 100).count() == 7
+
+
+def test_zorder_key_known_values(spark):
+    from hive_cassandra_spark.operators.relational import zorder_key
+
+    rows = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "x long, y long"
+    )
+    got = [
+        r.z
+        for r in rows.select(
+            zorder_key(F.col("x"), F.col("y"), 16).alias("z")
+        ).collect()
+    ]
+    # interleave by hand: x bits at even positions, y bits at odd
+    assert got == [0, 1, 2, 39, (1 << 32) - 1]
+
+
+def test_zorder_write_tightens_both_dims_file_stats(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hive_cassandra_spark.operators.relational import zorder_write
+
+    # two independent-ish dimensions derived from id
+    df = spark.range(20_000).select(
+        (F.col("id") * 7919 % 4096).alias("x"),
+        (F.col("id") * 104729 % 4096).alias("y"),
+    )
+    naive, zpath = str(tmp_path / "naive"), str(tmp_path / "z")
+    df.repartition(8).write.parquet(naive)
+    zorder_write(df, zpath, "x", "y", 8, bits=12)
+
+    # per-file (max - min) from the parquet footer stats — what the
+    # row-group pruner consults
+    def spans(path, col):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col)
+            los, his = [], []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(ci).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append(max(his) - min(los))
+        return sum(out)
+
+    for col in ("x", "y"):
+        assert spans(zpath, col) < spans(naive, col) * 0.7, col
