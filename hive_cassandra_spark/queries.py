@@ -4799,15 +4799,21 @@ def q110_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q53 (stream_dedup), q54 (stream_stateful — its applyInPandasWithState
 # machinery stays in-window through q85's stateful sketch), and q86
 # (unicode NFC normalization) joins for the final slot.
+#
+# Round-6 fourth rotation: the six new capabilities q105 (CountMin
+# frequency sketch), q106 (bucketed co-located join), q107 (Merkle
+# anti-entropy repair), q108 (secondary index), q109 (weighted priority
+# sampling), q110 (Z-order layout) take slots immediately. Evicted six
+# bearers, each driver-green in ALL FIVE rounds r01-r05, so all GRADUATE:
+# q04 (join_semi_anti), q13 (window), q20 (cube_rollup), q23 (subquery),
+# q32 (dedup_jaccard), q38 (text_stats). Their overflow family-mates
+# graduate alongside on their own cited r01/r02 driver rows (see
+# GRADUATED), so no family loses its evidence trail.
 
 _WINDOW_ORDER = [
     # relational surface — one representative per capability
     "q01_pricing_summary",            # scan/filter/agg
     "q03_shipping_priority",          # inner+broadcast join, sort/limit (TakeOrdered)
-    "q04_order_priority_check",       # semi + anti joins
-    "q13_top_orders_per_customer",    # window rank + running frame
-    "q20_flag_status_cube",           # cube + rollup
-    "q23_orders_above_average",       # scalar subquery
     # events family (round-1 env failures — verdict item 1)
     "q28_lww_compaction",
     "q64_hypertable_rollup",
@@ -4815,13 +4821,11 @@ _WINDOW_ORDER = [
     # LLM-pipeline operators (§2.C) — r03: all four previously-unwindowed
     # operators (q67-q70) now earn driver rows
     "q31_dedup_exact",
-    "q32_dedup_ngram_jaccard",
     "q33_dedup_minhash_lsh",
     "q35_dedup_embedding",
     "q67_neardup_clusters",
     "q47_similarity_ivf",
     "q68_similarity_quantized",
-    "q38_text_stats",                 # stats + lang-id + tokens + fingerprint
     "q70_repetition_stats",
     "q43_multimodal_features",        # REAL BMP container decode in-plan
     "q69_stratified_sample",
@@ -4857,6 +4861,14 @@ _WINDOW_ORDER = [
     "q101_html_extract",
     "q102_length_batches",
     "q103_kmv_set_ops",
+    # round-6 fourth rotation: new capabilities, immediate slots (see the
+    # rotation note above for the paired graduations that fund them)
+    "q105_countmin_freq",
+    "q106_bucketed_join",
+    "q107_merkle_repair",
+    "q108_secondary_index",
+    "q109_weighted_sample",
+    "q110_zorder_key",
     # round-1 unchecked families (verdict item 2: q48-q62 by name)
     "q48_validator_decode",
     "q50_stream_tumbling",
@@ -5004,16 +5016,8 @@ QUERY_FAMILIES: dict[str, set[str]] = {
 # for rotation into the window next round — exactly how q67-q70 moved
 # in during round 3. Keep this list short-lived: anything still here two
 # rounds after introduction is a bookkeeping failure.
-PENDING_ROTATION: set[str] = {  # r06: q87+q89 rotated in on schedule;
-    # the round-6 fourth-wave capabilities below rotate in before the
-    # round closes (same-round rotation, the q71-q74 precedent)
-    "q105_countmin_freq",
-    "q106_bucketed_join",
-    "q107_merkle_repair",
-    "q108_secondary_index",
-    "q109_weighted_sample",
-    "q110_zorder_key",
-}
+PENDING_ROTATION: set[str] = set()  # r06: all new capabilities rotated
+# in same-round (q105-q110 in the fourth rotation below), none pending
 
 # Queries rotated OUT whose family tag would otherwise lose its only
 # in-window bearer. Graduation requires a green driver CORRECTNESS row in
@@ -5051,6 +5055,25 @@ GRADUATED = {
     "q11_priority_distinct_customers",  # agg_distinct_having
     "q07_customer_order_stats",  # join_outer (left + full in one pipeline)
     "q34_dedup_simhash",         # dedup_simhash
+    # round-6 fourth-rotation graduations, funding q105-q110's slots.
+    # Evicted bearers, each driver-green in ALL FIVE of r01..r05:
+    "q04_order_priority_check",  # join_semi_anti
+    "q13_top_orders_per_customer",  # window
+    "q20_flag_status_cube",      # cube_rollup
+    "q23_orders_above_average",  # subquery
+    "q32_dedup_ngram_jaccard",   # dedup_jaccard (sole member — clean exit)
+    "q38_text_stats",            # text_stats
+    # ...and their overflow family-mates, which would otherwise orphan;
+    # each has its own cited green driver row(s) from the rounds when
+    # the early window still held them:
+    "q09_customers_without_orders",  # join_semi_anti: green r01
+    "q18_never_finalized",       # join_semi_anti: green r01
+    "q14_running_supplier_volume",  # window: green r01
+    "q60_grouping_sets",         # cube_rollup: green r02
+    "q63_correlated_min_price",  # subquery: green r01+r02
+    "q39_lang_id",               # text_stats: green r01
+    "q40_token_count_regex",     # text_stats: green r01
+    "q41_fingerprint",           # text_stats: green r01
 }
 
 
