@@ -77,6 +77,17 @@ HEADLINE = [
     "q96_corpus_mixing",
     "q97_chunk_dedup",
     "q98_heavy_hitters",
+    # round-6 fourth batch: the new gate capabilities — CountMin build+
+    # merge+probe, the bucketed write + co-located SMJ (write cost
+    # included: the point is the prepaid shuffle), the Merkle digest/
+    # repair pipeline, the 2i build+lookup through the connector, and the
+    # two cheap layout/sampling kernels
+    "q105_countmin_freq",
+    "q106_bucketed_join",
+    "q107_merkle_repair",
+    "q108_secondary_index",
+    "q109_weighted_sample",
+    "q110_zorder_key",
 ]
 
 
@@ -114,6 +125,10 @@ def main() -> None:
         "q96_corpus_mixing",
         "q97_chunk_dedup",
         "q98_heavy_hitters",
+        "q105_countmin_freq",
+        "q106_bucketed_join",
+        "q107_merkle_repair",
+        "q108_secondary_index",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

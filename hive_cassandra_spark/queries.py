@@ -4643,6 +4643,89 @@ def q108_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q111_stream_countmin",
+    # The streamed sketch must equal the batch sketch over the same rows
+    # (cell-wise addition is batching-independent), so the oracle builds
+    # the batch CountMin per (hour window, event_type) serially and probes
+    # it with the same deterministic user set; exact counts ride along.
+    oracle="""
+    WITH ds AS (SELECT unnest([0, 1]) AS d),
+    e AS (SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                          '%Y-%m-%d %H:%M:%S') AS window_start,
+                 event_type, user_id
+          FROM events),
+    cells AS (
+        SELECT window_start, event_type, d,
+               CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                       || CAST(user_id AS VARCHAR)), 1, 13)
+                    AS BIGINT) % 32 AS pos,
+               count(*) AS cnt
+        FROM e CROSS JOIN ds GROUP BY 1, 2, 3, 4),
+    probes AS (SELECT DISTINCT window_start, event_type, user_id FROM e
+               WHERE user_id % 29 = 0),
+    fan AS (
+        SELECT p.window_start, p.event_type, p.user_id, ds.d,
+               CAST('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':'
+                                       || CAST(p.user_id AS VARCHAR)), 1, 13)
+                    AS BIGINT) % 32 AS pos
+        FROM probes p CROSS JOIN ds),
+    est AS (
+        SELECT f.window_start, f.event_type, f.user_id,
+               min(coalesce(c.cnt, 0)) AS est_count
+        FROM fan f LEFT JOIN cells c
+          USING (window_start, event_type, d, pos)
+        GROUP BY 1, 2, 3),
+    ex AS (SELECT window_start, event_type, user_id,
+                  count(*) AS exact_count
+           FROM e WHERE user_id % 29 = 0 GROUP BY 1, 2, 3)
+    SELECT est.window_start, est.event_type, est.user_id,
+           est.est_count, ex.exact_count
+    FROM est JOIN ex USING (window_start, event_type, user_id)
+    """,
+    doc="streaming CountMin (streaming.events.stream_countmin): the q105 "
+    "frequency-sketch tier as applyInPandasWithState state — flat d×w "
+    "counter list per (window, event_type), cell coordinates computed by "
+    "the same codegen md5 expression as the batch path, Python only "
+    "bin-counts; cell-wise addition is batching-independent so the "
+    "streamed sketch equals the batch sketch over the same rows, then "
+    "sketches.countmin_query probes it stream-static style. Overflow "
+    "variant composing the in-window stream_sketch (q85) and sketch_freq "
+    "(q105) families",
+)
+def q111_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    sketch = streaming_events.run_bounded(
+        streaming_events.stream_countmin(ev, width_s=3600, depth=2, width=32),
+        spark,
+        "update",
+        state_partitions=8,
+    )
+    batch = load_events(spark, sf_dir)
+    e = batch.select(
+        F.date_format(
+            F.to_timestamp(F.floor(F.unix_timestamp("ts") / 3600) * 3600),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("window_start"),
+        "event_type",
+        "user_id",
+    )
+    probed = e.filter(F.col("user_id") % 29 == 0)
+    grp = ["window_start", "event_type"]
+    est = sketches.countmin_query(
+        sketch,
+        probed.select(*grp, "user_id").distinct(),
+        grp,
+        "user_id",
+        depth=2,
+        width=32,
+    )
+    exact = probed.groupBy(*grp, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, [*grp, "user_id"])
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5008,6 +5091,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q108_secondary_index": {"secondary_index"},
     "q109_weighted_sample": {"weighted_sampling"},
     "q110_zorder_key": {"zorder_layout"},
+    # streaming form of q105's sketch: composes the in-window stream-sketch
+    # (q85) and CountMin (q105) capabilities
+    "q111_stream_countmin": {"stream_sketch", "sketch_freq"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -437,3 +437,76 @@ def stream_incremental_dedup(
         .withColumn("is_new", F.col("__hit").isNull())
         .drop("__hit")
     )
+
+
+def stream_countmin(
+    events: DataFrame, width_s: int = 3600, depth: int = 2, width: int = 32
+) -> DataFrame:
+    """Streaming CountMin: per (tumbling window, event_type), the d×w
+    counter sketch over ``user_id`` maintained as per-key state — the q105
+    frequency-sketch tier carried across micro-batches exactly as
+    ``stream_kmv_distinct`` carries KMV and ``stream_quantile_sketch`` the
+    bottom-k sample.
+
+    State per key is the flat depth·width counter list (~dw·8 bytes —
+    never per-user anything), and cell-wise addition is order- and
+    batching-independent, so the final sketch equals the batch
+    ``sketches.countmin_sketch`` over the same rows however the stream is
+    micro-batched (pinned in test_streaming). Cell coordinates are
+    computed IN THE STREAMING PLAN by the same md5 hash52 expression as
+    the batch path (codegen, engine-replayable); the Python state update
+    only bin-counts them. Emits the nonzero cells (d, pos, cnt) on every
+    update — downstream, ``sketches.countmin_query`` probes them exactly
+    like a batch-built sketch."""
+    import pandas as pd
+
+    from hive_cassandra_spark.operators.sketches import hash52
+
+    bucket = F.to_timestamp(
+        F.floor(F.unix_timestamp("ts") / width_s) * width_s
+    )
+    rows = F.array(*[F.lit(d) for d in range(depth)])
+    keyed = events.select(
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.explode(rows).alias("d"),
+        F.col("user_id").cast("string").alias("__v"),
+    ).select(
+        "window_start",
+        "event_type",
+        (
+            F.col("d") * width
+            + hash52(
+                F.concat(F.col("d").cast("string"), F.lit(":"), F.col("__v"))
+            )
+            % width
+        ).alias("cell"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        cnt = list(state.get[0]) if state.exists else [0] * (depth * width)
+        for pdf in pdfs:
+            for cell, n in pdf["cell"].value_counts().items():
+                cnt[int(cell)] += int(n)
+        state.update((cnt,))
+        nz = [(i, c) for i, c in enumerate(cnt) if c]
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]] * len(nz),
+                "event_type": [key[1]] * len(nz),
+                "d": [i // width for i, _ in nz],
+                "pos": [i % width for i, _ in nz],
+                "cnt": [c for _, c in nz],
+            }
+        )
+
+    return keyed.groupBy("window_start", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "window_start string, event_type string, "
+            "d bigint, pos bigint, cnt bigint"
+        ),
+        stateStructType="cs array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -76,6 +76,9 @@ def test_registration_window_covers_every_family():
         "q87_quality_cascade", "q89_bloom_filter", "q90_skew_salted_join",
         # round-6 second rotation: new capabilities, immediate slots
         "q96_corpus_mixing", "q97_chunk_dedup", "q98_heavy_hitters",
+        # round-6 fourth rotation: new capabilities, immediate slots
+        "q105_countmin_freq", "q106_bucketed_join", "q107_merkle_repair",
+        "q108_secondary_index", "q109_weighted_sample", "q110_zorder_key",
     }
     assert pinned <= window, sorted(pinned - window)
     # every query (in or out) must carry family tags, and every overflow

@@ -438,3 +438,50 @@ def test_stream_quantile_multi_batch_state_converges(spark, sf_dir, tmp_path):
         ["window_start", "event_type"],
     ).select("window_start", "event_type", "n_sample", "p25", "p50", "p75")
     assert _norm(final.collect()) == _norm(batch.collect())
+
+
+def test_stream_countmin_multi_batch_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Two-file replay, one file per micro-batch: per-cell counters are
+    monotone (cell-wise addition), so the FINAL emission per cell (max cnt)
+    must be cell-for-cell identical to the batch CountMin over the same
+    rows — the mergeability contract carried into streaming state."""
+    from pyspark.sql import Window
+
+    from hive_cassandra_spark.operators import sketches
+
+    ev = load_events(spark, sf_dir)
+    half = str(tmp_path / "halves")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(half)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(half)
+    stream_src = (
+        spark.readStream.schema(se.EVENTS_SCHEMA_TS)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(f"{half}/*.parquet")
+    )
+    out = se.run_bounded(
+        se.stream_countmin(stream_src, depth=2, width=32), spark, "update"
+    )
+    final = out.groupBy("window_start", "event_type", "d", "pos").agg(
+        F.max("cnt").alias("cnt")
+    )
+    bucket = F.to_timestamp(F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+    keyed = ev.select(
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "user_id",
+    )
+    batch = sketches.countmin_sketch(
+        keyed, ["window_start", "event_type"], "user_id", depth=2, width=32
+    )
+    got = {
+        (r.window_start, r.event_type, r.d, r.pos): r.cnt
+        for r in final.collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.d, r.pos): r.cnt
+        for r in batch.collect()
+    }
+    assert got == want

@@ -131,6 +131,52 @@ NOTES = {
         "plus the plan printer; at 100 TB the second pass re-scans rather "
         "than caching the corpus (cheaper than materializing it)."
     ),
+    "q105_countmin_freq": (
+        "sketch build is ONE map-side-combinable counting agg over the "
+        "exploded (d, pos) pairs (the explode is a 4x row fan-out, then "
+        "partial counts collapse to <=depth x width rows per group before "
+        "the exchange); the merge is a second tiny agg over <=2x4x64 rows "
+        "per group; the probe side fans 4 rows per probed key and joins "
+        "the bounded sketch. Nothing in the plan grows with input size "
+        "except the pre-combine scan."
+    ),
+    "q106_bucketed_join": (
+        "the bench number INCLUDES both bucketed writes (the prepaid "
+        "shuffle — one repartition exchange each, one file per bucket) "
+        "plus the co-located read join: the join itself is a SortMergeJoin "
+        "with ZERO Exchange and ZERO Sort (asserted in test_scale_plans). "
+        "At 100 TB the write cost amortizes over every subsequent join/agg "
+        "on the bucket key; the per-join saving is the whole fact-table "
+        "shuffle."
+    ),
+    "q107_merkle_repair": (
+        "two digest aggs (map-side-combined, 16-row outputs), a 16-row "
+        "full-outer join, then the repair path: both replicas re-scanned "
+        "ONLY for mismatched buckets (broadcast semi-join on the <=16-row "
+        "bad-bucket list prunes at the scan filter), one window over the "
+        "divergent cells. Repair I/O tracks divergence, not store size."
+    ),
+    "q108_secondary_index": (
+        "index build is a projection write (no join, no shuffle beyond the "
+        "store's key-repartition); the lookup is a pushdown-pruned point "
+        "read of one index row plus a BroadcastHashJoin LeftSemi into the "
+        "base store — the base side is never exchanged (asserted in "
+        "test_index); the one Exchange is the distinct over the "
+        "selectivity-sized key set inside the broadcast build."
+    ),
+    "q109_weighted_sample": (
+        "TakeOrderedAndProject on the md5-derived priority: per-partition "
+        "heap of k, k-row driver merge — no global sort at any input "
+        "size; the rank window runs over the k surviving rows only."
+    ),
+    "q110_zorder_key": (
+        "the Morton key is 32 div/mod terms folded into one "
+        "WholeStageCodegen projection — zero shuffle for the key; the "
+        "gate aggregates z-buckets (one exchange of bucket partials). "
+        "zorder_write adds one range exchange at write time; the payoff "
+        "(tight per-file min/max on BOTH dimensions) is asserted against "
+        "parquet footer stats in test_relational."
+    ),
     "q33_dedup_minhash_lsh": (
         "runtime I/O: documents.parquet is scanned ONCE (sh_tbl cache build); "
         "every other reference reads the cache (round-1's '8 scans' was the "
