@@ -115,6 +115,12 @@ class CellStoreReader(DataSourceReader):
             "true",
             "1",
         )
+        # time travel over the streaming sink's commit log: read the store
+        # AS OF a micro-batch id (inclusive). Only meaningful for
+        # stream-written stores — their part names carry the batch id that
+        # defines a commit order; validated in partitions().
+        aob = options.get("as_of_batch")
+        self.as_of_batch = None if aob is None else int(aob)
         self.out_schema = schema
         self.pushed: list[Filter] = []
 
@@ -177,6 +183,24 @@ class CellStoreReader(DataSourceReader):
         files = _store_files(self.path)
         if not files:
             raise FileNotFoundError(f"no parquet files under {self.path}")
+        if self.as_of_batch is not None:
+            import re
+
+            kept = []
+            for f in files:
+                m = re.search(_BATCH_PART_RE, os.path.basename(f))
+                if m is None:
+                    raise ValueError(
+                        f"{os.path.basename(f)}: as_of_batch needs a "
+                        "stream-written store (batch-id part names define "
+                        "the commit order); this store holds batch-job "
+                        "parts with no batch id"
+                    )
+                if int(m.group(1)) <= self.as_of_batch:
+                    kept.append(f)
+            files = kept
+            if not files:
+                return []
         # footer-only row counts: planning never scans data
         sized = [(f, pq.read_metadata(f).num_rows) for f in files]
         splits: list[CellSplit] = []

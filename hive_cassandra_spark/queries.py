@@ -4726,6 +4726,100 @@ def q111_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q112_snapshot_read",
+    # The store is stream-written in exactly two micro-batches with a
+    # forced file order (even event_ids land in batch 0, odd in batch 1 —
+    # source-file mtimes pin FileStreamSource's ordering), so time travel
+    # is fully deterministic: as_of_batch=0 must equal the even half,
+    # the unpinned read must equal everything.
+    oracle="""
+    SELECT 'asof_b0' AS section, event_type AS cell,
+           count(*) AS n_cells, count(DISTINCT user_id) AS n_rows
+    FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+    UNION ALL
+    SELECT 'full', event_type, count(*), count(DISTINCT user_id)
+    FROM events GROUP BY event_type
+    """,
+    doc="snapshot / time-travel read over the streaming sink's commit log "
+    "(datasource.CellStoreReader option as_of_batch): the sink's "
+    "atomically-published micro-batches carry their batch id in the part "
+    "name, so the id is a consistent snapshot boundary — reading 'as of "
+    "batch N' is a planning-time file filter, zero data cost, the same "
+    "mechanism the tailing stream reader (q93) uses for offsets. The "
+    "lake-side answer to what Cassandra snapshots give the reference's "
+    "stores; batch-job parts (no commit order) are refused fail-closed",
+)
+def q112_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import codecs, datasource
+
+    datasource.register(spark)
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hcs_q112_{tok}_{os.getpid()}")
+    halves, store, ckpt = base + "_src", base + "_store", base + "_ckpt"
+    for p in (halves, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load_events(spark, sf_dir)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(halves)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(halves)
+    # pin the source order: the even half strictly older → micro-batch 0
+    import glob as _glob
+
+    evens = {
+        f for f in _glob.glob(f"{halves}/*.parquet")
+        if spark.read.parquet(f).filter(F.col("event_id") % 2 == 1).count() == 0
+    }
+    for f in _glob.glob(f"{halves}/*.parquet"):
+        os.utime(f, (1_000_000, 1_000_000) if f in evens else (2_000_000, 2_000_000))
+
+    src = (
+        spark.readStream.schema(streaming_events.EVENTS_SCHEMA_TS)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(f"{halves}/*.parquet")
+    )
+    cells = src.select(
+        codecs.encode_col(F.col("user_id"), "bigint").alias("row_key"),
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")
+        ).cast("binary").alias("column_name"),
+        codecs.encode_col(F.col("event_type"), "string").alias("value"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    q = (
+        cells.writeStream.format("cassandra_cells")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(store)
+    )
+    q.awaitTermination()
+
+    def section(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(
+            codecs.decode_col(F.col("value"), "string").alias("cell")
+        ).agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count_distinct("row_key").alias("n_rows"),
+        ).select(F.lit(name).alias("section"), "cell", "n_cells", "n_rows")
+
+    asof = (
+        spark.read.format("cassandra_cells")
+        .option("as_of_batch", 0)
+        .load(store)
+    )
+    full = spark.read.format("cassandra_cells").load(store)
+    return section(asof, "asof_b0").unionByName(section(full, "full"))
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5094,6 +5188,10 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # streaming form of q105's sketch: composes the in-window stream-sketch
     # (q85) and CountMin (q105) capabilities
     "q111_stream_countmin": {"stream_sketch", "sketch_freq"},
+    # time travel composes the in-window connector commit-log machinery
+    # (q84 bears connector_datasource; the stream sink/tail overflow
+    # variants q91/q93 share the tag)
+    "q112_snapshot_read": {"connector_datasource"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

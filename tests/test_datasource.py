@@ -438,3 +438,59 @@ def test_streaming_write_complete_mode_truncates_per_batch(tmp_path):
         pass
     w2.commit([], 4)
     assert os.path.exists(keep)
+
+
+def test_as_of_batch_time_travel(spark, store, tmp_path):
+    """as_of_batch=N reads the stream-written store as of micro-batch N
+    (inclusive): each prefix of the commit log is a consistent snapshot;
+    batch-job stores (no commit order) are refused."""
+    out = str(tmp_path / "stream_store")
+    src = str(tmp_path / "src_halves")
+    cells = spark.read.parquet(store)
+    half = F.crc32(F.col("row_key")) % 2
+    cells.filter(half == 0).coalesce(1).write.parquet(src)
+    cells.filter(half == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(cells.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = (
+        stream.writeStream.format("cassandra_cells")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination()
+    import glob
+    import os
+    import re
+
+    ids = sorted(
+        {
+            int(re.search(r"-b(\d{9})-", os.path.basename(f)).group(1))
+            for f in glob.glob(f"{out}/part-*-b*.parquet")
+        }
+    )
+    assert len(ids) >= 2  # several micro-batches, else as-of is vacuous
+    total = spark.read.format("cassandra_cells").load(out).count()
+    prev = 0
+    for b in ids:
+        n = (
+            spark.read.format("cassandra_cells")
+            .option("as_of_batch", b)
+            .load(out)
+            .count()
+        )
+        assert n > prev  # snapshots grow monotonically along the log
+        prev = n
+    assert prev == total  # as-of the last batch == the full store
+    # a batch-written store has no commit order → fail closed
+    with pytest.raises(Exception, match="as_of_batch"):
+        (
+            spark.read.format("cassandra_cells")
+            .option("as_of_batch", 0)
+            .load(store)
+            .count()
+        )
