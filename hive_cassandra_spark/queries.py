@@ -4820,6 +4820,71 @@ def q112_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q113_label_centroids",
+    # Same cross-engine float contract as q92/q47: centroid components are
+    # avg-then-round(6) over exact float32→double values, the
+    # per-item cosine is rounded to 6 digits before ANY comparison, and
+    # the per-label aggregates are order-independent (count/min/max +
+    # an integer threshold count — never avg-of-floats).
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    pos AS (SELECT vec_id, label, generate_subscripts(v, 1) AS i,
+                   unnest(v) AS x FROM e),
+    cl AS (SELECT label, i, round(avg(x), 6) AS c FROM pos GROUP BY 1, 2),
+    cent AS (SELECT label, list(c ORDER BY i) AS cv FROM cl GROUP BY label),
+    cos AS (SELECT e.vec_id, e.label,
+                   round(list_dot_product(e.v, c.cv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cs
+            FROM e JOIN cent c USING (label))
+    SELECT label, count(*) AS n_items,
+           min(cs) AS min_cos, max(cs) AS max_cos,
+           CAST(sum(CASE WHEN cs >= 0.30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tight
+    FROM cos GROUP BY label
+    """,
+    doc="per-label embedding cluster analytics: centroids computed fully "
+    "relationally (posexplode → per-(label, position) avg — NO driver "
+    "collect, unlike the IVF index build whose k×dim literal pull is the "
+    "documented exception), each item's cosine to its own label centroid "
+    "via a position join, then order-independent per-label dispersion "
+    "stats (count/min/max/threshold-count — never avg-of-floats, which "
+    "is partition-order-dependent). The cluster-quality probe a "
+    "curation pipeline runs after assigning sources/topics; overflow "
+    "variant composing the in-window embedding-dedup (q35) and ANN "
+    "(q47) families",
+)
+def q113_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i", "x0"),
+    ).select("vec_id", "label", "i", F.col("x0").cast("double").alias("x"))
+    cl = pos.groupBy("label", "i").agg(F.round(F.avg("x"), 6).alias("c"))
+    j = pos.join(cl, ["label", "i"])
+    per = j.groupBy("vec_id", "label").agg(
+        F.sum(F.col("x") * F.col("c")).alias("dot"),
+        F.sum(F.col("x") * F.col("x")).alias("nx"),
+        F.sum(F.col("c") * F.col("c")).alias("nc"),
+    )
+    cos = per.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.col("dot") / (F.sqrt("nx") * F.sqrt("nc")), 6
+        ).alias("cs"),
+    )
+    return cos.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("cs").alias("min_cos"),
+        F.max("cs").alias("max_cos"),
+        F.sum((F.col("cs") >= 0.30).cast("long")).alias("n_tight"),
+    )
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5192,6 +5257,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # (q84 bears connector_datasource; the stream sink/tail overflow
     # variants q91/q93 share the tag)
     "q112_snapshot_read": {"connector_datasource"},
+    # cluster analytics composes the in-window embedding-dedup (q35) and
+    # ANN-cell (q47) capabilities
+    "q113_label_centroids": {"dedup_embedding", "similarity_ann"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
