@@ -490,3 +490,40 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global dataset shuffle + balanced shard assignment —
+    the training-order primitive: rows get a pseudo-random total order
+    (md5 of salt|key, ties broken by the key), a 0-based global position
+    in that order, and a round-robin shard ``pos % n_shards``, so shard
+    sizes are equal to ±1 row and every shard is an interleaved sample of
+    the whole corpus (NOT a contiguous hash range — round-robin by
+    position means no shard inherits a hash-range's content bias; any
+    prefix of any shard is itself an unbiased sample, which is what
+    resumable training wants).
+
+    Same determinism contract as ``deterministic_split``: membership and
+    order are pure functions of (salt, key) — run-stable, engine-stable,
+    cluster-size-stable; the salt re-shuffles between epochs without
+    touching data. The global position comes from
+    ``global_row_number``'s two-phase distributed prefix sum — never a
+    single-task global window. Adds ``shuffle_pos`` and ``shard``."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from hive_cassandra_spark.operators.sketches import hash52
+
+    h = hash52(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    ordered = global_row_number(
+        df.withColumn("__h", h),
+        [F.col("__h"), F.col(key_col)],
+        out_col="shuffle_pos",
+    )
+    return ordered.withColumn(
+        "shard", (F.col("shuffle_pos") % n_shards).cast("long")
+    ).drop("__h")

@@ -4885,6 +4885,48 @@ def q113_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q114_global_shuffle",
+    # The oracle replays the whole permutation serially: row_number over
+    # (md5 hash, doc_id), round-robin shards. Per-shard min/max positions
+    # + an order-independent id checksum pin both the ORDER and the
+    # MEMBERSHIP of every shard, not just its size.
+    oracle="""
+    WITH h AS (SELECT doc_id,
+                      CAST('0x' || substr(md5('ep1' ||
+                           CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS hh
+               FROM documents),
+    o AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos
+          FROM h)
+    SELECT pos % 8 AS shard,
+           count(*) AS n_rows,
+           min(pos) AS min_pos,
+           max(pos) AS max_pos,
+           bit_xor(doc_id) AS id_xor
+    FROM o GROUP BY shard
+    """,
+    doc="deterministic global dataset shuffle + balanced sharding "
+    "(relational.shuffle_shards): a pseudo-random total order from md5("
+    "salt|key), a 0-based global position via the two-phase distributed "
+    "prefix sum (global_row_number — NEVER a single-task global window), "
+    "and round-robin shards equal to ±1 row where any prefix of any "
+    "shard is an unbiased corpus sample — the training-order primitive; "
+    "the salt re-shuffles between epochs without touching data. "
+    "Overflow variant composing the in-window sampling (q69/q88, same "
+    "md5-determinism contract) and sharding (q79) families",
+)
+def q114_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents").select("doc_id")
+    out = relational.shuffle_shards(doc, "doc_id", 8, salt="ep1")
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("shuffle_pos").alias("min_pos"),
+        F.max("shuffle_pos").alias("max_pos"),
+        F.bit_xor("doc_id").alias("id_xor"),
+    )
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5260,6 +5302,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # cluster analytics composes the in-window embedding-dedup (q35) and
     # ANN-cell (q47) capabilities
     "q113_label_centroids": {"dedup_embedding", "similarity_ann"},
+    # global shuffle composes the in-window deterministic-sampling (q69/
+    # q88) and sharding (q79) capabilities
+    "q114_global_shuffle": {"sampling", "sharding"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

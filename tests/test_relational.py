@@ -340,3 +340,33 @@ def test_zorder_write_tightens_both_dims_file_stats(spark, tmp_path):
 
     for col in ("x", "y"):
         assert spans(zpath, col) < spans(naive, col) * 0.7, col
+
+
+def test_shuffle_shards_permutation_balance_and_salt(spark):
+    from hive_cassandra_spark.operators.relational import shuffle_shards
+
+    df = spark.range(1001).select(F.col("id").alias("k"))
+    out = shuffle_shards(df, "k", 8, salt="a")
+    rows = out.collect()
+    # a true permutation: positions are exactly 0..n-1
+    assert sorted(r.shuffle_pos for r in rows) == list(range(1001))
+    # round-robin shards: sizes equal to +-1
+    sizes = {}
+    for r in rows:
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # deterministic under repartitioning
+    again = {
+        r.k: (r.shuffle_pos, r.shard)
+        for r in shuffle_shards(df.repartition(13), "k", 8, salt="a").collect()
+    }
+    assert {r.k: (r.shuffle_pos, r.shard) for r in rows} == again
+    # the salt actually re-shuffles
+    other = {
+        r.k: r.shuffle_pos
+        for r in shuffle_shards(df, "k", 8, salt="b").collect()
+    }
+    moved = sum(
+        1 for r in rows if other[r.k] != r.shuffle_pos
+    )
+    assert moved > 900
