@@ -4927,6 +4927,60 @@ def q114_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q115_partitioned_rollup",
+    # Same integer-cents contract as q64; the WHERE replays the pruned
+    # date range. The layout property itself — the filter landing in
+    # PartitionFilters so unrelated days are never opened — is asserted
+    # on this very query's plan in test_scale_plans.
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY 1, 2
+    """,
+    doc="hive-partitioned hypertable layout + pruned rollup "
+    "(catalog.create_partitioned_table): events land day-partitioned, "
+    "the three-day rollup reads ONLY its partitions (static partition "
+    "pruning — PartitionFilters in the scan, plan-asserted), the "
+    "time-series layout the reference could not express (its scans "
+    "walk every token range; partition elimination is a SURVEY §4 "
+    "strict upgrade). Overflow variant of the in-window hypertable "
+    "rollup family (q64) — same rollup semantics, now over the "
+    "pruned layout",
+)
+def q115_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from hive_cassandra_spark.catalog import Catalog
+
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"hcs_q115_{tok}_{os.getpid()}_part"
+    )
+    ev = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    cat = Catalog(spark)
+    cat.create_partitioned_table(f"hcs_ev_part_{tok}", ev, path, ["day"])
+    t = cat.table(f"hcs_ev_part_{tok}").filter(
+        (F.col("day") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("day") <= F.lit("2024-01-12").cast("date"))
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return t.groupBy(
+        F.col("day").cast("string").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(cents).alias("sum_value_cents"),
+    )
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5305,6 +5359,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # global shuffle composes the in-window deterministic-sampling (q69/
     # q88) and sharding (q79) capabilities
     "q114_global_shuffle": {"sampling", "sharding"},
+    # the pruned-layout rollup is a redundant variant of the in-window
+    # hypertable rollup (q64): same two-level time-rollup semantics
+    "q115_partitioned_rollup": {"time_rollup"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -308,3 +308,17 @@ def test_colocated_join_no_exchange_no_sort(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_coloc")
         spark.sql("DROP TABLE IF EXISTS ord_coloc")
+
+
+def test_partitioned_rollup_query_prunes_partitions(spark, sf_dir):
+    """q115's own plan: the day filter must land in PartitionFilters (the
+    directory layout prunes unrelated days at planning time), never as a
+    post-scan Filter over all 30 days."""
+    from hive_cassandra_spark.queries import QUERIES
+
+    df = QUERIES["q115_partitioned_rollup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:250]
+    assert "day" in pf and "2024-01-1" in pf, pf
+    assert df.count() > 0

@@ -50,9 +50,16 @@ QUERIES_UNDER_TEST = [
     "q96_corpus_mixing",
     "q97_chunk_dedup",
     "q98_heavy_hitters",
+    # round-6 fourth batch: the bucketed write+join (both write exchanges
+    # and the zero-shuffle SMJ scale with the fact volume — the claim is
+    # the JOIN adds no shuffle on top of the writes) and the Merkle
+    # repair (digest exchanges stay 16 rows; repair shuffle tracks the
+    # divergent fraction, which replication keeps proportional)
+    "q106_bucketed_join",
+    "q107_merkle_repair",
 ]
 # which table each query reads (only these get synthesized)
-TABLES = ["documents", "embeddings", "events", "lineitem"]
+TABLES = ["documents", "embeddings", "events", "lineitem", "orders"]
 
 
 def build_scaled_dir(spark, n: int) -> str:
@@ -110,6 +117,14 @@ def build_scaled_dir(spark, n: int) -> str:
         "lineitem",
         lambda df, i: df.withColumn(
             "l_orderkey", F.col("l_orderkey") + F.lit(i * 1_000_000_000)
+        ),
+    )
+    # orders: keys offset in lockstep with lineitem so the q106 join keeps
+    # its 1:N structure at every scale point
+    replicate(
+        "orders",
+        lambda df, i: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * 1_000_000_000)
         ),
     )
     return dst
