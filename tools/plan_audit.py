@@ -286,6 +286,13 @@ def _scaling_section() -> str:
         "nothing); q96 ships narrow (id, tok, rank) bookkeeping rows "
         "~linearly; q97's chunk-keyed window and q98's candidate-bounded "
         "confirm agg grow ≤ linearly with volume at flat wall-clock. "
+        "Round-6 fourth batch: q106's shuffle bytes are ENTIRELY the two "
+        "bucketed writes (the prepaid exchange — linear in volume by "
+        "definition); the co-located join itself adds zero, which is the "
+        "claim. q107's shuffle is ~0 MB at BOTH volumes: range digests "
+        "exchange 16 rows regardless of store size and repair bytes track "
+        "the divergent fraction — the flattest scaling curve in the "
+        "table. "
         "Sub-linear wall-clock ratios at 5× volume mean fixed per-query "
         "overhead (micro-batch setup, codegen) still dominates at sf0.1 "
         "scale — the shuffle-bytes column is the scale-truthful signal.",
