@@ -4981,6 +4981,105 @@ def q115_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q116_stream_index",
+    # Both the base store AND its 2i are maintained by streaming sinks off
+    # one event stream (index maintenance is a pure projection, so it
+    # streams); the post-hoc index lookup for 'purchase' must equal the
+    # plain batch filter — integers only, replayed directly on events.
+    oracle="""
+    SELECT count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_ids,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="stream-maintained secondary index: one event stream feeds TWO "
+    "cassandra_cells streaming sinks — the base store (row_key = "
+    "event_id; user_id + event_type cells) and its 2i "
+    "(index.build_value_index is a pure projection, so it runs inside "
+    "the streaming plan; each micro-batch atomically publishes base "
+    "cells and their index entries). The lookup then serves "
+    "WHERE event_type = 'purchase' off the index exactly as q108 does "
+    "over batch-built stores — continuous index maintenance, the thing "
+    "Cassandra's 2i does on every mutation. Overflow variant composing "
+    "the in-window connector (q84) and secondary-index (q108) families",
+)
+def q116_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import codecs, datasource
+    from hive_cassandra_spark import index as index_mod
+
+    datasource.register(spark)
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hcs_q116_{tok}_{os.getpid()}")
+    store, idx_store = base + "_base", base + "_idx"
+    ck_b, ck_i = base + "_ckb", base + "_cki"
+    for p in (store, idx_store, ck_b, ck_i):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def cell_stream() -> DataFrame:
+        ev = streaming_events.read_events_stream(spark, sf_dir)
+        pair = F.explode(
+            F.array(
+                F.struct(
+                    F.lit(b"user_id").alias("cn"),
+                    codecs.encode_col(F.col("user_id"), "bigint").alias("v"),
+                ),
+                F.struct(
+                    F.lit(b"event_type").alias("cn"),
+                    codecs.encode_col(F.col("event_type"), "string").alias(
+                        "v"
+                    ),
+                ),
+            )
+        )
+        return ev.select(
+            codecs.encode_col(F.col("event_id"), "bigint").alias("row_key"),
+            pair.alias("p"),
+        ).select(
+            "row_key",
+            F.col("p.cn").alias("column_name"),
+            F.col("p.v").alias("value"),
+            F.lit(1).cast("long").alias("ts"),
+        )
+
+    for src, path, ckpt in (
+        (cell_stream(), store, ck_b),
+        (
+            index_mod.build_value_index(cell_stream(), b"event_type"),
+            idx_store,
+            ck_i,
+        ),
+    ):
+        q = (
+            src.writeStream.format("cassandra_cells")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(path)
+        )
+        q.awaitTermination()
+
+    matched = index_mod.index_lookup(spark, store, idx_store, b"purchase")
+    uid = matched.filter(F.col("column_name") == F.lit(b"user_id")).select(
+        codecs.decode_col(F.col("value"), "bigint").alias("uid"),
+        codecs.decode_col(F.col("row_key"), "bigint").alias("eid"),
+    )
+    return uid.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("uid").alias("n_users"),
+        F.sum("uid").alias("sum_user_ids"),
+        F.min("eid").alias("min_event_id"),
+        F.max("eid").alias("max_event_id"),
+    )
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5362,6 +5461,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # the pruned-layout rollup is a redundant variant of the in-window
     # hypertable rollup (q64): same two-level time-rollup semantics
     "q115_partitioned_rollup": {"time_rollup"},
+    # streaming index maintenance composes the in-window connector (q84)
+    # and secondary-index (q108) capabilities
+    "q116_stream_index": {"connector_datasource", "secondary_index"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
