@@ -455,8 +455,12 @@ def zorder_key(x, y, bits: int = 16):
     where a single-column sort only prunes its own column. This is the
     multi-dimensional analogue of the reference's token-ordered scan
     locality (one clustering order, one dimension)."""
-    x = x.cast("long") % (1 << bits)
-    y = y.cast("long") % (1 << bits)
+    # pmod, not %: Spark's % keeps the dividend's sign, which would send
+    # negative keys to negative "bit" values; pmod wraps them into
+    # [0, 2^bits) so the interleave below (floor-div + pmod per bit) is
+    # total. DuckDB's // and % on the wrapped non-negative value agree.
+    x = F.pmod(x.cast("long"), F.lit(1 << bits))
+    y = F.pmod(y.cast("long"), F.lit(1 << bits))
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (
