@@ -88,6 +88,12 @@ HEADLINE = [
     "q108_secondary_index",
     "q109_weighted_sample",
     "q110_zorder_key",
+    # fifth batch: commit-log time travel (streaming write + two reads),
+    # the distributed-prefix-sum global shuffle, and the partition-pruned
+    # rollup layout
+    "q112_snapshot_read",
+    "q114_global_shuffle",
+    "q115_partitioned_rollup",
 ]
 
 
