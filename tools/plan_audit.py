@@ -177,6 +177,29 @@ NOTES = {
         "(tight per-file min/max on BOTH dimensions) is asserted against "
         "parquet footer stats in test_relational."
     ),
+    "q112_snapshot_read": (
+        "~5.5 s is dominated by building the fixture it then reads: a "
+        "2-micro-batch STREAMING write of the whole events table through "
+        "the Python sink (micro-batch engine setup + one Arrow "
+        "serialization per batch — the same seam cost BASELINE.md's "
+        "dsv2_overhead numbers record). The time-travel read itself is a "
+        "planning-time FILE filter over the commit log: zero extra data "
+        "cost vs a plain store read, and cheaper when the snapshot "
+        "excludes later batches."
+    ),
+    "q114_global_shuffle": (
+        "two-phase prefix sum: one range exchange on the hash key, a "
+        "per-partition window, and a broadcast of the <=n_partitions "
+        "offset rows — never a single-task global window; the final "
+        "shard agg is map-side combined."
+    ),
+    "q115_partitioned_rollup": (
+        "the bench number includes the day-partitioned write (one "
+        "dynamic-partition exchange); the rollup scan then opens ONLY "
+        "the three filtered day directories (PartitionFilters, "
+        "plan-asserted in test_scale_plans) — at 100 TB the pruning is "
+        "the difference between reading 3 days and reading the table."
+    ),
     "q33_dedup_minhash_lsh": (
         "runtime I/O: documents.parquet is scanned ONCE (sh_tbl cache build); "
         "every other reference reads the cache (round-1's '8 scans' was the "
