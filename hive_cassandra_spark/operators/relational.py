@@ -531,3 +531,55 @@ def shuffle_shards(
     return ordered.withColumn(
         "shard", (F.col("shuffle_pos") % n_shards).cast("long")
     ).drop("__h")
+
+
+def analyze_table(df: DataFrame, cols: list[str], ndv_k: int = 256) -> DataFrame:
+    """ANALYZE-style statistics collection: one long-format stats row per
+    column — row count, null count, exact min/max (string form), and a
+    KMV-estimated distinct count (bounded ``ndv_k`` hashes per column;
+    ``sketches.kmv_estimate`` arithmetic, so the estimate is exact below k
+    and engine-replayable above). These are the inputs every cost-based
+    choice in this package consumes — broadcast-vs-shuffle,
+    brute-vs-IVF (similarity.choose_ann_strategy), salting decisions —
+    and what Spark's own ``ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    COLUMNS`` feeds its CBO.
+
+    Shape: the table pivots long (one narrow (col, value) projection per
+    analyzed column, unioned — the input is scanned once per column
+    batch, columns pruned to each one), then ONE aggregation keyed by
+    column name for count/nulls/min/max and one distinct+window pass for
+    the KMV hashes, both spread across (col, value) — no driver state,
+    no per-column collect. Output: (col, n_rows, n_null, min_val,
+    max_val, k_used, est_ndv)."""
+    from hive_cassandra_spark.operators import sketches
+
+    if not cols:
+        raise ValueError("need at least one column")
+    long_form = None
+    for c in cols:
+        part = df.select(
+            F.lit(c).alias("col"), F.col(c).cast("string").alias("val")
+        )
+        long_form = part if long_form is None else long_form.unionByName(part)
+    basic = long_form.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("long")).alias("n_null"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    ndv = sketches.kmv_estimate(
+        sketches.kmv_hashes(
+            long_form.filter(F.col("val").isNotNull()), ["col"], "val", k=ndv_k
+        ),
+        ["col"],
+        k=ndv_k,
+    ).select("col", "k_used", F.col("est_distinct").alias("est_ndv"))
+    return basic.join(ndv, "col", "left").select(
+        "col",
+        "n_rows",
+        "n_null",
+        "min_val",
+        "max_val",
+        F.coalesce("k_used", F.lit(0)).alias("k_used"),
+        F.coalesce("est_ndv", F.lit(0)).alias("est_ndv"),
+    )

@@ -5080,6 +5080,56 @@ def q116_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q117_analyze_stats",
+    # Serial replay of the whole stats pass: same long-form pivot, same
+    # exact count/null/min/max (string collation identical on VARCHAR in
+    # both engines), same KMV-256 estimator arithmetic as q77.
+    oracle="""
+    WITH lf AS (
+        SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS val FROM documents
+        UNION ALL SELECT 'lang', lang FROM documents
+        UNION ALL SELECT 'source', source FROM documents
+        UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+    basic AS (
+        SELECT col, count(*) AS n_rows,
+               CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               min(val) AS min_val, max(val) AS max_val
+        FROM lf GROUP BY col),
+    h AS (SELECT DISTINCT col,
+                 CAST('0x' || substr(md5(val), 1, 13) AS BIGINT) AS h
+          FROM lf WHERE val IS NOT NULL),
+    topk AS (SELECT col, h FROM
+                 (SELECT col, h, row_number() OVER (
+                      PARTITION BY col ORDER BY h) AS rn FROM h)
+             WHERE rn <= 256),
+    est AS (SELECT col, count(*) AS k_used, max(h) AS kth
+            FROM topk GROUP BY col)
+    SELECT b.col, b.n_rows, b.n_null, b.min_val, b.max_val,
+           coalesce(e.k_used, 0) AS k_used,
+           coalesce(CASE WHEN e.k_used < 256 THEN e.k_used
+                    ELSE (255 * 4503599627370496) // greatest(e.kth, 1)
+                    END, 0) AS est_ndv
+    FROM basic b LEFT JOIN est e USING (col)
+    """,
+    doc="ANALYZE-style statistics collection (relational.analyze_table): "
+    "per-column row/null counts, exact min/max, and a KMV-256 distinct "
+    "estimate in long form — the stats table every cost-based choice in "
+    "this package consumes (broadcast-vs-shuffle sizing, the brute-vs-"
+    "IVF ANN chooser, salting decisions) and the engine-side analogue "
+    "of Spark's ANALYZE TABLE ... FOR COLUMNS feeding its CBO — except "
+    "oracle-replayable, because the NDV sketch is the deterministic KMV "
+    "tier, not HLL++. Overflow variant composing the in-window agg "
+    "(q01) and KMV-sketch (q77) families",
+)
+def q117_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    return relational.analyze_table(
+        doc, ["doc_id", "lang", "source", "n_chars"], ndv_k=256
+    )
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5464,6 +5514,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # streaming index maintenance composes the in-window connector (q84)
     # and secondary-index (q108) capabilities
     "q116_stream_index": {"connector_datasource", "secondary_index"},
+    # stats collection composes the in-window agg (q01) and KMV-sketch
+    # (q77) capabilities
+    "q117_analyze_stats": {"agg", "sketch_distinct"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

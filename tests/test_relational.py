@@ -370,3 +370,24 @@ def test_shuffle_shards_permutation_balance_and_salt(spark):
         1 for r in rows if other[r.k] != r.shuffle_pos
     )
     assert moved > 900
+
+
+def test_analyze_table_stats_exact_and_estimated(spark):
+    from hive_cassandra_spark.operators.relational import analyze_table
+
+    df = spark.range(1000).select(
+        F.col("id").alias("a"),
+        (F.col("id") % 7).alias("b"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.lit("x")).alias("c"),
+    )
+    got = {r.col: r for r in analyze_table(df, ["a", "b", "c"], ndv_k=64).collect()}
+    assert got["a"].n_rows == 1000 and got["a"].n_null == 0
+    # 1000 distinct > k=64 → estimator kicks in; 13% RSE, assert 4 sigma
+    assert got["a"].k_used == 64
+    assert abs(got["a"].est_ndv - 1000) / 1000 < 0.52
+    # 7 distinct < k → exact
+    assert got["b"].k_used == 7 and got["b"].est_ndv == 7
+    assert got["b"].min_val == "0" and got["b"].max_val == "6"
+    assert got["c"].n_null == 100 and got["c"].est_ndv == 1
+    with pytest.raises(ValueError):
+        analyze_table(df, [])
