@@ -9,7 +9,10 @@ sees a whole batch — the only sane shape for 100 TB of blobs.
 Real container formats, no external libraries: **BMP** (8-bit grayscale,
 palette, bottom-up rows, 4-byte row padding), **PNG** (8-bit grayscale,
 zlib DEFLATE + full scanline unfiltering — stdlib ``zlib`` + numpy, no
-PIL) and **WAV** (RIFF/PCM 16-bit mono) are encoded AND decoded below, so
+PIL), **GIF** (87a/89a, from-scratch variable-width LZW with width
+growth and 4096-entry table resets, extension skipping, global/local
+palettes — validated against the canonical external 1×1 GIF89a vector)
+and **WAV** (RIFF/PCM 16-bit mono) are encoded AND decoded below, so
 ``fake=False`` is a genuinely working path for those formats and for raw
 byte images. Formats that truly need an absent codec library (JPEG →
 PIL/libjpeg, MP4 → ffmpeg) raise NotImplementedError at the exact branch
@@ -181,6 +184,185 @@ def decode_png_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, out
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+_GIF_MAX_CODE = 4096  # 12-bit LZW code space
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (min+1 .. 12 bits), LSB-first
+    bit packing, CLEAR/EOI codes, table reset at the 4096-entry cap. The
+    width grows when the code space reaches 2^width + 1 entries — the
+    mirror of the decoder's grow-after-add rule (its next_code runs one
+    behind this encoder's, so the two cross each width boundary on the
+    same emitted code)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    buf = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int]:
+        return {bytes([i]): i for i in range(1 << min_code_size)}, eoi + 1
+
+    table, next_code = fresh()
+    emit(clear)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < _GIF_MAX_CODE:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table, next_code = fresh()
+            code_size = min_code_size + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """Inverse of ``_lzw_encode``, tolerant of a missing EOI (real-world
+    writers truncate it — the classic 1x1 GIF does)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    buf = nbits = pos = 0
+    prev: int | None = None
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)  # truncated EOI: emit what we have
+            buf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = buf & ((1 << code_size) - 1)
+        buf >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} out of range")
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = code
+    return bytes(out)
+
+
+def encode_gif_gray8(pixels: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 array as a real GIF87a: 256-entry grayscale
+    identity palette, one image, REAL variable-width LZW image data in
+    255-byte sub-blocks. Readable by any GIF decoder."""
+    h, w = pixels.shape
+    out = bytearray(b"GIF87a")
+    # logical screen: global color table, 8 bits/channel, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW minimum code size
+    data = _lzw_encode(pixels.tobytes(), 8)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a non-interlaced single-image GIF87a/89a → (width, height,
+    (h, w) uint8 pixels). Walks the block structure (extensions skipped,
+    so GIF89a graphic-control files parse), reads the global/local color
+    table, LZW-decompresses the image data, and maps each pixel index
+    through the palette's red channel (r==g==b for grayscale GIFs —
+    which is what ``encode_gif_gray8`` writes). Interlaced images need a
+    real image library."""
+    if data[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload (missing signature)")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    else:
+        raise ValueError("GIF has no image descriptor")
+    _left, _top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
+    pos += 9
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF needs a real image library")
+    if ipacked & 0x80:  # local color table wins
+        n = 2 << (ipacked & 0x07)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    if not palette:
+        raise ValueError("GIF image has no color table")
+    min_code_size = data[pos]
+    pos += 1
+    chunks = []
+    while pos < len(data) and data[pos]:
+        ln = data[pos]
+        chunks.append(data[pos + 1 : pos + 1 + ln])
+        pos += 1 + ln
+    idx = np.frombuffer(
+        _lzw_decode(b"".join(chunks), min_code_size, iw * ih),
+        dtype=np.uint8,
+        count=iw * ih,
+    ).reshape(ih, iw)
+    reds = np.frombuffer(palette, dtype=np.uint8)[::3]
+    return iw, ih, reds[idx]
+
+
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """Encode a 1-D int16 array as a canonical RIFF/WAVE file (PCM, mono,
     16-bit little-endian) — playable by any audio tool."""
@@ -245,9 +427,13 @@ def attach_image_payload(
     ``'png'`` (``encode_png_gray8``: zlib DEFLATE + Up-filtered
     scanlines). Width/height derive from the id exactly like
     ``attach_payload``."""
-    if container not in ("bmp", "png"):
+    if container not in ("bmp", "png", "gif"):
         raise ValueError(f"unsupported image container {container!r}")
-    encode = encode_bmp_gray8 if container == "bmp" else encode_png_gray8
+    encode = {
+        "bmp": encode_bmp_gray8,
+        "png": encode_png_gray8,
+        "gif": encode_gif_gray8,
+    }[container]
     fmt = f"image/{container}"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -309,6 +495,9 @@ def decode_payload_bytes(buf: bytes, fmt: str) -> bytes:
         return pixels.tobytes()
     if fmt == "image/png":
         _, _, pixels = decode_png_gray8(bytes(buf))
+        return pixels.tobytes()
+    if fmt == "image/gif":
+        _, _, pixels = decode_gif_gray8(bytes(buf))
         return pixels.tobytes()
     if fmt == "audio/wav":
         _, samples = decode_wav_pcm16(bytes(buf))

@@ -5130,6 +5130,58 @@ def q117_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q118_multimodal_gif",
+    # Same pixel-plane oracle as q43/q83: the GIF wraps the IDENTICAL
+    # deterministic pixel plane, so the SQL replay is unchanged — what
+    # differs is the Spark side, which genuinely LZW-decompresses the
+    # variable-width code stream (clear/EOI handling, width growth at
+    # every 2^n boundary, 4096-entry table resets) before histogramming.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len,
+                      CAST(doc_id % 64 + 16 AS BIGINT)
+                        * CAST(doc_id % 48 + 16 AS BIGINT) AS n
+               FROM documents),
+         nib AS (SELECT doc_id, n,
+                        unnest(list_transform(range(0, n),
+                          i -> CASE WHEN i < len
+                               THEN strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1
+                               ELSE 0 END)) AS bin
+                 FROM d),
+         counts AS (SELECT doc_id, bin, count(*) AS c, any_value(n) AS n
+                    FROM nib GROUP BY 1, 2),
+         f AS (SELECT doc_id, bin, round_even(c * 1.0 / n, 6) AS fb FROM counts)
+    SELECT doc_id,
+           coalesce(max(CASE WHEN bin = 0 THEN fb END), 0.0) AS f0,
+           coalesce(max(CASE WHEN bin = 7 THEN fb END), 0.0) AS f7,
+           round(sum(fb), 4) AS f_sum
+    FROM f GROUP BY doc_id
+    """,
+    doc="REAL GIF container decode via Arrow mapInPandas: payloads are "
+    "genuine GIF87a files (256-entry grayscale palette + variable-width "
+    "LZW image data in 255-byte sub-blocks — encode_gif_gray8/"
+    "decode_gif_gray8, from-scratch LZW with width growth and "
+    "4096-entry table resets, validated against the canonical external "
+    "1x1 GIF89a byte vector), LZW-decompressed to the pixel plane in "
+    "the fake=False path and histogrammed. Closes the last stdlib-"
+    "implementable common image container (JPEG/MP4 still need absent "
+    "libraries). Overflow variant of the in-window multimodal family "
+    "(q43 BMP, q83 PNG)",
+)
+def q118_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(
+        multimodal.attach_image_payload(docs, container="gif"), fake=False
+    )
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("f_sum"),
+    )
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5517,6 +5569,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # stats collection composes the in-window agg (q01) and KMV-sketch
     # (q77) capabilities
     "q117_analyze_stats": {"agg", "sketch_distinct"},
+    # GIF is a third real container in the in-window multimodal family
+    # (q43 BMP, q83 PNG)
+    "q118_multimodal_gif": {"multimodal"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -271,3 +271,48 @@ def test_resize_real_png_reencodes(spark, sf_dir):
     for r in out:
         w, h, pixels = multimodal.decode_png_gray8(bytes(r.payload))
         assert (w, h) == (8, 8) and pixels.shape == (8, 8)
+
+
+def test_gif_codec_roundtrip():
+    """encode_gif_gray8 → decode_gif_gray8 is identity across shapes that
+    cross the LZW width-growth (512/1024/2048/4096) and table-reset
+    boundaries, for random, structured, and constant pixel planes."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (3, 5), (17, 23), (64, 80), (90, 90)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, back = multimodal.decode_gif_gray8(multimodal.encode_gif_gray8(px))
+        assert (w, h) == (shape[1], shape[0])
+        assert np.array_equal(back, px)
+    runs = np.tile(np.arange(100, dtype=np.uint8), (120, 2))  # long runs
+    assert np.array_equal(multimodal.decode_gif_gray8(multimodal.encode_gif_gray8(runs))[2], runs)
+    flat = np.full((100, 100), 7, dtype=np.uint8)  # maximal repetition
+    assert np.array_equal(multimodal.decode_gif_gray8(multimodal.encode_gif_gray8(flat))[2], flat)
+
+
+def test_gif_decoder_external_vector():
+    """The canonical 1x1 transparent GIF89a (a real-world byte vector, not
+    produced by this encoder): GIF89a signature, graphic-control
+    extension, 2-entry palette, 2-bit LZW with truncated EOI — all paths
+    our own encoder never exercises."""
+    import base64
+
+    import numpy as np
+
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    w, h, px = multimodal.decode_gif_gray8(tiny)
+    assert (w, h) == (1, 1)
+    assert px.dtype == np.uint8 and px[0, 0] == 0  # palette[0] is black
+
+
+def test_attach_image_payload_real_gif_decode(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    out = multimodal.attach_image_payload(docs, container="gif").collect()
+    for r in out:
+        assert bytes(r.payload[:6]) == b"GIF87a"
+        w, h, px = multimodal.decode_gif_gray8(bytes(r.payload))
+        assert (w, h) == (r.meta.width, r.meta.height)
+        assert px.shape == (r.meta.height, r.meta.width)
