@@ -604,8 +604,8 @@ def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFra
     """Resize each payload to width x height.
 
     ``fake=True``: deterministic truncate/pad (schema + batch-shape
-    exercise). ``fake=False``: REAL kernels — ``image/bmp`` and
-    ``image/png`` payloads are decoded, nearest-neighbor-resampled, and
+    exercise). ``fake=False``: REAL kernels — ``image/bmp``, ``image/png`` and
+    ``image/gif`` payloads are decoded, nearest-neighbor-resampled, and
     re-encoded in their container (stdlib codecs, no PIL); ``raw``
     payloads are interpreted as a meta.width x meta.height single-channel
     byte image and resampled in pure numpy. All require the ``meta``
@@ -624,12 +624,12 @@ def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFra
                 for buf, meta in zip(pdf["payload"], pdf["meta"]):
                     m = _meta_dict(meta)
                     fmt = str(m.get("format", ""))
-                    if fmt in ("image/bmp", "image/png"):
-                        dec, enc = (
-                            (decode_bmp_gray8, encode_bmp_gray8)
-                            if fmt == "image/bmp"
-                            else (decode_png_gray8, encode_png_gray8)
-                        )
+                    if fmt in ("image/bmp", "image/png", "image/gif"):
+                        dec, enc = {
+                            "image/bmp": (decode_bmp_gray8, encode_bmp_gray8),
+                            "image/png": (decode_png_gray8, encode_png_gray8),
+                            "image/gif": (decode_gif_gray8, encode_gif_gray8),
+                        }[fmt]
                         w, h, pixels = dec(bytes(buf))
                         rows = np.arange(height) * h // height
                         cols = np.arange(width) * w // width

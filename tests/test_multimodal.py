@@ -316,3 +316,12 @@ def test_attach_image_payload_real_gif_decode(spark, sf_dir):
         w, h, px = multimodal.decode_gif_gray8(bytes(r.payload))
         assert (w, h) == (r.meta.width, r.meta.height)
         assert px.shape == (r.meta.height, r.meta.width)
+
+
+def test_resize_real_gif_reencodes(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(4)
+    payloads = multimodal.attach_image_payload(docs, container="gif")
+    out = multimodal.resize(payloads, 20, 12, fake=False).collect()
+    for r in out:
+        w, h, px = multimodal.decode_gif_gray8(bytes(r.payload))
+        assert (w, h) == (20, 12) and px.shape == (12, 20)
