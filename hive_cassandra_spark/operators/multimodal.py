@@ -400,6 +400,74 @@ def decode_wav_pcm16(data: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+_ULAW_BIAS = 0x84  # 132, the G.711 encoder bias
+_ULAW_CLIP = 32635
+
+
+def encode_ulaw(samples: np.ndarray) -> np.ndarray:
+    """G.711 mu-law compress int16 PCM → uint8 codes (the telephony
+    codec; exact integer arithmetic per the spec, vectorized). Lossy by
+    design, but ``encode(decode(b)) == b`` holds for every byte — the
+    involution identity the tests pin over the full 256-code space."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    # exponent = position of the highest set bit above bit 7 (0..7)
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mantissa = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def decode_ulaw(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law expand uint8 codes → int16 PCM (exact inverse of the
+    quantizer's reconstruction levels)."""
+    c = (~codes.astype(np.int32)) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mantissa = c & 0x0F
+    mag = (((mantissa << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def encode_wav_ulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM as a RIFF/WAVE file with G.711 mu-law payload
+    (format code 7, 8 bits/sample — the telephony WAV variant)."""
+    body = encode_ulaw(samples).tobytes()
+    return struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(body), b"WAVE",
+        b"fmt ", 16, 7, 1, sample_rate, sample_rate, 1, 8,
+        b"data", len(body),
+    ) + body
+
+
+def decode_wav_ulaw(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a mu-law (format 7) RIFF/WAVE file → (sample_rate, int16
+    samples expanded through the G.711 reconstruction levels)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, csz = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, pos)
+            if fmt != 7 or ch != 1 or bits != 8:
+                raise NotImplementedError(
+                    f"only mu-law mono 8-bit WAV supported here (fmt={fmt}, "
+                    f"channels={ch}, bits={bits}) — PCM goes to "
+                    "decode_wav_pcm16"
+                )
+        elif cid == b"data":
+            samples = decode_ulaw(
+                np.frombuffer(data, dtype=np.uint8, count=csz, offset=pos)
+            )
+        pos += csz + (csz & 1)
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, samples
+
+
 def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Synthesize an opaque binary payload + metadata struct from the
     documents fixture (deterministic: payload = utf-8 bytes of the text;

@@ -325,3 +325,38 @@ def test_resize_real_gif_reencodes(spark, sf_dir):
     for r in out:
         w, h, px = multimodal.decode_gif_gray8(bytes(r.payload))
         assert (w, h) == (20, 12) and px.shape == (12, 20)
+
+
+def test_ulaw_involution_and_anchors():
+    """G.711 mu-law: encode(decode(b)) == b for every code except 0x7F
+    (negative zero, which re-encodes as positive zero 0xFF — the spec's
+    one degenerate pair); silence encodes to 0xFF; quantization error is
+    bounded by the segment step."""
+    codes = np.arange(256, dtype=np.uint8)
+    back = multimodal.encode_ulaw(multimodal.decode_ulaw(codes))
+    diff = np.nonzero(back != codes)[0]
+    assert diff.tolist() == [0x7F]
+    assert back[0x7F] == 0xFF
+    assert multimodal.encode_ulaw(np.array([0], dtype=np.int16))[0] == 0xFF
+    x = np.linspace(-32000, 32000, 10001).astype(np.int16)
+    err = np.abs(
+        multimodal.decode_ulaw(multimodal.encode_ulaw(x)).astype(np.int32)
+        - x.astype(np.int32)
+    )
+    assert err.max() <= 512  # half the top-segment step
+    mid = err[4900:5100]  # |x| <= ~640: segment 2, step 32
+    assert mid.max() <= 16
+
+
+def test_wav_ulaw_container_roundtrip():
+    rng = np.random.default_rng(3)
+    x = rng.integers(-32000, 32000, size=4000).astype(np.int16)
+    buf = multimodal.encode_wav_ulaw(x, 8000)
+    rate, back = multimodal.decode_wav_ulaw(buf)
+    assert rate == 8000
+    assert np.array_equal(
+        back, multimodal.decode_ulaw(multimodal.encode_ulaw(x))
+    )
+    # PCM reader refuses the mu-law format code, naming the right path
+    with pytest.raises(NotImplementedError, match="fmt=7"):
+        multimodal.decode_wav_pcm16(buf)
