@@ -283,6 +283,19 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     return bytes(out)
 
 
+def _gif_image_block(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape
+    out = bytearray(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+    out.append(8)  # LZW minimum code size
+    data = _lzw_encode(pixels.tobytes(), 8)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00"
+    return bytes(out)
+
+
 def encode_gif_gray8(pixels: np.ndarray) -> bytes:
     """Encode a (h, w) uint8 array as a real GIF87a: 256-entry grayscale
     identity palette, one image, REAL variable-width LZW image data in
@@ -293,34 +306,53 @@ def encode_gif_gray8(pixels: np.ndarray) -> bytes:
     out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
     for i in range(256):
         out += bytes((i, i, i))
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-    out.append(8)  # LZW minimum code size
-    data = _lzw_encode(pixels.tobytes(), 8)
-    for i in range(0, len(data), 255):
-        block = data[i : i + 255]
-        out.append(len(block))
-        out += block
-    out += b"\x00\x3b"
+    out += _gif_image_block(pixels)
+    out += b"\x3b"
     return bytes(out)
 
 
-def decode_gif_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a non-interlaced single-image GIF87a/89a → (width, height,
-    (h, w) uint8 pixels). Walks the block structure (extensions skipped,
-    so GIF89a graphic-control files parse), reads the global/local color
-    table, LZW-decompresses the image data, and maps each pixel index
-    through the palette's red channel (r==g==b for grayscale GIFs —
-    which is what ``encode_gif_gray8`` writes). Interlaced images need a
-    real image library."""
+def encode_gif_gray8_frames(
+    frames: list[np.ndarray], delay_cs: int = 10
+) -> bytes:
+    """Encode same-sized (h, w) uint8 frames as a real ANIMATED GIF89a:
+    one graphic-control extension (frame delay in centiseconds) + one
+    LZW-compressed image block per frame over a shared global palette —
+    the poor man's video container, and the one video-ish format this
+    engine can decode without ffmpeg (frame_sample's real GIF path)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share one size")
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        out += _gif_image_block(fr)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_gray8_frames(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode a non-interlaced GIF87a/89a → (width, height, [frames]) —
+    EVERY image block, so animated GIFs come back as their frame list.
+    Walks the block structure (extensions skipped, so graphic-control
+    files parse), reads the global/local color table, LZW-decompresses
+    each image, and maps pixel indices through the palette's red channel
+    (r==g==b for grayscale GIFs — what the encoders here write).
+    Interlaced images need a real image library."""
     if data[:6] not in _GIF_SIGS:
         raise ValueError("not a GIF payload (missing signature)")
     w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
-    palette = b""
+    gpalette = b""
     if packed & 0x80:
         n = 2 << (packed & 0x07)
-        palette = data[pos : pos + 3 * n]
+        gpalette = data[pos : pos + 3 * n]
         pos += 3 * n
+    frames: list[np.ndarray] = []
     while pos < len(data):
         block = data[pos]
         pos += 1
@@ -329,38 +361,50 @@ def decode_gif_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
             while data[pos]:
                 pos += 1 + data[pos]
             pos += 1
-        elif block == 0x2C:
-            break
         elif block == 0x3B:
-            raise ValueError("GIF trailer before any image data")
+            break
+        elif block == 0x2C:
+            _left, _top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            if ipacked & 0x40:
+                raise NotImplementedError(
+                    "interlaced GIF needs a real image library"
+                )
+            palette = gpalette
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 0x07)
+                palette = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if not palette:
+                raise ValueError("GIF image has no color table")
+            min_code_size = data[pos]
+            pos += 1
+            chunks = []
+            while pos < len(data) and data[pos]:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = np.frombuffer(
+                _lzw_decode(b"".join(chunks), min_code_size, iw * ih),
+                dtype=np.uint8,
+                count=iw * ih,
+            ).reshape(ih, iw)
+            reds = np.frombuffer(palette, dtype=np.uint8)[::3]
+            frames.append(reds[idx])
         else:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
-    else:
+    if not frames:
         raise ValueError("GIF has no image descriptor")
-    _left, _top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
-    pos += 9
-    if ipacked & 0x40:
-        raise NotImplementedError("interlaced GIF needs a real image library")
-    if ipacked & 0x80:  # local color table wins
-        n = 2 << (ipacked & 0x07)
-        palette = data[pos : pos + 3 * n]
-        pos += 3 * n
-    if not palette:
-        raise ValueError("GIF image has no color table")
-    min_code_size = data[pos]
-    pos += 1
-    chunks = []
-    while pos < len(data) and data[pos]:
-        ln = data[pos]
-        chunks.append(data[pos + 1 : pos + 1 + ln])
-        pos += 1 + ln
-    idx = np.frombuffer(
-        _lzw_decode(b"".join(chunks), min_code_size, iw * ih),
-        dtype=np.uint8,
-        count=iw * ih,
-    ).reshape(ih, iw)
-    reds = np.frombuffer(palette, dtype=np.uint8)[::3]
-    return iw, ih, reds[idx]
+    fh, fw = frames[0].shape
+    return fw, fh, frames
+
+
+def decode_gif_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Single-image view of ``decode_gif_gray8_frames``: (width, height,
+    first frame's (h, w) uint8 pixels)."""
+    w, h, frames = decode_gif_gray8_frames(data)
+    return w, h, frames[0]
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
@@ -741,7 +785,19 @@ def frame_sample(df: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFra
             else:
                 for doc_id, buf, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                     m = _meta_dict(meta)
-                    if not str(m.get("format", "")).endswith("raw"):
+                    fmt = str(m.get("format", ""))
+                    if fmt == "image/gif":
+                        # REAL animated-GIF path: decode every LZW frame,
+                        # sample evenly — no ffmpeg needed for this one
+                        _, _, gframes = decode_gif_gray8_frames(bytes(buf))
+                        total = len(gframes)
+                        for i in range(n_frames):
+                            src = i * total // n_frames
+                            ids.append(doc_id)
+                            idxs.append(i)
+                            frames.append(gframes[src].tobytes())
+                        continue
+                    if not fmt.endswith("raw"):
                         raise NotImplementedError(
                             f"frame extraction from {m.get('format')!r} needs "
                             "ffmpeg — stubbed"

@@ -360,3 +360,26 @@ def test_wav_ulaw_container_roundtrip():
     # PCM reader refuses the mu-law format code, naming the right path
     with pytest.raises(NotImplementedError, match="fmt=7"):
         multimodal.decode_wav_pcm16(buf)
+
+
+def test_animated_gif_roundtrip_and_frame_sample(spark):
+    """encode_gif_gray8_frames → decode_gif_gray8_frames is identity per
+    frame, and frame_sample(fake=False) pulls evenly-spaced REAL frames
+    out of the animated container."""
+    rng = np.random.default_rng(5)
+    frs = [rng.integers(0, 256, size=(9, 11), dtype=np.uint8) for _ in range(6)]
+    buf = multimodal.encode_gif_gray8_frames(frs, delay_cs=4)
+    assert bytes(buf[:6]) == b"GIF89a"
+    w, h, back = multimodal.decode_gif_gray8_frames(buf)
+    assert (w, h) == (11, 9) and len(back) == 6
+    assert all(np.array_equal(a, b) for a, b in zip(back, frs))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(buf), ("image/gif", 11, 9, 6))],
+        f"doc_id long, payload binary, meta {multimodal.META_SCHEMA}",
+    )
+    out = multimodal.frame_sample(df, n_frames=3, fake=False).collect()
+    assert [r.frame_idx for r in out] == [0, 1, 2]
+    # evenly spaced: frame indices 0, 2, 4 of the 6
+    for r, src in zip(out, (0, 2, 4)):
+        assert bytes(r.frame) == frs[src].tobytes()
