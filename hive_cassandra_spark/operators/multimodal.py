@@ -568,6 +568,46 @@ def attach_image_payload(
         .mapInPandas(kernel, schema=f"doc_id long, payload binary, meta {META_SCHEMA}")
 
 
+def attach_video_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize REAL animated-GIF payloads from the documents fixture:
+    ``doc_id % 3 + 2`` frames of a (h, w) plane cut from the utf-8 text
+    bytes (truncated / zero-padded — deterministic → oracle-replayable),
+    wrapped by ``encode_gif_gray8_frames``. The video-shaped counterpart
+    of ``attach_image_payload``; ``frame_sample(fake=False)`` decodes it
+    frame-by-frame with no ffmpeg."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(doc_id) % 24 + 8
+                h = int(doc_id) % 16 + 8
+                t = int(doc_id) % 3 + 2
+                raw = text.encode("utf-8")[: w * h * t].ljust(w * h * t, b"\x00")
+                frames = [
+                    np.frombuffer(
+                        raw[f * w * h : (f + 1) * w * h], dtype=np.uint8
+                    ).reshape(h, w)
+                    for f in range(t)
+                ]
+                payloads.append(encode_gif_gray8_frames(frames))
+                metas.append(
+                    {"format": "image/gif", "width": w, "height": h,
+                     "n_frames": t}
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        kernel, schema=f"doc_id long, payload binary, meta {META_SCHEMA}"
+    )
+
+
 def attach_audio_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sample_rate: int = 8000,

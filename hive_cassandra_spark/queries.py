@@ -5182,6 +5182,56 @@ def q118_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q119_multimodal_frames",
+    # Deterministic frame planes (utf-8 text bytes cut into
+    # doc_id%3+2 frames of (h, w)), so the oracle replays each SAMPLED
+    # frame's byte sum straight from the hex of the text — the Spark side
+    # meanwhile round-trips every frame through the animated-GIF LZW
+    # container and sums the decoded bytes via hex-pair arithmetic.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len,
+                      doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h,
+                      doc_id % 3 + 2 AS t
+               FROM documents),
+    fr AS (SELECT doc_id, i.i AS frame_idx, ((i.i * t) // 2) * (w * h) AS off,
+                  w * h AS n, hx, len
+           FROM d CROSS JOIN (SELECT unnest([0, 1]) AS i) i),
+    s AS (SELECT doc_id, frame_idx,
+                 CAST(list_sum(list_transform(range(0, CAST(n AS INT)),
+                     j -> CASE WHEN off + j < len THEN
+                         (strpos('0123456789ABCDEF',
+                             substr(hx, CAST(2*(off+j)+1 AS INT), 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF',
+                             substr(hx, CAST(2*(off+j)+2 AS INT), 1)) - 1)
+                       ELSE 0 END)) AS BIGINT) AS byte_sum
+          FROM fr)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, byte_sum FROM s
+    """,
+    doc="REAL animated-GIF frame sampling end-to-end "
+    "(multimodal.attach_video_payload → frame_sample(fake=False)): each "
+    "document becomes a multi-frame GIF89a (graphic-control + LZW image "
+    "block per frame), the sampler decodes the container and pulls "
+    "evenly spaced frames, and the gate checks each sampled frame's "
+    "byte sum (computed in-plan from hex pairs — codegen, no Python) "
+    "against the deterministic source plane. The frame-sampling surface "
+    "the reference's video-as-blobs users would need, on the one "
+    "video-ish container stdlib+numpy can fully decode. Overflow "
+    "variant of the in-window multimodal family (q43/q83)",
+)
+def q119_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pay = multimodal.attach_video_payload(docs)
+    fs = multimodal.frame_sample(pay, n_frames=2, fake=False)
+    byte_sum = F.expr(
+        "aggregate(transform(sequence(0, CAST(length(frame) AS INT) - 1), "
+        "i -> CAST(conv(substr(hex(frame), 2*i+1, 2), 16, 10) AS BIGINT)), "
+        "0L, (a, x) -> a + x)"
+    )
+    return fs.select("doc_id", "frame_idx", byte_sum.alias("byte_sum"))
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5572,6 +5622,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # GIF is a third real container in the in-window multimodal family
     # (q43 BMP, q83 PNG)
     "q118_multimodal_gif": {"multimodal"},
+    # animated-GIF frame sampling is the video-shaped member of the same
+    # in-window multimodal family
+    "q119_multimodal_frames": {"multimodal"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
