@@ -610,12 +610,17 @@ def attach_video_payload(
 
 def attach_audio_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    sample_rate: int = 8000,
+    sample_rate: int = 8000, container: str = "pcm",
 ) -> DataFrame:
     """Synthesize REAL WAV payloads: sample i is (byte_i - 128) << 8 of the
     utf-8 text (deterministic and exactly invertible — the decode side
     recovers the original bytes as (sample >> 8) + 128), wrapped in a
-    canonical RIFF/PCM16 file by ``encode_wav_pcm16``."""
+    canonical RIFF/PCM16 file by ``encode_wav_pcm16`` — or, with
+    ``container='ulaw'``, G.711-compressed by ``encode_wav_ulaw`` (format
+    code 7; lossy, so decode recovers the QUANTIZED samples — which is
+    exactly what q120's oracle replays)."""
+    if container not in ("pcm", "ulaw"):
+        raise ValueError(f"unsupported audio container {container!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -623,9 +628,14 @@ def attach_audio_payload(
             for text in pdf["text"]:
                 raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
                 samples = (raw.astype(np.int16) - 128) << 8
-                payloads.append(encode_wav_pcm16(samples, sample_rate))
+                if container == "pcm":
+                    payloads.append(encode_wav_pcm16(samples, sample_rate))
+                    fmt = "audio/wav"
+                else:
+                    payloads.append(encode_wav_ulaw(samples, sample_rate))
+                    fmt = "audio/ulaw"
                 metas.append(
-                    {"format": "audio/wav", "width": 0, "height": 0,
+                    {"format": fmt, "width": 0, "height": 0,
                      "n_frames": int(len(samples))}
                 )
             yield pd.DataFrame(
@@ -854,3 +864,44 @@ def frame_sample(df: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFra
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(kernel, schema="doc_id long, frame_idx int, frame binary")
+
+
+def audio_sample_stats(df: DataFrame) -> DataFrame:
+    """Per-payload sample statistics over REAL audio containers: decode
+    each WAV (``audio/wav`` → PCM16, ``audio/ulaw`` → G.711 expand) and
+    emit (doc_id, n_samples, sum_samples, min_sample, max_sample) — the
+    loudness/clipping screen an audio-curation pass runs. Arrow-batched
+    mapInPandas like every multimodal kernel; integer outputs only, so an
+    oracle replaying the G.711 quantizer compares bit-for-bit."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, sums, mins, maxs = [], [], [], [], []
+            for doc_id, buf, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                fmt = str(_meta_dict(meta).get("format", ""))
+                if fmt == "audio/wav":
+                    _, samples = decode_wav_pcm16(bytes(buf))
+                elif fmt == "audio/ulaw":
+                    _, samples = decode_wav_ulaw(bytes(buf))
+                else:
+                    raise NotImplementedError(
+                        f"audio stats for {fmt!r} needs an absent codec"
+                    )
+                s = samples.astype(np.int64)
+                ids.append(doc_id)
+                ns.append(int(s.size))
+                sums.append(int(s.sum()))
+                mins.append(int(s.min()) if s.size else 0)
+                maxs.append(int(s.max()) if s.size else 0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_samples": ns, "sum_samples": sums,
+                 "min_sample": mins, "max_sample": maxs}
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema="doc_id long, n_samples long, sum_samples long, "
+        "min_sample long, max_sample long",
+    )

@@ -5232,6 +5232,59 @@ def q119_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q120_audio_ulaw",
+    # Full serial replay of the G.711 pipeline: samples are (byte-128)<<8
+    # of the utf-8 text, the oracle re-runs compress+expand in pure
+    # integer SQL (segment CASE for the exponent, shift arithmetic for
+    # mantissa and reconstruction — verified formula-identical to the
+    # numpy codec over the whole byte space), and the per-doc stats must
+    # match the Spark side's decode of the actual format-7 WAV bytes.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len
+               FROM documents),
+    u AS (SELECT doc_id, len,
+                 unnest(list_transform(range(0, CAST(len AS INT)), j ->
+                     (strpos('0123456789ABCDEF',
+                         substr(hx, CAST(2*j+1 AS INT), 1)) - 1) * 16
+                   + (strpos('0123456789ABCDEF',
+                         substr(hx, CAST(2*j+2 AS INT), 1)) - 1))) AS v
+          FROM d),
+    m AS (SELECT doc_id, len,
+                 CASE WHEN v < 128 THEN -1 ELSE 1 END AS sgn,
+                 least(abs((v - 128) * 256), 32635) + 132 AS mag
+          FROM u),
+    e AS (SELECT *, CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6
+                         WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4
+                         WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2
+                         WHEN mag >= 256 THEN 1 ELSE 0 END AS ex
+          FROM m),
+    r AS (SELECT doc_id, len,
+                 sgn * ((((mag // (8 * (1 << ex))) % 16) * 8 + 132)
+                        * (1 << ex) - 132) AS s
+          FROM e)
+    SELECT doc_id,
+           CAST(max(len) AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_samples,
+           CAST(min(s) AS BIGINT) AS min_sample,
+           CAST(max(s) AS BIGINT) AS max_sample
+    FROM r GROUP BY doc_id
+    """,
+    doc="G.711 mu-law audio end-to-end (multimodal.encode/decode_wav_ulaw "
+    "+ audio_sample_stats): documents become real format-7 telephony WAV "
+    "files, the stats kernel expands them through the exact integer "
+    "G.711 reconstruction, and the oracle replays compress+expand in "
+    "pure SQL — the lossy codec's quantization levels themselves are "
+    "the gated values. Overflow variant of the in-window multimodal "
+    "family (q43's WAV path)",
+)
+def q120_audio_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pay = multimodal.attach_audio_payload(docs, container="ulaw")
+    return multimodal.audio_sample_stats(pay)
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5625,6 +5678,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # animated-GIF frame sampling is the video-shaped member of the same
     # in-window multimodal family
     "q119_multimodal_frames": {"multimodal"},
+    # G.711 audio is the telephony member of the in-window multimodal
+    # family (q43 carries the WAV path)
+    "q120_audio_ulaw": {"multimodal"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

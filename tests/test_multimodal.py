@@ -383,3 +383,19 @@ def test_animated_gif_roundtrip_and_frame_sample(spark):
     # evenly spaced: frame indices 0, 2, 4 of the 6
     for r, src in zip(out, (0, 2, 4)):
         assert bytes(r.frame) == frs[src].tobytes()
+
+
+def test_audio_sample_stats_ulaw_vs_direct(spark, sf_dir):
+    """The stats kernel's numbers equal a direct numpy replay of the
+    quantize+expand pipeline on the source text bytes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(6)
+    pay = multimodal.attach_audio_payload(docs, container="ulaw")
+    got = {r.doc_id: r for r in multimodal.audio_sample_stats(pay).collect()}
+    for r in docs.collect():
+        raw = np.frombuffer(r.text.encode("utf-8"), dtype=np.uint8)
+        x = (raw.astype(np.int16) - 128) << 8
+        s = multimodal.decode_ulaw(multimodal.encode_ulaw(x)).astype(np.int64)
+        g = got[r.doc_id]
+        assert (g.n_samples, g.sum_samples, g.min_sample, g.max_sample) == (
+            s.size, int(s.sum()), int(s.min()), int(s.max())
+        )
