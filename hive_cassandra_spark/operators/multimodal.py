@@ -12,7 +12,9 @@ zlib DEFLATE + full scanline unfiltering — stdlib ``zlib`` + numpy, no
 PIL), **GIF** (87a/89a, from-scratch variable-width LZW with width
 growth and 4096-entry table resets, extension skipping, global/local
 palettes — validated against the canonical external 1×1 GIF89a vector)
-and **WAV** (RIFF/PCM 16-bit mono) are encoded AND decoded below, so
+and **WAV** (RIFF/PCM 16-bit mono, plus the G.711 mu-law format-7
+telephony variant; animated multi-frame GIF89a on the video side) are
+encoded AND decoded below, so
 ``fake=False`` is a genuinely working path for those formats and for raw
 byte images. Formats that truly need an absent codec library (JPEG →
 PIL/libjpeg, MP4 → ffmpeg) raise NotImplementedError at the exact branch
