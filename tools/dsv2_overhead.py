@@ -94,8 +94,36 @@ def main() -> None:
     def read_dsv2():
         _agg(spark.read.format("cassandra_cells").load(ds_store))
 
+    # fifth leg: the STREAMING sink (q112/q91/q116's fixture cost) — same
+    # cells through writeStream in ONE availableNow micro-batch, isolating
+    # micro-batch-engine setup + the commit-log write from the data cost.
+    import shutil
+    import uuid
+
+    src_dir = f"{base}/stream_src"
+    cells.write.mode("overwrite").parquet(src_dir)
+    stream_schema = spark.read.parquet(src_dir).schema
+
+    def write_stream_dsv2():
+        run = uuid.uuid4().hex[:8]
+        store, ckpt = f"{base}/ss_{run}", f"{base}/ck_{run}"
+        q = (
+            spark.readStream.schema(stream_schema)
+            .parquet(f"{src_dir}/*.parquet")
+            .writeStream.format("cassandra_cells")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(store)
+        )
+        q.awaitTermination()
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
     # one warmup of each leg (codegen + JVM), then timed trials
-    for leg in (write_parquet, write_dsv2, read_parquet, read_dsv2):
+    for leg in (
+        write_parquet, write_dsv2, read_parquet, read_dsv2, write_stream_dsv2
+    ):
         leg()
     out = {
         "metric": "dsv2_vs_parquet_sec",
@@ -106,9 +134,13 @@ def main() -> None:
         "write_dsv2": _median_timed(write_dsv2, trials),
         "read_parquet": _median_timed(read_parquet, trials),
         "read_dsv2": _median_timed(read_dsv2, trials),
+        "write_stream_dsv2": _median_timed(write_stream_dsv2, trials),
     }
     out["write_ratio"] = round(out["write_dsv2"] / out["write_parquet"], 2)
     out["read_ratio"] = round(out["read_dsv2"] / out["read_parquet"], 2)
+    out["stream_write_ratio"] = round(
+        out["write_stream_dsv2"] / out["write_dsv2"], 2
+    )
     print(json.dumps(out))
     spark.stop()
 
