@@ -583,3 +583,34 @@ def analyze_table(df: DataFrame, cols: list[str], ndv_k: int = 256) -> DataFrame
         F.coalesce("k_used", F.lit(0)).alias("k_used"),
         F.coalesce("est_ndv", F.lit(0)).alias("est_ndv"),
     )
+
+
+def histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group equi-width histogram: ``bin = floor(((v - lo) * n_bins)
+    / (hi - lo))`` clamped into [0, n_bins-1] (values outside [lo, hi)
+    land in the edge bins rather than vanishing — a distribution report
+    must account for every row), NULLs dropped. ONE map-side-combinable
+    counting aggregation; output is bounded by groups × n_bins rows
+    regardless of input size — the at-scale replacement for pulling a
+    column to the driver to plot it. The bin expression is a fixed
+    multiply-then-divide so every engine computes the identical IEEE
+    result (the oracle replays it verbatim)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * n_bins / F.lit(float(hi - lo)))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -5285,6 +5285,34 @@ def q120_audio_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q121_histogram",
+    # The bin expression is replayed verbatim (multiply-then-divide, then
+    # floor, then clamp), so the engines agree bit-for-bit even on
+    # boundary values; hi=400 < max(value) makes the top-edge clamp
+    # non-vacuous at every fixture SF.
+    oracle="""
+    SELECT event_type,
+           CAST(least(greatest(
+               floor(((value - 0.0) * 16) / 400.0), 0), 15) AS BIGINT)
+             AS bin,
+           count(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="per-group equi-width histogram (relational.histogram): one "
+    "map-side-combinable counting agg, output bounded by groups×bins "
+    "regardless of input — the at-scale replacement for collecting a "
+    "column to plot it; out-of-range values clamp into the edge bins so "
+    "every row is accounted for. Overflow variant of the in-window agg "
+    "family (q01); the distribution-summary sibling of the quantile "
+    "sketch (q82), trading adaptivity for fixed, mergeable bins",
+)
+def q121_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return relational.histogram(ev, ["event_type"], "value", 0.0, 400.0, 16)
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5681,6 +5709,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # G.711 audio is the telephony member of the in-window multimodal
     # family (q43 carries the WAV path)
     "q120_audio_ulaw": {"multimodal"},
+    # the histogram is a bounded counting aggregation — in-window agg
+    # family (q01) carries it
+    "q121_histogram": {"agg"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -391,3 +391,22 @@ def test_analyze_table_stats_exact_and_estimated(spark):
     assert got["c"].n_null == 100 and got["c"].est_ndv == 1
     with pytest.raises(ValueError):
         analyze_table(df, [])
+
+
+def test_histogram_accounts_every_row_and_clamps(spark):
+    from hive_cassandra_spark.operators.relational import histogram
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 9.99), ("a", 10.0), ("a", 99.0),
+         ("a", 150.0), ("b", None), ("b", 42.0)],
+        "g string, v double",
+    )
+    got = {(r.g, r.bin): r.cnt for r in
+           histogram(df, ["g"], "v", 0.0, 100.0, 10).collect()}
+    # -5 clamps into bin 0 alongside 0.0 and 9.99; 150 clamps into bin 9
+    assert got[("a", 0)] == 3
+    assert got[("a", 1)] == 1 and got[("a", 9)] == 2  # 99.0 and 150.0
+    assert got[("b", 4)] == 1  # NULL dropped, 42 → bin 4
+    assert sum(c for (g, _), c in got.items() if g == "a") == 6
+    with pytest.raises(ValueError):
+        histogram(df, ["g"], "v", 5.0, 5.0, 10)
