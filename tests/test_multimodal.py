@@ -399,3 +399,37 @@ def test_audio_sample_stats_ulaw_vs_direct(spark, sf_dir):
         assert (g.n_samples, g.sum_samples, g.min_sample, g.max_sample) == (
             s.size, int(s.sum()), int(s.min()), int(s.max())
         )
+
+
+def test_lzw_roundtrip_fuzz():
+    """Property: _lzw_decode inverts _lzw_encode for arbitrary byte
+    strings (hypothesis), including empty input and low-entropy runs that
+    stress the table-reset path."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=3000))
+    def check(data):
+        enc = multimodal._lzw_encode(data, 8)
+        assert multimodal._lzw_decode(enc, 8, len(data)) == data
+
+    check()
+
+
+def test_ulaw_quantizer_idempotent_fuzz():
+    """Property: re-encoding a decoded signal is a fixpoint — the
+    quantizer maps every sample onto its reconstruction level exactly
+    once (hypothesis over random int16 signals)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=500))
+    def check(xs):
+        x = np.array(xs, dtype=np.int16)
+        c1 = multimodal.encode_ulaw(x)
+        c2 = multimodal.encode_ulaw(multimodal.decode_ulaw(c1))
+        # negative zero (0x7F) legitimately re-encodes as positive zero
+        same = (c1 == c2) | ((c1 == 0x7F) & (c2 == 0xFF))
+        assert bool(same.all())
+
+    check()
