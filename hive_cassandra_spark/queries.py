@@ -5313,6 +5313,63 @@ def q121_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q122_curation_v2",
+    # Serial replay of the composed pipeline: the same length gate, the
+    # same q109 priority formula (top 200), the same q114 shuffle order
+    # and round-robin shards over the SELECTED set — membership, order,
+    # and per-shard content all pinned (xor + span + totals).
+    oracle="""
+    WITH eligible AS (
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars BETWEEN 100 AND 500),
+    pri AS (
+        SELECT doc_id, n_chars,
+               (CAST(n_chars AS DOUBLE) * 4503599627370496.0)
+               / CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) + 1 AS DOUBLE) AS p
+        FROM eligible),
+    sel AS (SELECT doc_id, n_chars FROM pri
+            ORDER BY p DESC, doc_id LIMIT 200),
+    sh AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY
+                   CAST('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)),
+                        1, 13) AS BIGINT), doc_id) - 1 AS pos
+        FROM sel)
+    SELECT pos % 4 AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(pos) AS min_pos, max(pos) AS max_pos,
+           bit_xor(doc_id) AS id_xor
+    FROM sh GROUP BY shard
+    """,
+    doc="training-set assembly pipeline composing the round-6 tier: "
+    "length gate → weight-proportional selection "
+    "(relational.weighted_sample, priority sampling on n_chars) → "
+    "deterministic epoch shuffle + balanced shards "
+    "(relational.shuffle_shards) — filter, sample, order, and shard "
+    "membership all pure functions of the keys, so the driver gate pins "
+    "the ENTIRE pipeline's output content per shard. The q56-style "
+    "end-to-end composition, rebuilt from the weighted/shuffle tier; "
+    "families via q69/q88 (sampling), q109 (weighted), q79 (sharding)",
+)
+def q122_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    eligible = doc.filter(F.col("n_chars").between(100, 500))
+    picked = relational.weighted_sample(
+        eligible, "doc_id", "n_chars", 200
+    ).drop("rank")
+    sharded = relational.shuffle_shards(picked, "doc_id", 4, salt="mix1")
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("shuffle_pos").alias("min_pos"),
+        F.max("shuffle_pos").alias("max_pos"),
+        F.bit_xor("doc_id").alias("id_xor"),
+    )
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5712,6 +5769,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # the histogram is a bounded counting aggregation — in-window agg
     # family (q01) carries it
     "q121_histogram": {"agg"},
+    # the v2 assembly pipeline composes in-window sampling (q69/q88),
+    # weighted sampling (q109), and sharding (q79)
+    "q122_curation_v2": {"sampling", "weighted_sampling", "sharding"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
