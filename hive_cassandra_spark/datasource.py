@@ -58,6 +58,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -449,6 +450,89 @@ class CellStoreStreamWriter(CellStoreWriter, DataSourceStreamArrowWriter):
 _BATCH_PART_RE = r"part-[0-9a-f]+-b(\d{9})-\d{5}\.parquet$"
 
 
+def _commit_log_batches(path: str) -> dict[int, list[str]]:
+    """Map committed micro-batch id → its part files, refusing stores whose
+    parts carry no batch id (batch-job writes have no commit order a
+    tailing reader can trust — read those with ``spark.read``)."""
+    import re
+
+    batches: dict[int, list[str]] = {}
+    for f in _store_files(path):
+        m = re.search(_BATCH_PART_RE, os.path.basename(f))
+        if m is None:
+            raise ValueError(
+                f"{os.path.basename(f)}: cassandra_cells streaming "
+                "read tails a stream-written store (batch-id part "
+                "names from the streaming sink); this store holds "
+                "batch-job parts — read it with spark.read instead"
+            )
+        batches.setdefault(int(m.group(1)), []).append(f)
+    return batches
+
+
+@dataclass
+class CommitLogPartition(InputPartition):
+    """One stream-scan split: a single committed part file plus the field
+    order the scan must produce."""
+
+    file: str
+    fields: tuple
+
+
+class CellStoreParallelStreamReader(DataSourceStreamReader):
+    """Partition-parallel tailing reader over the sink's commit log — the
+    corpus-scale upgrade of ``CellStoreStreamReader`` (which, per the
+    Simple-reader contract, materializes each micro-batch ON THE DRIVER).
+    Same integer offsets (batch id = offset), same deterministic replay;
+    the difference is ``partitions()`` plans one split per committed part
+    file and ``read()`` runs IN THE EXECUTORS, yielding Arrow record
+    batches — so a tailed store scales exactly like the batch scan path.
+    Selected with ``.option("parallel", "true")``; without it the Simple
+    reader serves control-plane-sized feeds with less per-batch planning.
+    """
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "cassandra_cells needs a store path: .load('<dir>')"
+            )
+        self.path = path
+        self.fields = tuple(f.name for f in schema.fields)
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        batches = _commit_log_batches(self.path)
+        return {"pos": (max(batches) + 1) if batches else 0}
+
+    def partitions(self, start: dict, end: dict):
+        batches = _commit_log_batches(self.path)
+        return [
+            CommitLogPartition(file=f, fields=self.fields)
+            for b in sorted(batches)
+            if start["pos"] <= b < end["pos"]
+            for f in sorted(batches[b])
+        ]
+
+    def read(self, partition: CommitLogPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(partition.file)
+        arrays = [
+            t.column(n) if n in t.column_names else pa.nulls(t.num_rows)
+            for n in partition.fields
+        ]
+        yield from pa.table(
+            dict(zip(partition.fields, arrays))
+        ).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # the commit log is retained; nothing to clean per offset
+
+
 class CellStoreStreamReader(SimpleDataSourceStreamReader):
     """``spark.readStream.format("cassandra_cells")``: tail a
     STREAM-WRITTEN cell store as a streaming source — the CDC-ish read
@@ -465,9 +549,11 @@ class CellStoreStreamReader(SimpleDataSourceStreamReader):
     ordering a tailing reader can trust.
 
     Scale posture: this is the Simple (driver-side) reader variant —
-    right for tailing control-plane-sized mutation feeds; a
-    partition-parallel ``DataSourceStreamReader`` over the same offsets
-    is the drop-in upgrade when a tailed store is corpus-sized.
+    right for tailing control-plane-sized mutation feeds. For
+    corpus-sized stores, ``.option("parallel", "true")`` selects
+    ``CellStoreParallelStreamReader``: the same offsets and replay
+    semantics, planned as one split per committed part file and read in
+    the executors (equivalence pinned in test_datasource).
     """
 
     def __init__(self, options: dict, schema: StructType) -> None:
@@ -483,20 +569,7 @@ class CellStoreStreamReader(SimpleDataSourceStreamReader):
         return {"pos": 0}
 
     def _batches(self) -> dict[int, list[str]]:
-        import re
-
-        batches: dict[int, list[str]] = {}
-        for f in _store_files(self.path):
-            m = re.search(_BATCH_PART_RE, os.path.basename(f))
-            if m is None:
-                raise ValueError(
-                    f"{os.path.basename(f)}: cassandra_cells streaming "
-                    "read tails a stream-written store (batch-id part "
-                    "names from the streaming sink); this store holds "
-                    "batch-job parts — read it with spark.read instead"
-                )
-            batches.setdefault(int(m.group(1)), []).append(f)
-        return batches
+        return _commit_log_batches(self.path)
 
     def read(self, start: dict):
         batches = self._batches()
@@ -567,6 +640,14 @@ class CellStoreDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> CellStoreStreamReader:
         return CellStoreStreamReader(dict(self.options), schema)
+
+    def streamReader(self, schema: StructType) -> CellStoreParallelStreamReader:
+        # opt-in executor-parallel tail; raising the NotImplemented marker
+        # otherwise makes Spark fall back to simpleStreamReader (the
+        # documented resolution order in pyspark.sql.datasource)
+        if str(self.options.get("parallel", "false")).lower() in ("true", "1"):
+            return CellStoreParallelStreamReader(dict(self.options), schema)
+        return super().streamReader(schema)
 
 
 def register(spark) -> None:

@@ -494,3 +494,49 @@ def test_as_of_batch_time_travel(spark, store, tmp_path):
             .load(store)
             .count()
         )
+
+
+def test_parallel_stream_reader_matches_simple(spark, store, tmp_path):
+    """.option('parallel', 'true') tails the same commit log through the
+    executor-parallel DataSourceStreamReader: identical rows to the
+    driver-side Simple reader, batch ids still the offsets."""
+    out = str(tmp_path / "stream_store")
+    src = str(tmp_path / "src_halves")
+    cells = spark.read.parquet(store)
+    half = F.crc32(F.col("row_key")) % 2
+    cells.filter(half == 0).coalesce(1).write.parquet(src)
+    cells.filter(half == 1).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema(cells.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+        .writeStream.format("cassandra_cells")
+        .option("checkpointLocation", str(tmp_path / "ck_w"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination()
+
+    def tail(parallel: bool):
+        name = f"tail_{'par' if parallel else 'simple'}"
+        reader = spark.readStream.format("cassandra_cells")
+        if parallel:
+            reader = reader.option("parallel", "true")
+        tq = (
+            reader.load(out)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ck_{name}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        tq.awaitTermination()
+        return sorted(map(tuple, spark.table(name).collect()))
+
+    par, simple = tail(True), tail(False)
+    assert par == simple
+    assert len(par) == cells.count()
