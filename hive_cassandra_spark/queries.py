@@ -3627,7 +3627,15 @@ def q93_stream_cell_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start(store)
     )
     wq.awaitTermination()
-    tailed = spark.readStream.format("cassandra_cells").load(store)
+    # parallel=true: the executor-parallel tail (one split per committed
+    # part file) — the corpus-scale reader earns the driver row; its
+    # row-for-row equivalence with the driver-side Simple reader is
+    # pinned in test_datasource
+    tailed = (
+        spark.readStream.format("cassandra_cells")
+        .option("parallel", "true")
+        .load(store)
+    )
     # distinct aggregates are unsupported on streams: materialize the
     # tailed cells (append mode — the read is the streaming part under
     # test), aggregate batch-side
