@@ -544,23 +544,24 @@ def analyze_table(df: DataFrame, cols: list[str], ndv_k: int = 256) -> DataFrame
     and what Spark's own ``ANALYZE TABLE ... COMPUTE STATISTICS FOR
     COLUMNS`` feeds its CBO.
 
-    Shape: the table pivots long (one narrow (col, value) projection per
-    analyzed column, unioned — the input is scanned once per column
-    batch, columns pruned to each one), then ONE aggregation keyed by
-    column name for count/nulls/min/max and one distinct+window pass for
-    the KMV hashes, both spread across (col, value) — no driver state,
-    no per-column collect. Output: (col, n_rows, n_null, min_val,
-    max_val, k_used, est_ndv)."""
+    Shape: the table pivots long in ONE projection (``stack`` — all
+    analyzed columns in a single pass, where a per-column union would
+    scan once per column), then ONE aggregation keyed by column name
+    for count/nulls/min/max and one distinct+window pass for the KMV
+    hashes — the input is read once per aggregation pass, both spread
+    across (col, value), no driver state, no per-column collect.
+    Output: (col, n_rows, n_null, min_val, max_val, k_used,
+    est_ndv)."""
     from hive_cassandra_spark.operators import sketches
 
     if not cols:
         raise ValueError("need at least one column")
-    long_form = None
-    for c in cols:
-        part = df.select(
-            F.lit(c).alias("col"), F.col(c).cast("string").alias("val")
-        )
-        long_form = part if long_form is None else long_form.unionByName(part)
+    pairs = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in cols
+    )
+    long_form = df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) AS (col, val)")
+    )
     basic = long_form.groupBy("col").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("val").isNull().cast("long")).alias("n_null"),
