@@ -94,6 +94,12 @@ HEADLINE = [
     "q112_snapshot_read",
     "q114_global_shuffle",
     "q115_partitioned_rollup",
+    # sixth batch: stats collection, the GIF LZW decode kernel, the
+    # histogram agg, and the assembly pipeline
+    "q117_analyze_stats",
+    "q118_multimodal_gif",
+    "q121_histogram",
+    "q122_curation_v2",
 ]
 
 

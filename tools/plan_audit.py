@@ -200,6 +200,31 @@ NOTES = {
         "plan-asserted in test_scale_plans) — at 100 TB the pruning is "
         "the difference between reading 3 days and reading the table."
     ),
+    "q117_analyze_stats": (
+        "stack pivots all analyzed columns long in ONE projection, so the "
+        "input is scanned once per aggregation pass (count/null/min/max "
+        "pass + the KMV distinct pass) regardless of column count; both "
+        "exchanges are spread across (col, value); NDV state is <=256 "
+        "hashes per column."
+    ),
+    "q118_multimodal_gif": (
+        "the cost is the from-scratch LZW decompression kernel inside "
+        "mapInPandas (Arrow-batched, per-payload python loop over "
+        "variable-width codes) — the honest price of a cleanroom codec; "
+        "plumbing, schema, and partitioning are identical to q43/q83."
+    ),
+    "q121_histogram": (
+        "one map-side-combinable counting agg; the shuffle carries at "
+        "most groups x bins partial rows per task regardless of input "
+        "size — the at-scale distribution report."
+    ),
+    "q122_curation_v2": (
+        "length gate folds into the scan filter; selection is "
+        "TakeOrderedAndProject on the md5 priority (per-partition heap "
+        "of 200); the shuffle+shard step is the two-phase prefix sum "
+        "(range exchange + per-partition window + broadcast offsets) "
+        "over the 200 SELECTED rows only — the corpus never moves."
+    ),
     "q33_dedup_minhash_lsh": (
         "runtime I/O: documents.parquet is scanned ONCE (sh_tbl cache build); "
         "every other reference reads the cache (round-1's '8 scans' was the "
