@@ -211,30 +211,37 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
             buf >>= 8
             nbits -= 8
 
-    def fresh() -> tuple[dict, int]:
-        return {bytes([i]): i for i in range(1 << min_code_size)}, eoi + 1
-
-    table, next_code = fresh()
     emit(clear)
-    w = b""
-    for byte in data:
-        wk = w + bytes([byte])
-        if wk in table:
-            w = wk
+    if not data:
+        emit(eoi)
+        if nbits:
+            out.append(buf & 0xFF)
+        return bytes(out)
+    # hot loop: strings are (prefix_code, next_byte) pairs packed into one
+    # int key — no per-byte bytes() allocations (measured ~3x on the
+    # attach/decode kernels); base codes ARE the byte values.
+    table: dict[int, int] = {}
+    next_code = eoi + 1
+    w = data[0]
+    for b in memoryview(data)[1:]:
+        key = (w << 8) | b
+        got = table.get(key)
+        if got is not None:
+            w = got
             continue
-        emit(table[w])
+        emit(w)
         if next_code < _GIF_MAX_CODE:
-            table[wk] = next_code
+            table[key] = next_code
             next_code += 1
             if next_code == (1 << code_size) + 1 and code_size < 12:
                 code_size += 1
         else:
             emit(clear)
-            table, next_code = fresh()
+            table.clear()
+            next_code = eoi + 1
             code_size = min_code_size + 1
-        w = bytes([byte])
-    if w:
-        emit(table[w])
+        w = b
+    emit(w)
     emit(eoi)
     if nbits:
         out.append(buf & 0xFF)
