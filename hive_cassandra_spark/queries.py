@@ -5378,6 +5378,39 @@ def q122_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q123_stream_histogram",
+    # bins are plain grouping keys, so the streamed histogram must equal
+    # the batch one exactly on bounded replay — replayed here per (hour
+    # window, type, bin) with the identical clamp arithmetic
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(least(greatest(
+               floor(((value - 0.0) * 8) / 400.0), 0), 7) AS BIGINT) AS bin,
+           count(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+    doc="streaming distribution monitoring "
+    "(streaming.events.stream_histogram): per-window clamped equi-width "
+    "histograms via BUILT-IN streaming aggregation — bins are grouping "
+    "keys, state is one counter per non-empty bin bounded by "
+    "windows×types×bins, no custom stateful operator; identical bin "
+    "arithmetic to q121's batch histogram. Overflow variant composing "
+    "the in-window stream-window (q50) and agg (q01/q121) families",
+)
+def q123_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    return streaming_events.run_bounded(
+        streaming_events.stream_histogram(ev, "1 hour", 0.0, 400.0, 8),
+        spark,
+        "complete",
+        state_partitions=8,
+    )
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5780,6 +5813,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # the v2 assembly pipeline composes in-window sampling (q69/q88),
     # weighted sampling (q109), and sharding (q79)
     "q122_curation_v2": {"sampling", "weighted_sampling", "sharding"},
+    # streaming histograms compose the in-window stream-window (q50) and
+    # agg (q01/q121) capabilities
+    "q123_stream_histogram": {"stream_window", "agg"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

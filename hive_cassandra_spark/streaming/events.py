@@ -510,3 +510,41 @@ def stream_countmin(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_histogram(
+    events: DataFrame,
+    width: str = "1 hour",
+    lo: float = 0.0,
+    hi: float = 400.0,
+    n_bins: int = 8,
+) -> DataFrame:
+    """Streaming distribution monitoring: per (tumbling window,
+    event_type), the clamped equi-width histogram of ``value`` — the
+    streaming face of ``relational.histogram`` using ONLY built-in
+    streaming aggregation (state per key is one counter row per
+    non-empty bin, bounded by windows × types × n_bins; no custom
+    stateful operator needed — bins are just grouping keys). Identical
+    bin arithmetic to the batch operator, so the bounded replay equals
+    the batch histogram exactly."""
+    v = F.col("value").cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * n_bins / F.lit(float(hi - lo)))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+    return (
+        events.filter(v.isNotNull())
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", width).alias("w"),
+            "event_type",
+            bin_.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "bin",
+            "cnt",
+        )
+    )
