@@ -77,3 +77,33 @@ def test_lookup_plan_broadcasts_keys_no_base_shuffle(spark, tmp_path):
     # table-sized
     stream_side = plan.split("BroadcastExchange")[0]
     assert "Exchange" not in stream_side, plan
+
+
+def test_index_lookup_via_sql_views(spark, tmp_path):
+    """The 2i works from pure SQL: base + index stores registered as
+    views THROUGH the cassandra_cells datasource (catalog.
+    register_cells_table), lookup written as the textbook IN-subquery —
+    same rows as the library path."""
+    from hive_cassandra_spark.catalog import Catalog
+
+    base = _store(spark, tmp_path, BASE, "base")
+    cells = spark.read.format("cassandra_cells").load(base)
+    idx_path = str(tmp_path / "idx")
+    sink.write_cells(index.build_value_index(cells, b"seg"), idx_path)
+
+    cat = Catalog(spark)
+    cat.register_cells_table("cf_base", base)
+    cat.register_cells_table("cf_seg_idx", idx_path)
+    got = spark.sql(
+        """
+        SELECT row_key, column_name FROM cf_base
+        WHERE row_key IN (SELECT column_name FROM cf_seg_idx
+                          WHERE row_key = X'676f6c64')  -- 'gold'
+        """
+    )
+    want = index.index_lookup(spark, base, idx_path, b"gold").select(
+        "row_key", "column_name"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    cat.drop_table("cf_base")
+    cat.drop_table("cf_seg_idx")
