@@ -5411,6 +5411,76 @@ def q123_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q124_store_scrub",
+    # Corruption injected BY CONSTRUCTION: every 13th customer's bigint
+    # cell holds non-numeric text (fails both the 8-byte binary and the
+    # text-fallback decode); name cells stay valid. The oracle replays
+    # the injection rule — the scrub must find exactly the injected set,
+    # no false positives on the healthy cells.
+    oracle="""
+    SELECT 'c_acct' AS cell, count(*) AS n_cells,
+           CAST(sum(CASE WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           count(DISTINCT CASE WHEN c_custkey % 13 = 0
+                               THEN c_custkey END) AS n_bad_rows
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM customer
+    """,
+    doc="store scrub (source.scrub_cells ≙ Cassandra's nodetool scrub): "
+    "one zero-shuffle codegen pass flags every live cell whose value "
+    "fails its column's declared dual binary/text decode — quarantine "
+    "is a filter on the output. The maintenance face of the codec "
+    "contract the reference enforced lazily at read time "
+    "(CassandraLazy*.java: decode failure surfaces as NULL mid-query); "
+    "scrubbing finds the damage before queries do. Overflow variant of "
+    "the in-window codec_decode family (q48)",
+)
+def q124_store_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_cassandra_spark import codecs, source
+
+    cust = _t(spark, sf_dir, "customer")
+    rk = codecs.encode_col(F.col("c_custkey"), "bigint")
+    bad = F.col("c_custkey") % 13 == 0
+    name_cells = cust.select(
+        rk.alias("row_key"),
+        F.lit(b"c_name").alias("column_name"),
+        codecs.encode_col(F.col("c_name"), "string").alias("value"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    acct_cells = cust.select(
+        rk.alias("row_key"),
+        F.lit(b"c_acct").alias("column_name"),
+        F.when(
+            bad,
+            codecs.encode_col(
+                F.concat(F.lit("corrupt#"), F.col("c_custkey").cast("string")),
+                "string",
+            ),
+        )
+        .otherwise(
+            codecs.encode_col(F.col("c_custkey") * 100 + 7, "bigint")
+        )
+        .alias("value"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    scrubbed = source.scrub_cells(
+        name_cells.unionByName(acct_cells),
+        {b"c_name": "string", b"c_acct": "bigint"},
+    )
+    return scrubbed.groupBy(
+        F.col("column_name").cast("string").alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("corrupt").cast("long")).alias("n_corrupt"),
+        F.count_distinct(
+            F.when(F.col("corrupt"), F.col("row_key"))
+        ).alias("n_bad_rows"),
+    )
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5816,6 +5886,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # streaming histograms compose the in-window stream-window (q50) and
     # agg (q01/q121) capabilities
     "q123_stream_histogram": {"stream_window", "agg"},
+    # scrub is the maintenance face of the in-window codec_decode
+    # contract (q48)
+    "q124_store_scrub": {"codec_decode"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

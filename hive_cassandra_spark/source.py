@@ -284,3 +284,31 @@ def slice_cells(
             .drop("__rn")
         )
     return out
+
+
+def scrub_cells(cells: DataFrame, column_types: dict[bytes, str]) -> DataFrame:
+    """Store scrub (≙ Cassandra's ``nodetool scrub`` pass over sstables):
+    flag every live cell whose value fails its column's DECLARED decode —
+    the full dual binary/text rule of ``codecs.decode_col``, so a cell is
+    corrupt only when neither the fixed-width binary form nor the text
+    fallback parses. Adds a ``corrupt`` boolean; columns not in
+    ``column_types`` are never flagged (no declared type → no contract to
+    violate), and tombstones (NULL values) are deletes, not corruption.
+
+    Pure codegen'd projection — zero shuffle, no Python; at 100 TB the
+    scrub is exactly one scan, and quarantining is a filter on its
+    output."""
+    from hive_cassandra_spark import codecs
+
+    failed = None
+    for cname, htype in column_types.items():
+        this = (F.col("column_name") == F.lit(cname)) & codecs.decode_col(
+            F.col("value"), htype
+        ).isNull()
+        failed = this if failed is None else (failed | this)
+    corrupt = (
+        F.col("value").isNotNull() & failed
+        if failed is not None
+        else F.lit(False)
+    )
+    return cells.withColumn("corrupt", corrupt)

@@ -300,3 +300,35 @@ def test_compact_store_semantics(spark, tmp_path):
     parent = os.path.dirname(store)
     assert not glob.glob(f"{parent}/*.compacting-*")
     assert not glob.glob(f"{parent}/*.old-*")
+
+
+def test_scrub_cells_flags_only_declared_failures(spark):
+    from hive_cassandra_spark import codecs, source
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [
+            (b"r1", b"num", None, 1),          # tombstone: never corrupt
+            (b"r2", b"num", b"notanum", 1),    # fails bigint dual decode
+            (b"r3", b"num", b"12345", 1),      # text fallback parses
+            (b"r4", b"txt", b"\xff\xfe", 1),   # undeclared column: skipped
+        ],
+        "row_key binary, column_name binary, value binary, ts long",
+    )
+    eight = spark.range(1).select(
+        F.lit(b"r5").alias("row_key"), F.lit(b"num").alias("column_name"),
+        codecs.encode_col(F.lit(4242).cast("bigint"), "bigint").alias("value"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    out = {
+        r.row_key: r.corrupt
+        for r in source.scrub_cells(
+            rows.unionByName(eight), {b"num": "bigint"}
+        ).collect()
+    }
+    assert out == {b"r1": False, b"r2": True, b"r3": False,
+                   b"r4": False, b"r5": False}
+    # zero-shuffle projection
+    plan = source.scrub_cells(rows, {b"num": "bigint"})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
