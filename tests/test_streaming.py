@@ -485,3 +485,39 @@ def test_stream_countmin_multi_batch_equals_batch_sketch(spark, sf_dir, tmp_path
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_histogram_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Two-file replay: built-in streaming agg state must land the
+    complete-mode histogram exactly on the batch histogram."""
+    from hive_cassandra_spark.operators.relational import histogram
+
+    ev = load_events(spark, sf_dir)
+    half = str(tmp_path / "halves")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(half)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(half)
+    stream_src = (
+        spark.readStream.schema(se.EVENTS_SCHEMA_TS)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(f"{half}/*.parquet")
+    )
+    out = se.run_bounded(
+        se.stream_histogram(stream_src, "1 hour", 0.0, 400.0, 8),
+        spark,
+        "complete",
+    )
+    bucket = F.to_timestamp(F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+    keyed = ev.select(
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "value",
+    )
+    want = histogram(
+        keyed, ["window_start", "event_type"], "value", 0.0, 400.0, 8
+    )
+    got = {(r.window_start, r.event_type, r.bin): r.cnt for r in out.collect()}
+    exp = {(r.window_start, r.event_type, r.bin): r.cnt for r in want.collect()}
+    assert got == exp
