@@ -100,6 +100,9 @@ HEADLINE = [
     "q118_multimodal_gif",
     "q121_histogram",
     "q122_curation_v2",
+    # seventh batch: streaming distribution monitoring and the scrub pass
+    "q123_stream_histogram",
+    "q124_store_scrub",
 ]
 
 
