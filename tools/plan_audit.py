@@ -298,25 +298,36 @@ def _scaling_section() -> str:
         return ""
     with open(path) as f:
         data = _json.load(f)
+    pts = data["points"]
+    labs = [k for k in sorted(pts) if k != "a"]
     lines = [
-        "## Two-point scaling (measured, not argued)",
+        "## Multi-point scaling (measured, not argued)",
         "",
-        f"`python tools/scaling_check.py` — point a = sf0.1, point b = "
-        f"{data['points']['b'].split(' (')[-1].rstrip(')')} with per-replica "
-        "key offsets and Caesar-substituted document text (cardinalities "
-        "scale with volume; dup structure preserved per replica, disjoint "
-        "across replicas). Wall-clock medians plus ACTUAL shuffle-write "
-        "bytes from the status API:",
+        f"`python tools/scaling_check.py` — point a = sf0.1; "
+        + "; ".join(
+            f"point {k} = {pts[k].split(' (')[-1].rstrip(')')}" for k in labs
+        )
+        + " with per-replica key offsets and Caesar-substituted document "
+        "text (cardinalities scale with volume; dup structure preserved "
+        "per replica, disjoint across replicas). Wall-clock medians plus "
+        "ACTUAL shuffle-write bytes from the status API:",
         "",
-        "| query | sec a | sec b | sec ratio | shuffle a (MB) | shuffle b (MB) | shuffle ratio |",
-        "|---|---|---|---|---|---|---|",
+        "| query | "
+        + " | ".join(f"sec {k}" for k in ["a"] + labs)
+        + " | "
+        + " | ".join(f"shuffle {k} (MB)" for k in ["a"] + labs)
+        + " | "
+        + " | ".join(f"shuffle ratio {k}/a" for k in labs)
+        + " |",
+        "|" + "---|" * (1 + 2 * (1 + len(labs)) + len(labs)),
     ]
     for name, r in data["queries"].items():
-        lines.append(
-            f"| {name} | {r['a']['sec']} | {r['b']['sec']} | "
-            f"{r['sec_ratio']} | {r['a']['shuffle_mb']} | "
-            f"{r['b']['shuffle_mb']} | {r['shuffle_ratio']} |"
+        cells = (
+            [str(r[k]["sec"]) for k in ["a"] + labs]
+            + [str(r[k]["shuffle_mb"]) for k in ["a"] + labs]
+            + [str(r.get(f"shuffle_ratio_{k}")) for k in labs]
         )
+        lines.append("| " + name + " | " + " | ".join(cells) + " |")
     lines += [
         "",
         "Reading: the dedup pipelines (q33/q34) carry the corpus through "
@@ -325,8 +336,8 @@ def _scaling_section() -> str:
         "quadratic blowup despite pair output scaling with volume. "
         "q82's shuffle stays O(partitions × groups × k) — megabytes at any "
         "volume. q47's exchanges carry only top-k candidates per probe; "
-        "q92's centroid-build + cell-join shuffles grow sub-linearly (3× at "
-        "5× volume) because the exchanges carry ids and partial sums, not "
+        "q92's centroid-build + cell-join shuffles grow sub-linearly "
+        "because the exchanges carry ids and partial sums, not "
         "vectors; q62's state is bounded by the join's time-range "
         "condition, and its shuffle scales with the micro-batch volume, "
         "not history. Round-6 second batch: q95's shuffle is the ~KB "
@@ -337,11 +348,14 @@ def _scaling_section() -> str:
         "Round-6 fourth batch: q106's shuffle bytes are ENTIRELY the two "
         "bucketed writes (the prepaid exchange — linear in volume by "
         "definition); the co-located join itself adds zero, which is the "
-        "claim. q107's shuffle is ~0 MB at BOTH volumes: range digests "
+        "claim. q107's shuffle is ~0 MB at EVERY volume: range digests "
         "exchange 16 rows regardless of store size and repair bytes track "
         "the divergent fraction — the flattest scaling curve in the "
         "table. "
-        "Sub-linear wall-clock ratios at 5× volume mean fixed per-query "
+        "With two scaled points (5× and 10×) the curve SHAPE is visible: a "
+        "bounded-shuffle claim must show ratios flat or sub-linear from b "
+        "to c, not just one favorable pair. Sub-linear wall-clock ratios "
+        "at scaled volume mean fixed per-query "
         "overhead (micro-batch setup, codegen) still dominates at sf0.1 "
         "scale — the shuffle-bytes column is the scale-truthful signal.",
         "",

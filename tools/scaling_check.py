@@ -142,9 +142,12 @@ def main() -> None:
     from hive_cassandra_spark.queries import QUERIES
     from hive_cassandra_spark.session import get_spark
 
-    replicas, trials = 5, 2
+    replicas, trials = [5, 10], 2
     if "--replicas" in sys.argv:
-        replicas = int(sys.argv[sys.argv.index("--replicas") + 1])
+        replicas = [
+            int(x)
+            for x in sys.argv[sys.argv.index("--replicas") + 1].split(",")
+        ]
     if "--trials" in sys.argv:
         trials = int(sys.argv[sys.argv.index("--trials") + 1])
     spark = get_spark(
@@ -152,19 +155,32 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",  # the shuffle-bytes probe needs REST
             "spark.ui.port": "4242",
+            # the 10x point broadcasts 10x-sized build sides; the default
+            # 1g local heap can't hold them (fresh process → effective)
+            "spark.driver.memory": "12g",
+            # the shuffle-bytes probe sums CUMULATIVE per-stage counters;
+            # with the default ~1000 retained stages a long run evicts
+            # early stages and deltas go negative — retain everything
+            "spark.ui.retainedStages": "100000",
         },
     )
-    scaled = build_scaled_dir(spark, replicas)
+    labels = [chr(ord("b") + i) for i in range(len(replicas))]
+    dirs = {"a": SF_DIR}
+    points = {"a": SF_DIR}
+    for lab, n in zip(labels, replicas):
+        d = build_scaled_dir(spark, n)
+        dirs[lab] = d
+        points[lab] = f"{d} ({n}x sf0.1)"
     out: dict = {
-        "metric": "two_point_scaling",
-        "points": {"a": SF_DIR, "b": f"{scaled} ({replicas}x sf0.1)"},
+        "metric": "multi_point_scaling",
+        "points": points,
         "trials": trials,
         "queries": {},
     }
     for name in QUERIES_UNDER_TEST:
         fn = QUERIES[name].fn
         rec: dict = {}
-        for label, sf_dir in (("a", SF_DIR), ("b", scaled)):
+        for label, sf_dir in dirs.items():
             fn(spark, sf_dir).count()  # warm: codegen + footers
             secs, rows, shuf = [], 0, 0
             for _ in range(trials):
@@ -174,16 +190,24 @@ def main() -> None:
                 rows = fn(spark, sf_dir).count()
                 secs.append(time.perf_counter() - t0)
                 shuf = shuffle_write_bytes(spark) - s0
+                if shuf < 0:
+                    raise RuntimeError(
+                        "stage store evicted mid-run — raise "
+                        "spark.ui.retainedStages"
+                    )
             rec[label] = {
                 "sec": round(statistics.median(secs), 3),
                 "rows": rows,
                 "shuffle_mb": round(shuf / 1e6, 2),
             }
-        rec["sec_ratio"] = round(rec["b"]["sec"] / max(rec["a"]["sec"], 1e-9), 2)
         sa = rec["a"]["shuffle_mb"]
-        rec["shuffle_ratio"] = (
-            round(rec["b"]["shuffle_mb"] / sa, 2) if sa > 0 else None
-        )
+        for lab in labels:
+            rec[f"sec_ratio_{lab}"] = round(
+                rec[lab]["sec"] / max(rec["a"]["sec"], 1e-9), 2
+            )
+            rec[f"shuffle_ratio_{lab}"] = (
+                round(rec[lab]["shuffle_mb"] / sa, 2) if sa > 0 else None
+            )
         out["queries"][name] = rec
         print(f"# {name}: {json.dumps(rec)}", file=sys.stderr)
     with open("/root/repo/SCALING_r06.json", "w") as f:
