@@ -1,4 +1,4 @@
-"""Two-point scaling evidence for the most expensive headline queries
+"""Multi-point scaling evidence for the most expensive headline queries
 (r05 verdict item 6): every "O(groups x k) shuffle" claim in PLANS.md was
 argued from the plan and verified at one scale point. This harness turns
 the assertions into measurements.
@@ -6,7 +6,7 @@ the assertions into measurements.
 It synthesizes an N-replica scale-up of sf0.1 under /tmp (keys offset per
 replica so CARDINALITIES scale with volume — near-dup text perturbed so
 the dedup pair structure doesn't degenerate into N-way identical
-clusters), then runs the most expensive headline queries at both points,
+clusters), then runs the most expensive headline queries at every point,
 recording wall-clock AND actual shuffle-write bytes (REST status API on a
 UI-enabled session). A bounded-shuffle plan must scale shuffle bytes
 sub-linearly — or, where the shuffle carries the data (dedup pipelines),
