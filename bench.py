@@ -144,6 +144,15 @@ def main() -> None:
         "q106_bucketed_join",
         "q107_merkle_repair",
         "q108_secondary_index",
+        "q112_snapshot_read",
+        "q114_global_shuffle",
+        "q115_partitioned_rollup",
+        "q117_analyze_stats",
+        "q118_multimodal_gif",
+        "q121_histogram",
+        "q122_curation_v2",
+        "q123_stream_histogram",
+        "q124_store_scrub",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()
