@@ -5481,6 +5481,120 @@ def q124_store_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q125_maintenance_runbook",
+    # Replica A is BOTH incomplete (every 7th event's writes lost) and
+    # corrupted (every 9th event's bigint 'val' cell holds text garbage);
+    # replica B is complete but stale on every 11th event's 'val' (ts 1,
+    # value id*2 instead of the fresh id*3+1). The runbook — scrub A,
+    # quarantine, Merkle-diff against B, repair only divergent ranges,
+    # splice with A's clean in-sync ranges — must land on exactly the
+    # per-event winners the serial rules give: stale survives only where
+    # A lost AND B was stale (id%11=5 and (id%7=3 or id%9=4)).
+    oracle="""
+    WITH f AS (SELECT event_id AS id, user_id,
+                      CASE WHEN event_id % 11 = 5
+                                AND (event_id % 7 = 3 OR event_id % 9 = 4)
+                           THEN event_id * 2 ELSE event_id * 3 + 1 END AS val
+               FROM events)
+    SELECT 'user' AS cell, count(*) AS n_cells,
+           count(DISTINCT id) AS n_rows,
+           CAST(sum(user_id) AS BIGINT) AS sum_val
+    FROM f
+    UNION ALL
+    SELECT 'val', count(*), count(DISTINCT id), CAST(sum(val) AS BIGINT)
+    FROM f
+    """,
+    doc="the store-maintenance runbook as ONE pipeline: scrub replica A "
+    "(source.scrub_cells flags decode-contract violations), quarantine "
+    "the corrupt cells, exchange Merkle range digests with replica B "
+    "(repair.range_digests/merkle_diff — 16 rows, not data), LWW-repair "
+    "ONLY the divergent ranges (repair.repair_ranges), and splice the "
+    "repaired ranges with A's untouched in-sync ranges. Corruption, "
+    "loss, and staleness all injected by construction; the oracle "
+    "replays the per-event winner rules serially. Composes the "
+    "in-window codec_decode (q48/q124), anti_entropy (q107), and lww "
+    "(q28) families — the nodetool scrub + repair afternoon, in one "
+    "driver-gated plan",
+)
+def q125_maintenance_runbook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_cassandra_spark import codecs, repair, source
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    rk = codecs.encode_col(F.col("event_id"), "bigint")
+    fresh_val = codecs.encode_col(F.col("event_id") * 3 + 1, "bigint")
+    stale_val = codecs.encode_col(F.col("event_id") * 2, "bigint")
+    # NOT 8 bytes long for any id (the dual-decode rule accepts ANY
+    # 8-byte value as a binary long — a 4-digit id after 'bad#' would
+    # sneak through as a huge but "valid" number)
+    garbage = codecs.encode_col(
+        F.concat(F.lit("corrupt#"), F.col("event_id").cast("string")),
+        "string",
+    )
+    lost = F.col("event_id") % 7 == 3
+    corrupt = F.col("event_id") % 9 == 4
+    stale = F.col("event_id") % 11 == 5
+
+    def cells(user_v, val_v, ts_user, ts_val, flt=None):
+        src = ev if flt is None else ev.filter(flt)
+        u = src.select(
+            rk.alias("row_key"), F.lit(b"user").alias("column_name"),
+            user_v.alias("value"), ts_user.alias("ts"),
+        )
+        v = src.select(
+            rk.alias("row_key"), F.lit(b"val").alias("column_name"),
+            val_v.alias("value"), ts_val.alias("ts"),
+        )
+        return u.unionByName(v)
+
+    user_enc = codecs.encode_col(F.col("user_id"), "bigint")
+    two = F.lit(2).cast("long")
+    a = cells(
+        user_enc,
+        F.when(corrupt, garbage).otherwise(fresh_val),
+        two,
+        two,
+        flt=~lost,
+    )
+    b = cells(
+        user_enc,
+        F.when(stale, stale_val).otherwise(fresh_val),
+        two,
+        F.when(stale, F.lit(1)).otherwise(F.lit(2)).cast("long"),
+    )
+    # 1. scrub + quarantine: only 'val' carries the bigint contract here
+    # ('user' is always bigint-valid by construction)
+    a_clean = source.scrub_cells(a, {b"val": "bigint"}).filter(
+        ~F.col("corrupt")
+    ).drop("corrupt")
+    # 2. digest exchange + diff
+    cell_cols = ["row_key", "column_name", "value", "ts"]
+    diff = repair.merkle_diff(
+        repair.range_digests(a_clean, "row_key", cell_cols, 16),
+        repair.range_digests(b, "row_key", cell_cols, 16),
+    )
+    # 3. repair only the divergent ranges
+    repaired = repair.repair_ranges(
+        a_clean, b, diff, "row_key",
+        ["row_key", "column_name"], "ts", ["value"], 16,
+    ).drop("bucket")
+    # 4. splice with A's clean in-sync ranges
+    in_sync = diff.filter(~F.col("mismatch")).select("bucket")
+    a_keep = (
+        a_clean.withColumn("bucket", repair.token_bucket("row_key", 16))
+        .join(F.broadcast(in_sync), "bucket")
+        .drop("bucket")
+    )
+    final = a_keep.unionByName(repaired.select(*cell_cols))
+    return final.groupBy(
+        F.col("column_name").cast("string").alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("row_key").alias("n_rows"),
+        F.sum(codecs.decode_col(F.col("value"), "bigint")).alias("sum_val"),
+    )
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -5889,6 +6003,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # scrub is the maintenance face of the in-window codec_decode
     # contract (q48)
     "q124_store_scrub": {"codec_decode"},
+    # the runbook composes in-window codec_decode (q48/q124), anti-entropy
+    # (q107), and lww (q28) capabilities
+    "q125_maintenance_runbook": {"codec_decode", "anti_entropy", "lww"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
