@@ -615,3 +615,35 @@ def histogram(
         .groupBy(*group_cols, bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group priority sampling: ``weighted_sample``'s contract (md5
+    priorities, weight-proportional, RNG-free, repartition-stable) with
+    an independent k-slot draw PER GROUP — the per-source quota form a
+    corpus mix actually uses ("top 10k docs per crawl, length-weighted").
+    One shuffle on the group key; the rank window prunes map-side via
+    WindowGroupLimit, so no reducer materializes more than ~k rows per
+    group. Adds ``rank`` (1-based within the group)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from hive_cassandra_spark.operators.sketches import hash52
+
+    pri = (
+        F.col(weight_col).cast("double") * float(1 << 52)
+    ) / (hash52(F.col(key_col).cast("string")) + 1).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__pri"), F.col(key_col)
+    )
+    return (
+        df.withColumn("__pri", pri)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("__pri")
+    )

@@ -5595,6 +5595,45 @@ def q125_maintenance_runbook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q126_weighted_sample_per_source",
+    # Same cross-engine-deterministic priority formula as q109, drawn
+    # independently per source: DuckDB replays with a per-partition
+    # row_number over the identical double ordering.
+    oracle="""
+    WITH p AS (
+        SELECT source, doc_id, n_chars,
+               (CAST(n_chars AS DOUBLE) * 4503599627370496.0)
+               / CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) + 1 AS DOUBLE) AS pri
+        FROM documents),
+    r AS (SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY pri DESC, doc_id) AS rank
+          FROM p)
+    SELECT source, doc_id, n_chars AS weight, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 30
+    """,
+    doc="per-source weighted quota sampling "
+    "(relational.weighted_sample_per_group): q109's priority-sampling "
+    "contract drawn independently per source — the 'top-k docs per "
+    "crawl, length-weighted' quota a corpus mix uses. One shuffle on "
+    "the group key; WindowGroupLimit prunes to ~k rows per group "
+    "map-side before the exchange. Overflow variant of the in-window "
+    "weighted-sampling family (q109)",
+)
+def q126_weighted_sample_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    out = relational.weighted_sample_per_group(
+        doc, ["source"], "doc_id", "n_chars", 30
+    )
+    return out.select(
+        "source", "doc_id", F.col("n_chars").alias("weight"), "rank"
+    )
+
+
+@register(
     "q109_weighted_sample",
     # Priority sampling is a pure function of (md5 hash, weight): u is
     # exact in double (h+1 <= 2^52, then a power-of-two division) and the
@@ -6006,6 +6045,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # the runbook composes in-window codec_decode (q48/q124), anti-entropy
     # (q107), and lww (q28) capabilities
     "q125_maintenance_runbook": {"codec_decode", "anti_entropy", "lww"},
+    # the per-source quota draw is a grouped variant of the in-window
+    # weighted-sampling capability (q109)
+    "q126_weighted_sample_per_source": {"weighted_sampling"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -410,3 +410,30 @@ def test_histogram_accounts_every_row_and_clamps(spark):
     assert sum(c for (g, _), c in got.items() if g == "a") == 6
     with pytest.raises(ValueError):
         histogram(df, ["g"], "v", 5.0, 5.0, 10)
+
+
+def test_weighted_sample_per_group_quota_and_plan(spark):
+    from hive_cassandra_spark.operators.relational import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    df = spark.range(600).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    out = weighted_sample_per_group(df, ["g"], "k", "w", 25)
+    sizes = {r.g: r.n for r in out.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {0: 25, 1: 25, 2: 25}  # exact quota per group
+    # a single-group draw matches the global sampler's selection exactly
+    one = df.filter(F.col("g") == 0)
+    a = {(r.k, r.rank) for r in weighted_sample_per_group(
+        one, ["g"], "k", "w", 25).select("k", "rank").collect()}
+    b = {(r.k, r.rank) for r in weighted_sample(
+        one, "k", "w", 25).select("k", "rank").collect()}
+    assert a == b
+    # map-side rank pruning before the exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
