@@ -103,6 +103,9 @@ HEADLINE = [
     # seventh batch: streaming distribution monitoring and the scrub pass
     "q123_stream_histogram",
     "q124_store_scrub",
+    # eighth batch: the maintenance runbook and the per-source quota draw
+    "q125_maintenance_runbook",
+    "q126_weighted_sample_per_source",
 ]
 
 
@@ -153,6 +156,8 @@ def main() -> None:
         "q122_curation_v2",
         "q123_stream_histogram",
         "q124_store_scrub",
+        "q125_maintenance_runbook",
+        "q126_weighted_sample_per_source",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()
