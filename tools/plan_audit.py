@@ -225,6 +225,21 @@ NOTES = {
         "(range exchange + per-partition window + broadcast offsets) "
         "over the 200 SELECTED rows only — the corpus never moves."
     ),
+    "q125_maintenance_runbook": (
+        "the scan count is the gate fixture deriving BOTH replicas from "
+        "one events table (production scans each replica's store once for "
+        "digests and once, range-pruned, for repair); the pipeline itself "
+        "is two 16-row digest aggs, a 16-row diff join, scrub as a "
+        "zero-shuffle projection, and a repair window over only the "
+        "divergent ranges — the broadcast feeds are the bad/in-sync "
+        "bucket lists."
+    ),
+    "q126_weighted_sample_per_source": (
+        "one exchange on the source key; WindowGroupLimit prunes each "
+        "map task to ~k rows per source BEFORE the shuffle, so the "
+        "exchange carries O(sources x k) rows regardless of corpus size "
+        "— the grouped form of q109's TakeOrdered shape."
+    ),
     "q33_dedup_minhash_lsh": (
         "runtime I/O: documents.parquet is scanned ONCE (sh_tbl cache build); "
         "every other reference reads the cache (round-1's '8 scans' was the "
