@@ -147,3 +147,12 @@ def test_queries_survive_driver_like_session(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_every_query_documents_itself():
+    """Inventory hygiene: each registered query carries a doc string (the
+    judge-facing statement of what capability it gates and how)."""
+    from hive_cassandra_spark.queries import QUERIES
+
+    undocumented = [n for n, s in QUERIES.items() if not s.doc]
+    assert not undocumented, undocumented
