@@ -380,7 +380,7 @@ def q07_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
     FROM c FULL OUTER JOIN s ON c.nk = s.nk
     """,
-    doc="full outer join of two aggregates",
+    doc="full outer join of two aggregated sides (nation coverage from both customer and supplier counts — Hive-0.9 FULL OUTER surface)",
 )
 def q08_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
@@ -409,7 +409,7 @@ def q08_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
-    doc="anti join (NOT EXISTS)",
+    doc="anti join (NOT EXISTS): customers with no orders — the left-anti member of the join surface",
 )
 def q09_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
@@ -465,7 +465,7 @@ def q11_priority_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
     FROM part GROUP BY p_brand HAVING count(*) >= 5
     """,
-    doc="GROUP BY ... HAVING",
+    doc="GROUP BY ... HAVING over a join: brands crossing a popularity threshold (post-aggregation filter surface)",
 )
 def q12_popular_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -649,7 +649,7 @@ def q17_solvent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCEPT
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
-    doc="EXCEPT (distinct)",
+    doc="EXCEPT (distinct): orders never reaching final status — the set-difference member of the set-op surface (Hive 0.9 had none)",
 )
 def q18_never_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_c = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -752,7 +752,7 @@ def q20_flag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n, round(sum(o_totalprice), 2) AS total
     FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
     """,
-    doc="ROLLUP grouping sets",
+    doc="ROLLUP grouping sets: year x priority with subtotal rows — the hierarchical-subtotal member of the cube family",
 )
 def q21_yearly_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
@@ -1465,7 +1465,7 @@ def q39_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS regex_token_count
     FROM documents
     """,
-    doc="BPE-ish regex token counting",
+    doc="BPE-ish regex token counting (text.token_count_regex): word/number/punctuation token classes in one zero-shuffle projection; standalone variant of the merged q38 suite",
 )
 def q40_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count_regex(_t(spark, sf_dir, "documents")).select(
