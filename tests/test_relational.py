@@ -437,3 +437,21 @@ def test_weighted_sample_per_group_quota_and_plan(spark):
     # map-side rank pruning before the exchange
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_weighted_sample_per_group_repartition_stable(spark):
+    from hive_cassandra_spark.operators.relational import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.range(900).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") % 11 + 1).alias("w"),
+    )
+    a = {(r.g, r.k, r.rank) for r in weighted_sample_per_group(
+        df, ["g"], "k", "w", 40).select("g", "k", "rank").collect()}
+    b = {(r.g, r.k, r.rank) for r in weighted_sample_per_group(
+        df.repartition(19), ["g"], "k", "w", 40
+    ).select("g", "k", "rank").collect()}
+    assert a == b
