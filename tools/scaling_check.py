@@ -15,7 +15,7 @@ no worse than linearly — in input volume.
 Writes SCALING_r06.json at the repo root (rendered into PLANS.md by
 tools/plan_audit.py) and prints it.
 
-Usage: python tools/scaling_check.py [--replicas N] [--trials T]
+Usage: python tools/scaling_check.py [--replicas N[,M...]] [--trials T]
 """
 
 from __future__ import annotations
