@@ -264,7 +264,7 @@ def length_batches(
         F.col(id_col), F.size(tokens(F.col(text_col))).alias("tok")
     )
     rn = relational.global_row_number(
-        toks, [F.col("tok").desc(), F.col(id_col).asc()]
+        toks, [("tok", "desc"), (id_col, "asc")]
     )
     b = rn.withColumn("batch_id", F.expr(f"rn div {batch_size}"))
     padded = (F.count(F.lit(1)) * F.max("tok")).cast("long")

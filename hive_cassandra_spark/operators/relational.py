@@ -261,6 +261,124 @@ def shard_manifest(
     )
 
 
+def _norm_order_by(order_by: list) -> list[tuple[str, bool]]:
+    """Normalize an order spec to [(column_name, is_desc)].
+
+    Accepts plain names (ascending) or ``(name, "asc"|"desc")`` tuples.
+    Plain named columns only — the two-phase prefix-sum helpers bake the
+    sort key into a deterministic bucket expression, so the key must be a
+    stored column, not an arbitrary expression (compute it with
+    ``withColumn`` first)."""
+    out: list[tuple[str, bool]] = []
+    for item in order_by:
+        if isinstance(item, str):
+            out.append((item, False))
+        elif isinstance(item, tuple) and len(item) == 2:
+            name, d = item
+            if d not in ("asc", "desc"):
+                raise ValueError(f"direction must be asc|desc, got {d!r}")
+            out.append((name, d == "desc"))
+        else:
+            raise TypeError(
+                "order_by items must be 'name' or ('name', 'asc'|'desc'); "
+                f"got {item!r}"
+            )
+    if not out:
+        raise ValueError("order_by must name at least one column")
+    return out
+
+
+def _sort_exprs(keys: list[tuple[str, bool]]) -> list:
+    return [F.col(n).desc() if d else F.col(n).asc() for n, d in keys]
+
+
+def order_bucket_column(
+    df: DataFrame,
+    keys: list[tuple[str, bool]],
+    nparts: int,
+    sample_per_bucket: int = 64,
+):
+    """DETERMINISTIC order-contiguous bucket id (0..nparts-1) for the rows
+    of ``df`` under the total order ``keys`` — the correctness-critical
+    primitive under the two-phase distributed prefix sum.
+
+    Why not ``repartitionByRange`` + ``spark_partition_id()``: Spark's
+    RangePartitioner samples its split points independently PER EXCHANGE
+    with a seed derived from the RDD id, so two consumers of the "same"
+    repartitioned plan can disagree about which row landed in which
+    partition unless the exchange is physically reused or the plan is
+    persisted — a silent-wrong-results hazard at scale (a cached copy of
+    the whole input is the alternative, and that leaks storage). Here the
+    split points are computed ONCE (one tiny TakeOrdered job), collected,
+    and baked into the returned expression as literals, so the bucket id
+    is a pure function of the row's data: every consumer, every retry,
+    and every recomputation agrees by construction.
+
+    Split sampling: the ``nparts * sample_per_bucket`` rows with the
+    smallest md5 of the key tuple — a deterministic pseudo-random sample
+    that plans as TakeOrderedAndProject (per-task heaps, driver merge;
+    never a global sort). The sample is driver-sorted in key order and
+    every len/nparts-th element becomes a split literal.
+
+    Correctness does NOT depend on split quality: the bucket expression
+    ``sum_i(row > split_i)`` is monotone in the sort order for ANY split
+    set, so a skewed sample only affects bucket balance, never the
+    ordering contract (bucket(x) <= bucket(y) whenever x precedes y).
+    Keys must be non-null and should be near-unique — all rows equal on
+    the full key land in one bucket (same tie behavior as a range
+    partitioner).
+
+    The expression is O(nparts) comparisons per row, JVM-codegen'd; at
+    the default 32-2000 shuffle partitions that is a few hundred branch
+    instructions — far cheaper than the full-row range exchange it
+    replaces (the caller's window shuffle on the bucket id does the
+    physical placement)."""
+    names = [n for n, _ in keys]
+    h = F.md5(F.concat_ws("\x1f", *[F.col(n).cast("string") for n in names]))
+    sample = (
+        df.select(*names)
+        .withColumn("__obk_h", h)
+        .orderBy("__obk_h")
+        .limit(max(nparts, 1) * sample_per_bucket)
+        .drop("__obk_h")
+        .collect()
+    )
+    if len(sample) < 2 or nparts < 2:
+        return F.lit(0)
+
+    from functools import cmp_to_key
+
+    def _cmp(a, b):
+        for n, d in keys:
+            x, y = a[n], b[n]
+            if x == y:
+                continue
+            lt = (x < y) != d  # flip for desc
+            return -1 if lt else 1
+        return 0
+
+    srt = sorted(sample, key=cmp_to_key(_cmp))
+    splits: list = []
+    for i in range(1, nparts):
+        cand = srt[(i * len(srt)) // nparts]
+        if not splits or _cmp(splits[-1], cand) < 0:
+            splits.append(cand)
+
+    def _row_gt(split) -> "F.Column":
+        # lexicographic "row > split" honoring per-column direction
+        cond = F.lit(False)
+        for n, d in reversed(keys):
+            c, lit = F.col(n), F.lit(split[n])
+            this_gt = (c < lit) if d else (c > lit)
+            cond = this_gt | ((c == lit) & cond)
+        return cond
+
+    bucket = F.lit(0)
+    for s in splits:
+        bucket = bucket + _row_gt(s).cast("int")
+    return bucket
+
+
 def prefix_sum_by_group(
     df: DataFrame,
     group_cols: list[str],
@@ -275,25 +393,29 @@ def prefix_sum_by_group(
     would funnel each group through one reducer: the straggler shape this
     module exists to avoid).
 
-    1. ``repartitionByRange(group..., order)`` — the RangePartitioner
-       assigns lexicographically ascending (group, order) ranges to
-       ascending partition ids, so within any group, partition p's rows
-       all precede partition p+1's.
-    2. Window prefix sum WITHIN (partition id, group) — parallel across
-       partitions, no task sees more than its own partition.
-    3. One tiny aggregation (≤ #partitions × #groups-straddling rows)
-       yields per-(pid, group) totals; their per-group exclusive prefix
-       sum over pid — computed in window form over that small table —
-       broadcast-joins back as each (pid, group)'s base offset.
+    1. ``order_bucket_column`` assigns each row a DETERMINISTIC
+       order-contiguous bucket id over (group..., order) — literal split
+       points, so within any group, bucket b's rows all precede b+1's and
+       every consumer of the plan agrees on the assignment (no persist,
+       no exchange-reuse dependence; see ``order_bucket_column``).
+    2. Window prefix sum WITHIN (bucket, group) — one hash shuffle on
+       (bucket, group), parallel across buckets.
+    3. One tiny aggregation (≤ #buckets × #groups-straddling rows) yields
+       per-(bucket, group) totals; their per-group exclusive prefix sum
+       over bucket id — window form over that small table —
+       broadcast-joins back as each (bucket, group)'s base offset. The
+       offsets branch re-scans the source (columnar, pruned to the key +
+       value columns) instead of caching it — at 100 TB a pruned second
+       scan is far cheaper than pinning the repartitioned table in
+       executor storage.
 
     Output: input columns + ``out_col`` (long). ``order_col`` must be
-    unique within a group for a deterministic sum.
+    non-null and unique within a group for a deterministic sum.
     """
     sess = df.sparkSession
     nparts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = df.repartitionByRange(
-        nparts, *[F.col(c) for c in group_cols], F.col(order_col)
-    ).withColumn("__pid", F.spark_partition_id()).persist()
+    keys = [(g, False) for g in group_cols] + [(order_col, False)]
+    base = df.withColumn("__pid", order_bucket_column(df, keys, nparts))
     w_in = (
         Window.partitionBy("__pid", *group_cols)
         .orderBy(order_col)
@@ -325,31 +447,30 @@ def prefix_sum_by_group(
 
 
 def global_row_number(
-    df: DataFrame, order_cols: list, out_col: str = "rn"
+    df: DataFrame, order_by: list, out_col: str = "rn"
 ) -> DataFrame:
-    """0-based GLOBAL row number in ``order_cols`` order without the
+    """0-based GLOBAL row number in ``order_by`` order without the
     single-task global window (`Window.orderBy(...)` with no partition key
     funnels the whole table through one reducer): the row-count special
     case of the two-phase distributed prefix sum.
 
-    1. ``repartitionByRange`` on the sort expressions — the
-       RangePartitioner assigns ascending sort ranges to ascending
-       partition ids (descending expressions included: the sampler orders
-       by the same SortOrder), so partition p wholly precedes p+1.
-    2. ``row_number`` WITHIN each partition (window keyed by partition id
-       — parallel), plus a broadcast exclusive prefix of the per-partition
-       row counts (≤ #partitions rows) as each partition's base.
+    1. ``order_bucket_column`` assigns a deterministic order-contiguous
+       bucket id from literal split points (bucket b wholly precedes
+       b+1; pure function of the data — consistent across the two
+       consumers below with no persist and no exchange-reuse dependence).
+    2. ``row_number`` WITHIN each bucket (window keyed by bucket id —
+       parallel, one hash shuffle), plus a broadcast exclusive prefix of
+       the per-bucket row counts (≤ #buckets rows) as each bucket's base;
+       the counts branch re-scans the source pruned to the key columns.
 
-    ``order_cols`` are Column expressions and may carry ``.desc()``; they
-    must form a total order for a deterministic numbering."""
+    ``order_by`` items are column names (ascending) or
+    ``("name", "desc")`` tuples; together they must form a total order
+    over non-null keys for a deterministic numbering."""
+    keys = _norm_order_by(order_by)
     sess = df.sparkSession
     nparts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = (
-        df.repartitionByRange(nparts, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    w_in = Window.partitionBy("__pid").orderBy(*order_cols)
+    base = df.withColumn("__pid", order_bucket_column(df, keys, nparts))
+    w_in = Window.partitionBy("__pid").orderBy(*_sort_exprs(keys))
     local = base.withColumn("__rn_in", F.row_number().over(w_in) - 1)
     w_off = (
         Window.orderBy("__pid")
@@ -525,7 +646,7 @@ def shuffle_shards(
     h = hash52(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     ordered = global_row_number(
         df.withColumn("__h", h),
-        [F.col("__h"), F.col(key_col)],
+        ["__h", key_col],
         out_col="shuffle_pos",
     )
     return ordered.withColumn(

@@ -241,6 +241,48 @@ def test_prefix_sum_by_group_matches_single_window(spark):
     assert got == expect
 
 
+def test_prefix_sum_leaves_no_cached_rdds_no_range_exchange(spark):
+    """r06 verdict item 3: the two-phase prefix-sum helpers must not leak
+    persisted RDDs (at 100 TB a cached copy of the repartitioned base is
+    the whole input). __pid consistency now comes from literal split
+    points (order_bucket_column): the bucket id is a pure function of the
+    data, so the two consumers agree with no persist — and the old
+    rangepartitioning exchange disappears from the plan entirely (the
+    window's hash exchange does the physical placement)."""
+    df = spark.createDataFrame(
+        [(i, f"g{i % 5}", i % 7 + 1) for i in range(500)],
+        "k long, g string, v long",
+    )
+    out = rel.prefix_sum_by_group(df.repartition(11), ["g"], "k", "v")
+    out.collect()
+    rn = rel.global_row_number(df, [("k", "desc")])
+    rn.collect()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0  # nothing left cached
+    for d in (out, rn):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan
+        assert "rangepartitioning" not in plan  # one less full-row shuffle
+
+
+def test_order_bucket_column_is_monotone_and_deterministic(spark):
+    """bucket(x) <= bucket(y) whenever x precedes y in the sort order, for
+    ANY split sample — and the assignment is identical across independent
+    evaluations (the property the RangePartitioner can't give two separate
+    exchanges)."""
+    df = spark.createDataFrame(
+        [(i, (i * 2654435761) % 1000) for i in range(2000)], "id long, v long"
+    )
+    b = rel.order_bucket_column(df, [("v", True), ("id", False)], 8)
+    rows = df.withColumn("b", b).collect()
+    srt = sorted(rows, key=lambda r: (-r.v, r.id))
+    buckets = [r.b for r in srt]
+    assert buckets == sorted(buckets)  # monotone along the sort order
+    assert len(set(buckets)) >= 4  # the sample actually spread the data
+    again = {(r.id): r.b for r in df.withColumn("b", b).collect()}
+    assert all(again[r.id] == r.b for r in rows)  # stable re-evaluation
+
+
 def test_global_row_number_matches_sort_order(spark):
     from hive_cassandra_spark.operators import relational as R
     from pyspark.sql import functions as F
@@ -248,7 +290,7 @@ def test_global_row_number_matches_sort_order(spark):
     df = spark.range(0, 1000).select(
         F.col("id"), (F.col("id") * 2654435761 % 97).alias("v")
     )
-    out = R.global_row_number(df, [F.col("v").desc(), F.col("id").asc()])
+    out = R.global_row_number(df, [("v", "desc"), ("id", "asc")])
     rows = sorted((r.rn, r.v, r.id) for r in out.collect())
     expect = sorted(
         ((r.v, r.id) for r in df.collect()), key=lambda t: (-t[0], t[1])
@@ -257,7 +299,7 @@ def test_global_row_number_matches_sort_order(spark):
     assert [(v, i) for _, v, i in rows] == expect
     # repartition-invariant: numbering depends only on the sort order
     again = R.global_row_number(
-        df.repartition(7), [F.col("v").desc(), F.col("id").asc()]
+        df.repartition(7), [("v", "desc"), ("id", "asc")]
     )
     assert sorted((r.rn, r.v, r.id) for r in again.collect()) == rows
 
