@@ -5805,70 +5805,65 @@ _WINDOW_ORDER = [
     # relational surface — one representative per capability
     "q01_pricing_summary",            # scan/filter/agg
     "q03_shipping_priority",          # inner+broadcast join, sort/limit (TakeOrdered)
-    # events family (round-1 env failures — verdict item 1)
-    "q28_lww_compaction",
-    "q64_hypertable_rollup",
-    "q65_batch_sessionize",
-    # LLM-pipeline operators (§2.C) — r03: all four previously-unwindowed
-    # operators (q67-q70) now earn driver rows
-    "q31_dedup_exact",
-    "q33_dedup_minhash_lsh",
-    "q35_dedup_embedding",
+    # LLM-pipeline operators (§2.C)
     "q67_neardup_clusters",
-    "q47_similarity_ivf",
     "q68_similarity_quantized",
     "q70_repetition_stats",
-    "q43_multimodal_features",        # REAL BMP container decode in-plan
-    "q69_stratified_sample",
     # round-3 curation capabilities (formerly PENDING_ROTATION)
     "q71_pack_sequences",
     "q72_contamination",
     "q73_pii_redact",
     "q74_keywords",
-    # round-4 rotation (r03 verdict item 1): the last five never-windowed
-    # operators earn driver rows
-    "q77_kmv_distinct",
     "q78_tokenize_ids",
-    "q79_shard_manifest",
     "q80_ttl_expiry",
     "q81_url_domains",
-    # round-5 capabilities (immediate rotation, q71-q74 precedent)
+    # round-5 capabilities
     "q82_quantile_sketch",
     "q83_multimodal_png",
     "q84_connector_datasource",
     "q85_stream_kmv_distinct",
-    "q86_normalize_unicode",
-    # round-6 rotation (r05 verdict items 1+3): q87/q89 clear
-    # PENDING_ROTATION per its contract; q90 is the new skew-stress gate
+    # round-6 capabilities (first driver rows in r06 — they stay at least
+    # one more round before graduation eligibility means anything)
     "q87_quality_cascade",
     "q89_bloom_filter",
     "q90_skew_salted_join",
-    # round-6 second rotation: new capabilities, immediate slots
     "q96_corpus_mixing",
     "q97_chunk_dedup",
     "q98_heavy_hitters",
-    # round-6 third rotation: new capabilities, immediate slots
     "q100_ngram_lm_score",
     "q101_html_extract",
     "q102_length_batches",
     "q103_kmv_set_ops",
-    # round-6 fourth rotation: new capabilities, immediate slots (see the
-    # rotation note above for the paired graduations that fund them)
     "q105_countmin_freq",
     "q106_bucketed_join",
     "q107_merkle_repair",
     "q108_secondary_index",
     "q109_weighted_sample",
     "q110_zorder_key",
-    # round-1 unchecked families (verdict item 2: q48-q62 by name)
-    "q48_validator_decode",
-    "q50_stream_tumbling",
-    "q52_stream_session",
-    "q58_range_join",
-    "q62_stream_stream_join",
-    # the storage-handler facade roundtrip (DDL write + synthesized mapping +
-    # consistency + batched cell I/O in one driver row)
-    "q66_connector_roundtrip",
+    # round-7 rotation (r06 verdict item 1, "pay the rotation debt"): the
+    # 18 round-6 overflow capabilities that never had a driver row take
+    # the slots of 18 multi-round-green bearers (each graduated with its
+    # cited rows — see GRADUATED). This clears 18 of the 26 never-hashed
+    # queries; the remaining 8 (q88/q93/q104/q113/q116/q118/q119/q120)
+    # stay overflow with in-window family bearers.
+    "q75_stream_static_join",
+    "q76_mergeable_minhash",
+    "q91_stream_cell_sink",
+    "q92_semantic_dedup",
+    "q94_store_compaction",
+    "q95_incremental_dedup",
+    "q99_stream_incremental_dedup",
+    "q111_stream_countmin",
+    "q112_snapshot_read",
+    "q114_global_shuffle",
+    "q115_partitioned_rollup",
+    "q117_analyze_stats",
+    "q121_histogram",
+    "q122_curation_v2",
+    "q123_stream_histogram",
+    "q124_store_scrub",
+    "q125_maintenance_runbook",
+    "q126_weighted_sample_per_source",
 ]
 
 # Capability tags per registered query. A query may bear several tags; the
@@ -6114,6 +6109,22 @@ GRADUATED = {
     "q39_lang_id",               # text_stats: green r01
     "q40_token_count_regex",     # text_stats: green r01
     "q41_fingerprint",           # text_stats: green r01
+    # round-7 graduations, funding the rotation-debt payoff (r06 verdict
+    # item 1). 18 multi-round-green bearers left the window; only the 5
+    # whose family tag would otherwise orphan need the GRADUATED
+    # exemption (the other 13 — q28/q31/q33/q35/q43/q47/q48/q50/q62/
+    # q64/q69/q77/q79 — are ordinary redundant overflow now: every one
+    # of their tags has an in-window bearer among the rotated-in
+    # queries, e.g. dedup_exact→q95, dedup_minhash→q76,
+    # dedup_embedding+similarity_ann→q92, lww→q94/q125,
+    # codec_decode→q124/q125, time_rollup→q115, sampling+sharding→
+    # q114/q122, sketch_distinct→q117, stream_window→q123,
+    # stream_join→q75/q99, multimodal→q83). Cited green rows:
+    "q66_connector_roundtrip",   # connector_ddl: green r02-r06 (sole member)
+    "q65_batch_sessionize",      # sessionize_batch: green r03+r05+r06 (sole member)
+    "q52_stream_session",        # stream_session: green r02+r03+r05+r06 (sole member)
+    "q58_range_join",            # range_join: green r02+r03+r05+r06 (sole member)
+    "q86_normalize_unicode",     # unicode_norm: green r05+r06 (sole member)
 }
 
 

@@ -20,6 +20,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# Evidence from the most recent run_bounded() stream, for the plan audit:
+# {"plan": <last micro-batch physical plan str>, "progress": <lastProgress>}
+LAST_BOUNDED_RUN: dict = {}
+
 # ts declared bigint: for TIMESTAMP(NANOS) fixtures Spark reads ts as a
 # nanos long (legacy.parquet.nanosAsLong) — converted in the reader.
 EVENTS_SCHEMA = (
@@ -383,6 +387,15 @@ def run_bounded(
             .start()
         )
         q.awaitTermination()
+        # audit evidence for tools/plan_audit.py: the last micro-batch's
+        # physical plan plus the final progress (state-operator
+        # numRowsTotal/numRowsUpdated/memoryUsedBytes are the bounded-
+        # state proof the batch-side plan audit can't see)
+        try:
+            LAST_BOUNDED_RUN["plan"] = q._jsq.explainInternal(False)
+        except Exception:
+            LAST_BOUNDED_RUN["plan"] = ""
+        LAST_BOUNDED_RUN["progress"] = q.lastProgress
     finally:
         if state_partitions is not None:
             conf.set("spark.sql.shuffle.partitions", prev)

@@ -47,38 +47,32 @@ def test_registration_window_covers_every_family():
     names = list(entrymod.queries())
     window = set(names[:50])
     pinned = {
-        # round-1 env failures + families with no round-1 driver row
-        # (q29/q30 GRADUATED in round 5 after green rows in r02+r03+r04;
-        # q27/q56 GRADUATED in the round-6 second rotation after green
-        # r02-r05 — q84's sub_column_name/ttl_s path bears super_cf, and
-        # q56's curation stages all have in-window bearers)
-        "q28_lww_compaction",
-        "q64_hypertable_rollup", "q65_batch_sessionize",
-        # (q49/q57/q59 GRADUATED in round 6 after green rows in r02-r05)
-        "q48_validator_decode", "q50_stream_tumbling",
-        "q52_stream_session",
-        "q58_range_join",
-        "q62_stream_stream_join",
-        # round-2 verdict item 6: previously past the window
+        # survivors of earlier rotations (round-2..6 lessons; each earlier
+        # graduation is documented in queries.GRADUATED with cited rows)
         "q67_neardup_clusters", "q68_similarity_quantized",
-        "q69_stratified_sample", "q70_repetition_stats",
-        # round-3 curation capabilities, rotated in the same round
+        "q70_repetition_stats",
         "q71_pack_sequences", "q72_contamination",
         "q73_pii_redact", "q74_keywords",
-        # round-4 rotation: the last never-windowed operators
-        "q77_kmv_distinct", "q78_tokenize_ids", "q79_shard_manifest",
+        "q78_tokenize_ids",
         "q80_ttl_expiry", "q81_url_domains",
-        # round-5 capabilities, rotated in the same round
         "q82_quantile_sketch", "q83_multimodal_png",
         "q84_connector_datasource", "q85_stream_kmv_distinct",
-        "q86_normalize_unicode",
-        # round-6 rotation: PENDING_ROTATION cleared + the skew gate
+        # round-6 capabilities: first driver row in r06, too young to leave
         "q87_quality_cascade", "q89_bloom_filter", "q90_skew_salted_join",
-        # round-6 second rotation: new capabilities, immediate slots
         "q96_corpus_mixing", "q97_chunk_dedup", "q98_heavy_hitters",
-        # round-6 fourth rotation: new capabilities, immediate slots
         "q105_countmin_freq", "q106_bucketed_join", "q107_merkle_repair",
         "q108_secondary_index", "q109_weighted_sample", "q110_zorder_key",
+        # round-7 rotation (r06 verdict item 1): the 18 never-driver-
+        # checked round-6 overflow capabilities earn their first rows
+        "q75_stream_static_join", "q76_mergeable_minhash",
+        "q91_stream_cell_sink", "q92_semantic_dedup",
+        "q94_store_compaction", "q95_incremental_dedup",
+        "q99_stream_incremental_dedup", "q111_stream_countmin",
+        "q112_snapshot_read", "q114_global_shuffle",
+        "q115_partitioned_rollup", "q117_analyze_stats",
+        "q121_histogram", "q122_curation_v2", "q123_stream_histogram",
+        "q124_store_scrub", "q125_maintenance_runbook",
+        "q126_weighted_sample_per_source",
     }
     assert pinned <= window, sorted(pinned - window)
     # every query (in or out) must carry family tags, and every overflow

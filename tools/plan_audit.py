@@ -308,7 +308,9 @@ def _scaling_section() -> str:
     import json as _json
     import os as _os
 
-    path = "/root/repo/SCALING_r06.json"
+    path = "/root/repo/SCALING_r07.json"
+    if not _os.path.exists(path):
+        path = "/root/repo/SCALING_r06.json"
     if not _os.path.exists(path):
         return ""
     with open(path) as f:
@@ -333,14 +335,15 @@ def _scaling_section() -> str:
         + " | ".join(f"shuffle {k} (MB)" for k in ["a"] + labs)
         + " | "
         + " | ".join(f"shuffle ratio {k}/a" for k in labs)
-        + " |",
-        "|" + "---|" * (1 + 2 * (1 + len(labs)) + len(labs)),
+        + " | rows check |",
+        "|" + "---|" * (2 + 2 * (1 + len(labs)) + len(labs)),
     ]
     for name, r in data["queries"].items():
         cells = (
             [str(r[k]["sec"]) for k in ["a"] + labs]
             + [str(r[k]["shuffle_mb"]) for k in ["a"] + labs]
             + [str(r.get(f"shuffle_ratio_{k}")) for k in labs]
+            + [str(r.get("rows_check", "n/a"))]
         )
         lines.append("| " + name + " | " + " | ".join(cells) + " |")
     lines += [
@@ -372,7 +375,20 @@ def _scaling_section() -> str:
         "to c, not just one favorable pair. Sub-linear wall-clock ratios "
         "at scaled volume mean fixed per-query "
         "overhead (micro-batch setup, codegen) still dominates at sf0.1 "
-        "scale — the shuffle-bytes column is the scale-truthful signal.",
+        "scale — the shuffle-bytes column is the scale-truthful signal. "
+        "Round-7 additions: every row now carries a RESULT check (r06 "
+        "verdict item 2 — non-empty everywhere, equal rows for "
+        "fixed-cardinality outputs, growing rows for volume-tracking "
+        "ones; q98 reads a frequency-preserving replica so its heavy-"
+        "hitter set is scale-invariant instead of diluting to zero). "
+        "q84/q112 put the Python DSv2 seam and the streaming commit-log "
+        "on the curve — their cost is per-Arrow-batch, so wall grows "
+        "~linearly in cells with fixed-row outputs. wide_row_stress is "
+        "the reference's pathological single row "
+        "(ColumnFamilyWideRowRecordReader.java:240-429) at 1M cells × "
+        "the replica multiple: paged_cells must honor its page bound at "
+        "every width (asserted in-run) and the slice window spills "
+        "rather than OOMs.",
         "",
     ]
     return "\n".join(lines)

@@ -12,7 +12,23 @@ UI-enabled session). A bounded-shuffle plan must scale shuffle bytes
 sub-linearly — or, where the shuffle carries the data (dedup pipelines),
 no worse than linearly — in input volume.
 
-Writes SCALING_r06.json at the repo root (rendered into PLANS.md by
+Round-7 additions (r06 verdict items 2, 5, 7):
+- every scaled point is RESULT-CHECKED, not just timed: rows must be
+  non-zero everywhere, equal across points for fixed-output queries, and
+  strictly growing for volume-tracking ones (r06's q98 regression: the
+  scaled runs returned 0 rows, timing a near-empty plan);
+- q98 runs against a FREQUENCY-PRESERVING replica (ids offset, text
+  unchanged) so per-token counts scale with the corpus and the
+  N/(cap+1) heavy-hitter threshold keeps the same 30 survivors — the
+  Caesar-shifted replica used by the dedup queries deliberately makes
+  token spaces disjoint, which dilutes every key below threshold;
+- the connector/streaming seam (q84, q112) joins the table so the
+  Arrow-seam cost's growth rate is measured, not argued;
+- a wide-row stress point: one pathological row with 1M cells (the
+  workload ColumnFamilyWideRowRecordReader.java:240-429 exists for),
+  paged + sliced + transposed, verified bounded per task at 1x and Nx.
+
+Writes SCALING_r07.json at the repo root (rendered into PLANS.md by
 tools/plan_audit.py) and prints it.
 
 Usage: python tools/scaling_check.py [--replicas N[,M...]] [--trials T]
@@ -57,9 +73,40 @@ QUERIES_UNDER_TEST = [
     # divergent fraction, which replication keeps proportional)
     "q106_bucketed_join",
     "q107_merkle_repair",
+    # round-7 batch (r06 verdict item 5): the two most expensive headline
+    # paths — the Python DSv2 seam (batch write+read roundtrip, q84) and
+    # the streaming commit-log + time-travel read (q112). The seam cost
+    # is per-Arrow-batch with a fixed constant; both should scale
+    # ~linearly in cells with fixed-row outputs.
+    "q84_connector_datasource",
+    "q112_snapshot_read",
 ]
+# Expected row behavior across scale points — the result check (r06
+# verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
+# per-group / per-section outputs) and must be EQUAL at every point.
+# "grows": output tracks volume and must strictly increase vs point a.
+EXPECT_ROWS = {
+    "q33_dedup_minhash_lsh": "grows",
+    "q47_similarity_ivf": "fixed",
+    "q62_stream_stream_join": "grows",
+    "q82_quantile_sketch": "fixed",
+    "q34_dedup_simhash": "grows",
+    "q92_semantic_dedup": "grows",
+    "q95_incremental_dedup": "grows",
+    "q96_corpus_mixing": "fixed",
+    "q97_chunk_dedup": "grows",
+    "q98_heavy_hitters": "fixed",
+    "q106_bucketed_join": "fixed",
+    "q107_merkle_repair": "fixed",
+    "q84_connector_datasource": "fixed",
+    "q112_snapshot_read": "fixed",
+    "wide_row_stress": "grows",
+}
+# q98 reads the frequency-preserving documents replica: token counts must
+# scale WITH the corpus for the MG threshold to keep the same survivors
+FREQ_PRESERVING = {"q98_heavy_hitters"}
 # which table each query reads (only these get synthesized)
-TABLES = ["documents", "embeddings", "events", "lineitem", "orders"]
+TABLES = ["documents", "embeddings", "events", "lineitem", "orders", "customer"]
 
 
 def build_scaled_dir(spark, n: int) -> str:
@@ -127,7 +174,83 @@ def build_scaled_dir(spark, n: int) -> str:
             "o_orderkey", F.col("o_orderkey") + F.lit(i * 1_000_000_000)
         ),
     )
+    # customer: keys offset — q84 roundtrips it through the DSv2 seam
+    replicate(
+        "customer",
+        lambda df, i: df.withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(i * 100_000_000)
+        ),
+    )
+    # frequency-preserving documents replica (q98): same ids offset, text
+    # UNCHANGED — every replica repeats the same token stream, so counts
+    # scale xN while the N/(cap+1) threshold also scales xN: the heavy-
+    # hitter set is invariant and the scaled run times a full pipeline
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    freq = functools.reduce(
+        DataFrame.unionByName,
+        [
+            src.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100_000_000))
+            for i in range(n)
+        ],
+    )
+    freq.write.mode("overwrite").parquet(f"{dst}_freq/documents.parquet")
     return dst
+
+
+def wide_row_cells(spark, n_cells: int):
+    """Synthesize the reference's pathological workload: ONE row with
+    ``n_cells`` cells (ColumnFamilyWideRowRecordReader.java:240-429 exists
+    because such rows break naive whole-row readers) next to 1000 normal
+    10-cell rows."""
+    hot = spark.range(n_cells).select(
+        F.encode(F.lit("hot_row"), "utf-8").alias("row_key"),
+        F.encode(F.format_string("c%012d", F.col("id")), "utf-8").alias(
+            "column_name"
+        ),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    cold = spark.range(10_000).select(
+        F.encode(
+            F.concat(F.lit("r"), (F.col("id") % 1000).cast("string")), "utf-8"
+        ).alias("row_key"),
+        F.encode(
+            F.format_string("c%012d", (F.col("id") / 1000).cast("long")),
+            "utf-8",
+        ).alias("column_name"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    return hot.unionByName(cold)
+
+
+def wide_row_stress(spark, n_cells: int):
+    """Page + slice the pathological row; returns the (partition, page)
+    groups so .count() tracks total pages (~n_cells/1000 — the 'grows'
+    axis). Asserts the page bound is HONORED: no page carries more than
+    page_size cells, i.e. a consumer resuming page-by-page never
+    materializes an unbounded chunk, no matter how wide the row. The hot
+    row's cells necessarily colocate in one task (that is the row-
+    grouping semantic); boundedness comes from mapInPandas streaming
+    Arrow batches and the spillable in-partition sort, which this run
+    demonstrates by finishing flat-memory at every multiple."""
+    from hive_cassandra_spark.source import paged_cells, slice_cells
+
+    cells = wide_row_cells(spark, n_cells)
+    # slice-range + per-row cap: the row_number window over the hot row
+    # must spill, not OOM; the cap keeps 100k of the 1M+ cells
+    sliced = slice_cells(
+        cells, start="c", finish="d", reversed_order=True, count=100_000
+    )
+    n_sliced = sliced.count()
+    assert n_sliced <= 100_000 + 10_000, n_sliced
+    paged = paged_cells(cells, page_size=1000)
+    groups = paged.groupBy("scan_partition", "page").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mx = groups.agg(F.max("n").alias("m")).collect()[0].m
+    assert mx <= 1000, f"page bound violated: {mx}"
+    return groups
 
 
 def shuffle_write_bytes(spark) -> int:
@@ -177,10 +300,23 @@ def main() -> None:
         "trials": trials,
         "queries": {},
     }
-    for name in QUERIES_UNDER_TEST:
-        fn = QUERIES[name].fn
+    mult = {"a": 1}
+    mult.update(dict(zip(labels, replicas)))
+    WIDE_BASE = 1_000_000
+
+    failures: list[str] = []
+    for name in QUERIES_UNDER_TEST + ["wide_row_stress"]:
         rec: dict = {}
         for label, sf_dir in dirs.items():
+            if name == "wide_row_stress":
+                fn = lambda s, _d, m=mult[label]: wide_row_stress(
+                    s, WIDE_BASE * m
+                )
+            elif name in FREQ_PRESERVING and label != "a":
+                d = dirs[label] + "_freq"
+                fn = lambda s, _d, d=d: QUERIES[name].fn(s, d)
+            else:
+                fn = QUERIES[name].fn
             fn(spark, sf_dir).count()  # warm: codegen + footers
             secs, rows, shuf = [], 0, 0
             for _ in range(trials):
@@ -200,6 +336,21 @@ def main() -> None:
                 "rows": rows,
                 "shuffle_mb": round(shuf / 1e6, 2),
             }
+        # result check (r06 verdict item 2): a scaled point that returns
+        # a degenerate result is timing a near-empty plan, not evidence
+        expect = EXPECT_ROWS[name]
+        checks = []
+        for lab in labels:
+            ra, rl = rec["a"]["rows"], rec[lab]["rows"]
+            if rl <= 0:
+                checks.append(f"{lab}: empty result ({rl} rows)")
+            elif expect == "fixed" and rl != ra:
+                checks.append(f"{lab}: expected {ra} rows (fixed), got {rl}")
+            elif expect == "grows" and rl <= ra:
+                checks.append(f"{lab}: expected >{ra} rows (grows), got {rl}")
+        rec["rows_check"] = "ok" if not checks else "; ".join(checks)
+        if checks:
+            failures.append(f"{name}: {rec['rows_check']}")
         sa = rec["a"]["shuffle_mb"]
         for lab in labels:
             rec[f"sec_ratio_{lab}"] = round(
@@ -210,9 +361,12 @@ def main() -> None:
             )
         out["queries"][name] = rec
         print(f"# {name}: {json.dumps(rec)}", file=sys.stderr)
-    with open("/root/repo/SCALING_r06.json", "w") as f:
+    with open("/root/repo/SCALING_r07.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
+    if failures:
+        print("RESULT-CHECK FAILURES:\n" + "\n".join(failures), file=sys.stderr)
+        sys.exit(1)
     spark.stop()
 
 
