@@ -101,6 +101,7 @@ HEADLINE = [
     "q121_histogram",
     "q122_curation_v2",
     # seventh batch: streaming distribution monitoring and the scrub pass
+    "q111_stream_countmin",
     "q123_stream_histogram",
     "q124_store_scrub",
     # eighth batch: the maintenance runbook and the per-source quota draw

@@ -394,6 +394,56 @@ def _scaling_section() -> str:
     return "\n".join(lines)
 
 
+STREAM_TOKENS = [
+    ("StateStoreSave", "state-store save"),
+    ("StateStoreRestore", "state-store restore"),
+    ("StreamingDeduplicate", "streaming dedup (keyed state)"),
+    ("StreamingSymmetricHashJoin", "stream-stream symmetric hash join"),
+    ("FlatMapGroupsInPandasWithState", "applyInPandasWithState (Arrow)"),
+    ("EventTimeWatermark", "event-time watermark"),
+    ("SessionWindowStateStore", "session-window state store"),
+]
+
+
+def audit_streaming(name: str, captured: dict) -> str:
+    """Audit a run_bounded() streaming query from its LAST micro-batch
+    physical plan plus the terminal progress: the batch-side audit only
+    sees the memory-sink read, so the plan evidence (state operators,
+    exchanges, Arrow boundaries) and the state-size evidence
+    (numRowsTotal per operator — bounded state is THE streaming scale
+    claim) both come from the streaming engine itself (r06 verdict
+    item 4)."""
+    plan = captured.get("plan", "")
+    counts = {}
+    for token, label in INTERESTING + STREAM_TOKENS:
+        n = len(re.findall(rf"\b{token}", plan))
+        if n:
+            counts[label] = n
+    lines = [f"### {name}", "", "- audited: last micro-batch plan + final progress (streaming)"]
+    for label, n in counts.items():
+        lines.append(f"- {label}: {n}")
+    prog = captured.get("progress") or {}
+    for so in prog.get("stateOperators", []):
+        lines.append(
+            "- state operator `{}`: numRowsTotal={}, numRowsUpdated={}, "
+            "memoryUsedBytes={}".format(
+                so.get("operatorName", "?"),
+                so.get("numRowsTotal"),
+                so.get("numRowsUpdated"),
+                so.get("memoryUsedBytes"),
+            )
+        )
+    if not prog.get("stateOperators"):
+        lines.append("- state operators: none reported (stateless sink pass)")
+    flags = [l for l in counts if "red flag" in l]
+    if flags:
+        lines.append(f"- **RED FLAGS: {flags}**")
+    if name in NOTES:
+        lines.append(f"- note: {NOTES[name]}")
+    lines.append("")
+    return "\n".join(lines)
+
+
 def main() -> None:
     from bench import HEADLINE
     from hive_cassandra_spark.queries import QUERIES
@@ -408,17 +458,28 @@ def main() -> None:
         "facts below are the scale properties each plan must keep: broadcast",
         "or co-partitioned joins (never cartesian), filters pushed to scans,",
         "top-K as TakeOrderedAndProject, Python only behind Arrow batches.",
-        "Streaming queries are audited on their bounded batch equivalent",
-        "where applicable; `q50` executes through the streaming engine and",
-        "is skipped here.",
+        "Streaming queries are audited from the streaming engine itself:",
+        "the last micro-batch's physical plan plus the terminal progress's",
+        "state-operator metrics (numRowsTotal / numRowsUpdated /",
+        "memoryUsedBytes) — bounded state is the streaming scale claim,",
+        "and the batch-side plan can't show it.",
         "",
     ]
+    from hive_cassandra_spark.queries import QUERY_FAMILIES
+    from hive_cassandra_spark.streaming import events as streaming_events
+
     for name in HEADLINE:
-        if name[:4] in {"q50_", "q51_", "q52_", "q53_", "q54_"}:
-            continue  # streaming: executedPlan needs a started query
+        streaming = any(t.startswith("stream") for t in QUERY_FAMILIES[name])
+        if streaming:
+            streaming_events.LAST_BOUNDED_RUN.clear()
         df = QUERIES[name].fn(spark, sf_dir)
         df.count()  # let AQE finalize so the audited plan is the executed one
-        out.append(audit(name, df))
+        if streaming and streaming_events.LAST_BOUNDED_RUN.get("plan"):
+            out.append(
+                audit_streaming(name, streaming_events.LAST_BOUNDED_RUN)
+            )
+        else:
+            out.append(audit(name, df))
     out.append(_scaling_section())
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
