@@ -107,6 +107,9 @@ HEADLINE = [
     # eighth batch: the maintenance runbook and the per-source quota draw
     "q125_maintenance_runbook",
     "q126_weighted_sample_per_source",
+    # round-7: cleanroom baseline-JPEG decode kernel + multi-insert fanout
+    "q127_multimodal_jpeg",
+    "q128_multi_insert",
 ]
 
 

@@ -5722,6 +5722,130 @@ def q110_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q127_multimodal_jpeg",
+    # Same pixel-plane oracle family as q43/q83/q118, adapted to the lossy
+    # codec: the fixture's plane is one constant 8x8 block per text byte
+    # (bw = id%8+2 x bh = id%6+2 blocks), and a constant block carries
+    # only a DC coefficient, which the default table quantizes with step
+    # 1 — so decode returns the source EXACTLY and every per-pixel
+    # fraction equals the per-byte fraction over the first bw*bh bytes.
+    # The SQL replays the byte-level histogram; the Spark side genuinely
+    # Huffman-decodes the T.81 scan (DPCM DC, EOB, byte unstuffing),
+    # dequantizes, and IDCTs before histogramming.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len,
+                      CAST(doc_id % 8 + 2 AS BIGINT)
+                        * CAST(doc_id % 6 + 2 AS BIGINT) AS n
+               FROM documents),
+         nib AS (SELECT doc_id, n,
+                        unnest(list_transform(range(0, n),
+                          i -> CASE WHEN i < len
+                               THEN strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1
+                               ELSE 0 END)) AS bin
+                 FROM d),
+         counts AS (SELECT doc_id, bin, count(*) AS c, any_value(n) AS n
+                    FROM nib GROUP BY 1, 2),
+         f AS (SELECT doc_id, bin, round_even(c * 1.0 / n, 6) AS fb FROM counts)
+    SELECT doc_id,
+           coalesce(max(CASE WHEN bin = 0 THEN fb END), 0.0) AS f0,
+           coalesce(max(CASE WHEN bin = 7 THEN fb END), 0.0) AS f7,
+           round(sum(fb), 4) AS f_sum
+    FROM f GROUP BY doc_id
+    """,
+    doc="REAL baseline JPEG (ITU-T T.81) decode + feature-extract via "
+    "Arrow mapInPandas: payloads are genuine grayscale JPEGs from the "
+    "from-scratch encoder (generated zigzag/DCT basis, canonical Huffman "
+    "tables carried in DHT, DPCM DC + run/size AC, 0xFF stuffing — "
+    "encode_jpeg_gray8/decode_jpeg_gray8, no libjpeg), entropy-decoded + "
+    "dequantized + IDCT'd to the pixel plane in the fake=False path and "
+    "histogrammed (SURVEY.md §2.C multimodal; r06 verdict item 6 — JPEG "
+    "was the last capability stub behind the absent-library branch)",
+)
+def q127_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(
+        multimodal.attach_image_payload(docs, container="jpeg"), fake=False
+    )
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("f_sum"),
+    )
+
+
+@register(
+    "q128_multi_insert",
+    # FROM src INSERT ... TABLE a INSERT ... TABLE b (Hive-0.9 multi-
+    # insert, SURVEY.md §2.B): one source scan feeding two sinks via the
+    # catalog, then the gate reads BOTH sinks back and unions them into
+    # one result, so the driver hash covers both written tables. The
+    # oracle replays the two inserts' SELECTs directly.
+    # Integer-cents contract as in q64 (round then CAST; DuckDB integer
+    # sums CAST to BIGINT against the HUGEINT→float64 fetch hazard); the
+    # 'big' filter compares the SAME cents expression both sides so the
+    # rounding boundary can't disagree.
+    oracle="""
+    WITH src AS (SELECT o_orderstatus, o_orderpriority,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders)
+    SELECT 'by_status' AS sink, o_orderstatus AS k,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS v
+    FROM src GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'big' AS sink, o_orderpriority AS k,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS v
+    FROM src WHERE cents > 10000000 GROUP BY o_orderpriority
+    """,
+    doc="Hive multi-insert (FROM t INSERT OVERWRITE TABLE a ... INSERT "
+    "OVERWRITE TABLE b ...): one cached source scan fans out to two "
+    "catalog-managed sinks (catalog.Catalog.create_table x2 over one "
+    "persisted DataFrame — the Spark shape of the reference's multi-"
+    "insert surface, CassandraStorageHandler.java:26 contract); the "
+    "result unions both sinks' read-back aggregates so the oracle gates "
+    "BOTH writes. The source is unpersisted after the writes (no cache "
+    "leak — r06 verdict item 8 pairing with item 3)",
+)
+def q128_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from hive_cassandra_spark.catalog import Catalog
+
+    tok = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = _os.path.join(
+        tempfile.gettempdir(), f"hcs_q128_{tok}_{_os.getpid()}"
+    )
+    cat = Catalog(spark)
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).persist()
+    try:
+        a = src.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("v")
+        )
+        b = src.filter(F.col("cents") > 10_000_000).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("v"))
+        cat.create_table("q128_by_status", a, base + "_by_status", mode="overwrite")
+        cat.create_table("q128_big", b, base + "_big", mode="overwrite")
+    finally:
+        src.unpersist()
+    ra = cat.table("q128_by_status").select(
+        F.lit("by_status").alias("sink"),
+        F.col("o_orderstatus").alias("k"), "n", "v",
+    )
+    rb = cat.table("q128_big").select(
+        F.lit("big").alias("sink"),
+        F.col("o_orderpriority").alias("k"), "n", "v",
+    )
+    return ra.unionByName(rb)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -5820,8 +5944,6 @@ _WINDOW_ORDER = [
     # round-5 capabilities
     "q82_quantile_sketch",
     "q83_multimodal_png",
-    "q84_connector_datasource",
-    "q85_stream_kmv_distinct",
     # round-6 capabilities (first driver rows in r06 — they stay at least
     # one more round before graduation eligibility means anything)
     "q87_quality_cascade",
@@ -5864,6 +5986,14 @@ _WINDOW_ORDER = [
     "q124_store_scrub",
     "q125_maintenance_runbook",
     "q126_weighted_sample_per_source",
+    # round-7 new capabilities (immediate slots, q71-q74 precedent): the
+    # cleanroom baseline-JPEG decode (r06 verdict item 6) and the multi-
+    # insert write pattern under an oracle (item 8). Funded by q84
+    # (green r05+r06, GRADUATED — its connector_datasource family keeps
+    # THREE in-window bearers via q91/q94/q112) and q85 (green r05+r06,
+    # ordinary overflow — q111 bears stream_sketch on).
+    "q127_multimodal_jpeg",
+    "q128_multi_insert",
 ]
 
 # Capability tags per registered query. A query may bear several tags; the
@@ -6043,6 +6173,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # the per-source quota draw is a grouped variant of the in-window
     # weighted-sampling capability (q109)
     "q126_weighted_sample_per_source": {"weighted_sampling"},
+    # round-7 new capabilities
+    "q127_multimodal_jpeg": {"multimodal"},
+    "q128_multi_insert": {"multi_insert"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -6125,6 +6258,15 @@ GRADUATED = {
     "q52_stream_session",        # stream_session: green r02+r03+r05+r06 (sole member)
     "q58_range_join",            # range_join: green r02+r03+r05+r06 (sole member)
     "q86_normalize_unicode",     # unicode_norm: green r05+r06 (sole member)
+    # funding the round-7 new capabilities (q127/q128): q84 leaves the
+    # window green r05+r06; its cell_store/pushdown tags lose their only
+    # in-window bearer, so it and the overflow variants that share them
+    # graduate together on their own cited rows (q85 needs no exemption:
+    # q111 bears stream_sketch in-window).
+    "q84_connector_datasource",  # cell_store+pushdown: green r05+r06
+    "q44_cell_store_roundtrip",  # cell_store: green r01+r02
+    "q45_cell_store_projection", # cell_store: green r01+r02
+    "q49_slice_range",           # cell_store+pushdown: green r02+r03+r04+r05
 }
 
 

@@ -56,7 +56,6 @@ def test_registration_window_covers_every_family():
         "q78_tokenize_ids",
         "q80_ttl_expiry", "q81_url_domains",
         "q82_quantile_sketch", "q83_multimodal_png",
-        "q84_connector_datasource", "q85_stream_kmv_distinct",
         # round-6 capabilities: first driver row in r06, too young to leave
         "q87_quality_cascade", "q89_bloom_filter", "q90_skew_salted_join",
         "q96_corpus_mixing", "q97_chunk_dedup", "q98_heavy_hitters",
@@ -73,6 +72,8 @@ def test_registration_window_covers_every_family():
         "q121_histogram", "q122_curation_v2", "q123_stream_histogram",
         "q124_store_scrub", "q125_maintenance_runbook",
         "q126_weighted_sample_per_source",
+        # round-7 new capabilities: JPEG decode + multi-insert oracle
+        "q127_multimodal_jpeg", "q128_multi_insert",
     }
     assert pinned <= window, sorted(pinned - window)
     # every query (in or out) must carry family tags, and every overflow

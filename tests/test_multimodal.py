@@ -41,19 +41,23 @@ def test_extract_features_matches_numpy(spark, sf_dir):
 
 
 def test_real_decode_unsupported_format_is_stubbed(spark, sf_dir):
-    """Formats that genuinely need PIL/ffmpeg still raise; raw/BMP/WAV are
-    real paths now."""
+    """Formats that genuinely need ffmpeg still raise at the decode
+    dispatch; raw/BMP/PNG/GIF/WAV/JPEG are real paths now (JPEG joined in
+    round 7 — a payload merely LABELED jpeg fails its SOI check instead
+    of hitting a stub)."""
     src = _payloads(spark, sf_dir, 2).withColumn(
         "meta",
         F.struct(
-            F.lit("image/jpeg").alias("format"),
+            F.lit("video/mp4").alias("format"),
             F.col("meta.width").alias("width"),
             F.col("meta.height").alias("height"),
             F.col("meta.n_frames").alias("n_frames"),
         ),
     )
-    with pytest.raises(Exception, match="NotImplementedError|PythonException|PIL"):
+    with pytest.raises(Exception, match="NotImplementedError|absent codec|ffmpeg"):
         multimodal.extract_features(src, fake=False).collect()
+    with pytest.raises(Exception, match="ValueError|SOI"):
+        multimodal.decode_jpeg_gray8(b"plainly not a jpeg")
 
 
 def test_bmp_codec_roundtrip():
@@ -433,3 +437,86 @@ def test_ulaw_quantizer_idempotent_fuzz():
         assert bool(same.all())
 
     check()
+
+
+# ------------------------------------------------------------- JPEG (T.81)
+
+
+def test_jpeg_constant_blocks_roundtrip_exact():
+    """Constant 8x8 blocks carry only a DC coefficient; the default
+    table's DC step is 1, so the lossy codec is EXACT on this subset —
+    the q127 oracle's premise."""
+    rng = np.random.RandomState(11)
+    blocks = rng.randint(0, 256, (4, 7), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    data = multimodal.encode_jpeg_gray8(img)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    w, h, dec = multimodal.decode_jpeg_gray8(data)
+    assert (w, h) == (56, 32)
+    assert (dec == img).all()
+
+
+def test_jpeg_flat_table_near_lossless_any_image():
+    """With an all-ones quantization table the only loss is FDCT
+    rounding: error must stay within 1 LSB for arbitrary content, and
+    the AC path (runs, ZRL, magnitudes) is genuinely exercised."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (24, 31), dtype=np.uint8)
+    q1 = np.ones((8, 8), dtype=np.int64)
+    data = multimodal.encode_jpeg_gray8(img, qtable=q1)
+    w, h, dec = multimodal.decode_jpeg_gray8(data)
+    assert (w, h) == (31, 24)  # non-multiple-of-8 dims survive
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_default_table_lossy_but_bounded():
+    """The default (frequency-ramp) table is genuinely lossy on noise but
+    reconstruction must stay within the table's worst-case half-step
+    bound; smooth gradients come back within a couple of levels."""
+    rng = np.random.RandomState(9)
+    noise = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    _, _, dec = multimodal.decode_jpeg_gray8(multimodal.encode_jpeg_gray8(noise))
+    assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 64
+    yy, xx = np.mgrid[0:19, 0:22]
+    grad = ((yy * 7 + xx * 3) % 256).astype(np.uint8)
+    _, _, dg = multimodal.decode_jpeg_gray8(multimodal.encode_jpeg_gray8(grad))
+    assert np.abs(dg.astype(int) - grad.astype(int)).max() <= 4
+
+
+def test_jpeg_decoder_rejects_out_of_scope_streams():
+    import struct as _s
+
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.decode_jpeg_gray8(b"nope")
+    # progressive (SOF2) explicitly out of scope
+    img = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(multimodal.encode_jpeg_gray8(img))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        multimodal.decode_jpeg_gray8(bytes(data))
+
+
+def test_jpeg_dc_prediction_spans_blocks():
+    """DPCM DC coding: a long run of blocks with rising levels decodes
+    correctly only if the differential chain is applied in raster order."""
+    blocks = np.arange(0, 256, 8, dtype=np.uint8).reshape(4, 8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    _, _, dec = multimodal.decode_jpeg_gray8(multimodal.encode_jpeg_gray8(img))
+    assert (dec == img).all()
+
+
+def test_attach_image_payload_real_jpeg_decode(spark, sf_dir):
+    """The q127 fixture contract: one constant 8x8 block per text byte,
+    decoded EXACTLY by the real T.81 path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 8)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in multimodal.attach_image_payload(docs, container="jpeg").collect():
+        w, h, pixels = multimodal.decode_jpeg_gray8(bytes(r.payload))
+        assert (w, h) == (r.meta.width, r.meta.height)
+        bw, bh = w // 8, h // 8
+        raw = texts[r.doc_id].encode("utf-8")[: bw * bh].ljust(bw * bh, b"\x00")
+        blocks = np.frombuffer(raw, dtype=np.uint8).reshape(bh, bw)
+        want = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        assert (pixels == want).all()
+        assert r.meta.format == "image/jpeg"
