@@ -5930,20 +5930,10 @@ _WINDOW_ORDER = [
     "q01_pricing_summary",            # scan/filter/agg
     "q03_shipping_priority",          # inner+broadcast join, sort/limit (TakeOrdered)
     # LLM-pipeline operators (§2.C)
-    "q67_neardup_clusters",
-    "q68_similarity_quantized",
-    "q70_repetition_stats",
-    # round-3 curation capabilities (formerly PENDING_ROTATION)
-    "q71_pack_sequences",
     "q72_contamination",
     "q73_pii_redact",
-    "q74_keywords",
     "q78_tokenize_ids",
-    "q80_ttl_expiry",
     "q81_url_domains",
-    # round-5 capabilities
-    "q82_quantile_sketch",
-    "q83_multimodal_png",
     # round-6 capabilities (first driver rows in r06 — they stay at least
     # one more round before graduation eligibility means anything)
     "q87_quality_cascade",
@@ -5965,9 +5955,9 @@ _WINDOW_ORDER = [
     # round-7 rotation (r06 verdict item 1, "pay the rotation debt"): the
     # 18 round-6 overflow capabilities that never had a driver row take
     # the slots of 18 multi-round-green bearers (each graduated with its
-    # cited rows — see GRADUATED). This clears 18 of the 26 never-hashed
-    # queries; the remaining 8 (q88/q93/q104/q113/q116/q118/q119/q120)
-    # stay overflow with in-window family bearers.
+    # cited rows — see GRADUATED); the second rotation below clears the
+    # remaining 8, so a green r07 leaves NO registered query without a
+    # driver row in some round.
     "q75_stream_static_join",
     "q76_mergeable_minhash",
     "q91_stream_cell_sink",
@@ -5994,6 +5984,21 @@ _WINDOW_ORDER = [
     # ordinary overflow — q111 bears stream_sketch on).
     "q127_multimodal_jpeg",
     "q128_multi_insert",
+    # round-7 second rotation: the LAST 8 never-driver-hashed queries.
+    # After a green r07, every registered query has earned a driver row
+    # in some round — the rotation debt is fully paid. Funded by three
+    # coverage-safe overflow moves (q80→q94 bears ttl, q82→q104 bears
+    # sketch_quantile, q83→q127/q118-120 bear multimodal) and five
+    # sole-bearer graduations on 4x-green histories (q67/q68/q70/q71/
+    # q74 — see GRADUATED).
+    "q88_exact_n_sample",
+    "q93_stream_cell_tail",
+    "q104_stream_quantile_sketch",
+    "q113_label_centroids",
+    "q116_stream_index",
+    "q118_multimodal_gif",
+    "q119_multimodal_frames",
+    "q120_audio_ulaw",
 ]
 
 # Capability tags per registered query. A query may bear several tags; the
@@ -6267,6 +6272,14 @@ GRADUATED = {
     "q44_cell_store_roundtrip",  # cell_store: green r01+r02
     "q45_cell_store_projection", # cell_store: green r01+r02
     "q49_slice_range",           # cell_store+pushdown: green r02+r03+r04+r05
+    # round-7 second rotation: five sole bearers fund the final debt
+    # payoff (q88/q93/q104/q113/q116/q118/q119/q120 in-window); each is
+    # 4x driver-green, the strongest graduation histories in the repo
+    "q67_neardup_clusters",      # dedup_components: green r03+r04+r05+r06
+    "q68_similarity_quantized",  # similarity_quantized: green r03+r04+r05+r06
+    "q70_repetition_stats",      # text_quality: green r03+r04+r05+r06
+    "q71_pack_sequences",        # packing: green r03+r04+r05+r06
+    "q74_keywords",              # keywords: green r03+r04+r05+r06
 }
 
 

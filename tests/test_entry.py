@@ -49,13 +49,8 @@ def test_registration_window_covers_every_family():
     pinned = {
         # survivors of earlier rotations (round-2..6 lessons; each earlier
         # graduation is documented in queries.GRADUATED with cited rows)
-        "q67_neardup_clusters", "q68_similarity_quantized",
-        "q70_repetition_stats",
-        "q71_pack_sequences", "q72_contamination",
-        "q73_pii_redact", "q74_keywords",
-        "q78_tokenize_ids",
-        "q80_ttl_expiry", "q81_url_domains",
-        "q82_quantile_sketch", "q83_multimodal_png",
+        "q72_contamination", "q73_pii_redact",
+        "q78_tokenize_ids", "q81_url_domains",
         # round-6 capabilities: first driver row in r06, too young to leave
         "q87_quality_cascade", "q89_bloom_filter", "q90_skew_salted_join",
         "q96_corpus_mixing", "q97_chunk_dedup", "q98_heavy_hitters",
@@ -74,6 +69,11 @@ def test_registration_window_covers_every_family():
         "q126_weighted_sample_per_source",
         # round-7 new capabilities: JPEG decode + multi-insert oracle
         "q127_multimodal_jpeg", "q128_multi_insert",
+        # round-7 second rotation: the final 8 never-driver-hashed queries
+        "q88_exact_n_sample", "q93_stream_cell_tail",
+        "q104_stream_quantile_sketch", "q113_label_centroids",
+        "q116_stream_index", "q118_multimodal_gif",
+        "q119_multimodal_frames", "q120_audio_ulaw",
     }
     assert pinned <= window, sorted(pinned - window)
     # every query (in or out) must carry family tags, and every overflow
