@@ -5846,6 +5846,171 @@ def q128_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ra.unionByName(rb)
 
 
+@register(
+    "q129_cdc_apply",
+    # The oracle replays the change-batch semantics relationally: keys
+    # divisible by 7 are deleted (tombstone), keys ≡ 1 (mod 7) have their
+    # status cell updated to 'X', everything else is untouched; the gate
+    # hashes the post-apply LIVE state's per-status aggregate. Integer
+    # cents per q64's contract.
+    oracle="""
+    WITH src AS (SELECT o_orderkey,
+                        CASE WHEN o_orderkey % 7 = 1 THEN 'X'
+                             ELSE o_orderstatus END AS status,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT status, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM src GROUP BY status
+    """,
+    doc="CDC change-batch apply with tombstone deletes "
+    "(source.apply_cdc_batch): INSERT/UPDATE cells at newer timestamps "
+    "plus NULL-value TOMBSTONES, resolved by the same one-shuffle LWW "
+    "compaction the read path already runs — Cassandra's distributed-"
+    "delete model, a superset next to the §2.A LWW (q28) and TTL (q80) "
+    "rows (the reference's Hive-0.9 surface has no DELETE at all). The "
+    "deleted row disappears from the pivoted read because every cell "
+    "tombstones — the ghost-row rule (q30 family) applied to deletes. "
+    "New capability: PENDING_ROTATION for a round-8 window slot",
+)
+def q129_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_cassandra_spark import codecs
+    from hive_cassandra_spark.mapping import parse_mapping
+    from hive_cassandra_spark.source import apply_cdc_batch, cells_to_table
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    key = codecs.encode_col(F.col("o_orderkey"), "bigint")
+
+    def cell(name: str, value, vtype: str, ts: int):
+        return orders.select(
+            key.alias("row_key"),
+            codecs.encode_col(F.lit(name), "string").alias("column_name"),
+            codecs.encode_col(value, vtype).alias("value"),
+            F.lit(ts).cast("long").alias("ts"),
+        )
+
+    base = cell("status", F.col("o_orderstatus"), "string", 1000).unionByName(
+        cell("cents", F.col("cents"), "bigint", 1000)
+    )
+    # the change batch: deletes tombstone EVERY cell of the row; updates
+    # rewrite one cell at a newer writer timestamp
+    deletes = base.filter(
+        codecs.decode_col(F.col("row_key"), "bigint") % 7 == 0
+    ).select(
+        "row_key", "column_name",
+        F.lit(None).cast("binary").alias("value"),
+        F.lit(2000).cast("long").alias("ts"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 1).select(
+        key.alias("row_key"),
+        codecs.encode_col(F.lit("status"), "string").alias("column_name"),
+        codecs.encode_col(F.lit("X"), "string").alias("value"),
+        F.lit(2000).cast("long").alias("ts"),
+    )
+    applied = apply_cdc_batch(base, deletes.unionByName(updates))
+    mapping = parse_mapping(":key,status,cents")
+    table = cells_to_table(
+        applied, mapping,
+        ["o_orderkey", "status", "cents"],
+        ["bigint", "string", "bigint"],
+    )
+    return table.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+_HLL_NUMER = 753163 * 256 * 256 * (1 << 25)
+
+
+def _hll_est_sql() -> str:
+    """The estimator as a SQL fragment over (hit, s_hit): raw BIGINT
+    division with the linear-counting lookup literal below 2.5m —
+    identical integers to sketches.hll_estimate."""
+    from hive_cassandra_spark.operators.sketches import _HLL_LC
+
+    lc = "list_value(" + ",".join(str(v) for v in _HLL_LC) + ")"
+    raw = f"{_HLL_NUMER} // (s_hit + (256 - hit) * 35184372088832)"
+    return (
+        f"CAST(CASE WHEN ({raw}) <= 640 AND hit < 256 "
+        f"THEN list_extract({lc}, CAST(256 - hit AS INT)) "
+        f"ELSE ({raw}) END AS BIGINT)"
+    )
+
+
+@register(
+    "q130_hll_distinct",
+    # Full bit-for-bit replay of the integer-exact HLL: hash52 split into
+    # (8-bit register, 44-bit tail), rank via floor(log2) — exact below
+    # 2^44 — register-wise max, ONE BIGINT division for the raw estimate
+    # (2^20-scaled alpha), and the linear-counting small-range correction
+    # as a 256-entry integer literal. The merged ALL row re-aggregates
+    # the per-type registers (max per idx), proving the merge is lossless
+    # in the same query the oracle hashes.
+    oracle=f"""
+    WITH h AS (SELECT event_type,
+                      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) AS h
+               FROM events),
+    r0 AS (SELECT event_type, h // 17592186044416 AS idx,
+                  h % 17592186044416 AS tail FROM h),
+    regs AS (SELECT event_type, idx,
+                    max(CASE WHEN tail > 0
+                        THEN 44 - CAST(floor(log2(tail)) AS BIGINT)
+                        ELSE 45 END) AS rho
+             FROM r0 GROUP BY 1, 2),
+    pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS hit,
+                  CAST(sum(CAST(pow(2, 45 - rho) AS BIGINT)) AS BIGINT) AS s_hit
+           FROM regs GROUP BY event_type),
+    per_type AS (
+        SELECT 'per_type' AS scope, event_type, hit AS registers_hit,
+               {{EST}} AS est_ndv
+        FROM pt),
+    merged AS (SELECT idx, max(rho) AS rho FROM regs GROUP BY idx),
+    ma AS (SELECT CAST(count(*) AS BIGINT) AS hit,
+                  CAST(sum(CAST(pow(2, 45 - rho) AS BIGINT)) AS BIGINT) AS s_hit
+           FROM merged),
+    all_row AS (
+        SELECT 'merged_all' AS scope, 'ALL' AS event_type,
+               hit AS registers_hit, {{EST}} AS est_ndv
+        FROM ma)
+    SELECT * FROM per_type UNION ALL SELECT * FROM all_row
+    """.replace("{EST}", _hll_est_sql()),
+    doc="HyperLogLog distinct-count sketch (sketches.hll_registers/"
+    "hll_merge/hll_estimate — Flajolet et al. 2007, raw estimator): "
+    "per-event-type distinct users from 256 integer registers, plus a "
+    "merged-ALL row re-aggregated FROM the per-type registers (lossless "
+    "merge in-plan — the property that lets 1000 shards ship 256-row "
+    "sketches instead of raw keys at 100 TB). Integer-exact estimator "
+    "(BIGINT division, 2^20-scaled alpha, floor(log2) rank — exact below "
+    "2^44) so the oracle replays bit-for-bit; the linear-counting small-"
+    "range correction is a precomputed 256-entry integer table (ln() is "
+    "not integer-replayable at runtime, but m*ln(m/zeros) has only 256 "
+    "inputs — baked as literals in plan AND oracle). Redundant overflow "
+    "variant of the in-window sketch_distinct family (q117's KMV): same "
+    "capability, different state/merge trade-off",
+)
+def q130_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("event_type", "user_id")
+    regs = sketches.hll_registers(ev, ["event_type"], "user_id")
+    per_type = sketches.hll_estimate(regs, ["event_type"]).select(
+        F.lit("per_type").alias("scope"), "event_type",
+        "registers_hit", "est_ndv",
+    )
+    merged = (
+        regs.groupBy("idx").agg(F.max("rho").alias("rho"))
+        .withColumn("event_type", F.lit("ALL"))
+    )
+    all_row = sketches.hll_estimate(merged, ["event_type"]).select(
+        F.lit("merged_all").alias("scope"), "event_type",
+        "registers_hit", "est_ndv",
+    )
+    return per_type.unionByName(all_row)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -6181,6 +6346,11 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # round-7 new capabilities
     "q127_multimodal_jpeg": {"multimodal"},
     "q128_multi_insert": {"multi_insert"},
+    # HLL is deliberately redundant with the in-window KMV bearer (q117):
+    # same sketch_distinct capability, register-based state/merge profile
+    "q130_hll_distinct": {"sketch_distinct"},
+    # CDC tombstone apply: new capability, PENDING_ROTATION (round 8)
+    "q129_cdc_apply": {"cdc_upsert"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -6189,7 +6359,13 @@ QUERY_FAMILIES: dict[str, set[str]] = {
 # for rotation into the window next round — exactly how q67-q70 moved
 # in during round 3. Keep this list short-lived: anything still here two
 # rounds after introduction is a bookkeeping failure.
-PENDING_ROTATION: set[str] = set()  # r06: all new capabilities rotated
+PENDING_ROTATION: set[str] = {
+    # r07: the CDC tombstone-apply capability landed after the round-7
+    # window was already carrying 40 first-time entries; it takes a slot
+    # in round 8 (the q87/q89 precedent — anything still here two rounds
+    # after introduction is a bookkeeping failure)
+    "q129_cdc_apply",
+}  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 
 # Queries rotated OUT whose family tag would otherwise lose its only

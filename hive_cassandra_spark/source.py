@@ -79,6 +79,26 @@ def expire_cells(
     return cells.filter(alive).drop(ttl_col)
 
 
+def apply_cdc_batch(cells: DataFrame, changes: DataFrame) -> DataFrame:
+    """Apply a CDC change batch to a cell store: INSERT/UPDATE changes are
+    ordinary cells with a newer ``ts``; a DELETE is a TOMBSTONE — the same
+    cell key with ``value`` NULL at a newer ``ts``. Union + last-write-
+    wins compaction resolves everything in one keyed aggregation
+    (``max_by`` keeps the newest version even when it is the NULL
+    tombstone — pinned by test_source_sink), and the standard ``_live``
+    filter then drops tombstoned cells, so a fully-deleted row vanishes
+    from the pivoted read exactly like a ghost row.
+
+    Cassandra's distributed-delete semantics, public data model (the
+    reference inherits reconciliation from the server and, being Hive
+    0.9, has no DELETE surface at all — this is a superset capability
+    next to the §2.A LWW/TTL rows). One shuffle on the cell key; the
+    batch is typically tiny relative to the store, so at scale the
+    shuffle carries O(store) once — the same cost as any LWW compaction
+    pass, which this IS."""
+    return lww_latest(cells.unionByName(changes))
+
+
 def lww_latest(cells: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
     """Keep the newest version of each cell — Cassandra's last-write-wins
     reconciliation, which the reference inherits from the server. Expressed

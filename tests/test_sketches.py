@@ -397,3 +397,51 @@ def test_countmin_bounded_state(spark):
     assert cm.count() <= 4 * 64
     with pytest.raises(ValueError):
         sketches.countmin_sketch(df, ["g"], "v", depth=0, width=64)
+
+
+# ----------------------------------------------------------------- HLL
+
+
+def test_hll_estimate_accuracy_and_bounded_state(spark):
+    """Raw HLL at p=8: relative error within ~3 sigma (1.04/sqrt(256) ≈
+    6.5% per-trial) on a 10k-distinct stream, and the register table never
+    exceeds 256 rows per group regardless of input size."""
+    df = spark.range(100_000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 10_000).alias("v")
+    )
+    regs = sketches.hll_registers(df, ["g"], "v")
+    per_group = {r.g: r.n for r in regs.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+    assert all(n <= 256 for n in per_group.values())
+    # id%2 splits id%10000 into even/odd halves: true distinct = 5000/group
+    est = {r.g: r.est_ndv for r in sketches.hll_estimate(regs, ["g"]).collect()}
+    for g, e in est.items():
+        assert abs(e - 5_000) / 5_000 < 0.2, (g, e)
+
+
+def test_hll_merge_lossless(spark):
+    """estimate(merge(a, b)) == estimate(union) — the register-wise max
+    commutes with the estimator, so shards can sketch independently."""
+    df = spark.range(30_000).select(
+        F.lit(0).alias("g"), (F.col("id") % 7_000).alias("v")
+    )
+    a = sketches.hll_registers(df.filter(F.col("id") < 15_000), ["g"], "v")
+    b = sketches.hll_registers(df.filter(F.col("id") >= 15_000), ["g"], "v")
+    merged = sketches.hll_estimate(sketches.hll_merge(a, b, ["g"]), ["g"])
+    direct = sketches.hll_estimate(
+        sketches.hll_registers(df, ["g"], "v"), ["g"]
+    )
+    assert [tuple(r) for r in merged.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+
+
+def test_hll_small_range_linear_counting(spark):
+    """With distinct count << m the raw estimator overestimates ~3x
+    (measured 219 for a true 64); the precomputed linear-counting table
+    must pull it back inside a tight band."""
+    df = spark.range(64).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    est = sketches.hll_estimate(
+        sketches.hll_registers(df, ["g"], "v"), ["g"]
+    ).collect()[0]
+    assert est.registers_hit <= 64
+    assert 55 <= est.est_ndv <= 80  # linear-counting band

@@ -332,3 +332,47 @@ def test_scrub_cells_flags_only_declared_failures(spark):
     plan = source.scrub_cells(rows, {b"num": "bigint"})._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cdc_apply_tombstone_semantics(spark):
+    """apply_cdc_batch: newest-wins including NULL tombstones (max_by must
+    NOT skip the null — pinned here), and a row whose every cell is
+    tombstoned vanishes from the pivoted read like a ghost row."""
+    from hive_cassandra_spark import codecs
+    from hive_cassandra_spark.mapping import parse_mapping
+    from hive_cassandra_spark.source import apply_cdc_batch, cells_to_table
+
+    def cells(rows):
+        return spark.createDataFrame(
+            [
+                (
+                    codecs.encode_long(k),
+                    codecs.encode_string(c),
+                    None if v is None else codecs.encode_string(v),
+                    ts,
+                )
+                for k, c, v, ts in rows
+            ],
+            "row_key binary, column_name binary, value binary, ts long",
+        )
+
+    base = cells(
+        [(1, "a", "x", 10), (1, "b", "y", 10), (2, "a", "p", 10), (2, "b", "q", 10)]
+    )
+    changes = cells(
+        [
+            (1, "a", None, 20),  # tombstone one cell
+            (1, "b", None, 20),  # ...and the other: row 1 must vanish
+            (2, "a", "P2", 20),  # update
+        ]
+    )
+    applied = apply_cdc_batch(base, changes)
+    # tombstones survive compaction as NULL-value newest cells
+    dead = applied.filter(F.col("value").isNull()).count()
+    assert dead == 2
+    table = cells_to_table(
+        applied, parse_mapping(":key,a,b"),
+        ["k", "a", "b"], ["bigint", "string", "string"],
+    )
+    rows = {r.k: (r.a, r.b) for r in table.collect()}
+    assert rows == {2: ("P2", "q")}  # row 1 gone; row 2 updated + kept
