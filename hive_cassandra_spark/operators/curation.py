@@ -433,7 +433,8 @@ def mixture_select(
         ).alias("__rank"),
     )
     cum = relational.prefix_sum_by_group(
-        base, [source_col], "__rank", "tok_count", out_col="cum_before"
+        base, [source_col], "__rank", "tok_count", out_col="cum_before",
+        uniform52=True,  # __rank is hash52: static splits, no sample job
     )
     # one row per source + the scalar weight total: both broadcast-sized
     per_source = cum.groupBy(source_col).agg(F.max("__w").alias("__w"))

@@ -379,12 +379,22 @@ def order_bucket_column(
     return bucket
 
 
+def _uniform52_bucket(col_name: str, nparts: int):
+    """Order-contiguous bucket id for a column KNOWN to be uniform in
+    [0, 2^52) — hash52 outputs. Static equal hash ranges: perfectly
+    deterministic and balanced with ZERO extra jobs (no sample, no
+    collect), the fast path the md5-ordered shuffles/mixtures take."""
+    step = ((1 << 52) + nparts - 1) // nparts
+    return F.expr(f"{col_name} div {step}").cast("int")
+
+
 def prefix_sum_by_group(
     df: DataFrame,
     group_cols: list[str],
     order_col: str,
     value_col: str,
     out_col: str = "cum_before",
+    uniform52: bool = False,
 ) -> DataFrame:
     """EXCLUSIVE running sum of ``value_col`` per group in ``order_col``
     order, without ever windowing one group in one task — the grouped
@@ -411,11 +421,23 @@ def prefix_sum_by_group(
 
     Output: input columns + ``out_col`` (long). ``order_col`` must be
     non-null and unique within a group for a deterministic sum.
+
+    ``uniform52=True`` declares ``order_col`` uniform in [0, 2^52) —
+    hash52 priorities, the common case for md5-ordered mixtures — and
+    buckets on static equal hash ranges instead of sampled splits: no
+    sample job, same determinism. The bucket ignores the group (the
+    window partitions by (bucket, group) anyway, and contiguity is only
+    required WITHIN a group, which any monotone function of the order
+    column gives).
     """
     sess = df.sparkSession
     nparts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
-    keys = [(g, False) for g in group_cols] + [(order_col, False)]
-    base = df.withColumn("__pid", order_bucket_column(df, keys, nparts))
+    if uniform52:
+        bucket = _uniform52_bucket(order_col, nparts)
+    else:
+        keys = [(g, False) for g in group_cols] + [(order_col, False)]
+        bucket = order_bucket_column(df, keys, nparts)
+    base = df.withColumn("__pid", bucket)
     w_in = (
         Window.partitionBy("__pid", *group_cols)
         .orderBy(order_col)
@@ -447,7 +469,8 @@ def prefix_sum_by_group(
 
 
 def global_row_number(
-    df: DataFrame, order_by: list, out_col: str = "rn"
+    df: DataFrame, order_by: list, out_col: str = "rn",
+    uniform52: bool = False,
 ) -> DataFrame:
     """0-based GLOBAL row number in ``order_by`` order without the
     single-task global window (`Window.orderBy(...)` with no partition key
@@ -465,11 +488,20 @@ def global_row_number(
 
     ``order_by`` items are column names (ascending) or
     ``("name", "desc")`` tuples; together they must form a total order
-    over non-null keys for a deterministic numbering."""
+    over non-null keys for a deterministic numbering.
+
+    ``uniform52=True`` declares the FIRST order column ascending-uniform
+    in [0, 2^52) (a hash52 — the pseudo-random shuffle order) and takes
+    static equal hash-range buckets: no sample job, same determinism."""
     keys = _norm_order_by(order_by)
     sess = df.sparkSession
     nparts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = df.withColumn("__pid", order_bucket_column(df, keys, nparts))
+    if uniform52:
+        assert not keys[0][1], "uniform52 requires the hash column ascending"
+        bucket = _uniform52_bucket(keys[0][0], nparts)
+    else:
+        bucket = order_bucket_column(df, keys, nparts)
+    base = df.withColumn("__pid", bucket)
     w_in = Window.partitionBy("__pid").orderBy(*_sort_exprs(keys))
     local = base.withColumn("__rn_in", F.row_number().over(w_in) - 1)
     w_off = (
@@ -648,6 +680,7 @@ def shuffle_shards(
         df.withColumn("__h", h),
         ["__h", key_col],
         out_col="shuffle_pos",
+        uniform52=True,  # __h IS hash52: static splits, no sample job
     )
     return ordered.withColumn(
         "shard", (F.col("shuffle_pos") % n_shards).cast("long")
