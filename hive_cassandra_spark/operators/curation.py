@@ -67,9 +67,16 @@ def pack_sequences(
     nparts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     # Persist the narrow (id, tok, pid) projection: both the in-partition
     # cumsum and the per-partition totals derive from it, and without the
-    # persist each branch re-scans and re-range-exchanges the full corpus
-    # (plan-verified: 2 scans + 2 range exchanges → 1 of each). ~16
-    # bytes/doc — negligible next to the text it replaces.
+    # persist each branch re-scans, re-TOKENIZES, and re-range-exchanges
+    # the full corpus (plan-verified: 2 scans + 2 range exchanges → 1 of
+    # each). ~16 bytes/doc — negligible next to the text it replaces, but
+    # CALLER CONTRACT for long-lived sessions: it stays cached until LRU
+    # eviction; unpersist via spark.catalog.clearCache() between corpora
+    # if that matters. (Unlike relational.prefix_sum_by_group, the keyed
+    # order here is the raw id and the value is a tokenization — caching
+    # the narrow projection beats recomputing the tokenizer twice, and
+    # pid-consistency is safe under eviction because recomputes reuse the
+    # materialized shuffle's fixed range bounds.)
     base = (
         df.repartitionByRange(nparts, F.col(id_col))
         .select(

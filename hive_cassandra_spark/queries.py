@@ -5923,6 +5923,104 @@ def q129_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q131_gc_grace_compaction",
+    # The oracle replays the grace arithmetic from the fixture
+    # definition: deletes at ts=2000 are past the 5 s grace at
+    # now=10000 (2000 + 5000 <= 10000 → purged with their suppressed
+    # row), deletes at ts=9000 are inside it (retained as tombstones,
+    # row suppressed from the live view). Compaction itself runs on a
+    # real file store through sink.compact_store.
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           count(*) FILTER (WHERE c_custkey % 5 NOT IN (0, 1))
+               AS live_cells,
+           count(*) FILTER (WHERE c_custkey % 5 = 1)
+               AS retained_tombstones,
+           count(*) FILTER (WHERE c_custkey % 5 = 0)
+               AS purged_rows
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="tombstone GC grace compaction (sink.compact_store gc_grace_s — "
+    "Cassandra's gc_grace_seconds rule, public data model): tombstones "
+    "younger than the grace window survive compaction so late-arriving "
+    "older writes still lose to the delete; older tombstones are purged "
+    "together with the rows they suppressed. Builds a real store "
+    "(writes at ts=1000, deletes at two epochs), compacts through the "
+    "atomic-swap maintenance path, and gates the post-compaction cell "
+    "census per segment. Overflow variant of the in-window lww (q94/"
+    "q125) and ttl (q94) families — the delete-GC face of the same "
+    "compaction contract",
+)
+def q131_gc_grace_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import codecs, datasource, sink
+
+    datasource.register(spark)
+    tok = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    store = _os.path.join(
+        tempfile.gettempdir(), f"hcs_q131_{tok}_{_os.getpid()}_store"
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer")
+    key = codecs.encode_col(F.col("c_custkey"), "bigint")
+
+    writes = cust.select(
+        key.alias("row_key"),
+        codecs.encode_col(F.lit("status"), "string").alias("column_name"),
+        codecs.encode_col(F.lit("live"), "string").alias("value"),
+        F.lit(1000).cast("long").alias("ts"),
+    )
+    old_del = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        key.alias("row_key"),
+        codecs.encode_col(F.lit("status"), "string").alias("column_name"),
+        F.lit(None).cast("binary").alias("value"),
+        F.lit(2000).cast("long").alias("ts"),
+    )
+    new_del = cust.filter(F.col("c_custkey") % 5 == 1).select(
+        key.alias("row_key"),
+        codecs.encode_col(F.lit("status"), "string").alias("column_name"),
+        F.lit(None).cast("binary").alias("value"),
+        F.lit(9000).cast("long").alias("ts"),
+    )
+    # one multi-version write: compaction semantics don't depend on file
+    # layout, only on the (key, ts) version set
+    writes.unionByName(old_del).unionByName(new_del).write.format(
+        "cassandra_cells"
+    ).mode("overwrite").save(store)
+    sink.compact_store(
+        spark, store, now_millis=10_000, gc_grace_s=5, target_buckets=4
+    )
+    compacted = spark.read.format("cassandra_cells").load(store).select(
+        codecs.decode_col(F.col("row_key"), "bigint").alias("c_custkey"),
+        F.col("value").isNotNull().alias("live"),
+    )
+    seg = cust.select("c_custkey", "c_mktsegment")
+    joined = compacted.join(seg, "c_custkey")
+    counted = joined.groupBy("c_mktsegment").agg(
+        F.count(F.when(F.col("live"), 1)).alias("live_cells"),
+        F.count(F.when(~F.col("live"), 1)).alias("retained_tombstones"),
+    )
+    purged = (
+        seg.filter(F.col("c_custkey") % 5 == 0)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("purged_rows"))
+    )
+    return (
+        counted.join(purged, "c_mktsegment", "left")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "live_cells",
+            "retained_tombstones",
+            F.coalesce("purged_rows", F.lit(0)).alias("purged_rows"),
+        )
+    )
+
+
 _HLL_NUMER = 753163 * 256 * 256 * (1 << 25)
 
 
@@ -6351,6 +6449,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q130_hll_distinct": {"sketch_distinct"},
     # CDC tombstone apply: new capability, PENDING_ROTATION (round 8)
     "q129_cdc_apply": {"cdc_upsert"},
+    # gc_grace compaction: the delete-GC face of the in-window lww/ttl
+    # compaction contract (q94/q125)
+    "q131_gc_grace_compaction": {"lww", "ttl"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -261,6 +261,7 @@ def compact_store(
     now_millis: int | None = None,
     drop_tombstones: bool = True,
     target_buckets: int = 8,
+    gc_grace_s: int | None = None,
 ) -> dict:
     """Compact a file-backed cell store in place — the Cassandra
     compaction analogue the reference's engine delegates to the server
@@ -277,7 +278,12 @@ def compact_store(
       rule, so the result is deterministic and oracle-checkable;
     - a NULL-value winner is a tombstone: it suppresses every older
       version, then (``drop_tombstones``) vanishes itself — the
-      post-gc_grace moment;
+      post-gc_grace moment. With ``gc_grace_s`` (and ``now_millis``)
+      given, only tombstones OLDER than the grace window are purged;
+      younger ones are retained in the compacted store so a write that
+      arrives late (delayed replica, replayed batch) with an older ``ts``
+      still loses to the delete — Cassandra's gc_grace_seconds rule,
+      public data model;
     - with ``now_millis`` given, TTL-expired winners are dropped
       (``source.expire_cells`` arithmetic: live while
       ts + ttl_s*1000 > now).
@@ -316,7 +322,15 @@ def compact_store(
         *[F.col(f"w.{c}").alias(c) for c in extras],
     )
     if drop_tombstones:
-        flat = flat.filter(F.col("value").isNotNull())
+        if gc_grace_s is not None and now_millis is not None:
+            # purge only tombstones past the grace window; younger ones
+            # keep suppressing late-arriving older writes
+            flat = flat.filter(
+                F.col("value").isNotNull()
+                | (F.col("ts") + gc_grace_s * 1000 > F.lit(now_millis))
+            )
+        else:
+            flat = flat.filter(F.col("value").isNotNull())
     if now_millis is not None and "ttl_s" in cols:
         flat = flat.filter(
             F.col("ttl_s").isNull()

@@ -376,3 +376,44 @@ def test_cdc_apply_tombstone_semantics(spark):
     )
     rows = {r.k: (r.a, r.b) for r in table.collect()}
     assert rows == {2: ("P2", "q")}  # row 1 gone; row 2 updated + kept
+
+
+def test_compact_store_gc_grace(spark, tmp_path):
+    """gc_grace_s: tombstones younger than the grace window SURVIVE
+    compaction (still suppressing late older writes), older ones purge
+    with their suppressed rows — Cassandra's gc_grace_seconds rule."""
+    from hive_cassandra_spark import datasource, sink
+
+    datasource.register(spark)
+    store = str(tmp_path / "gstore")
+    rows = [
+        (b"k1", b"c", b"v", 1000, None),
+        (b"k1", b"c", None, 2000, None),   # old tombstone: purged
+        (b"k2", b"c", b"v", 1000, None),
+        (b"k2", b"c", None, 9000, None),   # young tombstone: retained
+        (b"k3", b"c", b"v", 1000, None),   # live
+    ]
+    spark.createDataFrame(
+        rows, "row_key binary, column_name binary, value binary, ts long, ttl_s int"
+    ).write.format("cassandra_cells").mode("append").save(store)
+    sink.compact_store(
+        spark, store, now_millis=10_000, gc_grace_s=5, target_buckets=1
+    )
+    back = {
+        bytes(r.row_key): (None if r.value is None else bytes(r.value))
+        for r in spark.read.format("cassandra_cells").load(store).collect()
+    }
+    assert back == {b"k2": None, b"k3": b"v"}
+    # a late write OLDER than the retained tombstone still loses
+    spark.createDataFrame(
+        [(b"k2", b"c", b"late", 5000, None)],
+        "row_key binary, column_name binary, value binary, ts long, ttl_s int",
+    ).write.format("cassandra_cells").mode("append").save(store)
+    sink.compact_store(
+        spark, store, now_millis=10_000, gc_grace_s=5, target_buckets=1
+    )
+    back2 = {
+        bytes(r.row_key): (None if r.value is None else bytes(r.value))
+        for r in spark.read.format("cassandra_cells").load(store).collect()
+    }
+    assert back2[b"k2"] is None  # tombstone still wins over the late write
