@@ -520,3 +520,28 @@ def test_attach_image_payload_real_jpeg_decode(spark, sf_dir):
         want = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
         assert (pixels == want).all()
         assert r.meta.format == "image/jpeg"
+
+
+def test_jpeg_flat_table_roundtrip_fuzz():
+    """Property: for ANY uint8 image and the all-ones table, decode is
+    within 1 LSB of the source at every pixel, any dimensions (including
+    non-multiples of 8); dims always survive exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    q1 = np.ones((8, 8), dtype=np.int64)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1)
+    )
+    def check(w, h, seed):
+        img = np.random.RandomState(seed).randint(
+            0, 256, (h, w), dtype=np.uint8
+        )
+        dw, dh, dec = multimodal.decode_jpeg_gray8(
+            multimodal.encode_jpeg_gray8(img, qtable=q1)
+        )
+        assert (dw, dh) == (w, h)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+    check()
