@@ -110,9 +110,10 @@ NOTES = {
         "the exchange count is dominated by the grouped two-phase prefix "
         "sum's bookkeeping branches over BROADCAST-SIZED tables (per-"
         "partition offsets, per-source weights/budgets — rows ≤ partitions "
-        "× sources); the corpus itself moves through exactly one range "
-        "exchange into the cached (id, tok, rank, pid) projection (1 "
-        "distinct scan) and is never globally sorted or single-task-"
+        "× sources); the corpus's bucket id is a STATIC hash-range "
+        "function of the md5 rank (uniform52 — zero sample jobs, no "
+        "cache, no range exchange since round 7), and the corpus is "
+        "never globally sorted or single-task-"
         "windowed."
     ),
     "q97_chunk_dedup": (
@@ -188,10 +189,13 @@ NOTES = {
         "excludes later batches."
     ),
     "q114_global_shuffle": (
-        "two-phase prefix sum: one range exchange on the hash key, a "
-        "per-partition window, and a broadcast of the <=n_partitions "
-        "offset rows — never a single-task global window; the final "
-        "shard agg is map-side combined."
+        "two-phase prefix sum with STATIC hash-range buckets (the order "
+        "key IS hash52, uniform by construction — no sample job, no "
+        "range exchange, deterministic across consumers by pure "
+        "arithmetic): a per-bucket window behind one hash exchange plus "
+        "a broadcast of the <=n_buckets offset rows — never a "
+        "single-task global window; the final shard agg is map-side "
+        "combined."
     ),
     "q115_partitioned_rollup": (
         "the bench number includes the day-partitioned write (one "
@@ -222,8 +226,9 @@ NOTES = {
         "length gate folds into the scan filter; selection is "
         "TakeOrderedAndProject on the md5 priority (per-partition heap "
         "of 200); the shuffle+shard step is the two-phase prefix sum "
-        "(range exchange + per-partition window + broadcast offsets) "
-        "over the 200 SELECTED rows only — the corpus never moves."
+        "(static uniform52 hash buckets + per-bucket window + broadcast "
+        "offsets) over the 200 SELECTED rows only — the corpus never "
+        "moves."
     ),
     "q125_maintenance_runbook": (
         "the scan count is the gate fixture deriving BOTH replicas from "
