@@ -498,3 +498,56 @@ def test_weighted_sample_per_group_repartition_stable(spark):
         df.repartition(19), ["g"], "k", "w", 40
     ).select("g", "k", "rank").collect()}
     assert a == b
+
+
+def test_prefix_sum_uniform52_matches_general_and_naive(spark):
+    """The static hash-range fast path and the sampled general path must
+    both equal the naive single-window cumsum when the order column is a
+    hash52 — same contract, different bucket derivation."""
+    from pyspark.sql import Window as W
+
+    from hive_cassandra_spark.operators.sketches import hash52
+
+    df = (
+        spark.range(400)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("g"),
+            (F.col("id") % 9 + 1).alias("v"),
+        )
+        .withColumn("r", hash52(F.col("k")))
+    )
+    naive = df.withColumn(
+        "cum_before",
+        F.sum("v").over(
+            W.partitionBy("g").orderBy("r")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ) - F.col("v"),
+    )
+    expect = sorted((r.k, r.cum_before) for r in naive.collect())
+    fast = sorted(
+        (r.k, r.cum_before)
+        for r in rel.prefix_sum_by_group(
+            df, ["g"], "r", "v", uniform52=True
+        ).collect()
+    )
+    general = sorted(
+        (r.k, r.cum_before)
+        for r in rel.prefix_sum_by_group(df, ["g"], "r", "v").collect()
+    )
+    assert fast == expect and general == expect
+
+
+def test_order_bucket_column_string_keys_monotone(spark):
+    """The sampled general path must stay monotone for string sort keys
+    (Spark's UTF8 binary ordering — the driver-side sample sort agrees
+    because UTF-8 byte order equals codepoint order)."""
+    df = spark.createDataFrame(
+        [(f"w{(i * 37) % 101:03d}x{i}",) for i in range(600)], "s string"
+    )
+    b = rel.order_bucket_column(df, [("s", False)], 6)
+    rows = df.withColumn("b", b).collect()
+    srt = sorted(rows, key=lambda r: r.s)
+    buckets = [r.b for r in srt]
+    assert buckets == sorted(buckets)
+    assert len(set(buckets)) >= 3
