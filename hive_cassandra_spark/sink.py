@@ -357,3 +357,60 @@ def compact_store(
         "files_in": files_in,
         "files_out": files_out,
     }
+
+
+def recover_store(path: str) -> dict:
+    """Crash recovery for ``compact_store``'s atomic swap — run before
+    opening a store that may have been abandoned mid-maintenance (the
+    SSTable-replay analogue of Cassandra's startup cleanup of incomplete
+    compactions, public operational model).
+
+    The swap sequence is: write ``<path>.compacting-T`` → rename the live
+    store to ``<path>.old-T`` → rename the compacted dir into ``path`` →
+    delete the old dir. A crash leaves exactly one of three states, each
+    detected and resolved here:
+
+    1. ``path`` alive + leftover ``.compacting-*`` (crash before the
+       first rename): the live store was never touched — drop the
+       partial compaction output.
+    2. ``path`` MISSING + ``.old-T`` + ``.compacting-T`` (crash between
+       the renames): roll FORWARD — the compacted dir is complete (it
+       was fully written and counted before any rename), so it becomes
+       the store and the old dir is dropped.
+    3. ``path`` alive + leftover ``.old-*`` (crash after the second
+       rename, before the delete): the swap finished — drop the old dir.
+
+    Idempotent; returns {rolled_forward, dropped_partials, dropped_old}.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    rolled = dropped_partial = dropped_old = 0
+    compacting = sorted(_glob.glob(f"{base}.compacting-*"))
+    olds = sorted(_glob.glob(f"{base}.old-*"))
+    if not os.path.exists(base):
+        # state 2: finish the interrupted swap with the newest complete
+        # compaction output; its paired .old- dir is then obsolete
+        if compacting:
+            os.rename(compacting[-1], base)
+            rolled = 1
+            compacting = compacting[:-1]
+        elif olds:
+            # no compacted dir survived (partial write was cleaned some
+            # other way): roll BACK to the pre-compaction store
+            os.rename(olds[-1], base)
+            rolled = 1
+            olds = olds[:-1]
+    for d in compacting:  # states 1/2 leftovers: partial outputs
+        shutil.rmtree(d)
+        dropped_partial += 1
+    for d in olds:  # state 3 leftovers: superseded pre-compaction dirs
+        shutil.rmtree(d)
+        dropped_old += 1
+    return {
+        "rolled_forward": rolled,
+        "dropped_partials": dropped_partial,
+        "dropped_old": dropped_old,
+    }

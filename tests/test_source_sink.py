@@ -417,3 +417,64 @@ def test_compact_store_gc_grace(spark, tmp_path):
         for r in spark.read.format("cassandra_cells").load(store).collect()
     }
     assert back2[b"k2"] is None  # tombstone still wins over the late write
+
+
+def test_recover_store_all_crash_points(spark, tmp_path):
+    """sink.recover_store resolves every crash state the compaction swap
+    can leave behind, idempotently, without losing a single cell."""
+    import os
+    import shutil
+
+    from hive_cassandra_spark import datasource, sink
+
+    datasource.register(spark)
+
+    def fresh(name):
+        store = str(tmp_path / name)
+        spark.createDataFrame(
+            [(b"k1", b"c", b"v1", 10), (b"k2", b"c", b"v2", 20)],
+            "row_key binary, column_name binary, value binary, ts long",
+        ).write.format("cassandra_cells").mode("append").save(store)
+        return store
+
+    def rows(store):
+        return {
+            bytes(r.row_key): bytes(r.value)
+            for r in spark.read.format("cassandra_cells").load(store).collect()
+        }
+
+    want = {b"k1": b"v1", b"k2": b"v2"}
+
+    # state 1: crash before any rename — partial compaction dir lingers
+    s1 = fresh("s1")
+    shutil.copytree(s1, s1 + ".compacting-dead1")
+    r = sink.recover_store(s1)
+    assert r == {"rolled_forward": 0, "dropped_partials": 1, "dropped_old": 0}
+    assert rows(s1) == want and not os.path.exists(s1 + ".compacting-dead1")
+
+    # state 2: crash between the renames — store path missing entirely
+    s2 = fresh("s2")
+    os.rename(s2, s2 + ".old-dead2")
+    shutil.copytree(s2 + ".old-dead2", s2 + ".compacting-dead2")
+    r = sink.recover_store(s2)
+    assert r["rolled_forward"] == 1 and r["dropped_old"] == 1
+    assert rows(s2) == want
+
+    # state 2b: only the .old dir survived — roll back
+    s3 = fresh("s3")
+    os.rename(s3, s3 + ".old-dead3")
+    r = sink.recover_store(s3)
+    assert r["rolled_forward"] == 1
+    assert rows(s3) == want
+
+    # state 3: crash after the swap, before the delete
+    s4 = fresh("s4")
+    shutil.copytree(s4, s4 + ".old-dead4")
+    r = sink.recover_store(s4)
+    assert r == {"rolled_forward": 0, "dropped_partials": 0, "dropped_old": 1}
+    assert rows(s4) == want
+
+    # idempotent on a clean store
+    assert sink.recover_store(s4) == {
+        "rolled_forward": 0, "dropped_partials": 0, "dropped_old": 0,
+    }
