@@ -510,6 +510,31 @@ def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int
     return out
 
 
+_DECODE_LUT_CACHE: dict = {}
+
+
+def _decode_lut(bits: bytes, vals: bytes):
+    """16-bit-prefix Huffman decode table for a DHT (BITS, VALUES) pair:
+    two 65536-entry arrays mapping every 16-bit window prefix to (symbol,
+    code length); length 0 marks an invalid prefix. Built once per
+    distinct table (cached — payload batches share their DHTs), so the
+    per-symbol decode cost is one shift + two array reads."""
+    key = (bits, vals)
+    hit = _DECODE_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    lng = np.zeros(1 << 16, dtype=np.int8)
+    codes = _huffman_codes(list(bits), list(vals))
+    for s, (code, ln) in codes.items():
+        lo = code << (16 - ln)
+        hi = lo + (1 << (16 - ln))
+        sym[lo:hi] = s
+        lng[lo:hi] = ln
+    _DECODE_LUT_CACHE[key] = (sym, lng)
+    return sym, lng
+
+
 class _JpegBitWriter:
     def __init__(self) -> None:
         self.buf = bytearray()
@@ -606,13 +631,20 @@ def encode_jpeg_gray8(pixels: np.ndarray, qtable: np.ndarray | None = None) -> b
     ac_codes = _huffman_codes(ac_bits, ac_vals)
 
     wr = _JpegBitWriter()
+    # all blocks at once: (nby, nbx, 8, 8) → one einsum FDCT, one
+    # vectorized quantize + zigzag; only the entropy coding loops per
+    # block (and only over nonzero coefficients)
+    nby, nbx = ph // 8, pw // 8
+    blocks = (
+        padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+    )
+    coefs = np.einsum("ij,yxjk,lk->yxil", _DCT_M, blocks, _DCT_M)
+    quants = np.round(coefs / q).astype(np.int64)
+    zzs = quants.reshape(nby, nbx, 64)[:, :, _ZIGZAG]
     prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
-            coef = _DCT_M @ block @ _DCT_M.T
-            quant = np.round(coef / q).astype(np.int64)
-            zz = quant.reshape(64)[_ZIGZAG]
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = zzs[by, bx]
             diff = int(zz[0]) - prev_dc
             prev_dc = int(zz[0])
             size, bits = _magnitude(diff)
@@ -702,8 +734,7 @@ def decode_jpeg_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
                 bits = list(body[b + 1 : b + 17])
                 nvals = sum(bits)
                 vals = list(body[b + 17 : b + 17 + nvals])
-                codes = _huffman_codes(bits, vals)
-                huff[(tc, th)] = {(l, c): s for s, (c, l) in codes.items()}
+                huff[(tc, th)] = _decode_lut(bytes(bits), bytes(vals))
                 b += 17 + nvals
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals unsupported")
@@ -717,36 +748,67 @@ def decode_jpeg_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
     if w == 0 or comp_q not in qtables:
         raise ValueError("JPEG missing SOF0/DQT before SOS")
     q = qtables[comp_q]
-    dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
-    rd = _JpegBitReader(data, pos)
-    ph, pw = (h + 7) & ~7, (w + 7) & ~7
-    out = np.empty((ph, pw), dtype=np.uint8)
+    (dc_sym, dc_len), (ac_sym, ac_len) = huff[(0, dc_id)], huff[(1, ac_id)]
+    # Entropy decode over a bigint bit window: the scan is unstuffed once
+    # (FF00 → FF; the trailing EOI marker's bits are never consumed — we
+    # stop after the last block), each symbol resolved by ONE 16-bit-
+    # prefix table lookup instead of a per-bit tree walk.
+    scan = data[pos:].replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00\x00"
+    bp = 0  # bit position from the stream start
+
+    def peek16(p):
+        b = p >> 3
+        return (
+            int.from_bytes(scan[b : b + 4], "big") >> (16 - (p & 7))
+        ) & 0xFFFF
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    zzs = np.zeros((nby * nbx, 64), dtype=np.int64)
     prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            zz = np.zeros(64, dtype=np.int64)
-            size = rd.read_symbol(dct)
-            prev_dc += _extend(rd.read_bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = rd.read_symbol(act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                zz[k] = _extend(rd.read_bits(size), size)
-                k += 1
-            nat = np.empty(64, dtype=np.int64)
-            nat[_ZIGZAG] = zz
-            coef = nat.reshape(8, 8) * q
-            block = _DCT_M.T @ coef.astype(np.float64) @ _DCT_M + 128.0
-            out[by : by + 8, bx : bx + 8] = np.clip(np.round(block), 0, 255)
+    for bi in range(nby * nbx):
+        zz = zzs[bi]
+        peek = peek16(bp)
+        size, ln = int(dc_sym[peek]), int(dc_len[peek])
+        if ln == 0:
+            raise ValueError("invalid Huffman code in scan data")
+        bp += ln
+        if size:
+            recv = peek16(bp) >> (16 - size)
+            bp += size
+            prev_dc += _extend(recv, size)
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            peek = peek16(bp)
+            sym, ln = int(ac_sym[peek]), int(ac_len[peek])
+            if ln == 0:
+                raise ValueError("invalid Huffman code in scan data")
+            bp += ln
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            recv = peek16(bp) >> (16 - size)
+            bp += size
+            zz[k] = _extend(recv, size)
+            k += 1
+    # batch dequantize + inverse zigzag + IDCT for every block at once
+    nat = np.zeros((nby * nbx, 64), dtype=np.int64)
+    nat[:, _ZIGZAG] = zzs
+    coefs = nat.reshape(-1, 8, 8) * q
+    blocks = (
+        np.einsum("ji,njk,kl->nil", _DCT_M, coefs.astype(np.float64), _DCT_M)
+        + 128.0
+    )
+    pix = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
+    out = (
+        pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+        .reshape(nby * 8, nbx * 8)
+    )
     return w, h, out[:h, :w].copy()
 
 

@@ -5764,7 +5764,14 @@ def q110_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "was the last capability stub behind the absent-library branch)",
 )
 def q127_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # the codec stages are CPU-bound Python kernels; a single small
+    # parquet file would otherwise run them in ONE task, so spread the
+    # rows across the executor cores first (at 100 TB the input already
+    # has thousands of partitions and this repartition is a no-op cost
+    # next to the decode)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     feats = multimodal.extract_features(
         multimodal.attach_image_payload(docs, container="jpeg"), fake=False
     )
