@@ -1584,7 +1584,9 @@ def q42_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pixel plane from hex(text)",
 )
 def q43_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # spread the CPU-bound codec kernels (see q127)
     feats = multimodal.extract_features(
         multimodal.attach_image_payload(docs), fake=False
     )
@@ -2941,7 +2943,9 @@ def q82_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "NotImplementedError)",
 )
 def q83_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # spread the CPU-bound codec kernels (see q127)
     feats = multimodal.extract_features(
         multimodal.attach_image_payload(docs, container="png"), fake=False
     )
@@ -5177,7 +5181,9 @@ def q117_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(q43 BMP, q83 PNG)",
 )
 def q118_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # spread the CPU-bound codec kernels (see q127)
     feats = multimodal.extract_features(
         multimodal.attach_image_payload(docs, container="gif"), fake=False
     )
@@ -5228,7 +5234,9 @@ def q118_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant of the in-window multimodal family (q43/q83)",
 )
 def q119_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # spread the CPU-bound codec kernels (see q127)
     pay = multimodal.attach_video_payload(docs)
     fs = multimodal.frame_sample(pay, n_frames=2, fake=False)
     byte_sum = F.expr(
@@ -5287,7 +5295,9 @@ def q119_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "family (q43's WAV path)",
 )
 def q120_audio_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # spread the CPU-bound codec kernels (see q127)
     pay = multimodal.attach_audio_payload(docs, container="ulaw")
     return multimodal.audio_sample_stats(pay)
 
