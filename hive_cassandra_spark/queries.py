@@ -6038,6 +6038,86 @@ def q131_gc_grace_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q132_temperature_mixture",
+    # Temperature-0.5 source weighting (T5/mT5-style size^alpha mixing):
+    # w_s = floor(sqrt(n_s * 2^20)). IEEE 754 requires sqrt to be
+    # correctly rounded, so BOTH engines produce the identical double for
+    # the identical integer input and floor() lands on the same BIGINT —
+    # the one alpha whose weights are bit-deterministic cross-engine
+    # without a fixed-point approximation (arbitrary alpha would need
+    # pow(), which has no such guarantee; documented contract). The rest
+    # replays q96's budget/rank/greedy-fill machinery verbatim.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok,
+               CAST('0x' || substr(md5(source || ':' ||
+                   CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS rnk
+        FROM documents),
+    sw AS (SELECT source,
+                  CAST(floor(sqrt(CAST(count(*) * 1048576 AS DOUBLE)))
+                       AS BIGINT) AS w
+           FROM d GROUP BY source),
+    tw AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM sw),
+    b AS (SELECT source, w, CAST(12000 AS BIGINT) * w // sum_w AS source_budget
+          FROM sw CROSS JOIN tw),
+    c AS (SELECT *, COALESCE(sum(tok) OVER (
+              PARTITION BY source ORDER BY rnk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS cum_before
+          FROM d)
+    SELECT c.source,
+           max(b.w) AS temp_weight,
+           CAST(sum(CASE WHEN cum_before < source_budget
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN cum_before < source_budget
+                    THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+           max(source_budget) AS source_budget
+    FROM c JOIN b ON c.source = b.source
+    GROUP BY c.source
+    """,
+    doc="temperature-based mixture selection (curation.mixture_select "
+    "over sqrt-of-size source weights — the T5/mT5 size^alpha mixing "
+    "knob at alpha=0.5, which up-weights small sources relative to "
+    "proportional sampling): per-source weights are "
+    "floor(sqrt(n_docs*2^20)), bit-deterministic cross-engine because "
+    "IEEE sqrt is correctly rounded (arbitrary alpha would need the "
+    "non-guaranteed pow() — documented restriction); budgets, md5 rank "
+    "order, and the greedy boundary-crossing fill are q96's machinery. "
+    "Overflow variant of the in-window corpus_mixing family (q96)",
+)
+def q132_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    weights = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "source",
+            F.floor(F.sqrt((F.col("__n") * 1048576).cast("double")))
+            .cast("long")
+            .alias("__tw"),
+        )
+    )
+    src = docs.join(F.broadcast(weights), "source")
+    out = curation.mixture_select(src, 12000, weight=F.col("__tw"))
+    kept = out.groupBy("source").agg(
+        F.max("source_budget").alias("source_budget"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("tok_count")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    )
+    return kept.join(F.broadcast(weights), "source").select(
+        "source",
+        F.col("__tw").alias("temp_weight"),
+        "n_kept",
+        "tokens_kept",
+        "source_budget",
+    )
+
+
 _HLL_NUMER = 753163 * 256 * 256 * (1 << 25)
 
 
@@ -6469,6 +6549,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # gc_grace compaction: the delete-GC face of the in-window lww/ttl
     # compaction contract (q94/q125)
     "q131_gc_grace_compaction": {"lww", "ttl"},
+    # temperature mixing: the size^alpha weighting variant of the
+    # in-window corpus_mixing bearer (q96)
+    "q132_temperature_mixture": {"corpus_mixing"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

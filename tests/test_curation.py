@@ -314,3 +314,29 @@ def test_length_batches_vs_serial_replay(spark):
     assert sorted_waste <= id_waste
     with pytest.raises(ValueError):
         C.length_batches(df, 0)
+
+
+def test_temperature_mixture_upweights_small_sources(spark, sf_dir):
+    """alpha=0.5 weighting gives a small source a LARGER budget share
+    than its proportional share (the whole point of temperature mixing),
+    and the weights are exactly floor(sqrt(n*2^20)) — IEEE sqrt is
+    correctly rounded, so this is bit-stable."""
+    import math
+
+    from hive_cassandra_spark.queries import QUERIES
+
+    out = {r.source: r for r in
+           QUERIES["q132_temperature_mixture"].fn(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {r.source: r.n for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in counts.items():
+        assert out[s].temp_weight == math.floor(math.sqrt(n * 1048576))
+    total_n = sum(counts.values())
+    total_b = sum(r.source_budget for r in out.values())
+    smallest = min(counts, key=counts.get)
+    biggest = max(counts, key=counts.get)
+    if counts[smallest] < counts[biggest]:  # non-degenerate fixture
+        prop_share = counts[smallest] / total_n
+        temp_share = out[smallest].source_budget / total_b
+        assert temp_share > prop_share  # small source up-weighted
