@@ -869,3 +869,39 @@ def incremental_dedup(
             F.col("__hit").isNull().alias("is_new"),
         )
     )
+
+
+def canonical_per_cluster(
+    components: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    node_col: str = "node",
+    component_col: str = "component",
+) -> DataFrame:
+    """Quality-aware canonical selection within dup clusters: instead of
+    'keeper = min id' (``neardup_clusters``), keep the member with the
+    HIGHEST quality score, ties to the smallest id — the production rule
+    ('keep the longest/cleanest copy') a curation job wants when dup
+    clusters mix a full document with truncated or boilerplated copies.
+
+    ``components`` is ``neardup_components`` output (node, component);
+    ``quality`` maps id → a numeric score (n_chars, an LM score, a
+    cascade verdict...). One broadcast-or-shuffle join on the node id and
+    one max_by aggregation per component — the quality table is only the
+    CLUSTERED docs (O(duplicates), not O(corpus)).
+
+    Output: (component, canonical_id, best_quality, cluster_size)."""
+    joined = components.join(
+        quality.select(
+            F.col(id_col).alias(node_col),
+            F.col(quality_col).alias("__q"),
+        ),
+        node_col,
+    )
+    pick = F.struct(F.col("__q"), (-F.col(node_col)).alias("__negid"))
+    return joined.groupBy(component_col).agg(
+        F.max_by(F.col(node_col), pick).alias("canonical_id"),
+        F.max("__q").alias("best_quality"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )

@@ -1822,6 +1822,61 @@ def q67_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q133_canonical_selection",
+    # q67's recursive-CTE component replay extended with the argmax:
+    # within each cluster the canonical doc is the longest (n_chars),
+    # ties to the smallest id — the deterministic tiebreak both engines
+    # replay via the same (quality DESC, id ASC) ordering.
+    oracle=f"""
+    WITH RECURSIVE
+         sh AS ({_SQL_SHINGLES}),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+                   FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                               JOIN sizes sb ON sb.doc_id = doc_b
+                   WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
+         und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, label) AS (
+           SELECT a, a FROM und
+           UNION
+           SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+         q AS (SELECT c.component, c.node, d.n_chars,
+                      row_number() OVER (PARTITION BY c.component
+                                         ORDER BY d.n_chars DESC, c.node ASC)
+                          AS rn
+               FROM comp c JOIN documents d ON d.doc_id = c.node)
+    SELECT component,
+           max(CASE WHEN rn = 1 THEN node END) AS canonical_id,
+           max(CASE WHEN rn = 1 THEN n_chars END) AS best_quality,
+           count(*) AS cluster_size
+    FROM q GROUP BY component
+    """,
+    doc="quality-aware canonical selection within dup clusters "
+    "(dedup.canonical_per_cluster): near-dup components (q67's "
+    "machinery) joined with a per-doc quality score, keeping the "
+    "HIGHEST-quality member per cluster (longest doc here; ties to the "
+    "smallest id) instead of the min-id keeper — the production rule "
+    "when a cluster mixes a full document with truncated/boilerplated "
+    "copies. One join on the clustered ids only (O(duplicates), not "
+    "O(corpus)) + one max_by per component. New-tier member of the "
+    "dedup_components family: PENDING_ROTATION alongside q129 for "
+    "round-8 slots",
+)
+def q133_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.2)
+    comp = dedup.neardup_components(pairs)
+    return dedup.canonical_per_cluster(
+        comp, docs.select("doc_id", "n_chars"), quality_col="n_chars"
+    ).select("component", "canonical_id", "best_quality", "cluster_size")
+
+
+@register(
     "q68_similarity_quantized",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -6552,6 +6607,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # temperature mixing: the size^alpha weighting variant of the
     # in-window corpus_mixing bearer (q96)
     "q132_temperature_mixture": {"corpus_mixing"},
+    # canonical selection: new tier of the components family (q67
+    # graduated this round) — PENDING_ROTATION for a round-8 slot
+    "q133_canonical_selection": {"dedup_components"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -6566,6 +6624,10 @@ PENDING_ROTATION: set[str] = {
     # in round 8 (the q87/q89 precedent — anything still here two rounds
     # after introduction is a bookkeeping failure)
     "q129_cdc_apply",
+    # r07 late addition: quality-aware canonical selection — the
+    # dedup_components tag lost its in-window bearer when q67 graduated,
+    # so the new tier waits for a round-8 slot next to q129
+    "q133_canonical_selection",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

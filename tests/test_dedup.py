@@ -402,3 +402,22 @@ def test_incremental_dedup_exact_no_false_negatives(spark):
     assert out[2][1] is True         # fresh doc survives
     # bloom has no false negatives: maybe=false ⇒ is_new=true
     assert all(m or new for m, new in out.values())
+
+
+def test_canonical_per_cluster_keeps_highest_quality(spark):
+    """Within each component the canonical member is the highest-quality
+    doc, ties to the smallest id — NOT the min-id keeper."""
+    from hive_cassandra_spark.operators.dedup import canonical_per_cluster
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "node long, component long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 2)],
+        "doc_id long, quality long",
+    )
+    out = {r.component: (r.canonical_id, r.best_quality, r.cluster_size)
+           for r in canonical_per_cluster(comp, quality).collect()}
+    # component 1: quality tie 9 between ids 2 and 3 → smallest id wins
+    assert out == {1: (2, 9, 3), 10: (10, 4, 2)}
