@@ -71,9 +71,10 @@ NOTES = {
     "q84_connector_datasource": (
         "the DSv2 seam roundtrips TWO stores (customer cells ascending + "
         "events super/ttl cells reversed) write-and-read through the Python "
-        "Data Source; the Arrow boundary costs 2.2x a native parquet write "
-        "and 2.8x a native read on the same cells (tools/dsv2_overhead.py, "
-        "medians of 3 warmed trials at sf0.1) — the price of the "
+        "Data Source; the Arrow boundary costs ~2-3x a native parquet "
+        "write/read on the same cells (tools/dsv2_overhead.py, medians "
+        "of 3 warmed trials at sf0.1; re-measured r07: write 3.2x, read "
+        "2.9x, streaming-sink 1.7x) — the price of the "
         "live-client seam, paid only where a Cassandra cluster would sit; "
         "every non-connector path reads parquet natively. Scans show as "
         "BatchEvalPython-free: the source yields paged Arrow batches."
