@@ -801,3 +801,80 @@ def weighted_sample_per_group(
         .filter(F.col("rank") <= k)
         .drop("__pri")
     )
+
+
+def analyze_sketch(
+    df: DataFrame, cols: list[str], ndv_k: int = 256
+) -> tuple[DataFrame, DataFrame]:
+    """MERGEABLE form of ``analyze_table``: returns (basic, hashes) —
+    the per-column additive aggregates (n_rows/n_null plus min/max,
+    which merge by min/max) and the bounded per-column KMV hash rows.
+    Two shards sketched independently merge with ``analyze_merge`` into
+    the exact same state a whole-corpus pass produces — incremental
+    stats maintenance for a 100 TB ingest: each new batch is sketched
+    once (O(batch)), the corpus totals update in O(cols x k), and the
+    corpus is NEVER rescanned. Finalize with ``analyze_finalize``."""
+    from hive_cassandra_spark.operators import sketches
+
+    if not cols:
+        raise ValueError("need at least one column")
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    long_form = df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) AS (col, val)")
+    )
+    basic = long_form.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("long")).alias("n_null"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    hashes = sketches.kmv_hashes(
+        long_form.filter(F.col("val").isNotNull()), ["col"], "val", k=ndv_k
+    )
+    return basic, hashes
+
+
+def analyze_merge(
+    a: tuple[DataFrame, DataFrame],
+    b: tuple[DataFrame, DataFrame],
+    ndv_k: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """Merge two analyze states: counts add, min/max re-reduce, KMV hash
+    sets re-take the k smallest (``sketches.merge_kmv_hashes`` — the KMV
+    merge is exact, so merged estimates equal whole-corpus estimates)."""
+    from hive_cassandra_spark.operators import sketches
+
+    basic = (
+        a[0].unionByName(b[0])
+        .groupBy("col")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_null").alias("n_null"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+    )
+    hashes = sketches.merge_kmv_hashes(a[1], b[1], ["col"], k=ndv_k)
+    return basic, hashes
+
+
+def analyze_finalize(
+    state: tuple[DataFrame, DataFrame], ndv_k: int = 256
+) -> DataFrame:
+    """State → the ``analyze_table`` output shape: (col, n_rows, n_null,
+    min_val, max_val, k_used, est_ndv)."""
+    from hive_cassandra_spark.operators import sketches
+
+    basic, hashes = state
+    ndv = sketches.kmv_estimate(hashes, ["col"], k=ndv_k).select(
+        "col", "k_used", F.col("est_distinct").alias("est_ndv")
+    )
+    return basic.join(ndv, "col", "left").select(
+        "col",
+        "n_rows",
+        "n_null",
+        "min_val",
+        "max_val",
+        F.coalesce("k_used", F.lit(0)).alias("k_used"),
+        F.coalesce("est_ndv", F.lit(0)).alias("est_ndv"),
+    )

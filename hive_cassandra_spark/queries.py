@@ -6173,6 +6173,59 @@ def q132_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q134_incremental_analyze",
+    # The Spark side sketches TWO DISJOINT HALVES independently (doc_id
+    # parity), merges the states, and finalizes; the oracle replays the
+    # WHOLE-corpus ANALYZE (q117's SQL verbatim). A hash match therefore
+    # PROVES merge(sketch(A), sketch(B)) == sketch(A ∪ B) — counts add,
+    # min/max re-reduce, and the KMV merge is exact (the k-minimum set
+    # of a union depends only on the operands' k-minimum sets).
+    oracle="""
+    WITH lf AS (
+        SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS val FROM documents
+        UNION ALL SELECT 'lang', lang FROM documents
+        UNION ALL SELECT 'source', source FROM documents
+        UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+    basic AS (
+        SELECT col, count(*) AS n_rows,
+               CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               min(val) AS min_val, max(val) AS max_val
+        FROM lf GROUP BY col),
+    h AS (SELECT DISTINCT col,
+                 CAST('0x' || substr(md5(val), 1, 13) AS BIGINT) AS h
+          FROM lf WHERE val IS NOT NULL),
+    topk AS (SELECT col, h FROM
+                 (SELECT col, h, row_number() OVER (
+                      PARTITION BY col ORDER BY h) AS rn FROM h)
+             WHERE rn <= 256),
+    est AS (SELECT col, count(*) AS k_used, max(h) AS kth
+            FROM topk GROUP BY col)
+    SELECT b.col, b.n_rows, b.n_null, b.min_val, b.max_val,
+           coalesce(e.k_used, 0) AS k_used,
+           coalesce(CASE WHEN e.k_used < 256 THEN e.k_used
+                    ELSE (255 * 4503599627370496) // greatest(e.kth, 1)
+                    END, 0) AS est_ndv
+    FROM basic b LEFT JOIN est e USING (col)
+    """,
+    doc="incremental ANALYZE maintenance (relational.analyze_sketch/"
+    "analyze_merge/analyze_finalize): two disjoint corpus shards are "
+    "sketched independently, the states merge in O(cols x k), and the "
+    "finalized stats HASH-MATCH a whole-corpus ANALYZE replay — the "
+    "property that lets a 100 TB ingest update its stats per batch "
+    "without ever rescanning the corpus (counts add, min/max re-reduce, "
+    "the KMV merge is exact). Overflow variant of the in-window agg + "
+    "sketch_distinct families (q117)",
+)
+def q134_incremental_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    a = relational.analyze_sketch(docs.filter(F.col("doc_id") % 2 == 0), cols)
+    b = relational.analyze_sketch(docs.filter(F.col("doc_id") % 2 == 1), cols)
+    return relational.analyze_finalize(relational.analyze_merge(a, b))
+
+
 _HLL_NUMER = 753163 * 256 * 256 * (1 << 25)
 
 
@@ -6610,6 +6663,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # canonical selection: new tier of the components family (q67
     # graduated this round) — PENDING_ROTATION for a round-8 slot
     "q133_canonical_selection": {"dedup_components"},
+    # incremental ANALYZE: merge-based variant of the in-window stats
+    # bearer (q117) — same agg + KMV capabilities
+    "q134_incremental_analyze": {"agg", "sketch_distinct"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

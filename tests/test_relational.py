@@ -551,3 +551,18 @@ def test_order_bucket_column_string_keys_monotone(spark):
     buckets = [r.b for r in srt]
     assert buckets == sorted(buckets)
     assert len(set(buckets)) >= 3
+
+
+def test_incremental_analyze_merge_equals_whole(spark, sf_dir):
+    """merge(sketch(A), sketch(B)) finalizes to EXACTLY the whole-corpus
+    analyze_table output — counts add, min/max re-reduce, KMV merge is
+    exact. Three-way split too (merge is associative)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = ["doc_id", "lang", "source"]
+    whole = {r.col: tuple(r) for r in rel.analyze_table(docs, cols).collect()}
+    a = rel.analyze_sketch(docs.filter(F.col("doc_id") % 3 == 0), cols)
+    b = rel.analyze_sketch(docs.filter(F.col("doc_id") % 3 == 1), cols)
+    c = rel.analyze_sketch(docs.filter(F.col("doc_id") % 3 == 2), cols)
+    merged = rel.analyze_finalize(rel.analyze_merge(rel.analyze_merge(a, b), c))
+    got = {r.col: tuple(r) for r in merged.collect()}
+    assert got == whole
