@@ -110,6 +110,9 @@ HEADLINE = [
     # round-7: cleanroom baseline-JPEG decode kernel + multi-insert fanout
     "q127_multimodal_jpeg",
     "q128_multi_insert",
+    # round-7 late tier: temperature mixing + incremental ANALYZE merge
+    "q132_temperature_mixture",
+    "q134_incremental_analyze",
 ]
 
 
