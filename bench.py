@@ -165,6 +165,10 @@ def main() -> None:
         "q124_store_scrub",
         "q125_maintenance_runbook",
         "q126_weighted_sample_per_source",
+        "q127_multimodal_jpeg",
+        "q128_multi_insert",
+        "q132_temperature_mixture",
+        "q134_incremental_analyze",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()
