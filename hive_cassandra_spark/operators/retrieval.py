@@ -1,0 +1,166 @@
+"""Text retrieval: inverted postings and BM25-structured top-k scoring.
+
+The training-data-pipeline face of search: decontamination against a
+benchmark, hard-negative mining, and "find the docs most like this
+query" QA all need a term-based relevance scorer over the corpus. The
+reference engine has no retrieval surface (its closest analogue is the
+secondary-index lookup, ``cassandra/CassandraStorageHandler.java``'s
+predicate pushdown seam); this module is part of the §2.C extension
+tier, built entirely from relational primitives so Catalyst owns the
+physical plan.
+
+Scale design
+------------
+* ``postings`` is explode → hash-aggregate on ``(doc_id, term)``: one
+  exchange with map-side partial aggregation; document length rides the
+  same aggregate (no second scan).
+* Term document frequencies are a groupBy on ``term`` — a count-only
+  aggregate, so hot stopword-grade terms cost a counter each, never a
+  row explosion.
+* Query sets are literal one-row-per-term tables, broadcast to the
+  postings; the per-query top-k is ``row_number`` over
+  ``(score DESC, doc_id)`` filtered to ``k``, which Spark plans as
+  WindowGroupLimit — per-partition heaps, never a global sort.
+* Corpus scalars (doc count, average document length) are a one-row
+  aggregate cross-joined in — the house one-row-broadcast-probe pattern
+  (`sketches.py` precedent), not a driver collect.
+
+Determinism contract (the oracle-hash requirement)
+--------------------------------------------------
+Classic BM25 needs ``ln`` for idf, and ``ln`` — unlike IEEE ``sqrt``
+(q132's contract) — carries no cross-engine correct-rounding guarantee,
+so a float BM25 cannot promise hash-identical scores between Spark and
+DuckDB. The scorer therefore uses the BM25 *structure* with a rational
+idf surrogate, evaluated in exact BIGINT arithmetic:
+
+    idf_r     = (2N - 2·df + 1) / (2·df + 1)        # the Robertson
+                                                    # odds ratio, un-logged
+    tf_part   = tf·(k1+1) / (tf + k1·(1 - b + b·dl/A))
+    score     = Σ_terms  floor(1e6 · idf_r · tf_part)
+
+with k1 = 1.2, b = 0.75 folded into integer constants (×40 common
+denominator) and ``A = floor(total_tokens / N)`` the integer average
+document length:
+
+    tf_part   = 88·tf·A / (40·tf·A + 12·A + 36·dl)
+
+Every factor is a BIGINT; the single floor-division per term is the
+only rounding, applied identically by both engines, so the summed
+scores are bit-identical. Monotonicity in tf, df, and dl matches BM25
+(more occurrences ↑, rarer term ↑, longer doc ↓); only the idf *scale*
+differs from the logged form — documented, and irrelevant to ranking
+within a single term. Magnitude bound: 1e6·(2N+1)·88·tf·A stays under
+2^63 through N ≈ 1e9 docs at tf ≤ 100, A ≤ 1000; beyond that a real
+deployment would shift to doubles and give up the cross-engine hash,
+not the ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hive_cassandra_spark.operators.text import tokens
+
+SCALE = 1_000_000  # fixed-point scale of the per-term floor
+
+
+def postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted postings ``(id, term, tf, dl)``.
+
+    One explode + one hash aggregate: tf is the per-(doc, term) count
+    and dl (document length in tokens) is recovered per posting with a
+    window-free trick — summing tf over the doc would need a second
+    pass, so instead the aggregate keys on the doc and collects the
+    term counts, then re-explodes. Cheaper at scale: group once on
+    ``(id, term)`` (partial agg combines duplicates map-side), then a
+    per-doc sum as a window over the already-partitioned result would
+    re-shuffle — so dl is computed in the same groupBy via a second
+    aggregate keyed on the doc and joined back hash-to-hash. Catalyst
+    plans both aggregates off one shuffle of the exploded child when
+    the keys prefix-match; the join on ``id`` is the one extra
+    exchange, linear in postings.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    return tf.join(dl, "id")
+
+
+def term_stats(post: DataFrame) -> DataFrame:
+    """Document frequency per term from a postings table."""
+    return post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def corpus_stats(df: DataFrame, post: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One-row ``(n, a)``: corpus document count and integer average
+    document length ``A = floor(total_tokens / N)``. N counts every
+    document (token-less docs simply never enter the postings)."""
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    s = post.groupBy("id").agg(F.max("dl").alias("dl")).agg(
+        F.sum("dl").alias("s")
+    )
+    return n.crossJoin(s).select(
+        "n", F.expr("s div greatest(n, 1)").cast("long").alias("a")
+    )
+
+
+def with_bm25_term_score(df: DataFrame, out_col: str = "term_score") -> DataFrame:
+    """Append the per-term fixed-point score over columns tf, dl, df,
+    n, a — exact BIGINT arithmetic, one integer ``div`` (see module
+    contract). A plain ``/`` would promote to DOUBLE and lose exactness
+    above 2^53; ``div`` keeps the whole pipeline in BIGINT."""
+    num = (
+        F.lit(SCALE)
+        * (F.lit(2) * F.col("n") - F.lit(2) * F.col("df") + F.lit(1))
+        * (F.lit(88) * F.col("tf") * F.col("a"))
+    )
+    den = (F.lit(2) * F.col("df") + F.lit(1)) * (
+        F.lit(40) * F.col("tf") * F.col("a")
+        + F.lit(12) * F.col("a")
+        + F.lit(36) * F.col("dl")
+    )
+    return (
+        df.withColumn("__num", num.cast("long"))
+        .withColumn("__den", den.cast("long"))
+        .withColumn(out_col, F.expr("__num div __den"))
+        .drop("__num", "__den")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents per query by summed per-term BM25 score.
+
+    ``queries`` is a (query_id, term) table — normally a literal few
+    rows, always broadcast. Ranking ties break on doc id ascending so
+    the result is total-ordered and hash-stable.
+    """
+    post = postings(df, id_col, text_col)
+    stats = term_stats(post)
+    corpus = corpus_stats(df, post, id_col)
+    scored = with_bm25_term_score(
+        queries.join(post, "term")
+        .join(F.broadcast(stats), "term")
+        .crossJoin(F.broadcast(corpus))
+    ).groupBy("query_id", "id").agg(F.sum("term_score").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("id").alias(id_col),
+            "score",
+        )
+    )

@@ -180,3 +180,154 @@ def range_join_bucketed(
         F.col(point_ts).between(F.col(start_col), F.col(end_col))
     )
     return joined.drop("_bucket")
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[tuple[str, Column]],
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str | None = None,
+) -> DataFrame:
+    """Strict-order funnel: per entity, the earliest time each step was
+    reached, where step *i+1* must occur strictly after step *i* (and,
+    if ``within`` is set, no later than ``step_i_ts + within``).
+
+    ``steps`` is an ordered list of ``(name, predicate)`` pairs; the
+    result has one row per entity with a ``<name>_ts`` timestamp column
+    per step (NULL from the first unreached step onward).
+
+    Plan shape — the scale contract: every step is a *conditional
+    window min* over the same ``partitionBy(entity)`` window, so the N
+    chained steps stack N Window operators on ONE exchange of the
+    events (Catalyst reuses the child partitioning; no per-step
+    self-join, no shuffle per step — the naive formulation joins the
+    event table to itself once per funnel stage and re-shuffles each
+    time). The final per-entity collapse is a groupBy over columns that
+    are constant within the partition, which AQE coalesces off the same
+    exchange. State is O(steps) per entity — this is exactly the
+    hand-written funnel a streaming engine would run, expressed
+    relationally so it also runs as one batch pass over 100 TB of
+    events.
+
+    ``within`` is a SQL interval literal body (e.g. ``"24 hours"``)
+    bounding each *hop*, not the whole funnel — the common product-
+    analytics definition (Amplitude-style "conversion window per
+    step").
+    """
+    prev_ts: Column | None = None
+    w = W.partitionBy(entity_col)
+    out = df
+    names = []
+    for name, pred in steps:
+        col_name = f"{name}_ts"
+        cond = pred
+        if prev_ts is not None:
+            cond = cond & (F.col(ts_col) > prev_ts)
+            if within is not None:
+                cond = cond & (
+                    F.col(ts_col) <= prev_ts + F.expr(f"INTERVAL {within}")
+                )
+        out = out.withColumn(
+            col_name, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev_ts = F.col(col_name)
+        names.append(col_name)
+    return out.groupBy(entity_col).agg(
+        *[F.min(n).alias(n) for n in names]
+    )
+
+
+def funnel_summary(
+    reached: DataFrame, step_names: list[str], entity_col: str = "user_id"
+) -> DataFrame:
+    """Per-stage conversion counts from a ``funnel()`` result: one row
+    per step with the entities reaching it and the integer-exact mean
+    seconds from the previous step (sum of whole-second deltas ``div``
+    converters — deterministic BIGINT arithmetic, no float mean).
+
+    Shape: unpivot (explode a step-struct array) → one hash aggregate
+    on the step key. ONE pass over the funnel table — a union of
+    per-stage aggregates would recompute the funnel subtree (and its
+    fact-table scan) once per stage, which is exactly the plan this
+    module's operators exist to avoid. Stages an entity never reached
+    explode to NULL timestamps and are filtered before the aggregate.
+    """
+    structs = []
+    for i, name in enumerate(step_names):
+        ts = F.col(f"{name}_ts")
+        prev = F.col(f"{step_names[i - 1]}_ts") if i else None
+        delta = (
+            (ts.cast("long") - prev.cast("long"))
+            if prev is not None
+            else F.lit(0).cast("long")
+        )
+        structs.append(
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(name).alias("stage"),
+                ts.alias("ts"),
+                delta.alias("delta"),
+            )
+        )
+    exploded = reached.select(
+        F.explode(F.array(*structs)).alias("s")
+    ).select("s.step", "s.stage", "s.ts", "s.delta")
+    return (
+        exploded.filter(F.col("ts").isNotNull())
+        .groupBy("step", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("entities"),
+            F.sum("delta").cast("long").alias("__sum_secs"),
+        )
+        .select(
+            "step",
+            "stage",
+            "entities",
+            # entities > 0 by construction (unreached stages were
+            # filtered out above, so they emit no row at all)
+            F.expr("__sum_secs div entities").alias("avg_secs_from_prev"),
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: entities grouped by the ISO week
+    (Monday-truncated date) of their first event; one row per
+    ``(cohort_week, week_offset)`` with distinct active entities and
+    total events in that offset week.
+
+    Two exchanges total, both unavoidable and both keyed correctly at
+    scale: (1) the per-entity first-event time is a window min over
+    ``partitionBy(entity)`` — same single-exchange shape as ``funnel``;
+    (2) the cohort roll-up is a hash aggregate on the (tiny) composite
+    ``(cohort_week, week_offset)`` key with a distinct-count on the
+    entity, which Spark expands map-side. No self-join of events to a
+    first-seen dim table (the textbook formulation), which would
+    shuffle the fact table twice.
+
+    ``week_offset`` is integer ``datediff div 7`` from the cohort week
+    Monday, so both engines bucket identically (no interval
+    arithmetic, no timezone edge: the session pins UTC).
+    """
+    w = W.partitionBy(entity_col)
+    withc = (
+        df.withColumn("__first_ts", F.min(F.col(ts_col)).over(w))
+        .withColumn(
+            "cohort_week", F.date_trunc("week", F.col("__first_ts")).cast("date")
+        )
+        .withColumn(
+            "week_offset",
+            F.expr(
+                f"datediff(CAST({ts_col} AS DATE), cohort_week) div 7"
+            ).cast("long"),
+        )
+    )
+    return withc.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct(entity_col).alias("active_entities"),
+        F.count(F.lit(1)).alias("events"),
+    )

@@ -31,6 +31,7 @@ from hive_cassandra_spark.operators import (
     dedup,
     multimodal,
     relational,
+    retrieval,
     similarity,
     sketches,
     temporal,
@@ -6314,6 +6315,179 @@ def q130_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(all_row)
 
 
+@register(
+    "q135_bm25_retrieval",
+    # Bit-exact replay of the integer-rational BM25 (retrieval.py module
+    # contract): idf is the un-logged Robertson odds ratio
+    # (2N-2df+1)/(2df+1) — ln has no cross-engine correct-rounding
+    # guarantee, IEEE sqrt-style — and tf saturation folds k1=1.2,
+    # b=0.75 into integer constants over A = floor(total_tokens/N).
+    # One floor-division per (query,term,doc), applied identically by
+    # both engines, then BIGINT sums; ties break on doc_id so top-k is
+    # total-ordered.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(trim(regexp_replace(
+            lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY 1),
+    corpus AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                      CAST(CAST(sum(dl) AS BIGINT)
+                           // (SELECT greatest(CAST(count(*) AS BIGINT), 1)
+                              FROM documents) AS BIGINT) AS a
+               FROM dl),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    q(query_id, term) AS (VALUES
+        ('rare_common', 'dup'), ('rare_common', 'hash'),
+        ('ops', 'join'), ('ops', 'merge'), ('ops', 'sort'),
+        ('vec', 'vector'), ('vec', 'query')),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(sum((1000000 * (2*n - 2*df + 1) * (88 * tf * a))
+                    // ((2*df + 1) * (40*tf*a + 12*a + 36*dl)))
+                    AS BIGINT) AS score
+        FROM q JOIN tf USING (term) JOIN dfreq USING (term)
+             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus
+        GROUP BY 1, 2),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rank FROM scored)
+    SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+    """,
+    doc="BM25-structured top-k retrieval (retrieval.postings/bm25_topk): "
+    "inverted postings via explode + hash-aggregate, term df stats, "
+    "corpus scalars as a one-row broadcast probe, literal query table "
+    "broadcast to the postings, per-query top-10 via row_number "
+    "(WindowGroupLimit — per-partition heaps, no global sort). The "
+    "decontamination / hard-negative-mining primitive of a training "
+    "pipeline: score benchmark queries against the corpus and pull the "
+    "top hits. Scores are exact BIGINT fixed-point (rational idf "
+    "surrogate — module docstring documents why ln is excluded), so "
+    "the oracle replays them bit-for-bit. New capability: "
+    "PENDING_ROTATION for a round-8 window slot",
+)
+def q135_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    qset = spark.createDataFrame(
+        [
+            ("rare_common", "dup"),
+            ("rare_common", "hash"),
+            ("ops", "join"),
+            ("ops", "merge"),
+            ("ops", "sort"),
+            ("vec", "vector"),
+            ("vec", "query"),
+        ],
+        "query_id string, term string",
+    )
+    return retrieval.bm25_topk(docs, qset, k=10)
+
+
+@register(
+    "q136_funnel_analysis",
+    # The oracle replays the strict-order funnel as three chained
+    # conditional minima (each stage joins back to the previous stage's
+    # per-user timestamp); the Spark side computes the same minima as
+    # stacked window functions on ONE exchange. Hop deltas are whole
+    # seconds (floor(epoch) both sides) and the mean is sum div count —
+    # integer-exact, no float mean.
+    oracle="""
+    WITH t1 AS (SELECT user_id, min(ts) AS view_ts
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.ts) AS click_ts
+           FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > t1.view_ts
+             AND e.ts <= t1.view_ts + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+           FROM events e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > t2.click_ts
+             AND e.ts <= t2.click_ts + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+    d2 AS (SELECT t2.user_id,
+                  CAST(floor(epoch(click_ts)) AS BIGINT)
+                  - CAST(floor(epoch(view_ts)) AS BIGINT) AS delta
+           FROM t2 JOIN t1 USING (user_id)),
+    d3 AS (SELECT t3.user_id,
+                  CAST(floor(epoch(purchase_ts)) AS BIGINT)
+                  - CAST(floor(epoch(click_ts)) AS BIGINT) AS delta
+           FROM t3 JOIN t2 USING (user_id))
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage,
+           CAST(count(*) AS BIGINT) AS entities,
+           CAST(0 AS BIGINT) AS avg_secs_from_prev
+    FROM t1 HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT),
+           CAST(sum(delta) AS BIGINT) // CAST(count(*) AS BIGINT)
+    FROM d2 HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT),
+           CAST(sum(delta) AS BIGINT) // CAST(count(*) AS BIGINT)
+    FROM d3 HAVING count(*) > 0
+    """,
+    doc="strict-order funnel analysis (temporal.funnel/funnel_summary): "
+    "view -> click -> purchase per user, each hop bounded by a 24 h "
+    "conversion window. Every stage is a conditional window min over "
+    "the SAME partitionBy(user) window, so N funnel stages stack N "
+    "Window operators on ONE exchange of the fact table — no per-stage "
+    "self-join (the textbook SQL the oracle runs re-shuffles the fact "
+    "table once per stage; at 100 TB the window form wins by the "
+    "stage count). Per-stage mean hop seconds are integer-exact "
+    "(floor-second deltas, sum div count). New capability: "
+    "PENDING_ROTATION for a round-8 window slot",
+)
+def q136_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    reached = temporal.funnel(
+        ev,
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        entity_col="user_id",
+        ts_col="ts",
+        within="24 hours",
+    )
+    return temporal.funnel_summary(reached, ["view", "click", "purchase"])
+
+
+@register(
+    "q137_cohort_retention",
+    # Cohort week is date_trunc('week') — ISO Monday in both engines
+    # under the pinned UTC session — and the offset is integer
+    # datediff-div-7 from that Monday, so bucketing is bit-identical.
+    oracle="""
+    WITH f AS (SELECT user_id, min(ts) AS first_ts
+               FROM events GROUP BY user_id),
+    e AS (SELECT ev.user_id,
+                 CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+                 date_diff('day',
+                           CAST(date_trunc('week', f.first_ts) AS DATE),
+                           CAST(ev.ts AS DATE)) // 7 AS week_offset
+          FROM events ev JOIN f USING (user_id))
+    SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_entities,
+           CAST(count(*) AS BIGINT) AS events
+    FROM e GROUP BY 1, 2
+    """,
+    doc="weekly cohort retention (temporal.cohort_retention): users "
+    "cohorted by the ISO week of their first event, activity rolled up "
+    "per (cohort_week, week_offset) with distinct active users and "
+    "event counts. First-seen is a window min on partitionBy(user) — "
+    "one exchange, no fact-to-dim self-join (the oracle's textbook "
+    "join formulation shuffles the fact table twice) — and the rollup "
+    "key is tiny so the second exchange carries only the aggregate. "
+    "New capability: PENDING_ROTATION for a round-8 window slot",
+)
+def q137_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return temporal.cohort_retention(ev, entity_col="user_id", ts_col="ts")
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -6666,6 +6840,12 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # incremental ANALYZE: merge-based variant of the in-window stats
     # bearer (q117) — same agg + KMV capabilities
     "q134_incremental_analyze": {"agg", "sketch_distinct"},
+    # BM25 retrieval: new capability (PENDING_ROTATION, round 8)
+    "q135_bm25_retrieval": {"retrieval"},
+    # funnel + cohort: the event-sequence analytics tier (new
+    # capabilities, PENDING_ROTATION, round 8)
+    "q136_funnel_analysis": {"funnel"},
+    "q137_cohort_retention": {"cohort_retention"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -6684,6 +6864,12 @@ PENDING_ROTATION: set[str] = {
     # dedup_components tag lost its in-window bearer when q67 graduated,
     # so the new tier waits for a round-8 slot next to q129
     "q133_canonical_selection",
+    # r07 final additions: the retrieval + event-sequence analytics
+    # tier (BM25 top-k, strict-order funnel, cohort retention) — three
+    # new families that landed after the round-7 window was frozen
+    "q135_bm25_retrieval",
+    "q136_funnel_analysis",
+    "q137_cohort_retention",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

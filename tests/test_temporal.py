@@ -202,3 +202,128 @@ def test_batch_sessionize_single_exchange(spark, sf_dir):
     # vacuous): every session has >= 1 event and a non-negative duration
     assert rows
     assert all(r.n_events >= 1 and r.duration_s >= 0 for r in rows)
+
+
+# ---------------------------------------------------------------------
+# Funnel + cohort retention (q136/q137)
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    rows = [
+        # u1: full funnel, strictly ordered, inside the hop windows
+        ("u1", _ts(0), "view"),
+        ("u1", _ts(10), "click"),
+        ("u1", _ts(20), "purchase"),
+        # u2: click BEFORE the first view → stage 2 never reached, and the
+        # later purchase must NOT count either (strict order)
+        ("u2", _ts(5), "click"),
+        ("u2", _ts(10), "view"),
+        ("u2", _ts(15), "purchase"),
+        # u3: click arrives past the 1 hour hop window → funnel stalls
+        ("u3", _ts(0), "view"),
+        ("u3", _ts(90), "click"),
+        # u4: ties — click at exactly view_ts is NOT after (strict >)
+        ("u4", _ts(0), "view"),
+        ("u4", _ts(0), "click"),
+        ("u4", _ts(30), "click"),  # this one converts
+    ]
+    return spark.createDataFrame(
+        [(u, t, e) for (u, t, e) in rows],
+        "user_id string, ts timestamp, event_type string",
+    )
+
+
+def _funnel_steps():
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+
+
+def test_funnel_strict_order_and_hop_window(spark, funnel_events):
+    out = {
+        r.user_id: r
+        for r in temporal.funnel(
+            funnel_events, _funnel_steps(), within="1 hours"
+        ).collect()
+    }
+    assert out["u1"].view_ts == _ts(0)
+    assert out["u1"].click_ts == _ts(10)
+    assert out["u1"].purchase_ts == _ts(20)
+    # u2: the pre-view click is invisible; no later click → NULL from
+    # stage 2 onward even though a purchase event exists
+    assert out["u2"].view_ts == _ts(10)
+    assert out["u2"].click_ts is None
+    assert out["u2"].purchase_ts is None
+    # u3: click outside the hop window
+    assert out["u3"].click_ts is None
+    # u4: the simultaneous click is not strictly after the view
+    assert out["u4"].click_ts == _ts(30)
+
+
+def test_funnel_summary_counts_and_integer_mean(spark, funnel_events):
+    reached = temporal.funnel(funnel_events, _funnel_steps(), within="1 hours")
+    out = {r.step: r for r in temporal.funnel_summary(
+        reached, ["view", "click", "purchase"]).collect()}
+    assert out[1].entities == 4 and out[1].avg_secs_from_prev == 0
+    # converters to click: u1 (600 s) and u4 (1800 s) → mean 1200
+    assert out[2].entities == 2
+    assert out[2].avg_secs_from_prev == 1200
+    assert out[3].entities == 1
+    assert out[3].avg_secs_from_prev == 600
+    assert all(r.stage in ("view", "click", "purchase") for r in out.values())
+
+
+def test_funnel_unreached_stage_emits_no_row(spark):
+    ev = spark.createDataFrame(
+        [("u1", _ts(0), "view")],
+        "user_id string, ts timestamp, event_type string",
+    )
+    reached = temporal.funnel(ev, _funnel_steps(), within="1 hours")
+    steps = [r.step for r in temporal.funnel_summary(
+        reached, ["view", "click", "purchase"]).collect()]
+    assert steps == [1]
+
+
+def test_funnel_two_exchanges_total(spark, funnel_events):
+    """N stages stack on ONE entity exchange; the stage rollup adds the
+    second. A per-stage self-join would show one exchange per stage."""
+    reached = temporal.funnel(funnel_events, _funnel_steps(), within="1 hours")
+    out = temporal.funnel_summary(reached, ["view", "click", "purchase"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_cohort_retention_semantics(spark):
+    # 2024-01-01 is a Monday: u1 cohorts to week 0 and returns in week 1;
+    # u2 first appears Sunday Jan 7 (same ISO week) and returns Jan 8
+    # (next ISO week) → same cohort, offset 1
+    ev = spark.createDataFrame(
+        [
+            ("u1", datetime(2024, 1, 1, 9), "view"),
+            ("u1", datetime(2024, 1, 10, 9), "click"),
+            ("u2", datetime(2024, 1, 7, 23), "view"),
+            ("u2", datetime(2024, 1, 8, 1), "view"),
+        ],
+        "user_id string, ts timestamp, event_type string",
+    )
+    out = {
+        (str(r.cohort_week), r.week_offset): r
+        for r in temporal.cohort_retention(ev).collect()
+    }
+    assert out[("2024-01-01", 0)].active_entities == 2
+    assert out[("2024-01-01", 0)].events == 2
+    assert out[("2024-01-01", 1)].active_entities == 2
+    assert set(out) == {("2024-01-01", 0), ("2024-01-01", 1)}
+
+
+def test_cohort_retention_two_exchanges(spark, funnel_events):
+    out = temporal.cohort_retention(funnel_events)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one exchange for the per-entity first-seen window, one for the
+    # (cohort_week, week_offset) distinct-count rollup
+    assert plan.count("Exchange hashpartitioning") == 2
