@@ -113,6 +113,10 @@ HEADLINE = [
     # round-7 late tier: temperature mixing + incremental ANALYZE merge
     "q132_temperature_mixture",
     "q134_incremental_analyze",
+    # round-7 final tier: BM25 retrieval + event-sequence analytics
+    "q135_bm25_retrieval",
+    "q136_funnel_analysis",
+    "q137_cohort_retention",
 ]
 
 
@@ -169,6 +173,9 @@ def main() -> None:
         "q128_multi_insert",
         "q132_temperature_mixture",
         "q134_incremental_analyze",
+        "q135_bm25_retrieval",
+        "q136_funnel_analysis",
+        "q137_cohort_retention",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

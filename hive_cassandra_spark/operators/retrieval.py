@@ -70,24 +70,25 @@ def postings(
 ) -> DataFrame:
     """Inverted postings ``(id, term, tf, dl)``.
 
-    One explode + one hash aggregate: tf is the per-(doc, term) count
-    and dl (document length in tokens) is recovered per posting with a
-    window-free trick — summing tf over the doc would need a second
-    pass, so instead the aggregate keys on the doc and collects the
-    term counts, then re-explodes. Cheaper at scale: group once on
-    ``(id, term)`` (partial agg combines duplicates map-side), then a
-    per-doc sum as a window over the already-partitioned result would
-    re-shuffle — so dl is computed in the same groupBy via a second
-    aggregate keyed on the doc and joined back hash-to-hash. Catalyst
-    plans both aggregates off one shuffle of the exploded child when
-    the keys prefix-match; the join on ``id`` is the one extra
+    One explode + one hash aggregate over the raw tokens: tf is the
+    per-(doc, term) count with map-side partial aggregation combining
+    duplicates before the shuffle. Everything else (dl, df, corpus
+    totals) derives from the tf aggregate, which is orders of magnitude
+    smaller than the exploded token stream — the corpus is scanned and
+    exploded exactly once, and the follow-on aggregates ride
+    ReusedExchange. The join of tf to the per-doc dl is the one extra
     exchange, linear in postings.
     """
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl = Σ tf over the doc — derived FROM the tf aggregate, never from
+    # a second pass over the exploded tokens: every downstream stat
+    # shares tf's exchange (ReusedExchange in the physical plan), so the
+    # corpus is scanned and exploded exactly once however many stats are
+    # stacked on top.
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     return tf.join(dl, "id")
 
 
@@ -100,10 +101,10 @@ def corpus_stats(df: DataFrame, post: DataFrame, id_col: str = "doc_id") -> Data
     """One-row ``(n, a)``: corpus document count and integer average
     document length ``A = floor(total_tokens / N)``. N counts every
     document (token-less docs simply never enter the postings)."""
-    n = df.agg(F.count(F.lit(1)).alias("n"))
-    s = post.groupBy("id").agg(F.max("dl").alias("dl")).agg(
-        F.sum("dl").alias("s")
-    )
+    n = df.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # total tokens = Σ tf over all postings (each posting row carries its
+    # term's count once) — again derived from tf, not a fresh token pass
+    s = post.groupBy().agg(F.sum("tf").alias("s"))
     return n.crossJoin(s).select(
         "n", F.expr("s div greatest(n, 1)").cast("long").alias("a")
     )
@@ -138,14 +139,26 @@ def bm25_topk(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    post: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents per query by summed per-term BM25 score.
 
     ``queries`` is a (query_id, term) table — normally a literal few
     rows, always broadcast. Ranking ties break on doc id ascending so
     the result is total-ordered and hash-stable.
+
+    ``post`` accepts a prebuilt postings table (``postings()`` output,
+    typically materialized to parquet once per corpus version). That is
+    the 100 TB deployment shape: the inline path re-derives tf/df/dl
+    stats from the same logical subtree, and Spark's exchange-reuse
+    does not canonicalize through the tokenizer's lambda expressions,
+    so each stat replays the (column-pruned) corpus scan. Indexing once
+    and querying the artifact — exactly how production retrieval
+    systems amortize the corpus pass — collapses those replays to one
+    scan of the (much smaller) postings table per stat.
     """
-    post = postings(df, id_col, text_col)
+    if post is None:
+        post = postings(df, id_col, text_col)
     stats = term_stats(post)
     corpus = corpus_stats(df, post, id_col)
     scored = with_bm25_term_score(

@@ -105,6 +105,20 @@ def test_bm25_plan_broadcasts_and_window_group_limit(spark, docs):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_prebuilt_postings_matches_inline(spark, docs, tmp_path):
+    """The index-once deployment path: postings materialized to parquet
+    then queried must reproduce the inline result exactly."""
+    q = spark.createDataFrame(
+        [("qa", "alpha"), ("qd", "delta")], "query_id string, term string"
+    )
+    path = str(tmp_path / "postings")
+    retrieval.postings(docs).write.parquet(path)
+    inline = sorted(map(tuple, retrieval.bm25_topk(docs, q, k=5).collect()))
+    prebuilt = sorted(map(tuple, retrieval.bm25_topk(
+        docs, q, k=5, post=spark.read.parquet(path)).collect()))
+    assert inline == prebuilt
+
+
 def test_bm25_score_matches_reference_formula(spark):
     """Pin the exact fixed-point value on a hand-computed example."""
     docs = spark.createDataFrame(

@@ -43,6 +43,27 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q135_bm25_retrieval": (
+        "the 7 scans are the inline tf/df/dl/corpus stats each replaying the "
+        "column-pruned (doc_id, text) scan — Spark's exchange reuse does not "
+        "canonicalize through the tokenizer lambda; the deployment shape is "
+        "bm25_topk(post=...) over a postings table materialized once per "
+        "corpus version (test_retrieval pins inline == prebuilt), which "
+        "collapses every stat to one pass over the far smaller index. "
+        "Scoring itself is broadcast-only (term stats + one-row corpus "
+        "probe) and the top-k is WindowGroupLimit, never a global sort."
+    ),
+    "q136_funnel_analysis": (
+        "all three funnel stages are conditional window minima stacked on "
+        "ONE user_id exchange (plan shows 2 exchanges total: fact window + "
+        "stage rollup); the oracle's textbook per-stage self-join formulation "
+        "would shuffle the fact table once per stage."
+    ),
+    "q137_cohort_retention": (
+        "first-seen via window min on the same single fact exchange; the "
+        "cohort rollup exchange carries only (cohort_week, week_offset) "
+        "partial aggregates with map-side distinct expansion."
+    ),
     "q82_quantile_sketch": (
         "bottom-k sample: WindowGroupLimit Partial prunes to <=256 rows/group "
         "inside each map task BEFORE the single exchange, so the shuffle "
