@@ -117,6 +117,8 @@ HEADLINE = [
     "q135_bm25_retrieval",
     "q136_funnel_analysis",
     "q137_cohort_retention",
+    "q138_stream_funnel",
+    "q139_dynamic_partition_pruning",
 ]
 
 
@@ -176,6 +178,8 @@ def main() -> None:
         "q135_bm25_retrieval",
         "q136_funnel_analysis",
         "q137_cohort_retention",
+        "q138_stream_funnel",
+        "q139_dynamic_partition_pruning",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

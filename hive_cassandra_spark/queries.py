@@ -5049,6 +5049,82 @@ def q115_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q139_dynamic_partition_pruning",
+    # Deterministic: integer cents, integer-div mean threshold, the hot
+    # set derives relationally from the data. The layout property —
+    # Spark injecting a dynamicpruningexpression into the fact scan's
+    # PartitionFilters so only hot days' files open — is asserted on
+    # this query's plan in test_scale_plans.
+    oracle="""
+    WITH cents AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS c
+                   FROM events),
+    daily AS (SELECT day, CAST(sum(c) AS BIGINT) AS purchase_cents
+              FROM cents WHERE event_type = 'purchase' GROUP BY day),
+    thr AS (SELECT CAST(sum(purchase_cents) AS BIGINT)
+                   // CAST(count(*) AS BIGINT) AS thr FROM daily),
+    hot AS (SELECT day, purchase_cents
+            FROM daily CROSS JOIN thr WHERE purchase_cents > thr)
+    SELECT CAST(c.day AS VARCHAR) AS day, c.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(c.c) AS BIGINT) AS sum_value_cents,
+           max(h.purchase_cents) AS day_purchase_cents
+    FROM cents c JOIN hot h USING (day)
+    GROUP BY 1, 2
+    """,
+    doc="dynamic partition pruning over the day-partitioned hypertable: "
+    "the drill-down join — find the days whose purchase revenue beats "
+    "the integer mean, then roll up ALL activity on just those days — "
+    "prunes the fact scan at RUNTIME via the broadcast dim (Spark "
+    "plants a dynamicpruningexpression in PartitionFilters, reusing "
+    "the join's broadcast; plan-asserted in test_scale_plans). q115 "
+    "proves static pruning from a literal date range; this proves the "
+    "case a 100 TB deployment actually hits — the pruning set comes "
+    "from another query, and without DPP the fact table re-scans every "
+    "partition. Overflow variant of the in-window time_rollup family "
+    "(q115/q64)",
+)
+def q139_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from hive_cassandra_spark.catalog import Catalog
+
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"hcs_q139_{tok}_{os.getpid()}_part"
+    )
+    ev = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    cat = Catalog(spark)
+    cat.create_partitioned_table(f"hcs_ev_dpp_{tok}", ev, path, ["day"])
+    t = cat.table(f"hcs_ev_dpp_{tok}")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (
+        t.filter(F.col("event_type") == "purchase")
+        .groupBy("day")
+        .agg(F.sum(cents).alias("purchase_cents"))
+    )
+    thr = daily.groupBy().agg(
+        F.expr("sum(purchase_cents) div count(*)").alias("thr")
+    )
+    hot = (
+        daily.crossJoin(F.broadcast(thr))
+        .filter(F.col("purchase_cents") > F.col("thr"))
+        .select("day", "purchase_cents")
+    )
+    return (
+        t.join(F.broadcast(hot), "day")
+        .groupBy(F.col("day").cast("string").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_value_cents"),
+            F.max("purchase_cents").alias("day_purchase_cents"),
+        )
+    )
+
+
+@register(
     "q116_stream_index",
     # Both the base store AND its 2i are maintained by streaming sinks off
     # one event stream (index maintenance is a pure projection, so it
@@ -6488,6 +6564,78 @@ def q137_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.cohort_retention(ev, entity_col="user_id", ts_col="ts")
 
 
+@register(
+    "q138_stream_funnel",
+    # Same oracle as q136 VERBATIM: the bounded streaming replay must
+    # land on exactly the batch funnel. That is only safe because the
+    # stateful operator is order-insensitive (candidate buffers
+    # re-resolved per update — see streaming.events.stream_funnel);
+    # a keep-the-min state machine would diverge whenever the bounded
+    # source splits micro-batches across out-of-order regions.
+    oracle="""
+    WITH t1 AS (SELECT user_id, min(ts) AS view_ts
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.ts) AS click_ts
+           FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > t1.view_ts
+             AND e.ts <= t1.view_ts + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+           FROM events e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > t2.click_ts
+             AND e.ts <= t2.click_ts + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+    d2 AS (SELECT t2.user_id,
+                  CAST(floor(epoch(click_ts)) AS BIGINT)
+                  - CAST(floor(epoch(view_ts)) AS BIGINT) AS delta
+           FROM t2 JOIN t1 USING (user_id)),
+    d3 AS (SELECT t3.user_id,
+                  CAST(floor(epoch(purchase_ts)) AS BIGINT)
+                  - CAST(floor(epoch(click_ts)) AS BIGINT) AS delta
+           FROM t3 JOIN t2 USING (user_id))
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage,
+           CAST(count(*) AS BIGINT) AS entities,
+           CAST(0 AS BIGINT) AS avg_secs_from_prev
+    FROM t1 HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT),
+           CAST(sum(delta) AS BIGINT) // CAST(count(*) AS BIGINT)
+    FROM d2 HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT),
+           CAST(sum(delta) AS BIGINT) // CAST(count(*) AS BIGINT)
+    FROM d3 HAVING count(*) > 0
+    """,
+    doc="streaming strict-order funnel (streaming.events.stream_funnel "
+    "via applyInPandasWithState): per-user stage minima maintained as "
+    "candidate buffers re-resolved on every update — order-insensitive, "
+    "so the bounded replay hash-matches the BATCH funnel oracle "
+    "(q136's SQL verbatim) regardless of micro-batch splits; a naive "
+    "min-keeping state machine is not monotone under out-of-order "
+    "arrival and would silently corrupt. State is O(entities x "
+    "conversion-horizon events) after the monotone-safe prune, hash-"
+    "partitioned by user. The streaming face of the q136 batch funnel "
+    "(q77/q85 KMV precedent). New capability: PENDING_ROTATION "
+    "alongside q136 for a round-8 slot",
+)
+def q138_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    out = streaming_events.run_bounded(
+        streaming_events.stream_funnel(ev), spark, "update",
+        state_partitions=8,
+    )
+    # update-mode sinks append one row per (user, update); the per-user
+    # state carries a seq counter, so the final row is max-seq (q54's
+    # keep-final-row idiom)
+    w = W.partitionBy("user_id").orderBy(F.col("seq").desc())
+    reached = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "seq")
+    )
+    return temporal.funnel_summary(reached, ["view", "click", "purchase"])
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -6846,6 +6994,13 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # capabilities, PENDING_ROTATION, round 8)
     "q136_funnel_analysis": {"funnel"},
     "q137_cohort_retention": {"cohort_retention"},
+    # streaming funnel: same funnel family as q136 plus the stateful
+    # machinery tag (q54 graduated; q138 restores a live bearer)
+    "q138_stream_funnel": {"funnel", "stream_stateful"},
+    # dynamic partition pruning: runtime-pruned drill-down over q115's
+    # day-partitioned layout — ordinary overflow of the time_rollup
+    # family (q115 in-window)
+    "q139_dynamic_partition_pruning": {"time_rollup"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -6870,6 +7025,12 @@ PENDING_ROTATION: set[str] = {
     "q135_bm25_retrieval",
     "q136_funnel_analysis",
     "q137_cohort_retention",
+    # streaming funnel: pending only for the orphan exemption — once
+    # q136 takes its round-8 slot and bears "funnel" (and a
+    # stream_stateful bearer is back in-window via q138 itself or a
+    # successor), q138 can stand down to ordinary overflow instead of
+    # consuming a slot
+    "q138_stream_funnel",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

@@ -561,3 +561,95 @@ def stream_histogram(
             "cnt",
         )
     )
+
+
+def stream_funnel(
+    events: DataFrame,
+    stage_types: tuple[str, ...] = ("view", "click", "purchase"),
+    within_s: int = 24 * 3600,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming strict-order funnel — the stateful face of
+    ``temporal.funnel`` (q136): per entity, the earliest time each stage
+    was reached, stage i+1 strictly after stage i and within
+    ``within_s`` seconds of it.
+
+    Order-insensitive by construction, so the bounded replay matches the
+    batch funnel exactly no matter how the source splits micro-batches:
+    state per entity is a small CANDIDATE BUFFER per stage, and the
+    funnel is re-resolved from the buffers on every update (the minima
+    are not monotone under out-of-order arrival — an earlier first-stage
+    event arriving late SHIFTS every later conversion window, so a
+    naive keep-the-min state machine silently corrupts; buffering the
+    few candidates inside the conversion horizon is the price of
+    exactness).
+
+    State bound: stage 1 keeps exactly one timestamp (the min is
+    order-insensitive on its own); stage i>1 keeps only candidates
+    ``<= t_{i-1} + within_s`` — as t_{i-1} only ever decreases, that
+    prune is monotone-safe and caps each buffer at the events inside
+    one conversion window (plus everything seen before stage i-1 first
+    resolves). At 100 TB the watermark bounds how long buffers can
+    grow, and state stays O(entities x horizon-events), hash-partitioned
+    by entity like every other stateful operator here.
+    """
+    import pandas as pd
+
+    n = len(stage_types)
+    w_ns = int(within_s) * 1_000_000_000
+    type_to_stage = {t: i for i, t in enumerate(stage_types)}
+
+    def _resolve(buffers: list[list[int]]) -> list[int | None]:
+        reached: list[int | None] = []
+        prev: int | None = None
+        for i, cands in enumerate(buffers):
+            if i == 0:
+                t = min(cands) if cands else None
+            elif prev is None:
+                t = None
+            else:
+                valid = [x for x in cands if prev < x <= prev + w_ns]
+                t = min(valid) if valid else None
+            reached.append(t)
+            prev = t
+        return reached
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            stored = state.get
+            seq = stored[0]
+            buffers = [list(b) for b in stored[1:]]
+        else:
+            seq = 0
+            buffers = [[] for _ in range(n)]
+        for pdf in pdfs:
+            stages = pdf["event_type"].map(type_to_stage)
+            ts_ns = pdf[ts_col].astype("int64")
+            for stage, t in zip(stages, ts_ns):
+                if pd.notna(stage):
+                    buffers[int(stage)].append(int(t))
+        reached = _resolve(buffers)
+        # prune: stage 1 needs only its min; stage i>1 keeps candidates
+        # inside the (monotone-shrinking) window bound of stage i-1
+        buffers[0] = [reached[0]] if reached[0] is not None else []
+        for i in range(1, n):
+            prev = reached[i - 1]
+            if prev is not None:
+                buffers[i] = [x for x in buffers[i] if x <= prev + w_ns]
+        seq += 1
+        state.update((seq, *buffers))
+        out = {entity_col: [key[0]], "seq": [seq]}
+        for name, t in zip(stage_types, reached):
+            out[f"{name}_ts"] = [pd.Timestamp(t) if t is not None else pd.NaT]
+        yield pd.DataFrame(out)
+
+    out_fields = ", ".join(f"{name}_ts timestamp" for name in stage_types)
+    state_fields = ", ".join(f"s{i} array<bigint>" for i in range(n))
+    return events.groupBy(entity_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{entity_col} bigint, seq bigint, {out_fields}",
+        stateStructType=f"seq bigint, {state_fields}",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

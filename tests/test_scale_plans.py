@@ -322,3 +322,17 @@ def test_partitioned_rollup_query_prunes_partitions(spark, sf_dir):
     pf = plan.split("PartitionFilters")[1][:250]
     assert "day" in pf and "2024-01-1" in pf, pf
     assert df.count() > 0
+
+
+def test_dynamic_partition_pruning_query_plants_runtime_filter(spark, sf_dir):
+    """q139's own plan: the hot-day set is only known at runtime (it is
+    an aggregate of the same table), so the fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters — without it the
+    drill-down re-scans every day's files and the partitioned layout
+    buys nothing at 100 TB."""
+    from hive_cassandra_spark.queries import QUERIES
+
+    df = QUERIES["q139_dynamic_partition_pruning"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert df.count() > 0

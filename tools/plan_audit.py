@@ -43,6 +43,22 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q139_dynamic_partition_pruning": (
+        "the hot-day dim is an aggregate of the same table, so the pruning "
+        "set exists only at runtime: the fact scan carries a "
+        "dynamicpruningexpression in PartitionFilters (broadcast reuse, "
+        "plan-asserted in test_scale_plans) — only hot days' files open. "
+        "The dim-building pass necessarily reads all partitions once; at "
+        "100 TB that pass is the aggregate's map side, while the drill-down "
+        "re-scan is what DPP eliminates."
+    ),
+    "q138_stream_funnel": (
+        "state is per-user candidate buffers re-resolved each update — "
+        "order-insensitive, so the bounded replay equals the batch funnel "
+        "under ANY micro-batch split (test_streaming replays the halves "
+        "time-reversed); the monotone-safe horizon prune keeps buffers at "
+        "O(conversion-window events) per entity."
+    ),
     "q135_bm25_retrieval": (
         "the 7 scans are the inline tf/df/dl/corpus stats each replaying the "
         "column-pruned (doc_id, text) scan — Spark's exchange reuse does not "
