@@ -119,6 +119,7 @@ HEADLINE = [
     "q137_cohort_retention",
     "q138_stream_funnel",
     "q139_dynamic_partition_pruning",
+    "q140_kmeans_clusters",
 ]
 
 
@@ -180,6 +181,7 @@ def main() -> None:
         "q137_cohort_retention",
         "q138_stream_funnel",
         "q139_dynamic_partition_pruning",
+        "q140_kmeans_clusters",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

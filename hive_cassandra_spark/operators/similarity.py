@@ -426,3 +426,76 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_iterate(
+    items: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means, fully relational: hash-partition
+    init (``pmod(id, k)`` — ``centroids()``'s seed step) followed by
+    ``iters`` assign/update rounds; returns the final assignment
+    ``(id, cid, d2)`` with the rounded squared euclidean distance to the
+    assigned centroid.
+
+    Cross-engine float contract (q113/q92 precedent): centroid
+    components are avg-then-round(6) per (cluster, position); the
+    assignment distance is round(6)ed BEFORE the argmin; ties break to
+    the smaller cid via row_number — every decision the oracle replays
+    lands on identical doubles.
+
+    Plan shape per iteration: the long-form vectors join the (k x dim)
+    long-form centroid table on position — BROADCAST (k·dim rows), so
+    assignment costs one hash aggregate on (id, cid) plus the argmin
+    window on id: two exchanges of N·k narrow rows, the textbook
+    relational k-means cost. The centroid update re-aggregates the
+    long-form vectors by (cid, pos) off the same exploded child. A
+    throughput deployment would swap the positional join for the IVF
+    literal-fold assignment (``_cell_cols`` — zero-shuffle, k·dim
+    centroid literals in the plan, the documented driver-collect
+    exception) once the oracle contract is no longer needed; the
+    relational form is the one both engines replay bit-identically.
+    """
+    pos = items.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    # init assignment: hash buckets
+    assign = items.select(
+        F.col(id_col).alias("id"),
+        F.pmod(F.col(id_col), F.lit(k)).cast("int").alias("cid"),
+    )
+    out = None
+    for _ in range(iters):
+        cents = (
+            pos.join(assign, "id")
+            .groupBy("cid", "i")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+        scored = (
+            pos.join(F.broadcast(cents), "i")
+            .groupBy("id", "cid")
+            .agg(
+                F.sum(F.col("x") * F.col("c")).alias("dot"),
+                F.sum(F.col("x") * F.col("x")).alias("nx"),
+                F.sum(F.col("c") * F.col("c")).alias("nc"),
+            )
+            .select(
+                "id",
+                "cid",
+                F.round(
+                    F.col("nx") + F.col("nc") - 2 * F.col("dot"), 6
+                ).alias("d2"),
+            )
+        )
+        w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cid"))
+        out = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        assign = out.select("id", "cid")
+    return out

@@ -6636,6 +6636,64 @@ def q138_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.funnel_summary(reached, ["view", "click", "purchase"])
 
 
+@register(
+    "q140_kmeans_clusters",
+    # Full 2-iteration Lloyd replay: hash init (vec_id % 8), centroid =
+    # round(avg, 6) per (cluster, position), assignment distance
+    # round(6)ed BEFORE the argmin, ties to the smaller cid — the
+    # q113/q92 cross-engine float contract applied to an ITERATIVE
+    # algorithm, so both engines walk identical assignment sequences.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    pos AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+            FROM e),
+    a0 AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS cid FROM e),
+    c1 AS (SELECT a0.cid, pos.i, round(avg(x), 6) AS c
+           FROM pos JOIN a0 USING (vec_id) GROUP BY 1, 2),
+    s1 AS (SELECT pos.vec_id, c1.cid,
+                  round(sum(x*x) + sum(c*c) - 2*sum(x*c), 6) AS d2
+           FROM pos JOIN c1 USING (i) GROUP BY 1, 2),
+    a1 AS (SELECT vec_id, cid, d2 FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cid) AS rn FROM s1)
+           WHERE rn = 1),
+    c2 AS (SELECT a1.cid, pos.i, round(avg(x), 6) AS c
+           FROM pos JOIN a1 USING (vec_id) GROUP BY 1, 2),
+    s2 AS (SELECT pos.vec_id, c2.cid,
+                  round(sum(x*x) + sum(c*c) - 2*sum(x*c), 6) AS d2
+           FROM pos JOIN c2 USING (i) GROUP BY 1, 2),
+    a2 AS (SELECT vec_id, cid, d2 FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cid) AS rn FROM s2)
+           WHERE rn = 1)
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_items,
+           min(d2) AS min_d2, max(d2) AS max_d2
+    FROM a2 GROUP BY cid
+    """,
+    doc="deterministic Lloyd's k-means (similarity.kmeans_iterate): "
+    "k=8, two assign/update rounds from the hash-partition init, fully "
+    "relational — long-form vectors join the broadcast (k x dim) "
+    "long-form centroids, assignment is an argmin window, the update "
+    "re-aggregates by (cluster, position); NO driver collect (the IVF "
+    "literal-fold assignment is the documented throughput alternative "
+    "once the oracle contract is dropped). Proves an ITERATIVE "
+    "algorithm under the exact cross-engine float contract: the DuckDB "
+    "oracle unrolls both iterations and must walk the identical "
+    "assignment sequence to hash-match. The centroid-training step "
+    "under the IVF index (q47) and SemDeDup (q92); overflow variant of "
+    "the in-window similarity_ann family (q92)",
+)
+def q140_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.kmeans_iterate(emb, k=8, iters=2)
+    return out.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("d2").alias("min_d2"),
+        F.max("d2").alias("max_d2"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -7001,6 +7059,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # day-partitioned layout — ordinary overflow of the time_rollup
     # family (q115 in-window)
     "q139_dynamic_partition_pruning": {"time_rollup"},
+    # k-means: the centroid-training tier of the ANN family (q92
+    # in-window bears similarity_ann)
+    "q140_kmeans_clusters": {"similarity_ann"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

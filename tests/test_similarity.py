@@ -155,3 +155,50 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     qv = similarity.quantize_embeddings(emb).select("qvec").limit(50).collect()
     for r in qv:
         assert all(-127 <= x <= 127 for x in r.qvec)
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two tight blobs far apart, ids arranged so the hash init is
+    informative (blob A even, blob B odd — a degenerate init where both
+    hash buckets average to the midpoint can collapse a cluster, the
+    known Lloyd failure mode, which is why production k-means uses
+    k-means++ seeding): with k=2 every point lands with its blob."""
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, [10.0 + (i % 3) * 0.01, 10.0]))          # blob A
+        rows.append((2 * i + 101, [-10.0, -10.0 - (i % 3) * 0.01]))  # blob B
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_iterate(df, k=2, iters=2).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r.id < 100, set()).add(r.cid)
+    # each blob maps to exactly one cluster, and the two differ
+    assert all(len(cids) == 1 for cids in by_blob.values())
+    assert by_blob[True] != by_blob[False]
+    # distances to the converged centroid are tiny within a blob
+    assert all(r.d2 < 0.1 for r in out)
+
+
+def test_kmeans_assignment_unique_and_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = similarity.kmeans_iterate(emb, k=8, iters=2)
+    rows = a.collect()
+    # exactly one assignment per vector
+    assert len(rows) == emb.count()
+    assert len({r.id for r in rows}) == len(rows)
+    # deterministic replay: identical assignments and rounded distances
+    b = {(r.id): (r.cid, r.d2) for r in similarity.kmeans_iterate(
+        emb, k=8, iters=2).collect()}
+    assert {(r.id): (r.cid, r.d2) for r in rows} == b
+
+
+def test_kmeans_objective_non_increasing(spark, sf_dir):
+    """Lloyd's objective (sum of assigned d2) must not increase from
+    iteration 1 to 2 — the convergence property, up to the 1e-6
+    rounding the cross-engine contract applies."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    o1 = similarity.kmeans_iterate(emb, k=8, iters=1).agg(
+        F.sum("d2")).collect()[0][0]
+    o2 = similarity.kmeans_iterate(emb, k=8, iters=2).agg(
+        F.sum("d2")).collect()[0][0]
+    assert o2 <= o1 + 1e-3

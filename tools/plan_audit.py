@@ -52,6 +52,15 @@ NOTES = {
         "100 TB that pass is the aggregate's map side, while the drill-down "
         "re-scan is what DPP eliminates."
     ),
+    "q140_kmeans_clusters": (
+        "per Lloyd round: centroid update re-aggregates the long-form "
+        "vectors by (cluster, position), assignment joins them to the "
+        "BROADCAST k x dim centroid table and argmins over an id window — "
+        "N x k narrow rows per exchange, the textbook relational k-means "
+        "cost, with no driver collect; the IVF literal-fold assignment is "
+        "the documented zero-shuffle alternative once the bit-replayable "
+        "oracle contract is dropped."
+    ),
     "q138_stream_funnel": (
         "state is per-user candidate buffers re-resolved each update — "
         "order-insensitive, so the bounded replay equals the batch funnel "

@@ -80,6 +80,17 @@ QUERIES_UNDER_TEST = [
     # ~linearly in cells with fixed-row outputs.
     "q84_connector_datasource",
     "q112_snapshot_read",
+    # round-7 final tier: the postings build + scored top-k (frequency-
+    # preserving replica so df and N scale together and the top-10 set is
+    # invariant), the batch funnel (3 window minima on one exchange —
+    # shuffle tracks the fact table), its stateful streaming face (state
+    # rows scale with users; output fixed), and the DPP drill-down (the
+    # pruned fact read should track hot-day volume, with the dim pass
+    # linear)
+    "q135_bm25_retrieval",
+    "q136_funnel_analysis",
+    "q138_stream_funnel",
+    "q139_dynamic_partition_pruning",
 ]
 # Expected row behavior across scale points — the result check (r06
 # verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
@@ -100,11 +111,15 @@ EXPECT_ROWS = {
     "q107_merkle_repair": "fixed",
     "q84_connector_datasource": "fixed",
     "q112_snapshot_read": "fixed",
+    "q135_bm25_retrieval": "fixed",
+    "q136_funnel_analysis": "fixed",
+    "q138_stream_funnel": "fixed",
+    "q139_dynamic_partition_pruning": "fixed",
     "wide_row_stress": "grows",
 }
 # q98 reads the frequency-preserving documents replica: token counts must
 # scale WITH the corpus for the MG threshold to keep the same survivors
-FREQ_PRESERVING = {"q98_heavy_hitters"}
+FREQ_PRESERVING = {"q98_heavy_hitters", "q135_bm25_retrieval"}
 # which table each query reads (only these get synthesized)
 TABLES = ["documents", "embeddings", "events", "lineitem", "orders", "customer"]
 
