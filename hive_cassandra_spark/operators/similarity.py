@@ -434,6 +434,7 @@ def kmeans_iterate(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_assign: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means, fully relational: hash-partition
     init (``pmod(id, k)`` — ``centroids()``'s seed step) followed by
@@ -463,11 +464,17 @@ def kmeans_iterate(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
     )
-    # init assignment: hash buckets
-    assign = items.select(
-        F.col(id_col).alias("id"),
-        F.pmod(F.col(id_col), F.lit(k)).cast("int").alias("cid"),
-    )
+    # init assignment: hash buckets, or a caller-provided (id, cid)
+    # seeding (e.g. kmeans_assign_to_seeds over kmeans_seed_farthest —
+    # the deterministic k-means++-style alternative when hash buckets
+    # would average to coincident centroids)
+    if init_assign is not None:
+        assign = init_assign.select("id", "cid")
+    else:
+        assign = items.select(
+            F.col(id_col).alias("id"),
+            F.pmod(F.col(id_col), F.lit(k)).cast("int").alias("cid"),
+        )
     out = None
     for _ in range(iters):
         cents = (
@@ -499,3 +506,98 @@ def kmeans_iterate(
         )
         assign = out.select("id", "cid")
     return out
+
+
+def kmeans_seed_farthest(
+    items: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic farthest-point seeding (the greedy max-min variant
+    of k-means++ — no RNG, so the seed set is replayable): seed 0 is
+    the smallest id; each later seed is the vector maximizing its
+    distance to the nearest already-chosen seed, ties to the smaller
+    id. Fixes the hash-init failure mode pinned in test_similarity
+    (two hash buckets averaging to the same midpoint collapse a
+    cluster, which Lloyd cannot recover).
+
+    Plan shape: k-1 rounds, each one aggregate — per vector, min d2 to
+    the BROADCAST chosen-seed vectors (long-form positional join, the
+    q140 shape), then a global top-1 (TakeOrdered — no full sort). The
+    corpus is scanned per round; k is small and fixed, so this is k
+    cheap passes, exactly how a cluster-scale implementation seeds
+    (sampling-based k-means|| is the alternative when even k passes
+    hurt — documented, out of scope).
+    """
+    pos = items.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    first = items.agg(F.min(id_col).alias("id"))
+    seeds = first.select(F.lit(0).alias("cid"), "id")
+    for round_no in range(1, k):
+        seed_pos = pos.join(
+            F.broadcast(seeds.select("id")), "id"
+        ).withColumnRenamed("x", "c").withColumnRenamed("id", "sid")
+        d2 = (
+            pos.join(F.broadcast(seed_pos), "i")
+            .groupBy("id", "sid")
+            .agg(
+                F.round(
+                    F.sum(F.col("x") * F.col("x"))
+                    + F.sum(F.col("c") * F.col("c"))
+                    - 2 * F.sum(F.col("x") * F.col("c")),
+                    6,
+                ).alias("d2")
+            )
+            .groupBy("id")
+            .agg(F.min("d2").alias("min_d2"))
+        )
+        nxt = (
+            d2.orderBy(F.desc("min_d2"), F.asc("id"))
+            .limit(1)
+            .select(F.lit(round_no).alias("cid"), "id")
+        )
+        seeds = seeds.unionByName(nxt)
+    return seeds
+
+
+def kmeans_assign_to_seeds(
+    items: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid): each vector assigned to its nearest seed vector —
+    turns a ``kmeans_seed_farthest`` seed set into the init assignment
+    ``kmeans_iterate`` refines. Same broadcast positional-join shape."""
+    pos = items.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    seed_pos = (
+        pos.withColumnRenamed("id", "seed_id")
+        .join(
+            F.broadcast(seeds.withColumnRenamed("id", "seed_id")), "seed_id"
+        )
+        .select("cid", "i", F.col("x").alias("c"))
+    )
+    scored = (
+        pos.join(F.broadcast(seed_pos), "i")
+        .groupBy("id", "cid")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * F.col("x"))
+                + F.sum(F.col("c") * F.col("c"))
+                - 2 * F.sum(F.col("x") * F.col("c")),
+                6,
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "cid")
+    )

@@ -202,3 +202,34 @@ def test_kmeans_objective_non_increasing(spark, sf_dir):
     o2 = similarity.kmeans_iterate(emb, k=8, iters=2).agg(
         F.sum("d2")).collect()[0][0]
     assert o2 <= o1 + 1e-3
+
+
+def test_farthest_seeding_rescues_degenerate_init(spark):
+    """The EXACT fixture where hash init collapses (both parities in
+    both blobs → coincident init centroids): farthest-point seeding
+    must pick one seed per blob and separate them perfectly."""
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + (i % 3) * 0.01, 10.0]))          # blob A
+        rows.append((100 + i, [-10.0, -10.0 - (i % 3) * 0.01]))  # blob B
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = similarity.kmeans_seed_farthest(df, k=2)
+    srows = {r.cid: r.id for r in seeds.collect()}
+    # seed 0 = min id (blob A); seed 1 = farthest point (blob B)
+    assert srows[0] == 0 and srows[1] >= 100
+    init = similarity.kmeans_assign_to_seeds(df, seeds)
+    out = similarity.kmeans_iterate(df, k=2, iters=2, init_assign=init).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r.id < 100, set()).add(r.cid)
+    assert all(len(cids) == 1 for cids in by_blob.values())
+    assert by_blob[True] != by_blob[False]
+    assert all(r.d2 < 0.1 for r in out)
+
+
+def test_farthest_seeding_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, similarity.kmeans_seed_farthest(emb, k=4).collect()))
+    b = sorted(map(tuple, similarity.kmeans_seed_farthest(emb, k=4).collect()))
+    assert a == b and len(a) == 4
+    assert len({cid for cid, _ in a}) == 4
