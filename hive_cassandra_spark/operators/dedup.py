@@ -905,3 +905,227 @@ def canonical_per_cluster(
         F.max("__q").alias("best_quality"),
         F.count(F.lit(1)).alias("cluster_size"),
     )
+
+# ------------------------------------------------------------- winnowing ---
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 24,
+    w: int = 8,
+) -> DataFrame:
+    """(doc, fps: array<string>) — winnowing document fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm).
+
+    Hash every character k-gram of the normalized text (md5 — same
+    portable hash family as the MinHash path), slide a window of ``w``
+    consecutive k-gram hashes, and keep the MINIMUM hash of each window.
+    The guarantee that makes this the local-fingerprint method of record:
+    any shared substring of length ≥ k + w - 1 between two documents
+    yields at least one shared selected fingerprint, while the selected
+    set is ~2/(w+1) of all k-grams — a tunable sketch with a detection
+    floor, which plain "every i-th hash" sampling cannot offer.
+
+    Entirely expression-level (sequence → transform → slice → array_min
+    inside one projection): per-row cost is linear in text length, ZERO
+    shuffle, and whole-stage codegen keeps it JVM-side. Docs shorter than
+    k chars contribute md5(whole text); hash lists shorter than w
+    contribute their single global minimum.
+    """
+    # Each stage is its OWN projection so `norm`/`hs` are materialized
+    # column references. Inlining them (one big expression) makes Catalyst
+    # re-evaluate the k-gram hash array per window and per exploded
+    # element — an O(n²·w) blow-up per row that turns a 1-second scan
+    # into hours. Multi-referenced non-cheap projections survive
+    # CollapseProject, so the staging below is load-bearing, not style.
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), normalize(F.col(text_col)).alias("norm")
+    )
+    n = F.length("norm")
+    hashed = base.select(
+        "doc",
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.md5(F.substring(F.col("norm"), i, F.lit(k))),
+            ),
+        )
+        .otherwise(F.array(F.md5(F.col("norm"))))
+        .alias("hs"),
+    )
+    m = F.size("hs")
+    fps = F.array_distinct(
+        F.when(
+            m >= w,
+            F.transform(
+                F.sequence(F.lit(1), m - w + 1),
+                lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
+            ),
+        ).otherwise(F.array(F.array_min("hs")))
+    )
+    return hashed.select("doc", fps.alias("fps"))
+
+
+WINNOW_MAX_DF = 10
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 24,
+    w: int = 8,
+    min_shared: int = 3,
+    max_df: int | None = WINNOW_MAX_DF,
+) -> DataFrame:
+    """Near-dup candidate pairs via shared winnowing fingerprints:
+    (doc_a, doc_b, shared) for doc_a < doc_b sharing ≥ ``min_shared``
+    selected fingerprints.
+
+    Same inverted-index shape as ``jaccard_pairs``: explode the per-doc
+    fingerprint set, self-join on the fingerprint, count per pair. The
+    hot-fingerprint guard (document frequency > ``max_df`` dropped from
+    the index via a broadcast anti-join) bounds the k² blow-up a
+    boilerplate k-gram would cause — winnowing fingerprints cover ~2/(w+1)
+    of positions, so a fingerprint shared by >max_df documents is
+    corpus-level boilerplate, not a similarity signal. Each surviving
+    exchange key (fingerprint) is md5-uniform → well-spread shuffle.
+    """
+    # explode_outer, deliberately: plain explode lets Catalyst infer a
+    # `size(fps) > 0` filter (InferFiltersFromGenerate) and push it below
+    # the staged projections, re-inlining the whole fingerprint expression
+    # into one giant per-row Filter — O(n²) re-evaluation that also blows
+    # the codegen size limit into interpreted mode. The fps array is never
+    # empty (≥1 element by construction), so outer explode is identical
+    # semantics without the inferred filter.
+    fp = winnowing_fingerprints(df, text_col, id_col, k, w).select(
+        "doc", F.explode_outer("fps").alias("fp")
+    )
+    if max_df is not None:
+        hot = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fp.alias("a").hint("merge"), fp.alias("b").hint("merge")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+# --------------------------------------------------- sorted neighborhood ---
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    prefix_len: int = 80,
+    max_dist: int = 20,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández/Stolfo '95): sort records by a
+    blocking key, compare each record only with the next ``window - 1``
+    records in sort order, verify with edit distance on a fixed-length
+    prefix. The classic entity-resolution method when similarity is
+    *lexical* (typos, truncations) rather than token-set shaped.
+
+    Scale posture: the sort is WITHIN blocks (first token of the
+    normalized text), i.e. a partitioned window — never a global
+    single-task ORDER BY. Each row emits at most ``window - 1``
+    comparisons, so the candidate space is O(rows × window) by
+    construction, and ``levenshtein`` runs on a capped prefix
+    (O(prefix_len²) worst-case per pair, JVM built-in). The sort key is
+    (norm, id) — unique, so neighbor order is deterministic.
+
+    Output: (doc_a, doc_b, dist) for neighbor pairs with
+    levenshtein(prefix_a, prefix_b) ≤ ``max_dist``.
+    """
+    from pyspark.sql import Window
+
+    norm = normalize(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        norm.alias("norm"),
+        F.split_part(norm, F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    win = Window.partitionBy("blk").orderBy("norm", "doc")
+    cols = [
+        base.withColumn("nb_doc", F.lead("doc", off).over(win))
+        .withColumn("nb_norm", F.lead("norm", off).over(win))
+        for off in range(1, window)
+    ]
+    legs = [
+        c.filter(F.col("nb_doc").isNotNull()).select(
+            F.col("doc").alias("doc_a"),
+            F.col("nb_doc").alias("doc_b"),
+            F.levenshtein(
+                F.substring("norm", 1, prefix_len),
+                F.substring("nb_norm", 1, prefix_len),
+            ).alias("dist"),
+        )
+        for c in cols
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.filter(F.col("dist") <= max_dist)
+
+
+# ----------------------------------------------------- edit-distance join ---
+
+def edit_distance_name_join(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+    len_band: int = 2,
+) -> DataFrame:
+    """Edit-distance similarity self-join over a dimension's NAME column —
+    the catalog-harmonization ER pattern ("red bolt" vs "red bolts").
+
+    Shape: dedupe to the DISTINCT name vocabulary first (one map-side-
+    combined shuffle that also carries the per-name row count), block by
+    shared token + length band (|len(a) − len(b)| ≤ ``len_band`` — a
+    necessary condition for edit distance ≤ len_band), then verify with
+    the exact ``levenshtein`` built-in. The pair space is vocabulary-
+    sized, NOT row-sized: at 100 TB the fact rows reduce to their name
+    vocabulary before any pairing happens, and the vocabulary join
+    broadcasts. Row counts per name ride along so the output still
+    reports how much of the fact table each harmonization would merge.
+
+    Output: (nm_a, nm_b, dist, rows_a, rows_b) for nm_a < nm_b with
+    levenshtein(nm_a, nm_b) ≤ ``max_dist``.
+    """
+    names = df.groupBy(F.lower(F.col(name_col)).alias("nm")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    toks = names.select(
+        "nm", "rows", F.explode(F.split("nm", " ")).alias("tok")
+    )
+    a, b = toks.alias("a"), F.broadcast(toks.alias("b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.nm") < F.col("b.nm"))
+            & (
+                F.abs(F.length("a.nm") - F.length("b.nm")) <= len_band
+            ),
+        )
+        .select(
+            F.col("a.nm").alias("nm_a"),
+            F.col("b.nm").alias("nm_b"),
+            F.col("a.rows").alias("rows_a"),
+            F.col("b.rows").alias("rows_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("nm_a", "nm_b")
+    ).filter(F.col("dist") <= max_dist).select("nm_a", "nm_b", "dist", "rows_a", "rows_b")

@@ -333,3 +333,71 @@ def tokenize_ids(
         "term",
         F.coalesce(F.col("token_id"), oov).cast("long").alias("token_id"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_support: int = 10,
+    discount: int = 5,
+) -> DataFrame:
+    """PMI-style collocation mining (the word2vec/Mikolov-2013 phrase-
+    detection pass every tokenizer-training pipeline runs before BPE):
+    score each adjacent token pair by how much more often it occurs than
+    its unigrams predict, and surface the pairs worth merging into
+    phrase tokens.
+
+    Score is the Mikolov phrase score with an exact-integer surrogate —
+    ``score_x1000 = 1000 * (c_ab − discount) * n_tokens // (c_a * c_b)``
+    (pure BIGINT arithmetic, bit-identical across engines; a float
+    ln-based PMI would not hash-match — same discipline as bigram_lm's
+    bin() trick). ``discount`` suppresses rare-pair noise exactly as in
+    word2vec; 1000 ≈ independence for the scaled score.
+
+    Scale shape: two map-side-combinable groupBys (bigram counts, unigram
+    counts) — the unigram table is vocabulary-sized, so the join that
+    attaches c_a/c_b broadcasts; nothing in the pipeline is row-quadratic
+    and no float enters the output.
+
+    Output: (tok_a, tok_b, support, score_x1000), support ≥ min_support.
+    """
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n_tokens = uni.agg(F.sum("cnt").alias("n")).select("n")
+    bg = (
+        df.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select(
+            F.split_part("bigram", F.lit(" "), F.lit(1)).alias("tok_a"),
+            F.split_part("bigram", F.lit(" "), F.lit(2)).alias("tok_b"),
+            "support",
+        )
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("cnt_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("cnt_b"))
+    # BIGINT `div`, never float `/` → bit-identical cross-engine. Range
+    # note: 1000·(c_ab−δ)·n must fit in int64 — at crawl scale compute on
+    # a min_support-floored / top-V-capped bigram table (bigram_lm's cap),
+    # which also bounds the multiplication.
+    num = (F.lit(1000) * (F.col("support") - discount) * F.col("n")).cast("long")
+    den = (F.col("cnt_a") * F.col("cnt_b")).cast("long")
+    return (
+        bg.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .join(F.broadcast(n_tokens))
+        .select(
+            "tok_a",
+            "tok_b",
+            "support",
+            num.alias("__num"),
+            den.alias("__den"),
+        )
+        .select(
+            "tok_a",
+            "tok_b",
+            "support",
+            F.expr("__num div __den").alias("score_x1000"),
+        )
+    )

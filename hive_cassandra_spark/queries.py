@@ -6694,6 +6694,160 @@ def q140_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q141_winnowing_pairs",
+    # DuckDB replays the same md5 k-gram hashing + window-min selection
+    # with list_transform/list_aggregate; range(1, x) excl-end ==
+    # sequence(1, x-1) incl-end, hs[j:j+w-1] 1-based incl-incl ==
+    # slice(hs, j, w)
+    oracle="""
+    WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ',
+                      'g')) AS norm FROM documents),
+    h AS (SELECT doc_id, CASE WHEN strlen(norm) >= 24
+            THEN list_transform(range(1, strlen(norm) - 24 + 2),
+                                i -> md5(substr(norm, i, 24)))
+            ELSE [md5(norm)] END AS hs FROM d),
+    s AS (SELECT doc_id, list_distinct(CASE WHEN len(hs) >= 8
+            THEN list_transform(range(1, len(hs) - 8 + 2),
+                                j -> list_aggregate(hs[j:j+7], 'min'))
+            ELSE [list_aggregate(hs, 'min')] END) AS fps FROM h),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+    keep AS (SELECT * FROM e QUALIFY count(*) OVER (PARTITION BY fp) <= 10)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared
+    FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+    doc="winnowing fingerprints (dedup.winnowing_pairs — Schleimer/"
+    "Wilkerson/Aiken MOSS): md5 char-24-gram hashes, window-8 minima "
+    "selected ENTIRELY expression-level (sequence→transform→slice→"
+    "array_min, zero shuffle, whole-stage codegen), guaranteeing any "
+    "shared substring ≥ 31 chars yields a shared fingerprint while "
+    "keeping ~2/(w+1) of positions. Candidate pairs via the same "
+    "inverted-index self-join + hot-fingerprint broadcast-anti-join "
+    "guard as q32's Jaccard (df > 10 == corpus boilerplate). The "
+    "local-match detector the shingle/MinHash family cannot provide: "
+    "LSH detects whole-doc similarity, winnowing detects CONTAINED "
+    "passages (quote extraction, license boilerplate, copy-paste spans)",
+)
+def q141_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnowing_pairs(
+        _t(spark, sf_dir, "documents"), k=24, w=8, min_shared=3, max_df=10
+    )
+
+
+@register(
+    "q142_sorted_neighborhood",
+    oracle="""
+    WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ',
+                      'g')) AS norm FROM documents),
+    b AS (SELECT doc_id, norm, string_split(norm, ' ')[1] AS blk FROM d),
+    w AS (SELECT doc_id, norm,
+            lead(doc_id, 1) OVER win AS n1_id, lead(norm, 1) OVER win AS n1,
+            lead(doc_id, 2) OVER win AS n2_id, lead(norm, 2) OVER win AS n2
+          FROM b WINDOW win AS (PARTITION BY blk ORDER BY norm, doc_id)),
+    pairs AS (
+      SELECT doc_id AS doc_a, n1_id AS doc_b,
+             levenshtein(substr(norm, 1, 80), substr(n1, 1, 80)) AS dist
+      FROM w WHERE n1_id IS NOT NULL
+      UNION ALL
+      SELECT doc_id, n2_id,
+             levenshtein(substr(norm, 1, 80), substr(n2, 1, 80))
+      FROM w WHERE n2_id IS NOT NULL)
+    SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist
+    FROM pairs WHERE dist <= 20
+    """,
+    doc="sorted-neighborhood dedup (dedup.sorted_neighborhood_pairs — "
+    "Hernández/Stolfo '95): sort by (normalized text, id) WITHIN "
+    "first-token blocks (partitioned window, never a global single-task "
+    "sort), compare each record with its next 2 sort neighbors via lead, "
+    "verify with the levenshtein built-in on an 80-char prefix. "
+    "O(rows × window) candidate space by construction — the lexical-"
+    "similarity (typo/truncation) complement to the token-set methods "
+    "(q32/q33) and the winnowing passage detector (q141)",
+)
+def q142_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"), window=3, prefix_len=80, max_dist=20
+    )
+    return out.select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist"))
+
+
+@register(
+    "q143_edit_distance_join",
+    oracle="""
+    WITH t AS (SELECT lower(p_name) AS nm, CAST(count(*) AS BIGINT) AS rows_n
+               FROM part GROUP BY 1),
+    e AS (SELECT nm, rows_n, unnest(string_split(nm, ' ')) AS tok FROM t),
+    cand AS (SELECT DISTINCT a.nm AS nm_a, b.nm AS nm_b,
+                    a.rows_n AS rows_a, b.rows_n AS rows_b
+             FROM e a JOIN e b ON a.tok = b.tok AND a.nm < b.nm
+             WHERE abs(strlen(a.nm) - strlen(b.nm)) <= 2)
+    SELECT nm_a, nm_b, CAST(levenshtein(nm_a, nm_b) AS BIGINT) AS dist,
+           rows_a, rows_b
+    FROM cand WHERE levenshtein(nm_a, nm_b) <= 2
+    """,
+    doc="edit-distance similarity self-join (dedup.edit_distance_name_join) "
+    "over part names — the catalog-harmonization ER pattern. Dedupe to "
+    "the DISTINCT name vocabulary first (one map-side-combined shuffle "
+    "that also carries per-name row counts), block by shared token + "
+    "length band (necessary condition for dist ≤ band), verify with the "
+    "exact levenshtein built-in. Pair space is VOCABULARY-sized, not "
+    "row-sized — at 100 TB the fact rows reduce to their name vocabulary "
+    "before any pairing, and the vocabulary join broadcasts; row counts "
+    "ride along so the output reports how many rows each merge covers",
+)
+def q143_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.edit_distance_name_join(
+        _t(spark, sf_dir, "part"), "p_name", max_dist=2, len_band=2
+    )
+    return out.select(
+        "nm_a",
+        "nm_b",
+        F.col("dist").cast("long").alias("dist"),
+        F.col("rows_a").alias("rows_a"),
+        F.col("rows_b").alias("rows_b"),
+    )
+
+
+@register(
+    "q144_collocations",
+    # integer-exact phrase score: 1000·(c_ab−5)·n_tokens div (c_a·c_b) —
+    # BIGINT div in both engines (positive operands → truncation ==
+    # floor), no float log ever enters the hash (q100 bin() discipline)
+    oracle="""
+    WITH d AS (SELECT list_filter(string_split(trim(regexp_replace(
+                      lower(text), '\\s+', ' ', 'g')), ' '),
+                      x -> x <> '') AS ts FROM documents),
+    uni AS (SELECT t.tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(ts) AS tok FROM d) t GROUP BY 1),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
+    bg AS (SELECT ts[i] AS tok_a, ts[i+1] AS tok_b,
+                  CAST(count(*) AS BIGINT) AS support
+           FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM d)
+           GROUP BY 1, 2 HAVING count(*) >= 10)
+    SELECT tok_a, tok_b, support,
+           CAST((1000 * (support - 5) * n.n) // (ua.cnt * ub.cnt)
+                AS BIGINT) AS score_x1000
+    FROM bg CROSS JOIN n
+    JOIN uni ua ON ua.tok = bg.tok_a
+    JOIN uni ub ON ub.tok = bg.tok_b
+    """,
+    doc="PMI-style collocation mining (text.collocations — the word2vec/"
+    "Mikolov phrase-detection pass tokenizer training runs before BPE): "
+    "score adjacent token pairs by how much more often they occur than "
+    "their unigrams predict, with the Mikolov discount (δ=5) and an "
+    "exact-integer scaled score (BIGINT div — the q100 bin() discipline "
+    "applied to PMI; float ln would never hash-match). Two map-side-"
+    "combinable groupBys; the unigram table is vocabulary-sized so the "
+    "c_a/c_b attach joins broadcast; nothing is row-quadratic",
+)
+def q144_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.collocations(
+        _t(spark, sf_dir, "documents"), min_support=10, discount=5
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -7062,6 +7216,16 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # k-means: the centroid-training tier of the ANN family (q92
     # in-window bears similarity_ann)
     "q140_kmeans_clusters": {"similarity_ann"},
+    # winnowing: new capability (local/contained-passage fingerprint —
+    # LSH can't express it) — PENDING_ROTATION, round 8
+    "q141_winnowing_pairs": {"dedup_winnowing"},
+    # sorted-neighborhood + edit-distance join: the lexical-similarity
+    # ER tier (new capabilities, PENDING_ROTATION, round 8)
+    "q142_sorted_neighborhood": {"dedup_blocking"},
+    "q143_edit_distance_join": {"string_sim_join"},
+    # collocation mining: new capability (phrase detection for tokenizer
+    # training) — PENDING_ROTATION, round 8
+    "q144_collocations": {"collocations"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -7092,6 +7256,14 @@ PENDING_ROTATION: set[str] = {
     # successor), q138 can stand down to ordinary overflow instead of
     # consuming a slot
     "q138_stream_funnel",
+    # r07 post-freeze additions: the entity-resolution / phrase-mining
+    # tier — four new families (winnowing passage fingerprints, sorted-
+    # neighborhood blocking, edit-distance vocabulary join, collocation
+    # mining), each landed after the round-7 window froze
+    "q141_winnowing_pairs",
+    "q142_sorted_neighborhood",
+    "q143_edit_distance_join",
+    "q144_collocations",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

@@ -421,3 +421,155 @@ def test_canonical_per_cluster_keeps_highest_quality(spark):
            for r in canonical_per_cluster(comp, quality).collect()}
     # component 1: quality tie 9 between ids 2 and 3 → smallest id wins
     assert out == {1: (2, 9, 3), 10: (10, 4, 2)}
+
+
+# ------------------------------------------------------------- winnowing ---
+
+def _py_winnow(text, k=24, w=8):
+    import hashlib
+    import re as _re
+
+    norm = _re.sub(r"\s+", " ", text.lower()).strip()
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    hs = (
+        [md5(norm[i : i + k]) for i in range(len(norm) - k + 1)]
+        if len(norm) >= k
+        else [md5(norm)]
+    )
+    if len(hs) >= w:
+        sel = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+    else:
+        sel = {min(hs)}
+    return sel
+
+
+def test_winnowing_fingerprints_match_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir, 40)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got = {
+        r.doc: set(r.fps)
+        for r in dedup.winnowing_fingerprints(docs, k=24, w=8).collect()
+    }
+    assert got == {d: _py_winnow(t) for d, t in texts.items()}
+
+
+def test_winnowing_detects_shared_passage(spark):
+    """The SIGMOD'03 guarantee: a shared substring of length ≥ k + w − 1
+    yields at least one shared selected fingerprint — winnowing finds
+    CONTAINED passages that whole-doc similarity misses."""
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    a = "completely unrelated preamble text here " + passage
+    b = passage + " followed by a different suffix entirely of its own"
+    assert len(passage) >= 24 + 8 - 1
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    fps = {
+        r.doc: set(r.fps)
+        for r in dedup.winnowing_fingerprints(df, k=24, w=8).collect()
+    }
+    assert fps[1] & fps[2]
+    out = dedup.winnowing_pairs(df, k=24, w=8, min_shared=1, max_df=None)
+    assert [(r.doc_a, r.doc_b) for r in out.collect()] == [(1, 2)]
+
+
+def test_winnowing_pairs_hot_cap_drops_boilerplate(spark):
+    """A fingerprint shared by more docs than max_df is boilerplate: it
+    must not create pairs on its own, but genuinely-similar docs still
+    pair through their other shared fingerprints."""
+    boiler = "this exact boilerplate footer appears everywhere in the corpus"
+    docs = [(i, f"unique document body number {i} " * 3 + boiler)
+            for i in range(10)]
+    # docs 20/21: near-identical beyond the boilerplate
+    twin = "a very distinctive shared passage that repeats verbatim " * 3
+    docs += [(20, twin + boiler), (21, twin + "and a tiny suffix " + boiler)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.winnowing_pairs(df, k=24, w=8, min_shared=2, max_df=5)
+    pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert (20, 21) in pairs
+    # the boilerplate-only docs never pair: their shared fps are all hot
+    assert all(a == 20 and b == 21 for a, b in pairs)
+
+
+def test_winnowing_short_doc_edges(spark):
+    """Docs shorter than k hash whole-text; hash lists shorter than w
+    select their single global minimum — no empty fingerprint sets."""
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "exactly twenty-four ch"), (3, "x" * 30)],
+        "doc_id long, text string",
+    )
+    fps = {r.doc: r.fps for r in
+           dedup.winnowing_fingerprints(df, k=24, w=8).collect()}
+    assert all(len(v) >= 1 for v in fps.values())
+    assert fps[1] == list(_py_winnow("tiny"))
+
+
+# --------------------------------------------------- sorted neighborhood ---
+
+def _py_lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_sorted_neighborhood_finds_typo_pairs(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [(1, base), (2, base.replace("delta", "delte")),
+            (3, "zulu yankee xray whiskey victor uniform tango"),
+            (4, "alpha completely different text that sorts elsewhere ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r.dist
+           for r in dedup.sorted_neighborhood_pairs(
+               df, window=3, prefix_len=80, max_dist=20).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)] == _py_lev(base[:80],
+                                  base.replace("delta", "delte")[:80])
+    # doc 3 blocks under 'zulu' alone → no neighbors, never compared
+    assert not any(3 in p for p in out)
+
+
+def test_sorted_neighborhood_candidate_bound(spark, sf_dir):
+    """O(rows × (window−1)) candidate space by construction: with the
+    distance cap removed, the emitted pair count never exceeds it."""
+    docs = _docs(spark, sf_dir, 200)
+    n = docs.count()
+    w = 4
+    out = dedup.sorted_neighborhood_pairs(
+        docs, window=w, prefix_len=80, max_dist=10**9)
+    assert out.count() <= n * (w - 1)
+
+
+# ----------------------------------------------------- edit-distance join ---
+
+def test_edit_distance_name_join_vs_bruteforce(spark, sf_dir):
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    names = [r.nm for r in
+             parts.select(F.lower("p_name").alias("nm")).distinct().collect()]
+    expected = set()
+    for a, b in itertools.combinations(sorted(names), 2):
+        # blocking recall condition: shared token + length band
+        if not (set(a.split()) & set(b.split())):
+            continue
+        if abs(len(a) - len(b)) > 2:
+            continue
+        if _py_lev(a, b) <= 2:
+            expected.add((a, b))
+    out = dedup.edit_distance_name_join(parts, "p_name", max_dist=2,
+                                        len_band=2)
+    got = {(r.nm_a, r.nm_b) for r in out.collect()}
+    assert got == expected
+
+
+def test_edit_distance_name_join_row_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "red bolt"), (2, "red bolt"), (3, "red bolts"), (4, "blue cog")],
+        "k long, nm string",
+    )
+    out = dedup.edit_distance_name_join(df, "nm", max_dist=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.nm_a, r.nm_b, r.dist, r.rows_a, r.rows_b) == (
+        "red bolt", "red bolts", 1, 2, 1)

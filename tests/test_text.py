@@ -172,3 +172,46 @@ def test_ngram_lm_score_plan_shape(spark, sf_dir):
     plan = T.ngram_lm_score(docs, lm)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ----------------------------------------------------------- collocations ---
+
+def test_collocations_match_bruteforce(spark, sf_dir):
+    import re as _re
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    uni, bg = Counter(), Counter()
+    for r in docs.collect():
+        ts = [t for t in _re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+              if t]
+        uni.update(ts)
+        bg.update(zip(ts, ts[1:]))
+    n = sum(uni.values())
+    expected = {
+        (a, b): (c, 1000 * (c - 5) * n // (uni[a] * uni[b]))
+        for (a, b), c in bg.items()
+        if c >= 10
+    }
+    out = {(r.tok_a, r.tok_b): (r.support, r.score_x1000)
+           for r in text.collocations(docs, min_support=10).collect()}
+    assert out == expected
+
+
+def test_collocations_integer_exact_and_ordered(spark):
+    """Score is BIGINT div (never float): a pair occurring exactly as
+    often as independence predicts scores ~1000; bigrams are ORDERED
+    (a b ≠ b a) — phrase detection is directional."""
+    rows = [(i, "new york " * 5) for i in range(4)]
+    rows.append((99, "york new plus other words"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.tok_a, r.tok_b): (r.support, r.score_x1000)
+           for r in text.collocations(df, min_support=10).collect()}
+    # "new york "×5 also yields overlapping "york new" bigrams (4/doc =
+    # 16 ≥ min_support) — both directions present, with DIFFERENT counts:
+    assert set(out) == {("new", "york"), ("york", "new")}
+    n = 45  # 4 docs × 10 tokens + 5 tokens in doc 99
+    assert out[("new", "york")] == (20, 1000 * (20 - 5) * n // (21 * 21))
+    # 4 overlapping "york new" per repeated doc + 1 from doc 99 = 17
+    assert out[("york", "new")] == (17, 1000 * (17 - 5) * n // (21 * 21))
+    assert all(isinstance(s, int) for _, s in out.values())
