@@ -120,6 +120,12 @@ HEADLINE = [
     "q138_stream_funnel",
     "q139_dynamic_partition_pruning",
     "q140_kmeans_clusters",
+    # round-7 ER/phrase-mining tier: winnowing fingerprints, sorted
+    # neighborhood, edit-distance vocabulary join, PMI collocations
+    "q141_winnowing_pairs",
+    "q142_sorted_neighborhood",
+    "q143_edit_distance_join",
+    "q144_collocations",
 ]
 
 
@@ -182,6 +188,10 @@ def main() -> None:
         "q138_stream_funnel",
         "q139_dynamic_partition_pruning",
         "q140_kmeans_clusters",
+        "q141_winnowing_pairs",
+        "q142_sorted_neighborhood",
+        "q143_edit_distance_join",
+        "q144_collocations",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

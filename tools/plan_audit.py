@@ -43,6 +43,39 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q141_winnowing_pairs": (
+        "fingerprint selection is one projection chain (zero shuffle; the "
+        "staged norm→hashes→window-min projections are load-bearing — "
+        "inlined, Catalyst re-evaluates the k-gram array per window at "
+        "O(n²)/row and the inferred size()>0 filter from a plain explode "
+        "re-triggers it, hence explode_outer). The only exchanges are the "
+        "md5-uniform fingerprint self-join and the pair count; the hot-"
+        "fingerprint anti-join broadcasts a tiny boilerplate set, bounding "
+        "the k² candidate blow-up exactly like q32's shingle cap."
+    ),
+    "q142_sorted_neighborhood": (
+        "one partitioned window (first-token block, ordered by unique "
+        "(norm, id)) feeds both lead offsets — a single sort exchange, "
+        "never a global ORDER BY; candidates are O(rows × window) by "
+        "construction and levenshtein runs on an 80-char prefix cap. At "
+        "100 TB the block key spreads the sort; a skewed first token is "
+        "the known method tradeoff (multi-pass with rotated keys is the "
+        "standard remedy and composes from this same operator)."
+    ),
+    "q143_edit_distance_join": (
+        "fact rows reduce to the DISTINCT name vocabulary (map-side-"
+        "combined groupBy carrying per-name row counts) before any "
+        "pairing; the token-blocked self-join broadcasts the vocabulary "
+        "side, so pair space is vocab-sized — at 100 TB the quadratic "
+        "work never touches row counts, only the name dictionary."
+    ),
+    "q144_collocations": (
+        "two map-side-combinable groupBys (bigram support, unigram "
+        "counts) are the only exchanges; the unigram table and the "
+        "1-row token total broadcast onto the support table, and the "
+        "score is BIGINT div — no float, no window, no row-quadratic "
+        "step anywhere."
+    ),
     "q139_dynamic_partition_pruning": (
         "the hot-day dim is an aggregate of the same table, so the pruning "
         "set exists only at runtime: the fact scan carries a "

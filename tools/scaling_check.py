@@ -91,6 +91,17 @@ QUERIES_UNDER_TEST = [
     "q136_funnel_analysis",
     "q138_stream_funnel",
     "q139_dynamic_partition_pruning",
+    # round-7 ER/phrase-mining tier: the Caesar substitution keeps each
+    # replica's k-gram/token space disjoint, so winnowing pair counts and
+    # sorted-neighborhood pairs scale ~linearly (blocks never straddle
+    # replicas), and the collocation vocabulary/bigram table grows
+    # per-replica while each groupBy stays map-side combined. q143 is
+    # deliberately absent: its output is vocabulary-sized by design
+    # (scale-invariance is the operator's whole claim) and `part` is not
+    # a replicated table.
+    "q141_winnowing_pairs",
+    "q142_sorted_neighborhood",
+    "q144_collocations",
 ]
 # Expected row behavior across scale points — the result check (r06
 # verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
@@ -115,6 +126,9 @@ EXPECT_ROWS = {
     "q136_funnel_analysis": "fixed",
     "q138_stream_funnel": "fixed",
     "q139_dynamic_partition_pruning": "fixed",
+    "q141_winnowing_pairs": "grows",
+    "q142_sorted_neighborhood": "grows",
+    "q144_collocations": "grows",
     "wide_row_stress": "grows",
 }
 # q98 reads the frequency-preserving documents replica: token counts must
