@@ -126,6 +126,9 @@ HEADLINE = [
     "q142_sorted_neighborhood",
     "q143_edit_distance_join",
     "q144_collocations",
+    # equi-depth histogram: exact order statistics via the two-phase
+    # global row number — no global single-task sort
+    "q145_equidepth_histogram",
 ]
 
 
@@ -192,6 +195,7 @@ def main() -> None:
         "q142_sorted_neighborhood",
         "q143_edit_distance_join",
         "q144_collocations",
+        "q145_equidepth_histogram",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

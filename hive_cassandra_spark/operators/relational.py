@@ -771,6 +771,49 @@ def histogram(
     )
 
 
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    k: int = 8,
+) -> DataFrame:
+    """Exact equi-depth (equi-height) histogram: k buckets holding equal
+    row counts (±1), boundaries at exact order statistics — the
+    optimizer-statistics / feature-binning complement to the equi-width
+    ``histogram`` (which fixes bin WIDTH and lets counts skew; this fixes
+    COUNTS and lets widths adapt, so heavy-tailed columns get resolution
+    where the mass is).
+
+    Exactness without the global-window trap: the 0-based global rank
+    comes from ``global_row_number`` (two-phase distributed prefix sum —
+    order-contiguous buckets from literal split points, per-bucket
+    windows, broadcast offsets; never a single-task ORDER BY), the total
+    N is a 1-row broadcast, and ``bucket = rank * k div N`` is BIGINT
+    arithmetic (cross-engine exact — no float ratio enters the
+    assignment). ``(value_col, *tiebreak_cols)`` must form a total order
+    so ranks are deterministic.
+
+    Output: (bucket, lo, hi, n_rows) — at most k rows regardless of
+    input size."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    order_by = [value_col, *tiebreak_cols]
+    numbered = global_row_number(
+        df.select(value_col, *tiebreak_cols), order_by, "__rank"
+    )
+    total = df.select(F.count(F.lit(1)).alias("__n"))
+    bucket = F.expr(f"__rank * {int(k)} div __n")
+    return (
+        numbered.join(F.broadcast(total))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def weighted_sample_per_group(
     df: DataFrame,
     group_cols: list[str],

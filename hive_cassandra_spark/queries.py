@@ -6848,6 +6848,37 @@ def q144_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q145_equidepth_histogram",
+    # rank = row_number over the (value, key) total order; bucket =
+    # rank·k div N in BIGINT — the oracle's single-node window replays
+    # the two-phase distributed numbering exactly
+    oracle="""
+    WITH t AS (SELECT o_totalprice AS v, o_orderkey FROM orders),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+    r AS (SELECT v, row_number() OVER (ORDER BY v, o_orderkey) - 1 AS rank
+          FROM t)
+    SELECT CAST((rank * 8) // n.n AS BIGINT) AS bucket,
+           min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n_rows
+    FROM r CROSS JOIN n GROUP BY 1
+    """,
+    doc="exact equi-depth histogram (relational.equidepth_histogram): k=8 "
+    "buckets of equal row count with boundaries at exact order "
+    "statistics — the optimizer-statistics / feature-binning complement "
+    "to q121's equi-width bins (fixed WIDTH, skewed counts) for "
+    "heavy-tailed columns. Global rank via relational.global_row_number "
+    "(two-phase distributed prefix sum — order-contiguous literal-split "
+    "buckets, per-bucket windows, broadcast offsets; NEVER a single-task "
+    "global ORDER BY), N as a 1-row broadcast, bucket = rank·k div N in "
+    "BIGINT. Output ≤ k rows regardless of input size. Overflow variant: "
+    "agg (q121) + sharding (q114) bear the families in-window",
+)
+def q145_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.equidepth_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderkey"], k=8
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -7226,6 +7257,10 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # collocation mining: new capability (phrase detection for tokenizer
     # training) — PENDING_ROTATION, round 8
     "q144_collocations": {"collocations"},
+    # equi-depth histogram: order-statistics aggregation over the
+    # sharding machinery — ordinary overflow (q121 bears agg, q114
+    # bears sharding, both in-window)
+    "q145_equidepth_histogram": {"agg", "sharding"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

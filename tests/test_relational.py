@@ -566,3 +566,47 @@ def test_incremental_analyze_merge_equals_whole(spark, sf_dir):
     merged = rel.analyze_finalize(rel.analyze_merge(rel.analyze_merge(a, b), c))
     got = {r.col: tuple(r) for r in merged.collect()}
     assert got == whole
+
+
+def test_equidepth_histogram_exact_order_statistics(spark, sf_dir):
+    """Bucket boundaries and counts equal the single-machine ground truth:
+    sort all values, cut at rank·k div N."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    vals = sorted(
+        (r.o_totalprice, r.o_orderkey)
+        for r in orders.select("o_totalprice", "o_orderkey").collect()
+    )
+    n, k = len(vals), 8
+    expected = {}
+    for rank, (v, _) in enumerate(vals):
+        b = rank * k // n
+        lo, hi, cnt = expected.get(b, (v, v, 0))
+        expected[b] = (min(lo, v), max(hi, v), cnt + 1)
+    got = {
+        r.bucket: (r.lo, r.hi, r.n_rows)
+        for r in rel.equidepth_histogram(
+            orders, "o_totalprice", ["o_orderkey"], k=k
+        ).collect()
+    }
+    assert got == expected
+    # equal depth: counts differ by at most 1 across buckets
+    counts = [c for _, _, c in got.values()]
+    assert max(counts) - min(counts) <= 1
+
+
+def test_equidepth_histogram_no_global_single_task_sort(spark, sf_dir):
+    """The plan must carry NO global (empty-partition-key) window or
+    global Sort before the aggregate — rank comes from the two-phase
+    prefix sum."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = rel.equidepth_histogram(orders, "o_totalprice", ["o_orderkey"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # per-bucket windows are keyed by __pid; a global window would show
+    # an empty PartitionSpec on the big side. The tiny offsets window
+    # (≤ #buckets rows) is the only unkeyed one allowed.
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[\]", plan):
+        # unkeyed window must sit above the ≤32-row offsets aggregate,
+        # which the plan renders right after a HashAggregate on __pid
+        assert "__part_off" in plan[m.start() : m.start() + 400]

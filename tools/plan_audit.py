@@ -43,6 +43,15 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q145_equidepth_histogram": (
+        "exact order statistics WITHOUT a global sort: the rank is the "
+        "two-phase global row number (order-contiguous literal-split "
+        "buckets → per-bucket windows + a broadcast ≤32-row offsets "
+        "prefix), N is a 1-row broadcast, and the bucket id is BIGINT "
+        "rank·k div N — the final aggregate emits ≤ k rows. The "
+        "equi-width q121 is one counting pass; this pays one extra "
+        "hash exchange for exact quantile boundaries."
+    ),
     "q141_winnowing_pairs": (
         "fingerprint selection is one projection chain (zero shuffle; the "
         "staged norm→hashes→window-min projections are load-bearing — "
