@@ -129,6 +129,9 @@ HEADLINE = [
     # equi-depth histogram: exact order statistics via the two-phase
     # global row number — no global single-task sort
     "q145_equidepth_histogram",
+    # prefix-filtered exact Jaccard: PPJoin prefix + length + position
+    # filters, verified equal to the exhaustive join by the oracle
+    "q146_prefix_filter_jaccard",
 ]
 
 
@@ -196,6 +199,7 @@ def main() -> None:
         "q143_edit_distance_join",
         "q144_collocations",
         "q145_equidepth_histogram",
+        "q146_prefix_filter_jaccard",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

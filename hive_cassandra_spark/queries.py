@@ -6879,6 +6879,43 @@ def q145_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q146_prefix_filter_jaccard",
+    # the oracle is the EXHAUSTIVE join (every shingle indexed) with the
+    # same integer-exact threshold compare — Spark's prefix-filtered run
+    # equals it bit-for-bit, which IS the no-recall-loss proof of the
+    # prefix principle
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b
+                    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id, list(sh) AS s FROM sh GROUP BY 1)
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                 len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+    FROM cand JOIN sets sa ON sa.doc_id = doc_a
+              JOIN sets sb ON sb.doc_id = doc_b
+    WHERE len(list_intersect(sa.s, sb.s)) * 2 >=
+          len(list_distinct(list_concat(sa.s, sb.s)))
+    """,
+    doc="exact Jaccard ≥ 0.5 self-join via PREFIX FILTERING (dedup."
+    "prefix_filter_jaccard_pairs — the AllPairs/PPJoin principle): rank "
+    "the shingle vocabulary rarest-first (two-phase global row number, "
+    "no single-task sort), index only each doc's first |d|−⌈t·|d|⌉+1 "
+    "shingles — sets with Jaccard ≥ t provably collide inside their "
+    "prefixes — and verify candidates with the integer-exact cross-"
+    "multiply t_den·|∩| ≥ t_num·|∪| (no float in any decision). The "
+    "principled at-scale exact join: q32's hot-shingle cap trades recall "
+    "for the same bound; this trades nothing — the driver hashes it "
+    "against the EXHAUSTIVE oracle, so equality proves zero recall loss",
+)
+def q146_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), t_num=1, t_den=2
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -7261,6 +7298,10 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # sharding machinery — ordinary overflow (q121 bears agg, q114
     # bears sharding, both in-window)
     "q145_equidepth_histogram": {"agg", "sharding"},
+    # prefix-filtered exact Jaccard join: the dedup_jaccard family's
+    # scale-path successor (q32 graduated with the hot-cap variant) —
+    # new machinery, PENDING_ROTATION, round 8
+    "q146_prefix_filter_jaccard": {"dedup_jaccard"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -7299,6 +7340,10 @@ PENDING_ROTATION: set[str] = {
     "q142_sorted_neighborhood",
     "q143_edit_distance_join",
     "q144_collocations",
+    # r07 post-freeze: prefix-filtered exact Jaccard — the dedup_jaccard
+    # tag lost its in-window bearer when q32 graduated (round-6 fourth
+    # rotation), so the scale-path successor waits for a round-8 slot
+    "q146_prefix_filter_jaccard",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

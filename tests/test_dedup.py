@@ -573,3 +573,55 @@ def test_edit_distance_name_join_row_counts(spark):
     r = out[0]
     assert (r.nm_a, r.nm_b, r.dist, r.rows_a, r.rows_b) == (
         "red bolt", "red bolts", 1, 2, 1)
+
+
+# ---------------------------------------------------- prefix-filter join ---
+
+def test_prefix_filter_equals_exhaustive(spark, sf_dir):
+    """The whole point: prefix-filtered output == the exhaustive join,
+    pair for pair and jaccard for jaccard — zero recall loss."""
+    docs = _docs(spark, sf_dir, 300)
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.prefix_filter_jaccard_pairs(
+               docs, t_num=3, t_den=10).collect()}
+    exhaustive = {(r.doc_a, r.doc_b): r.jaccard
+                  for r in dedup.jaccard_pairs(
+                      docs, threshold=0.0, max_df=None).collect()
+                  # integer-exact threshold, same compare as the operator
+                  }
+    sets = _shingle_sets(spark, sf_dir, 300)
+    expected = {}
+    for (a, b), j in exhaustive.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 10 >= union * 3:
+            expected[(a, b)] = j
+    assert got == expected
+
+
+def test_prefix_filter_shrinks_the_index(spark, sf_dir):
+    """The prefix index carries strictly fewer postings than the full
+    inverted index — that reduction is the operator's reason to exist."""
+    from pyspark.sql import functions as F2
+
+    docs = _docs(spark, sf_dir, 300)
+    sh_tbl = dedup.shingle_table(docs)
+    full = sh_tbl.select(F2.explode("shs")).count()
+    # reproduce the operator's prefix selection size: p = n - ceil(t*n) + 1
+    sizes = [r.n for r in sh_tbl.select(F2.size("shs").alias("n")).collect()]
+    prefix_postings = sum(n - ((3 * n + 9) // 10) + 1 for n in sizes)
+    assert prefix_postings < full * 0.8
+    # and every doc keeps at least one posting (no doc can vanish)
+    assert all(n - ((3 * n + 9) // 10) + 1 >= 1 for n in sizes)
+
+
+def test_prefix_filter_single_shingle_docs_pair(spark):
+    """Docs whose whole text is one shingle (shorter than n tokens) keep
+    prefix length 1 and still find their exact duplicates."""
+    df = spark.createDataFrame(
+        [(1, "tiny text"), (2, "tiny text"), (3, "other words")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.prefix_filter_jaccard_pairs(df).collect()}
+    assert out == {(1, 2): 1.0}
