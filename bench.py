@@ -132,6 +132,8 @@ HEADLINE = [
     # prefix-filtered exact Jaccard: PPJoin prefix + length + position
     # filters, verified equal to the exhaustive join by the oracle
     "q146_prefix_filter_jaccard",
+    # PQ-ADC: lossy 128x quantized ANN scoring via a broadcast LUT
+    "q147_pq_adc_topk",
 ]
 
 
@@ -200,6 +202,7 @@ def main() -> None:
         "q144_collocations",
         "q145_equidepth_histogram",
         "q146_prefix_filter_jaccard",
+        "q147_pq_adc_topk",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

@@ -601,3 +601,104 @@ def kmeans_assign_to_seeds(
         .filter(F.col("__rn") == 1)
         .select("id", "cid")
     )
+
+
+def pq_topk(
+    items: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    query_max: int = 3,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization ANN (Jégou/Douze/Schmid TPAMI'11): split each
+    vector into ``m`` subspaces, train a tiny per-subspace codebook
+    (one deterministic Lloyd round from the hash init — the
+    ``kmeans_iterate`` float contract per subspace), encode every vector
+    as ``m`` code ids, and answer queries by ASYMMETRIC DISTANCE
+    COMPUTATION: the query's exact distance to each centroid per
+    subspace becomes an (m × k) lookup table, and an item's approximate
+    distance is the sum of its codes' LUT entries.
+
+    Why this is THE 100 TB embedding-search shape: the corpus collapses
+    from N × dim floats to N × m single-byte codes (here 64 doubles →
+    4 codes, a 128× working-set cut), scoring touches no vectors — just
+    a broadcast m·k LUT joined on the code id — and codebook training
+    aggregates (sub, cid, pos) cells whose cardinality is m·k·(dim/m),
+    independent of N.
+
+    Cross-engine float contract (q140 precedent): centroids round(avg,6)
+    per (sub, cid, pos); encode and LUT distances round(6) before any
+    argmin; ADC sum rounded(6); all ties break to the smaller id.
+
+    Output: (query_id, neighbor_id, adc_d2, rank) — ``topk`` rows per
+    query with vec_id < ``query_max``, self excluded.
+    """
+    s = None  # subspace width derived from the data below
+    pos = items.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    dim_row = items.select(
+        F.size(vec_col).alias("__dim")
+    ).limit(1)
+    # subspace width as a column (dim div m) — derived in-plan, no collect
+    sp = pos.join(F.broadcast(dim_row)).select(
+        "id",
+        F.expr(f"i div (__dim div {int(m)})").alias("sub"),
+        "i",
+        "x",
+    )
+    assign = items.select(
+        F.col(id_col).alias("id"),
+        F.pmod(F.col(id_col), F.lit(k_codes)).cast("int").alias("cid"),
+    )
+    cents = (
+        sp.join(assign, "id")
+        .groupBy("sub", "cid", "i")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    d2 = F.round(
+        F.sum(F.col("x") * F.col("x"))
+        + F.sum(F.col("c") * F.col("c"))
+        - 2 * F.sum(F.col("x") * F.col("c")),
+        6,
+    ).alias("d2")
+    enc_d = (
+        sp.join(F.broadcast(cents), ["sub", "i"])
+        .groupBy("id", "sub", "cid")
+        .agg(d2)
+    )
+    w_enc = Window.partitionBy("id", "sub").orderBy("d2", "cid")
+    codes = (
+        enc_d.withColumn("__rn", F.row_number().over(w_enc))
+        .filter(F.col("__rn") == 1)
+        .select("id", "sub", "cid")
+    )
+    qsub = sp.filter(F.col("id") < query_max).select(
+        F.col("id").alias("query_id"), "sub", "i", F.col("x").alias("qx")
+    )
+    lut = (
+        qsub.join(F.broadcast(cents), ["sub", "i"])
+        .groupBy("query_id", "sub", "cid")
+        .agg(
+            F.round(
+                F.sum(F.col("qx") * F.col("qx"))
+                + F.sum(F.col("c") * F.col("c"))
+                - 2 * F.sum(F.col("qx") * F.col("c")),
+                6,
+            ).alias("d2")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= topk)
+    )

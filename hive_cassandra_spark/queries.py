@@ -6916,6 +6916,63 @@ def q146_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q147_pq_adc_topk",
+    # the oracle replays codebook training, encoding, LUT build, and ADC
+    # summation under the q140 float contract (round(6) before every
+    # decision, ties to the smaller id)
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    pos AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+            FROM e),
+    sp AS (SELECT vec_id, (i - 1) // 16 AS sub, i, x FROM pos),
+    a0 AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS cid FROM e),
+    cents AS (SELECT sub, a0.cid, i, round(avg(x), 6) AS c
+              FROM sp JOIN a0 USING (vec_id) GROUP BY 1, 2, 3),
+    enc_d AS (SELECT sp.vec_id, sp.sub, cents.cid,
+                     round(sum(x*x) + sum(c*c) - 2*sum(x*c), 6) AS d2
+              FROM sp JOIN cents ON cents.sub = sp.sub AND cents.i = sp.i
+              GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, sub, cid FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, cid) AS rn FROM enc_d) WHERE rn = 1),
+    qsub AS (SELECT vec_id AS query_id, sub, i, x
+             FROM sp WHERE vec_id < 3),
+    lut AS (SELECT q.query_id, c.sub, c.cid,
+                   round(sum(q.x*q.x) + sum(c.c*c.c) - 2*sum(q.x*c.c), 6)
+                       AS d2
+            FROM qsub q JOIN cents c ON c.sub = q.sub AND c.i = q.i
+            GROUP BY 1, 2, 3),
+    adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+                   round(sum(l.d2), 6) AS adc_d2
+            FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+            WHERE co.vec_id <> l.query_id
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_d2, rank FROM
+      (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_d2, neighbor_id) AS INT) AS rank FROM adc)
+    WHERE rank <= 5
+    """,
+    doc="product-quantization ANN with asymmetric distance computation "
+    "(similarity.pq_topk — Jégou et al. TPAMI'11): 4 subspaces × 16 "
+    "dims, 8-code per-subspace codebooks from one deterministic Lloyd "
+    "round, items encoded as 4 code ids (64 doubles → 4 codes, a 128× "
+    "working-set cut), queries scored by a BROADCAST m×k lookup table "
+    "joined on the code id — scoring touches no corpus vectors, and "
+    "codebook training aggregates m·k·(dim/m) cells independent of N. "
+    "The q140 float contract (round-6 before every decision, ties to "
+    "the smaller id) extended to a two-level quantize-then-score "
+    "pipeline the oracle replays end-to-end. Complements q47 IVF "
+    "(partition pruning) and q68 int8 (exact, 4×): PQ is the lossy "
+    "128× tier every billion-vector index stands on",
+)
+def q147_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_topk(
+        _t(spark, sf_dir, "embeddings"), m=4, k_codes=8, query_max=3, topk=5
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -7302,6 +7359,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # scale-path successor (q32 graduated with the hot-cap variant) —
     # new machinery, PENDING_ROTATION, round 8
     "q146_prefix_filter_jaccard": {"dedup_jaccard"},
+    # PQ-ADC: the lossy-quantization tier of the ANN family — ordinary
+    # overflow (q92 bears similarity_ann in-window)
+    "q147_pq_adc_topk": {"similarity_ann"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

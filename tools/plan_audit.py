@@ -43,6 +43,15 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q147_pq_adc_topk": (
+        "everything after the positional explode is sub-linear: codebook "
+        "training aggregates m*k*(dim/m) cells regardless of N, the "
+        "encode and LUT joins BROADCAST the (m x k x dim/m) centroid "
+        "table, scoring joins the N x m code table to the broadcast m*k "
+        "LUT and never touches a corpus vector, and the top-k is a "
+        "per-query rank window over N narrow ADC rows. The 128x "
+        "working-set cut (64 doubles -> 4 codes) is the point."
+    ),
     "q146_prefix_filter_jaccard": (
         "the prefix index is built by ONE vocabulary-count aggregate + "
         "one df-attach join + one per-doc window (global order is used, "
