@@ -134,6 +134,8 @@ HEADLINE = [
     "q146_prefix_filter_jaccard",
     # PQ-ADC: lossy 128x quantized ANN scoring via a broadcast LUT
     "q147_pq_adc_topk",
+    # IVF-PQ composite: coarse routing + residual-PQ ADC over probed cells
+    "q148_ivfpq_topk",
 ]
 
 
@@ -203,6 +205,7 @@ def main() -> None:
         "q145_equidepth_histogram",
         "q146_prefix_filter_jaccard",
         "q147_pq_adc_topk",
+        "q148_ivfpq_topk",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

@@ -702,3 +702,152 @@ def pq_topk(
         adc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
         .filter(F.col("rank") <= topk)
     )
+
+
+def ivfpq_topk(
+    items: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    query_max: int = 3,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite index (the Faiss IVFPQ shape, Jégou et al.):
+    a coarse quantizer routes each vector to one of ``n_cells`` inverted
+    lists, the RESIDUAL (vector − its cell centroid) is product-
+    quantized into ``m`` code ids against a global codebook, and a query
+    probes only its ``nprobe`` nearest cells — scoring the probed cells'
+    items via a per-(query, cell) asymmetric-distance LUT over the
+    query's residual in that cell.
+
+    This is the composition every billion-vector deployment runs: IVF
+    cuts the scanned fraction to ~nprobe/n_cells, PQ cuts the bytes per
+    scanned item ~128×, and residual encoding recovers the accuracy a
+    global PQ loses (residuals are centered near zero, so the same k
+    codes cover them far more densely than raw vectors).
+
+    Deterministic throughout (q140/q147 float contract): both quantizers
+    train one Lloyd round from the ``id % k`` hash init, every distance
+    rounds(6) before its argmin, ADC sums round(6), ties to smaller ids.
+    Residuals are exact doubles (input − round-6 centroid — identical
+    on every engine, no re-rounding needed).
+
+    Output: (query_id, neighbor_id, adc_d2, rank) — ``topk`` rows per
+    query with id < ``query_max``, self excluded; only neighbors whose
+    home cell was probed appear (the IVF recall tradeoff, by design).
+    """
+    pos = items.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    dim_row = items.select(F.size(vec_col).alias("__dim")).limit(1)
+    d2_of = lambda x, c: F.round(  # noqa: E731
+        F.sum(F.col(x) * F.col(x))
+        + F.sum(F.col(c) * F.col(c))
+        - 2 * F.sum(F.col(x) * F.col(c)),
+        6,
+    )
+    # coarse quantizer: one round from the hash init
+    a0 = items.select(
+        F.col(id_col).alias("id"),
+        F.pmod(F.col(id_col), F.lit(n_cells)).cast("int").alias("ccid"),
+    )
+    cc = (
+        pos.join(a0, "id")
+        .groupBy("ccid", "i")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cd = (
+        pos.join(F.broadcast(cc), "i")
+        .groupBy("id", "ccid")
+        .agg(d2_of("x", "c").alias("d2"))
+    )
+    w_cell = Window.partitionBy("id").orderBy("d2", "ccid")
+    cassign = (
+        cd.withColumn("__rn", F.row_number().over(w_cell))
+        .filter(F.col("__rn") == 1)
+        .select("id", "ccid")
+    )
+    # residuals under the assigned cell, split into subspaces
+    res = (
+        pos.join(cassign, "id")
+        .join(F.broadcast(cc), ["ccid", "i"])
+        .join(F.broadcast(dim_row))
+        .select(
+            "id",
+            F.expr(f"i div (__dim div {int(m)})").alias("sub"),
+            "i",
+            (F.col("x") - F.col("c")).alias("r"),
+        )
+    )
+    # global PQ codebook over residuals
+    p0 = items.select(
+        F.col(id_col).alias("id"),
+        F.pmod(F.col(id_col), F.lit(k_codes)).cast("int").alias("pcid"),
+    )
+    pc = (
+        res.join(p0, "id")
+        .groupBy("sub", "pcid", "i")
+        .agg(F.round(F.avg("r"), 6).alias("c"))
+    )
+    pd_ = (
+        res.join(F.broadcast(pc), ["sub", "i"])
+        .groupBy("id", "sub", "pcid")
+        .agg(d2_of("r", "c").alias("d2"))
+    )
+    w_code = Window.partitionBy("id", "sub").orderBy("d2", "pcid")
+    codes = (
+        pd_.withColumn("__rn", F.row_number().over(w_code))
+        .filter(F.col("__rn") == 1)
+        .select("id", "sub", "pcid")
+    )
+    # query side: nprobe nearest cells, residual LUT per probed cell
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "ccid")
+    probes = (
+        cd.filter(F.col("id") < query_max)
+        .select(F.col("id").alias("query_id"), "ccid", "d2")
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "ccid")
+    )
+    qres = (
+        probes.join(
+            pos.filter(F.col("id") < query_max).withColumnRenamed(
+                "id", "query_id"
+            ),
+            "query_id",
+        )
+        .join(F.broadcast(cc), ["ccid", "i"])
+        .join(F.broadcast(dim_row))
+        .select(
+            "query_id",
+            "ccid",
+            F.expr(f"i div (__dim div {int(m)})").alias("sub"),
+            "i",
+            (F.col("x") - F.col("c")).alias("qr"),
+        )
+    )
+    lut = (
+        qres.join(F.broadcast(pc), ["sub", "i"])
+        .groupBy("query_id", "ccid", "sub", "pcid")
+        .agg(d2_of("qr", "c").alias("d2"))
+    )
+    adc = (
+        probes.join(cassign, "ccid")
+        .join(codes, "id")
+        .join(
+            F.broadcast(lut),
+            ["query_id", "ccid", "sub", "pcid"],
+        )
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= topk)
+    )

@@ -6973,6 +6973,86 @@ def q147_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q148_ivfpq_topk",
+    # full replay of coarse-route → residual → PQ-encode → probe → LUT →
+    # ADC under the q140/q147 float contract; residuals are exact
+    # (input double − round-6 centroid) so no extra rounding is needed
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    pos AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+            FROM e),
+    a0 AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS ccid FROM e),
+    cc AS (SELECT a0.ccid, i, round(avg(x), 6) AS c
+           FROM pos JOIN a0 USING (vec_id) GROUP BY 1, 2),
+    cd AS (SELECT pos.vec_id, cc.ccid,
+                  round(sum(x*x) + sum(c*c) - 2*sum(x*c), 6) AS d2
+           FROM pos JOIN cc USING (i) GROUP BY 1, 2),
+    cassign AS (SELECT vec_id, ccid FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2, ccid) AS rn FROM cd) WHERE rn = 1),
+    res AS (SELECT pos.vec_id, (pos.i - 1) // 16 AS sub, pos.i,
+                   pos.x - cc.c AS r
+            FROM pos JOIN cassign USING (vec_id)
+                     JOIN cc ON cc.ccid = cassign.ccid AND cc.i = pos.i),
+    p0 AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS pcid FROM e),
+    pc AS (SELECT res.sub, p0.pcid, res.i, round(avg(r), 6) AS c
+           FROM res JOIN p0 USING (vec_id) GROUP BY 1, 2, 3),
+    pd AS (SELECT res.vec_id, res.sub, pc.pcid,
+                  round(sum(r*r) + sum(c*c) - 2*sum(r*c), 6) AS d2
+           FROM res JOIN pc ON pc.sub = res.sub AND pc.i = res.i
+           GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, sub, pcid FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, pcid) AS rn FROM pd) WHERE rn = 1),
+    qd AS (SELECT vec_id AS query_id, ccid, d2 FROM cd WHERE vec_id < 3),
+    probes AS (SELECT query_id, ccid FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY d2, ccid) AS rn FROM qd) WHERE rn <= 2),
+    qres AS (SELECT p.query_id, p.ccid, (pos.i - 1) // 16 AS sub, pos.i,
+                    pos.x - cc.c AS r
+             FROM probes p JOIN pos ON pos.vec_id = p.query_id
+                           JOIN cc ON cc.ccid = p.ccid AND cc.i = pos.i),
+    lut AS (SELECT q.query_id, q.ccid, q.sub, pc.pcid,
+                   round(sum(q.r*q.r) + sum(pc.c*pc.c)
+                         - 2*sum(q.r*pc.c), 6) AS d2
+            FROM qres q JOIN pc ON pc.sub = q.sub AND pc.i = q.i
+            GROUP BY 1, 2, 3, 4),
+    adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+                   round(sum(l.d2), 6) AS adc_d2
+            FROM probes p
+            JOIN cassign ca ON ca.ccid = p.ccid
+            JOIN codes co ON co.vec_id = ca.vec_id
+            JOIN lut l ON l.query_id = p.query_id AND l.ccid = p.ccid
+                       AND l.sub = co.sub AND l.pcid = co.pcid
+            WHERE co.vec_id <> l.query_id
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_d2, rank FROM
+      (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_d2, neighbor_id) AS INT) AS rank FROM adc)
+    WHERE rank <= 5
+    """,
+    doc="IVF-PQ composite index (similarity.ivfpq_topk — the Faiss IVFPQ "
+    "shape): coarse 8-cell quantizer routes vectors to inverted lists, "
+    "RESIDUALS are product-quantized (4 subspaces × 8 codes, global "
+    "codebook), queries probe their 2 nearest cells and score only "
+    "those cells' items via a per-(query, cell) residual ADC lookup "
+    "table — the scanned fraction drops to ~nprobe/n_cells AND the "
+    "bytes per scanned item drop ~128×, with residual encoding "
+    "recovering the accuracy a raw-vector PQ loses. Both quantizers "
+    "train one deterministic Lloyd round; the oracle replays "
+    "route → residual → encode → probe → LUT → ADC end-to-end under "
+    "the round-6 float contract. The capstone of the ANN tier "
+    "(q36 brute / q47 IVF / q68 int8 / q147 PQ)",
+)
+def q148_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=8, nprobe=2, m=4, k_codes=8, query_max=3, topk=5,
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -7362,6 +7442,8 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # PQ-ADC: the lossy-quantization tier of the ANN family — ordinary
     # overflow (q92 bears similarity_ann in-window)
     "q147_pq_adc_topk": {"similarity_ann"},
+    # IVF-PQ composite: coarse routing + residual PQ — same family
+    "q148_ivfpq_topk": {"similarity_ann"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -625,3 +625,35 @@ def test_prefix_filter_single_shingle_docs_pair(spark):
     out = {(r.doc_a, r.doc_b): r.jaccard
            for r in dedup.prefix_filter_jaccard_pairs(df).collect()}
     assert out == {(1, 2): 1.0}
+
+
+def test_winnowing_guarantee_property(spark):
+    """Property check of the SIGMOD'03 bound over a batch of constructed
+    corpora: for random paddings and a shared passage of length exactly
+    k + w − 1, the two docs ALWAYS share a fingerprint. Batched into one
+    Spark job (one createDataFrame per case would dominate runtime)."""
+    import hashlib
+    import random
+
+    rng = random.Random(42)
+    k, w = 24, 8
+    alphabet = "abcdefghij "
+    rows = []
+    for case in range(20):
+        passage = "".join(rng.choice(alphabet.strip()) for _ in range(k + w - 1))
+        pre = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        post = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        # normalization collapses whitespace: keep passages glued to the
+        # padding without introducing doubled spaces around them
+        a = (pre + " " + passage).strip()
+        b = (passage + " " + post).strip()
+        rows.append((case * 2, a))
+        rows.append((case * 2 + 1, b))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc: set(r.fps)
+           for r in dedup.winnowing_fingerprints(df, k=k, w=w).collect()}
+    for case in range(20):
+        assert fps[case * 2] & fps[case * 2 + 1], f"case {case}"
+    # and the Python replay agrees on every doc (property-level parity)
+    for doc_id, text in rows:
+        assert fps[doc_id] == _py_winnow(text, k, w)

@@ -307,3 +307,41 @@ def test_pq_codes_complete_and_bounded(spark, sf_dir):
                for r in rows)
     assert all(r.adc_d2 >= 0 for r in rows)
     assert n > 0
+
+
+def test_ivfpq_probes_only_home_cells(spark, sf_dir):
+    """Every returned neighbor's home cell must be one of the query's
+    nprobe probed cells — the IVF contract; and ranks are dense 1..k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    out = similarity.ivfpq_topk(emb, n_cells=8, nprobe=2, query_max=2,
+                                topk=5).collect()
+    assert {r.query_id for r in out} == {0, 1}
+    for q in (0, 1):
+        ranks = sorted(r.rank for r in out if r.query_id == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+    assert all(r.neighbor_id != r.query_id for r in out)
+    assert all(r.adc_d2 >= 0 for r in out)
+
+
+def test_ivfpq_residual_recovers_offset_structure(spark):
+    """Construct two far-apart blobs sharing an identical INTERNAL
+    offset pattern: residual PQ must rank the same-offset vector first
+    for a same-blob query — the accuracy argument for residual encoding."""
+    rows = []
+    # blob A near +10, blob B near -10; within each blob, vectors carry
+    # one of two distinctive offset patterns on the first subspace
+    for i in range(8):
+        base = 10.0 if i % 2 == 0 else -10.0
+        pat = 0.5 if i < 4 else -0.5
+        v = [base + pat] * 16 + [base] * 48
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.ivfpq_topk(df, n_cells=2, nprobe=1, m=4, k_codes=2,
+                                query_max=1, topk=3).collect()
+    got = [(r.neighbor_id, r.adc_d2) for r in
+           sorted(out, key=lambda r: r.rank)]
+    # query 0 (blob A, pat +0.5): same-blob same-pattern neighbor 2
+    # must beat same-blob other-pattern neighbors
+    assert got[0][0] == 2

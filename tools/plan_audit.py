@@ -43,6 +43,16 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q148_ivfpq_topk": (
+        "the two quantizer trainings and the encode pass are the only "
+        "corpus-wide work (each a broadcast-join + hash aggregate of "
+        "cell-count-bounded output); the query side touches only the "
+        "probed cells: probes (nprobe rows) join the cell assignment, "
+        "then the code table joins a BROADCAST per-(query, cell) "
+        "residual LUT — at deployment scale, codes+assignment would be "
+        "the materialized index and everything upstream is build-once. "
+        "Scanned fraction ~nprobe/n_cells, bytes/item ~128x down."
+    ),
     "q147_pq_adc_topk": (
         "everything after the positional explode is sub-linear: codebook "
         "training aggregates m*k*(dim/m) cells regardless of N, the "

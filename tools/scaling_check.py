@@ -102,6 +102,13 @@ QUERIES_UNDER_TEST = [
     "q141_winnowing_pairs",
     "q142_sorted_neighborhood",
     "q144_collocations",
+    # prefix-filtered Jaccard: disjoint per-replica shingle spaces →
+    # pair counts scale ~linearly; the claim under test is that the
+    # prefix+position-pruned candidate join tracks volume, not volume²
+    "q146_prefix_filter_jaccard",
+    # PQ-ADC: codebook cells and the LUT are size-invariant; the code
+    # table and rank window scale linearly; top-5 × 3 queries is fixed
+    "q147_pq_adc_topk",
 ]
 # Expected row behavior across scale points — the result check (r06
 # verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
@@ -129,6 +136,8 @@ EXPECT_ROWS = {
     "q141_winnowing_pairs": "grows",
     "q142_sorted_neighborhood": "grows",
     "q144_collocations": "grows",
+    "q146_prefix_filter_jaccard": "grows",
+    "q147_pq_adc_topk": "fixed",
     "wide_row_stress": "grows",
 }
 # q98 reads the frequency-preserving documents replica: token counts must
