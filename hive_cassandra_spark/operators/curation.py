@@ -457,3 +457,105 @@ def mixture_select(
         .withColumn("keep", F.col("cum_before") < F.col("source_budget"))
         .drop("__w", "__rank")
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, table A1 — the repetition
+# rules live in text.repetition_stats; these are the document-shape and
+# symbol rules). Ratio thresholds are expressed as integer cross-products
+# in the predicates below, so the keep verdict never touches a float.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document-shape quality rules: word-count bounds, mean
+    word length 3–10, symbol-to-word ratio (# and …) ≤ 0.1, ≥ 80% of words
+    containing a letter, ≥ 2 stopword hits, ≤ 90% bullet-point lines,
+    ≤ 30% ellipsis-terminated lines. The canonical first-pass filter every
+    web-crawl training pipeline runs (C4/Gopher/RefinedWeb lineage);
+    complements ``quality_cascade`` (which attributes drops to rules) by
+    emitting the full metric row per document for monitoring.
+
+    Every threshold is evaluated in INTEGER arithmetic — e.g. symbol
+    ratio < 0.1 is ``10·symbols < words``, mean word length ∈ [3,10] is
+    ``3·words ≤ chars ≤ 10·words`` — so the keep verdict is bit-identical
+    across engines and immune to float rounding at the boundary; the
+    rounded float ratios in the output are for reporting only.
+
+    Shape: ONE codegen'd projection over the corpus — token/line arrays
+    are built and folded per row, nothing shuffles, no Python. At 100 TB
+    this runs at scan speed with whatever parallelism the source had.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ellipsis = F.floor(
+        (F.length(t) - F.length(F.regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    ).cast("long")
+    n_symbols = (n_hash + n_ellipsis).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda x: x.rlike("[a-z]"))
+    ).cast("long")
+    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_lit, x))
+    ).cast("long")
+    lines = F.filter(
+        F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.ltrim(x).startswith("- ") | F.ltrim(x).startswith("* "),
+        )
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+    ).cast("long")
+
+    metrics = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        word_chars.alias("__word_chars"),
+        n_symbols.alias("__n_symbols"),
+        alpha_words.alias("__alpha_words"),
+        stop_hits.alias("stopword_hits"),
+        n_lines.alias("__n_lines"),
+        bullet_lines.alias("__bullet_lines"),
+        ellipsis_lines.alias("__ellipsis_lines"),
+    )
+    nw = F.col("n_words")
+    keep = (
+        (nw >= min_words)
+        & (nw <= max_words)
+        & (F.lit(3) * nw <= F.col("__word_chars"))
+        & (F.col("__word_chars") <= F.lit(10) * nw)
+        & (F.lit(10) * F.col("__n_symbols") < nw)
+        & (F.lit(5) * F.col("__alpha_words") > F.lit(4) * nw)
+        & (F.col("stopword_hits") >= 2)
+        & (F.lit(10) * F.col("__bullet_lines") <= F.lit(9) * F.col("__n_lines"))
+        & (F.lit(10) * F.col("__ellipsis_lines") <= F.lit(3) * F.col("__n_lines"))
+    )
+    one_w = F.greatest(nw, F.lit(1))
+    one_l = F.greatest(F.col("__n_lines"), F.lit(1))
+    return metrics.select(
+        id_col,
+        "n_words",
+        F.round(F.col("__word_chars") / one_w, 4).alias("mean_word_len"),
+        F.round(F.col("__n_symbols") / one_w, 4).alias("symbol_word_ratio"),
+        F.round(F.col("__alpha_words") / one_w, 4).alias("alpha_word_ratio"),
+        "stopword_hits",
+        F.round(F.col("__bullet_lines") / one_l, 4).alias("bullet_line_ratio"),
+        F.round(F.col("__ellipsis_lines") / one_l, 4).alias("ellipsis_line_ratio"),
+        keep.alias("keep"),
+    )

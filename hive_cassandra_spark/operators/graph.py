@@ -1,0 +1,101 @@
+"""Iterative graph analytics on DataFrames: fixed-iteration PageRank.
+
+The reference engine has no graph operator (its surface stops at the
+HiveQL-0.9 relational tier, ``SURVEY.md §2.B``); this module is part of the
+§2.C large-pipeline extension tier — link-graph scoring is a standard
+signal in web-scale training-data curation (rank-weighted sampling of
+crawled pages).
+
+Spark-first design: each PageRank iteration is one join of the edge list
+against the current rank vector plus one aggregation by destination —
+exactly two shuffles, both on the node key, so AQE coalesces them and a
+pre-partitioned edge list is reused across iterations. Dangling-node mass
+(nodes with no out-edges) is collected by a ONE-ROW aggregate and attached
+with a broadcast cross join — never a driver ``collect()`` — matching the
+house rule for scalar probes (``sketches.py:253``). Lineage grows linearly
+with the iteration count; for the small fixed counts an unrolled-SQL
+oracle can express (<= 5) that is fine, and the docstringed contract for
+large K is to ``localCheckpoint()`` every ~10 rounds, same as
+``dedup.neardup_components``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """Distinct out-degree per source node of a (src, dst) edge list."""
+    return edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed (src, dst) edge list.
+
+    Standard formulation with uniform teleport and dangling-mass
+    redistribution: ranks start at 1.0 (so they sum to N, not 1 — the
+    common "unnormalized" convention), and each round
+
+        rank'(v) = (1 - d) + d * (sum_{u->v} rank(u)/deg(u) + dangle/N)
+
+    where ``dangle`` is the total rank parked on nodes with no out-edges.
+    Ignoring dangling mass (the lazy implementation) leaks rank every
+    round on any graph with sinks — the part→supplier bipartite fixture
+    is ALL sinks on one side, which is exactly why the fixture exercises
+    it.
+
+    Scale posture: the edge list is the big input and is shuffled on
+    ``src`` once per iteration for the contribution join, then the
+    contributions aggregate on ``dst`` — both exchanges carry (key,
+    double) pairs only, never payloads. The rank vector is O(nodes) and
+    the dangling probe is a single row attached by broadcast cross join
+    (no driver collect, no action inside the loop — the whole K-round
+    computation is ONE lazy plan). For K beyond ~10, callers should
+    ``localCheckpoint()`` the rank vector periodically to truncate
+    lineage.
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_total = nodes.agg(F.count("*").alias("n_nodes"))  # 1-row broadcast
+    deg = out_degrees(edges)
+
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            deg, ranks["node"] == deg["src"], "left"
+        ).select("node", "rank", "out_deg")
+        # mass on dangling nodes (no out-edges), as a one-row aggregate
+        dangle = with_deg.where(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangle")
+        )
+        contribs = (
+            edges.join(with_deg.where(F.col("out_deg").isNotNull()),
+                       edges["src"] == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangle))
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dangle") / F.col("n_nodes")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -921,3 +921,87 @@ def analyze_finalize(
         F.coalesce("k_used", F.lit(0)).alias("k_used"),
         F.coalesce("est_ndv", F.lit(0)).alias("est_ndv"),
     )
+
+
+def check_expectations(
+    df: DataFrame, expectations: list[tuple]
+) -> DataFrame:
+    """Declarative data-quality expectation checks (the Deequ/Great-
+    Expectations pattern): evaluate a list of named constraints against a
+    table in ONE aggregation pass and emit a long-form report row per
+    constraint (``check_name``, ``metric``, ``passed``) — the validation gate a 100 TB ingest pipeline runs before
+    publishing a snapshot.
+
+    Supported specs (name, kind, ...):
+
+    - ``(name, "row_count_between", lo, hi)``
+    - ``(name, "not_null", col)`` — completeness must be 1.0
+    - ``(name, "unique", col)`` — exact distinct == non-null count
+    - ``(name, "min_at_least", col, bound)``
+    - ``(name, "max_at_most", col, bound)``
+    - ``(name, "values_in", col, [allowed...])`` — zero violators
+      (NULLs are not violations; pair with ``not_null`` to forbid them)
+
+    Scale shape: every metric folds into a SINGLE ``agg`` over one scan —
+    counts/min/max are plain map-side-combinable aggregates and the
+    ``unique`` distincts ride Spark's expand-based multi-distinct
+    rewrite. The result is one driver-sized row exploded into the report
+    (constraint, metric, passed) — no second scan, no shuffle beyond the
+    global aggregate. Pass verdicts compare counts as integers (never a
+    rounded ratio), so boundary cases are exact; ``unique`` is EXACT by
+    contract — for monitoring-grade approximate NDV at extreme
+    cardinality use the KMV/HLL sketch tier (``analyze_table``) instead.
+    """
+    if not expectations:
+        raise ValueError("check_expectations needs at least one constraint")
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    reports: list[F.Column] = []
+    for spec in expectations:
+        name, kind = spec[0], spec[1]
+        key = f"__m_{name}"
+        if kind == "row_count_between":
+            lo, hi = spec[2], spec[3]
+            metric = F.col("__n").cast("double")
+            passed = (F.col("__n") >= lo) & (F.col("__n") <= hi)
+        elif kind == "not_null":
+            aggs.append(F.count(F.col(spec[2])).alias(key))
+            metric = F.round(F.col(key) / F.greatest(F.col("__n"), F.lit(1)), 4)
+            passed = F.col(key) == F.col("__n")
+        elif kind == "unique":
+            col = spec[2]
+            aggs.append(F.countDistinct(F.col(col)).alias(key))
+            aggs.append(F.count(F.col(col)).alias(f"{key}_n"))
+            metric = F.col(key).cast("double")
+            passed = F.col(key) == F.col(f"{key}_n")
+        elif kind == "min_at_least":
+            aggs.append(F.min(F.col(spec[2])).alias(key))
+            metric = F.round(F.col(key).cast("double"), 4)
+            passed = F.col(key) >= spec[3]
+        elif kind == "max_at_most":
+            aggs.append(F.max(F.col(spec[2])).alias(key))
+            metric = F.round(F.col(key).cast("double"), 4)
+            passed = F.col(key) <= spec[3]
+        elif kind == "values_in":
+            col, allowed = spec[2], spec[3]
+            viol = F.when(
+                F.col(col).isNotNull()
+                & ~F.col(col).isin(*allowed), F.lit(1)
+            )
+            aggs.append(F.count(viol).alias(key))
+            metric = F.col(key).cast("double")
+            passed = F.col(key) == 0
+        else:
+            raise ValueError(f"unknown expectation kind: {kind}")
+        reports.append(
+            F.struct(
+                F.lit(name).alias("check_name"),
+                metric.alias("metric"),
+                passed.alias("passed"),
+            )
+        )
+    return (
+        df.agg(*aggs)
+        .select(F.explode(F.array(*reports)).alias("r"))
+        .select("r.check_name", "r.metric", "r.passed")
+        .orderBy("check_name")
+    )

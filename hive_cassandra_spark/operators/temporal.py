@@ -331,3 +331,88 @@ def cohort_retention(
         F.countDistinct(entity_col).alias("active_entities"),
         F.count(F.lit(1)).alias("events"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    lookback: int = 20,
+    min_periods: int = 8,
+    threshold: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value is more
+    than ``threshold`` sample standard deviations from the mean of the
+    entity's previous ``lookback`` events — the standard streaming-metrics
+    outlier pass (spend spikes, latency regressions, sensor faults).
+
+    The baseline window is *strictly preceding* (``ROWS BETWEEN lookback
+    PRECEDING AND 1 PRECEDING``) so the point under test never pollutes
+    its own baseline — the classic self-masking bug in naive
+    implementations that include the current row and shrink every spike's
+    apparent z. Entities with fewer than ``min_periods`` preceding events
+    or a zero-variance baseline emit nothing (no division by ~0 noise).
+
+    Determinism contract — the part a naive ``stddev(...) OVER w`` gets
+    wrong: values are fixed-pointed to integers (``round(value·scale)``,
+    the money convention) and the frame carries only BIGINT sums S1/S2,
+    so with dv = n·x − S1 and A = n·S2 − S1² (the scaled variance
+    numerator) the anomaly verdict is the EXACT integer comparison
+    ``dv²·(n−1) > t²·n·A`` — engines differing at the 8th significant
+    digit of a streamed variance (observed: Spark's central-moments vs
+    the oracle's sum-of-squares path) can never flip it. The reported
+    ``zscore = dv·√((n−1)/(n·A))`` is computed from those identical
+    integers in a fixed sequence of correctly-rounded IEEE ops, so it is
+    bit-identical cross-engine before rounding. Magnitude guard: |S1| ≤
+    frame·max|x|·scale and A ≤ frame·S2 must fit int64 — at scale=100
+    that is values up to ~10⁶ with frames up to ~10⁴, comfortably inside
+    any metrics stream; larger domains pick a smaller ``scale``.
+
+    Scale shape: ONE exchange on the entity key carries all three window
+    aggregates (count/S1/S2 share the identical window spec, so Catalyst
+    computes them in a single Window operator on a single sort); the
+    anomaly filter is a post-window projection. Frame ordering includes a
+    unique tie-break key — without it equal-timestamp rows make the frame
+    (and thus the verdict) nondeterministic across runs and engines.
+    """
+    w = (
+        W.partitionBy(entity_col)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(-lookback, -1)
+    )
+    x = F.round(F.col(value_col) * scale).cast("long")
+    scored = df.select(
+        entity_col,
+        tiebreak_col,
+        ts_col,
+        value_col,
+        x.alias("__x"),
+        F.count(x).over(w).alias("__n"),
+        F.sum(x).over(w).alias("__s1"),
+        F.sum(x * x).over(w).alias("__s2"),
+    )
+    n = F.col("__n")
+    dv = n * F.col("__x") - F.col("__s1")
+    a = n * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    return (
+        scored.where(
+            (n >= min_periods)
+            & (a > 0)
+            & (dv * dv * (n - 1) > F.lit(threshold * threshold) * n * a)
+        )
+        .select(
+            entity_col,
+            tiebreak_col,
+            ts_col,
+            value_col,
+            F.round(
+                F.col("__s1").cast("double") / (F.lit(float(scale)) * n), 4
+            ).alias("baseline_mean"),
+            F.round(
+                dv.cast("double") * F.sqrt((n - 1) / (n * a)), 4
+            ).alias("zscore"),
+        )
+    )

@@ -401,3 +401,69 @@ def collocations(
             F.expr("__num div __den").alias("score_x1000"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 512,
+    stride: int = 384,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-width chunks with exact
+    offsets — the retrieval/RAG ingestion pass (and the context-window
+    packing precursor): every embedding index and long-document training
+    pipeline chunks upstream of the model.
+
+    Character windows of width ``size`` starting every ``stride`` chars
+    (``stride < size`` ⇒ ``size − stride`` chars of overlap, so no span
+    is lost at a boundary). Start offsets are ``0, stride, 2·stride, …``
+    while < the doc length; empty/null docs yield no chunks. Offsets are
+    0-based in the output, 1-based only inside ``substring`` (both
+    engines' convention).
+
+    Entirely expression-level — ``sequence`` + ``explode`` + ``substring``
+    inside one codegen stage, zero shuffle, no Python. The fan-out is
+    bounded per row (≈ len/stride), so task output grows linearly with
+    input bytes and a 100 TB corpus chunks as a pure map pass with
+    whatever parallelism the scan had. Emits md5 + lengths rather than
+    chunk text so the operator's output (and any shuffle a consumer runs
+    on it) stays ~100 bytes/chunk; a consumer that needs the text
+    re-derives it from (doc, start, len) against the source — cheaper at
+    scale than materializing every overlapped copy.
+
+    Output: (id, chunk_id, chunk_start, chunk_len, n_tokens, chunk_md5).
+    """
+    if not (0 < stride <= size):
+        raise ValueError("need 0 < stride <= size")
+    t = F.col(text_col)
+    n = F.length(t)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest((n - F.lit(1)).cast("bigint"), F.lit(0).cast("bigint")),
+        F.lit(stride).cast("bigint"),
+    )
+    return (
+        df.where(n > 0)
+        .select(
+            F.col(id_col),
+            F.explode(starts).alias("chunk_start"),
+            t.alias("__text"),
+        )
+        .select(
+            id_col,
+            F.expr(f"chunk_start div {stride}").alias("chunk_id"),
+            "chunk_start",
+            F.length(
+                F.substring(F.col("__text"), F.col("chunk_start").cast("int") + 1, size)
+            ).cast("bigint").alias("chunk_len"),
+            F.size(
+                tokens(
+                    F.substring(F.col("__text"), F.col("chunk_start").cast("int") + 1, size)
+                )
+            ).cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.substring(F.col("__text"), F.col("chunk_start").cast("int") + 1, size)
+            ).alias("chunk_md5"),
+        )
+    )

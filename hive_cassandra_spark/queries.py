@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 from hive_cassandra_spark.operators import (
     curation,
     dedup,
+    graph,
     multimodal,
     relational,
     retrieval,
@@ -7053,6 +7054,301 @@ def q148_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q149_document_chunks",
+    # DuckDB range(0, n, k) excludes n, matching Spark sequence(0, n-1, k);
+    # both engines' substring is 1-based and character-counted, and md5
+    # hashes the UTF-8 bytes, so chunk identity is bit-exact.
+    oracle="""
+    WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+               FROM documents WHERE length(text) > 0),
+    s AS (SELECT doc_id, text,
+                 unnest(range(0, n, CAST(384 AS BIGINT))) AS chunk_start
+          FROM d),
+    c AS (SELECT doc_id, chunk_start // 384 AS chunk_id, chunk_start,
+                 substring(text, CAST(chunk_start AS INT) + 1, 512) AS chunk
+          FROM s)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(length(chunk) AS BIGINT) AS chunk_len,
+           CAST(len(list_filter(string_split(trim(regexp_replace(
+                lower(chunk), '\\s+', ' ', 'g')), ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
+           md5(chunk) AS chunk_md5
+    FROM c
+    """,
+    doc="RAG/retrieval document chunking (text.chunk_documents): 512-char "
+    "windows every 384 chars (128-char overlap so no boundary span is "
+    "lost), exact 0-based offsets, whitespace-token counts, and the "
+    "chunk md5 instead of the chunk text — the operator's output stays "
+    "~100 bytes/chunk so downstream shuffles never carry the overlapped "
+    "text copies. Pure sequence/explode/substring inside one codegen "
+    "stage: zero shuffle, zero Python, fan-out bounded per row — a "
+    "100 TB corpus chunks at scan speed. New capability: "
+    "PENDING_ROTATION for a round-8 window slot",
+)
+def q149_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=512, stride=384
+    )
+
+
+@register(
+    "q150_anomaly_zscore",
+    # Identical ROWS frame (20 PRECEDING .. 1 PRECEDING) with the unique
+    # event_id tie-break in both engines. The frame carries BIGINT
+    # fixed-point sums (S1, S2) — NOT a float stddev, whose engine-
+    # specific accumulation order flipped a round(4) boundary at sf0.01
+    # (z = 57.20125): verdict and z both derive from identical integers.
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts, value,
+                      CAST(round(value * 100) AS BIGINT) AS x,
+                      count(*) OVER w AS n,
+                      sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s1,
+                      sum(CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT)) OVER w AS s2
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    g AS (SELECT user_id, event_id, ts, value, n,
+                 n * x - s1 AS dv, n * s2 - s1 * s1 AS a, s1
+          FROM s)
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
+           round(CAST(s1 AS DOUBLE) / (100.0 * n), 4) AS baseline_mean,
+           round(CAST(dv AS DOUBLE) * sqrt((n - 1) / (n * a)), 4) AS zscore
+    FROM g
+    WHERE n >= 8 AND a > 0 AND dv * dv * (n - 1) > 9 * n * a
+    """,
+    doc="rolling z-score anomaly detection (temporal.rolling_zscore): "
+    "flag events > 3 sample stddevs from the mean of the user's previous "
+    "20 events. The baseline frame is STRICTLY PRECEDING so a spike "
+    "never dilutes its own baseline (the classic self-masking bug), "
+    "fewer than 8 priors or zero variance emits nothing, and the frame "
+    "order carries the unique event_id tie-break — without it equal-"
+    "timestamp rows make the verdict nondeterministic. Values are "
+    "fixed-pointed (round(value·100) — the money convention) and the "
+    "frame carries BIGINT sums only, so the anomaly verdict is the "
+    "EXACT integer comparison dv²·(n−1) > 9·n·A — immune to the "
+    "engine-divergent streamed-variance rounding a naive stddev OVER w "
+    "exhibits — and the reported z derives from those same integers in "
+    "a fixed sequence of IEEE ops (bit-identical before round(4)). "
+    "count/S1/S2 share ONE window spec: a single Window operator on a "
+    "single exchange of the entity key. New capability: "
+    "PENDING_ROTATION for a round-8 window slot",
+)
+def q150_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    out = temporal.rolling_zscore(
+        ev, value_col="value", entity_col="user_id", ts_col="ts",
+        tiebreak_col="event_id", lookback=20, min_periods=8, threshold=3.0,
+    )
+    return out.select(
+        "user_id", "event_id", _ts("ts").alias("ts"), "value",
+        "baseline_mean", "zscore",
+    )
+
+
+@register(
+    "q151_gopher_quality",
+    # Every keep-threshold is an integer cross-product on both sides
+    # (e.g. symbol ratio < 0.1 ⇔ 10·symbols < words), so the verdict is
+    # bit-exact; the rounded ratios are reporting-only.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+        list_filter(string_split(trim(regexp_replace(
+            lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks,
+        list_filter(string_split(text, chr(10)),
+                    x -> length(trim(x)) > 0) AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+             AS BIGINT) AS word_chars,
+        CAST(length(text) - length(replace(text, '#', ''))
+             + (length(text) - length(replace(text, '...', ''))) // 3
+             AS BIGINT) AS n_symbols,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+             AS BIGINT) AS alpha_words,
+        CAST(len(list_filter(toks, x -> list_contains(
+             ['the','be','to','of','and','that','have','with'], x)))
+             AS BIGINT) AS stopword_hits,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lines,
+             x -> ltrim(x) LIKE '- %' OR ltrim(x) LIKE '* %'))
+             AS BIGINT) AS bullet_lines,
+        CAST(len(list_filter(lines, x -> rtrim(x) LIKE '%...'))
+             AS BIGINT) AS ellipsis_lines
+      FROM base)
+    SELECT doc_id, n_words,
+      round(word_chars / greatest(n_words, 1), 4) AS mean_word_len,
+      round(n_symbols / greatest(n_words, 1), 4) AS symbol_word_ratio,
+      round(alpha_words / greatest(n_words, 1), 4) AS alpha_word_ratio,
+      stopword_hits,
+      round(bullet_lines / greatest(n_lines, 1), 4) AS bullet_line_ratio,
+      round(ellipsis_lines / greatest(n_lines, 1), 4)
+        AS ellipsis_line_ratio,
+      (n_words BETWEEN 50 AND 100000
+       AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+       AND 10 * n_symbols < n_words
+       AND 5 * alpha_words > 4 * n_words
+       AND stopword_hits >= 2
+       AND 10 * bullet_lines <= 9 * n_lines
+       AND 10 * ellipsis_lines <= 3 * n_lines) AS keep
+    FROM m
+    """,
+    doc="Gopher document-shape quality rules (curation.gopher_rules, Rae "
+    "et al. 2021 table A1): word-count bounds, mean word length 3-10, "
+    "symbol-to-word ratio, alpha-word fraction, stopword floor, bullet/"
+    "ellipsis line ratios — the canonical C4/Gopher/RefinedWeb first-"
+    "pass crawl filter, emitted as a full metric row per document for "
+    "rule-hit monitoring. All thresholds evaluate in INTEGER arithmetic "
+    "(10·symbols < words, never a rounded float ratio), so the verdict "
+    "is bit-exact cross-engine. ONE codegen'd projection: per-row array "
+    "folds, zero shuffle, zero Python — scan-speed at 100 TB. Ordinary "
+    "overflow of the quality_cascade family (q87 bears it in-window)",
+)
+def q151_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q152_pagerank",
+    # Fixed 3 iterations unrolled as CTEs; dangling mass (the supplier
+    # side has no out-edges) is redistributed each round exactly as the
+    # operator does. Emitting EVERY node (no top-k) avoids a float
+    # selection boundary; rank is round(4) on both sides.
+    oracle="""
+    WITH edges AS (SELECT DISTINCT
+            'p' || CAST(l_partkey AS VARCHAR) AS src,
+            's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS out_deg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+    d0 AS (SELECT coalesce(sum(r.rank), 0) AS dangle FROM r0 r
+           LEFT JOIN deg ON deg.src = r.node WHERE deg.src IS NULL),
+    c0 AS (SELECT e.dst AS node, sum(r.rank / deg.out_deg) AS contrib
+           FROM edges e JOIN r0 r ON r.node = e.src
+           JOIN deg ON deg.src = e.src GROUP BY e.dst),
+    r1 AS (SELECT n.node,
+                  0.15 + 0.85 * (coalesce(c.contrib, 0) + d0.dangle / nn.n)
+                  AS rank
+           FROM nodes n LEFT JOIN c0 c ON c.node = n.node, d0, nn),
+    d1 AS (SELECT coalesce(sum(r.rank), 0) AS dangle FROM r1 r
+           LEFT JOIN deg ON deg.src = r.node WHERE deg.src IS NULL),
+    c1 AS (SELECT e.dst AS node, sum(r.rank / deg.out_deg) AS contrib
+           FROM edges e JOIN r1 r ON r.node = e.src
+           JOIN deg ON deg.src = e.src GROUP BY e.dst),
+    r2 AS (SELECT n.node,
+                  0.15 + 0.85 * (coalesce(c.contrib, 0) + d1.dangle / nn.n)
+                  AS rank
+           FROM nodes n LEFT JOIN c1 c ON c.node = n.node, d1, nn),
+    d2 AS (SELECT coalesce(sum(r.rank), 0) AS dangle FROM r2 r
+           LEFT JOIN deg ON deg.src = r.node WHERE deg.src IS NULL),
+    c2 AS (SELECT e.dst AS node, sum(r.rank / deg.out_deg) AS contrib
+           FROM edges e JOIN r2 r ON r.node = e.src
+           JOIN deg ON deg.src = e.src GROUP BY e.dst),
+    r3 AS (SELECT n.node,
+                  0.15 + 0.85 * (coalesce(c.contrib, 0) + d2.dangle / nn.n)
+                  AS rank
+           FROM nodes n LEFT JOIN c2 c ON c.node = n.node, d2, nn)
+    SELECT node, round(rank, 4) AS rank FROM r3
+    """,
+    doc="fixed-iteration PageRank (graph.pagerank) over the part→supplier "
+    "edge list — link-graph scoring, the rank-weighted-sampling signal "
+    "web-crawl curation uses. 3 damped iterations with UNIFORM teleport "
+    "and DANGLING-MASS redistribution: the bipartite fixture is all "
+    "sinks on one side, so an implementation that drops dangling rank "
+    "(the lazy one) leaks ~half the mass every round and cannot match. "
+    "Each iteration is exactly two shuffles (edge⋈rank on src, contrib "
+    "agg on dst); the dangling probe is a ONE-ROW broadcast cross join, "
+    "never a collect, and the whole K-round computation is one lazy "
+    "plan — at 100 TB edges this is the textbook distributed PageRank "
+    "with lineage checkpointing documented for large K. Every node is "
+    "emitted (no float top-k selection boundary). New capability: "
+    "PENDING_ROTATION for a round-8 window slot",
+)
+def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    ranks = graph.pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 4).alias("rank"))
+
+
+@register(
+    "q153_expectations",
+    # One aggregate row on both sides; pass verdicts compare raw counts
+    # (never rounded ratios), so boundary cases are exact.
+    oracle="""
+    WITH a AS (SELECT
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(o_custkey) AS BIGINT) AS n_cust,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_ok,
+        CAST(count(o_orderkey) AS BIGINT) AS n_ok,
+        min(o_totalprice) AS min_tp,
+        CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+                         AND o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 END) AS BIGINT) AS v_status,
+        CAST(count(CASE WHEN o_orderpriority IS NOT NULL
+                         AND o_orderpriority NOT IN
+                             ('1-URGENT','2-HIGH','3-MEDIUM',
+                              '4-NOT SPECIFIED','5-LOW')
+                        THEN 1 END) AS BIGINT) AS v_prio
+      FROM orders)
+    SELECT check_name, metric, passed FROM (
+      SELECT 'custkey_not_null' AS check_name,
+             round(n_cust / greatest(n, 1), 4) AS metric,
+             n_cust = n AS passed FROM a
+      UNION ALL
+      SELECT 'orderkey_unique', CAST(nd_ok AS DOUBLE), nd_ok = n_ok FROM a
+      UNION ALL
+      SELECT 'orders_rowcount', CAST(n AS DOUBLE),
+             n >= 1 AND n <= 10000000000 FROM a
+      UNION ALL
+      SELECT 'priority_domain', CAST(v_prio AS DOUBLE), v_prio = 0 FROM a
+      UNION ALL
+      SELECT 'status_domain', CAST(v_status AS DOUBLE), v_status = 0 FROM a
+      UNION ALL
+      SELECT 'totalprice_positive', round(min_tp, 4), min_tp >= 0 FROM a
+    ) ORDER BY check_name
+    """,
+    doc="declarative data-expectation checks (relational."
+    "check_expectations, the Deequ/Great-Expectations pattern): row-"
+    "count bounds, completeness, exact uniqueness, min bound, and two "
+    "value-domain constraints over orders, evaluated in ONE aggregation "
+    "pass over one scan — counts and min/max are map-side combinable "
+    "and the distinct rides Spark's expand rewrite — then exploded into "
+    "a (check_name, metric, passed) report from a single driver-sized "
+    "row. The publish gate a 100 TB ingest runs per snapshot; verdicts "
+    "compare integer counts, never rounded ratios. New capability: "
+    "PENDING_ROTATION for a round-8 window slot",
+)
+def q153_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return relational.check_expectations(
+        orders,
+        [
+            ("orders_rowcount", "row_count_between", 1, 10_000_000_000),
+            ("custkey_not_null", "not_null", "o_custkey"),
+            ("orderkey_unique", "unique", "o_orderkey"),
+            ("totalprice_positive", "min_at_least", "o_totalprice", 0.0),
+            ("status_domain", "values_in", "o_orderstatus",
+             ["O", "F", "P"]),
+            ("priority_domain", "values_in", "o_orderpriority",
+             ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+              "5-LOW"]),
+        ],
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -7444,6 +7740,21 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q147_pq_adc_topk": {"similarity_ann"},
     # IVF-PQ composite: coarse routing + residual PQ — same family
     "q148_ivfpq_topk": {"similarity_ann"},
+    # RAG chunking: new capability (offsets + overlap windows; nothing
+    # in-window expresses the fan-out chunker) — PENDING_ROTATION, round 8
+    "q149_document_chunks": {"chunking"},
+    # rolling z-score anomaly detection: new capability (strictly-
+    # preceding-frame outlier scoring) — PENDING_ROTATION, round 8
+    "q150_anomaly_zscore": {"anomaly_detection"},
+    # Gopher document-shape rules: the rule-set face of the in-window
+    # quality cascade capability (q87) — ordinary overflow
+    "q151_gopher_quality": {"quality_cascade"},
+    # fixed-iteration PageRank: new capability (iterative link-graph
+    # scoring with dangling-mass handling) — PENDING_ROTATION, round 8
+    "q152_pagerank": {"graph_pagerank"},
+    # declarative expectation checks: new capability (single-pass
+    # constraint report) — PENDING_ROTATION, round 8
+    "q153_expectations": {"data_expectations"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -7486,6 +7797,15 @@ PENDING_ROTATION: set[str] = {
     # tag lost its in-window bearer when q32 graduated (round-6 fourth
     # rotation), so the scale-path successor waits for a round-8 slot
     "q146_prefix_filter_jaccard",
+    # r07 continuation tier: four new capability families landed after
+    # the round-7 window froze — RAG chunking, rolling z-score anomaly
+    # detection, fixed-iteration PageRank, and declarative expectation
+    # checks (q151 gopher rules needs no slot: q87 bears quality_cascade
+    # in-window)
+    "q149_document_chunks",
+    "q150_anomaly_zscore",
+    "q152_pagerank",
+    "q153_expectations",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

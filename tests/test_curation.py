@@ -340,3 +340,47 @@ def test_temperature_mixture_upweights_small_sources(spark, sf_dir):
         prop_share = counts[smallest] / total_n
         temp_share = out[smallest].source_budget / total_b
         assert temp_share > prop_share  # small source up-weighted
+
+
+def test_gopher_rules_metrics_and_verdict(spark):
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "that other fox went off to have dinner with a friend " * 3)
+    short = "too short to keep"
+    symbols = "the of and that have with " + "# " * 40 + "word " * 30
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation.gopher_rules(df).collect()}
+    g = out[1]
+    assert g.n_words == len(good.split())
+    assert g.n_words >= 50 and g.keep
+    assert g.stopword_hits >= 2 and g.alpha_word_ratio == 1.0
+    assert not out[2].keep            # word-count floor
+    s = out[3]
+    # 40 '#' marks vs 76 words → 10·40 ≥ 76: symbol rule fires
+    assert s.n_words == 76 and not s.keep
+    assert s.symbol_word_ratio == round(40 / 76, 4)
+
+
+def test_gopher_rules_line_ratios_and_integer_boundaries(spark):
+    line = "- premium quality products that have with the included"
+    tail = "the conversation and that have with the structure of analysis "
+    bullets = "\n".join([line] * 9 + [tail * 8])
+    df = spark.createDataFrame([(1, bullets)], "doc_id long, text string")
+    r = curation.gopher_rules(df).collect()[0]
+    # 9 of 10 lines are bullets → 10·9 ≤ 9·10 holds EXACTLY (boundary):
+    # the integer predicate keeps it; a float 0.9-threshold compare
+    # could flip on rounding
+    assert r.bullet_line_ratio == 0.9
+    assert 3 <= r.mean_word_len <= 10 and r.n_words >= 50
+    assert r.keep
+
+
+def test_gopher_rules_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        curation.gopher_rules(df)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan

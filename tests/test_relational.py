@@ -610,3 +610,47 @@ def test_equidepth_histogram_no_global_single_task_sort(spark, sf_dir):
         # unkeyed window must sit above the ≤32-row offsets aggregate,
         # which the plan renders right after a HashAggregate on __pid
         assert "__part_off" in plan[m.start() : m.start() + 400]
+
+
+def test_check_expectations_report(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0, "O"), (2, "b", 3.0, "O"),
+         (2, None, 7.0, "X"), (4, "d", -1.0, "F")],
+        "k long, name string, amount double, status string",
+    )
+    out = {r.check_name: (r.metric, r.passed) for r in
+           rel.check_expectations(df, [
+               ("rowcount", "row_count_between", 1, 10),
+               ("name_not_null", "not_null", "name"),
+               ("k_unique", "unique", "k"),
+               ("amount_min", "min_at_least", "amount", 0.0),
+               ("status_domain", "values_in", "status", ["O", "F", "P"]),
+           ]).collect()}
+    assert out["rowcount"] == (4.0, True)
+    assert out["name_not_null"] == (0.75, False)   # 3 of 4 non-null
+    assert out["k_unique"] == (3.0, False)         # k=2 duplicated
+    assert out["amount_min"] == (-1.0, False)
+    assert out["status_domain"] == (1.0, False)    # the 'X' row
+    # all-green table
+    ok = spark.createDataFrame([(1, "a")], "k long, name string")
+    rep = rel.check_expectations(ok, [
+        ("k_unique", "unique", "k"), ("name_not_null", "not_null", "name"),
+    ]).collect()
+    assert all(r.passed for r in rep)
+    # report is deterministically ordered by check_name
+    assert [r.check_name for r in rep] == ["k_unique", "name_not_null"]
+
+
+def test_check_expectations_null_and_errors(spark):
+    import pytest
+    df = spark.createDataFrame([(None,)], "status string")
+    # NULLs are not domain violations — pair with not_null to forbid
+    rep = {r.check_name: r.passed for r in rel.check_expectations(df, [
+        ("dom", "values_in", "status", ["O"]),
+        ("nn", "not_null", "status"),
+    ]).collect()}
+    assert rep == {"dom": True, "nn": False}
+    with pytest.raises(ValueError):
+        rel.check_expectations(df, [])
+    with pytest.raises(ValueError):
+        rel.check_expectations(df, [("x", "no_such_kind", "status")])

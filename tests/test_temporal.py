@@ -327,3 +327,47 @@ def test_cohort_retention_two_exchanges(spark, funnel_events):
     # one exchange for the per-entity first-seen window, one for the
     # (cohort_week, week_offset) distinct-count rollup
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_rolling_zscore_flags_spike_exactly(spark):
+    # u1: 10 alternating 9/11 readings (mean 10, sd_samp² = 10/9) then a
+    # 50.0 spike. Integer check: S1=10000, S2=10_100_000, A=1_000_000,
+    # dv=40000 → z = 40000·√(9/10⁷) = 37.9473.
+    rows = [("u1", i, _ts(i), 9.0 if i % 2 == 0 else 11.0) for i in range(10)]
+    rows.append(("u1", 10, _ts(10), 50.0))
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    out = temporal.rolling_zscore(ev, min_periods=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.event_id, r.value, r.baseline_mean, r.zscore) == (
+        10, 50.0, 10.0, 37.9473
+    )
+
+
+def test_rolling_zscore_gates(spark):
+    # strictly-preceding frame: the spike's own value is NOT in its
+    # baseline; zero-variance baselines and short histories emit nothing
+    flat = [("u2", i, _ts(i), 10.0) for i in range(10)]   # sd = 0
+    flat.append(("u2", 10, _ts(10), 50.0))
+    short = [("u3", i, _ts(i), 9.0 if i % 2 == 0 else 11.0) for i in range(5)]
+    short.append(("u3", 5, _ts(5), 50.0))                 # only 5 priors
+    ev = spark.createDataFrame(
+        flat + short,
+        "user_id string, event_id long, ts timestamp, value double",
+    )
+    assert temporal.rolling_zscore(ev, min_periods=8).count() == 0
+
+
+def test_rolling_zscore_single_window_exchange(spark):
+    ev = spark.createDataFrame(
+        [("u1", i, _ts(i), float(i)) for i in range(30)],
+        "user_id string, event_id long, ts timestamp, value double",
+    )
+    out = temporal.rolling_zscore(ev)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # count/S1/S2 share one frame spec → ONE Window operator on ONE
+    # exchange of the entity key
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1

@@ -2,6 +2,8 @@
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hive_cassandra_spark.operators import text
@@ -215,3 +217,36 @@ def test_collocations_integer_exact_and_ordered(spark):
     # 4 overlapping "york new" per repeated doc + 1 from doc 99 = 17
     assert out[("york", "new")] == (17, 1000 * (17 - 5) * n // (21 * 21))
     assert all(isinstance(s, int) for _, s in out.values())
+
+
+def test_chunk_documents_offsets_and_hashes(spark):
+    body = "word " * 200            # 1000 chars → starts 0, 384, 768
+    df = spark.createDataFrame(
+        [(1, body), (2, "tiny doc"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = text.chunk_documents(df, size=512, stride=384).collect()
+    got = {(r.doc_id, r.chunk_id): r for r in out}
+    # empty/null docs chunk to nothing; short docs to exactly one chunk
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert [got[(1, i)].chunk_start for i in range(3)] == [0, 384, 768]
+    assert [got[(1, i)].chunk_len for i in range(3)] == [512, 512, 232]
+    for i in range(3):
+        expect = body[384 * i: 384 * i + 512]
+        assert got[(1, i)].chunk_md5 == hashlib.md5(
+            expect.encode()).hexdigest()
+        assert got[(1, i)].n_tokens == len(expect.split())
+    assert got[(2, 0)].chunk_len == 8 and got[(2, 0)].n_tokens == 2
+
+
+def test_chunk_documents_overlap_covers_boundaries(spark):
+    # stride < size ⇒ every (size−stride)-char span at a boundary appears
+    # intact in some chunk — the property RAG chunking exists for
+    df = spark.createDataFrame([(1, "x" * 900)], "doc_id long, text string")
+    rows = text.chunk_documents(df, size=512, stride=384).collect()
+    spans = sorted((r.chunk_start, r.chunk_start + r.chunk_len) for r in rows)
+    assert spans[0][0] == 0 and spans[-1][1] == 900
+    for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+        assert s1 < e0  # strictly overlapping, no gap
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, size=100, stride=101)
