@@ -136,6 +136,19 @@ HEADLINE = [
     "q147_pq_adc_topk",
     # IVF-PQ composite: coarse routing + residual-PQ ADC over probed cells
     "q148_ivfpq_topk",
+    # round-7 continuation tier: RAG chunking (pure codegen fan-out),
+    # rolling z-score anomaly (one window exchange), Gopher rules (zero-
+    # shuffle array folds), 3-iteration PageRank (2 shuffles/iter), and
+    # the single-pass expectation report
+    "q149_document_chunks",
+    "q150_anomaly_zscore",
+    "q151_gopher_quality",
+    "q152_pagerank",
+    "q153_expectations",
+    # exact-phrase dictionary matching: anchored candidates + slice verify
+    "q154_phrase_match",
+    # streaming z-score: stateful re-resolve + tombstone retraction
+    "q155_stream_anomaly",
 ]
 
 
@@ -206,6 +219,13 @@ def main() -> None:
         "q146_prefix_filter_jaccard",
         "q147_pq_adc_topk",
         "q148_ivfpq_topk",
+        "q149_document_chunks",
+        "q150_anomaly_zscore",
+        "q151_gopher_quality",
+        "q152_pagerank",
+        "q153_expectations",
+        "q154_phrase_match",
+        "q155_stream_anomaly",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

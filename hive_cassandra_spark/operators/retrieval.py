@@ -177,3 +177,65 @@ def bm25_topk(
             "score",
         )
     )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dictionary phrase matching: count exact (consecutive-token) phrase
+    occurrences per document for a literal phrase list — the keyword /
+    brand-safety / policy tagging pass curation pipelines run over every
+    crawl, and the exact-phrase complement to ``bm25_topk``'s bag-of-
+    terms scoring.
+
+    Candidate generation is FIRST-TOKEN ANCHORED: the corpus explodes to
+    (id, pos, token) once, and a broadcast join against each phrase's
+    first token yields candidates, which re-join the doc token arrays to
+    verify the full k-token slice. That ordering matters at 100 TB: the
+    per-position explode never carries the token array (linear, narrow),
+    the dictionary is broadcast-sized by definition, and the full-array
+    verify join touches only candidate docs — a per-row loop over the
+    dictionary would re-scan every doc for every phrase, and carrying
+    the array through the explode would square the corpus bytes.
+
+    Tokenization is ``text.tokens`` (normalize + whitespace split), so
+    matching is case- and whitespace-insensitive, and the verdict
+    (array-slice equality on exact tokens) is engine-exact — no floats
+    anywhere. Multi-token phrases match overlapping occurrences ("a a a"
+    contains "a a" twice), consistent with the positional definition.
+
+    Output: (id, phrase, n_hits ≥ 1).
+    """
+    if not phrases:
+        raise ValueError("phrase_match needs at least one phrase")
+    spark = df.sparkSession
+    rows = []
+    for p in phrases:
+        toks = p.strip().lower().split()
+        if not toks:
+            raise ValueError(f"empty phrase: {p!r}")
+        rows.append((p, toks[0], toks, len(toks)))
+    dic = spark.createDataFrame(
+        rows, "phrase string, first_tok string, ptoks array<string>, k int"
+    )
+    docs = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    tok_pos = docs.select(
+        "id", F.posexplode("toks").alias("pos", "tok")
+    )
+    cands = tok_pos.join(
+        F.broadcast(dic), tok_pos["tok"] == dic["first_tok"]
+    ).select("id", "pos", "phrase", "ptoks", "k")
+    verified = cands.join(docs, "id").where(
+        # slice is 1-based; pos is 0-based; a slice running past the end
+        # comes back short and the equality fails — no bounds guard needed
+        F.slice(F.col("toks"), F.col("pos") + 1, F.col("k"))  # noqa: E501
+        == F.col("ptoks")
+    )
+    return verified.groupBy("id", "phrase").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )

@@ -7349,6 +7349,130 @@ def q153_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q154_phrase_match",
+    # Per-phrase unrolled positional check: DuckDB toks[i:i+k-1] is the
+    # k-token 1-based slice matching Spark's slice(toks, i, k); a slice
+    # past the end comes back short and the equality fails on both sides.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(
+            lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM documents),
+    hits AS (
+      SELECT doc_id, 'table table' AS phrase,
+             CAST(len(list_filter(range(1, len(toks) + 1),
+                  i -> toks[i:i+1] = ['table','table'])) AS BIGINT) AS n_hits
+      FROM base
+      UNION ALL
+      SELECT doc_id, 'fast scan',
+             CAST(len(list_filter(range(1, len(toks) + 1),
+                  i -> toks[i:i+1] = ['fast','scan'])) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT doc_id, 'query value',
+             CAST(len(list_filter(range(1, len(toks) + 1),
+                  i -> toks[i:i+1] = ['query','value'])) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT doc_id, 'sort table window',
+             CAST(len(list_filter(range(1, len(toks) + 1),
+                  i -> toks[i:i+2] = ['sort','table','window'])) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT doc_id, 'spark',
+             CAST(len(list_filter(range(1, len(toks) + 1),
+                  i -> toks[i:i] = ['spark'])) AS BIGINT)
+      FROM base)
+    SELECT doc_id, phrase, n_hits FROM hits WHERE n_hits >= 1
+    """,
+    doc="dictionary phrase matching (retrieval.phrase_match): exact "
+    "consecutive-token occurrence counts for a literal phrase list "
+    "(1-, 2-, and 3-token phrases incl. the self-overlapping 'table "
+    "table') — the keyword/brand-safety/policy tagging pass, and the "
+    "exact-phrase complement to q135's bag-of-terms BM25. Candidates "
+    "are FIRST-TOKEN ANCHORED: one narrow (id, pos, token) explode "
+    "broadcast-joined to the dictionary, then a full k-token slice "
+    "verify against the doc token arrays touching only candidate docs "
+    "— never a per-row loop over the dictionary, never the token array "
+    "carried through the explode. Token-exact verdicts, no floats. "
+    "PENDING_ROTATION with the retrieval family: stands down to "
+    "ordinary overflow once q135 takes its round-8 slot",
+)
+def q154_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = retrieval.phrase_match(
+        _t(spark, sf_dir, "documents"),
+        ["table table", "fast scan", "query value", "sort table window",
+         "spark"],
+    )
+    return out.select(F.col("id").alias("doc_id"), "phrase", "n_hits")
+
+
+@register(
+    "q155_stream_anomaly",
+    # q150's oracle VERBATIM: the stateful operator re-sorts and
+    # re-resolves every verdict from its buffered stream on each update
+    # (a late-arriving predecessor shifts up to `lookback` later
+    # baselines, so verdict-as-you-go state corrupts under out-of-order
+    # arrival), and the integer-exact fixed-point verdict plus the
+    # math.sqrt/IEEE-op z replay make the final per-entity verdict set
+    # hash-match the batch operator however micro-batches split.
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts, value,
+                      CAST(round(value * 100) AS BIGINT) AS x,
+                      count(*) OVER w AS n,
+                      sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s1,
+                      sum(CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT)) OVER w AS s2
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    g AS (SELECT user_id, event_id, ts, value, n,
+                 n * x - s1 AS dv, n * s2 - s1 * s1 AS a, s1
+          FROM s)
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
+           round(CAST(s1 AS DOUBLE) / (100.0 * n), 4) AS baseline_mean,
+           round(CAST(dv AS DOUBLE) * sqrt((n - 1) / (n * a)), 4) AS zscore
+    FROM g
+    WHERE n >= 8 AND a > 0 AND dv * dv * (n - 1) > 9 * n * a
+    """,
+    doc="streaming rolling z-score anomaly detection (streaming.events."
+    "stream_anomaly via applyInPandasWithState): per-entity buffered "
+    "stream re-sorted and re-resolved on every update — order-"
+    "insensitive, so the bounded replay hash-matches the BATCH operator "
+    "(q150's SQL verbatim) regardless of micro-batch splits; emits the "
+    "full current anomaly set per update with a seq counter plus a "
+    "TOMBSTONE row when the set resolves to empty (a late arrival can "
+    "invalidate a previously emitted anomaly — without the tombstone "
+    "the keep-last-seq consumer would revive stale verdicts). Verdicts "
+    "are the q150 integer-exact fixed-point comparison; z replays the "
+    "identical IEEE op sequence (math.sqrt, never pow). Production "
+    "bounds state by watermark finalize-and-evict (documented). The "
+    "streaming face of q150 (q136/q138 precedent): PENDING_ROTATION "
+    "alongside q150 — stands down once q150 bears anomaly_detection "
+    "in-window",
+)
+def q155_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming_events.read_events_stream(spark, sf_dir)
+    out = streaming_events.run_bounded(
+        streaming_events.stream_anomaly(ev), spark, "update",
+        state_partitions=8,
+    )
+    # keep each entity's LAST verdict set (max seq — a set, so max-over-
+    # window rather than q138's row_number-keep-one), drop the tombstones
+    latest = (
+        out.withColumn("__max_seq", F.max("seq").over(W.partitionBy("user_id")))
+        .filter((F.col("seq") == F.col("__max_seq")) & (F.col("event_id") >= 0))
+        .drop("__max_seq", "seq")
+    )
+    return latest.select(
+        "user_id", "event_id", _ts("ts").alias("ts"), "value",
+        "baseline_mean", "zscore",
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -7755,6 +7879,14 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # declarative expectation checks: new capability (single-pass
     # constraint report) — PENDING_ROTATION, round 8
     "q153_expectations": {"data_expectations"},
+    # dictionary phrase matching: the exact-phrase face of the retrieval
+    # family (q135, itself PENDING) — stands down to ordinary overflow
+    # once q135 takes its round-8 slot
+    "q154_phrase_match": {"retrieval"},
+    # streaming anomaly detection: the stateful face of q150 (itself
+    # PENDING) plus the live stream_stateful machinery tag via q138's
+    # successor path — stands down once q150 rotates in
+    "q155_stream_anomaly": {"anomaly_detection", "stream_stateful"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -7806,6 +7938,14 @@ PENDING_ROTATION: set[str] = {
     "q150_anomaly_zscore",
     "q152_pagerank",
     "q153_expectations",
+    # exact-phrase matching shares the retrieval tag with q135 (the q138
+    # orphan-exemption precedent): once q135 rotates in-window, q154
+    # stands down to ordinary overflow without a slot of its own
+    "q154_phrase_match",
+    # streaming anomaly shares anomaly_detection with q150 (same
+    # precedent): once q150 rotates in and a stream_stateful bearer is
+    # in-window (q138 or successor), q155 stands down to overflow
+    "q155_stream_anomaly",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

@@ -653,3 +653,138 @@ def stream_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_anomaly(
+    events: DataFrame,
+    lookback: int = 20,
+    min_periods: int = 8,
+    threshold: int = 3,
+    scale: int = 100,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming rolling z-score anomaly detection — the stateful face of
+    ``temporal.rolling_zscore`` (q150): per entity, flag events more than
+    ``threshold`` sample stddevs from the mean of their ``lookback``
+    ts-predecessors, with the same fixed-point integer-exact verdict.
+
+    Order-insensitive by construction (the q138 candidate-buffer
+    discipline): an event's baseline is its 20 TS-predecessors, so a
+    late-arriving earlier event SHIFTS the baseline of up to ``lookback``
+    later events — verdicts are not monotone under out-of-order arrival
+    and a verdict-as-you-go state machine silently corrupts. State per
+    entity therefore buffers the (ts, event_id, x, value) stream, and
+    every update re-sorts and re-resolves ALL verdicts, emitting the
+    entity's full current anomaly set tagged with an update ``seq``; the
+    consumer keeps each entity's last seq (``q138``'s contract), which
+    the bounded replay hash-matches to the BATCH operator's oracle
+    however micro-batches split.
+
+    State bound: the fixture replay keeps the full per-entity stream
+    (event-scale per user, vectorized numpy re-resolution). A 100 TB
+    deployment bounds it with a watermark: events older than
+    ``watermark + lookback`` positions can no longer change any verdict
+    — their prefix sums are frozen and the buffer prefix is evictable;
+    that finalize-and-evict variant trades the re-emit contract for
+    O(lookback) state and is the documented production shape.
+    """
+    import math
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    t2 = threshold * threshold
+    q4 = Decimal("0.0001")
+
+    def _round4(x: float) -> float:
+        # Spark round(DOUBLE, 4) quantizes the SHORTEST decimal repr
+        # (BigDecimal.valueOf → Double.toString) HALF_UP; Python round()
+        # quantizes the exact binary value half-even — they disagree
+        # whenever the shortest repr lands on a tie (measured: z =
+        # 23.83625 → 23.8363 vs 23.8362 at sf0.01). repr() is the same
+        # shortest round-trip string, so this replays Spark bit-for-bit.
+        return float(Decimal(repr(x)).quantize(q4, ROUND_HALF_UP))
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            seq, ts_b, eid_b, x_b, v_b = state.get
+            ts_l, eid_l = list(ts_b), list(eid_b)
+            x_l, v_l = list(x_b), list(v_b)
+        else:
+            seq, ts_l, eid_l, x_l, v_l = 0, [], [], [], []
+        for pdf in pdfs:
+            ts_l.extend(int(t) for t in pdf[ts_col].astype("int64"))
+            eid_l.extend(int(e) for e in pdf["event_id"])
+            # fixed-point EXACTLY as the batch side: Spark round() is
+            # HALF-AWAY-FROM-ZERO on the double product — pandas .round()
+            # is half-even and WOULD diverge on exact .5 products
+            prod = pdf["value"].to_numpy() * float(scale)
+            x_l.extend(
+                int(x) for x in np.where(
+                    prod >= 0, np.floor(prod + 0.5), np.ceil(prod - 0.5)
+                ).astype("int64")
+            )
+            v_l.extend(float(v) for v in pdf["value"])
+        seq += 1
+        order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], eid_l[i]))
+        ts_s = [ts_l[i] for i in order]
+        eid_s = [eid_l[i] for i in order]
+        x_s = np.array([x_l[i] for i in order], dtype=np.int64)
+        v_s = [v_l[i] for i in order]
+        cs1 = np.concatenate([[0], np.cumsum(x_s)])
+        cs2 = np.concatenate([[0], np.cumsum(x_s * x_s)])
+        rows = []
+        for i in range(len(x_s)):
+            lo = max(0, i - lookback)
+            n = i - lo
+            if n < min_periods:
+                continue
+            s1 = int(cs1[i] - cs1[lo])
+            s2 = int(cs2[i] - cs2[lo])
+            dv = n * int(x_s[i]) - s1
+            a = n * s2 - s1 * s1
+            if a > 0 and dv * dv * (n - 1) > t2 * n * a:
+                # identical IEEE op sequence to the batch expression
+                # (math.sqrt is correctly rounded; ** 0.5 via libm pow
+                # carries no such guarantee)
+                z = float(dv) * math.sqrt((n - 1) / (n * a))
+                rows.append(
+                    (
+                        key[0],
+                        seq,
+                        eid_s[i],
+                        pd.Timestamp(ts_s[i]),
+                        v_s[i],
+                        _round4(s1 / (float(scale) * n)),
+                        _round4(z),
+                    )
+                )
+        state.update((seq, ts_s, eid_s, [int(x) for x in x_s], v_s))
+        cols = [entity_col, "seq", "event_id", ts_col, "value",
+                "baseline_mean", "zscore"]
+        if not rows:
+            # tombstone marker: a late arrival can INVALIDATE previously
+            # emitted anomalies, so an update that resolves to zero
+            # anomalies must still advance the entity's visible seq —
+            # otherwise the consumer's keep-last-seq filter would revive
+            # the stale verdict set. event_id = -1, filtered post-select.
+            rows = [(key[0], seq, -1, pd.NaT, None, None, None)]
+        yield pd.DataFrame(rows, columns=cols)
+
+    return events.groupBy(entity_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{entity_col} bigint, seq bigint, event_id bigint, "
+            f"{ts_col} timestamp, value double, baseline_mean double, "
+            "zscore double"
+        ),
+        stateStructType=(
+            "seq bigint, ts array<bigint>, eid array<bigint>, "
+            "x array<bigint>, v array<double>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -131,3 +131,43 @@ def test_bm25_score_matches_reference_formula(spark):
     # tf_den=40*2*2+12*2+36*3=292
     # score = (1_000_000*3*352) // (3*292) = 1_056_000_000 // 876
     assert out == {1: 1_056_000_000 // 876}
+
+
+def test_phrase_match_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # "a a" overlaps twice; "a b" once
+            (2, "A  a\nB"),          # case/whitespace-insensitive: "a b"
+            (3, "b b"),              # no phrase hits
+            (4, "x a b y a b"),      # "a b" twice
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id, r.phrase): r.n_hits for r in
+           retrieval.phrase_match(docs, ["a a", "a b", "y"]).collect()}
+    assert out == {
+        (1, "a a"): 2, (1, "a b"): 1,
+        (2, "a a"): 1, (2, "a b"): 1,   # normalizes to "a a b"
+        (4, "a b"): 2, (4, "y"): 1,
+    }
+
+
+def test_phrase_match_edges_and_plan(spark):
+    import pytest
+    docs = spark.createDataFrame(
+        [(1, "needle end"), (2, "end")], "doc_id long, text string"
+    )
+    # phrase anchored at the last token: the short slice must NOT match
+    out = retrieval.phrase_match(docs, ["end needle"]).collect()
+    assert out == []
+    with pytest.raises(ValueError):
+        retrieval.phrase_match(docs, [])
+    with pytest.raises(ValueError):
+        retrieval.phrase_match(docs, ["  "])
+    # dictionary side is broadcast: no shuffle of the corpus for
+    # candidate generation
+    plan = (
+        retrieval.phrase_match(docs, ["needle end"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

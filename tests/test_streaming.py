@@ -590,3 +590,53 @@ def test_stream_funnel_state_buffers_stay_pruned(spark, sf_dir):
             assert r.view_ts is not None and r.click_ts > r.view_ts
         if r.purchase_ts is not None:
             assert r.click_ts is not None and r.purchase_ts > r.click_ts
+
+
+def test_stream_anomaly_out_of_order_batches_equal_batch(
+    spark, sf_dir, tmp_path
+):
+    """Adversarial replay for the streaming z-score: the SECOND half of
+    the timeline arrives FIRST. A verdict-as-you-go state machine scores
+    late-half events against empty baselines and never repairs them; the
+    re-resolve design must land on exactly the batch operator — including
+    RETRACTING any provisional anomaly the first micro-batch emitted
+    (the tombstone/keep-last-seq contract)."""
+    from hive_cassandra_spark.operators import temporal
+
+    ev = load_events(spark, sf_dir)
+    mid = ev.agg(
+        F.to_timestamp(
+            F.from_unixtime(
+                (F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts")))
+                / 2
+            )
+        ).alias("m")
+    ).collect()[0].m
+    half = str(tmp_path / "halves_a")
+    ev.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.parquet(half)
+    ev.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(half)
+    stream_src = (
+        spark.readStream.schema(se.EVENTS_SCHEMA_TS)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(f"{half}/*.parquet")
+    )
+    out = se.run_bounded(se.stream_anomaly(stream_src), spark, "update")
+    from pyspark.sql import Window
+
+    final = (
+        out.withColumn(
+            "mx", F.max("seq").over(Window.partitionBy("user_id"))
+        )
+        .filter((F.col("seq") == F.col("mx")) & (F.col("event_id") >= 0))
+        .select("user_id", "event_id", "ts", "value",
+                "baseline_mean", "zscore")
+    )
+    batch = temporal.rolling_zscore(ev).select(
+        "user_id", "event_id", "ts", "value", "baseline_mean", "zscore"
+    )
+    assert _norm(final.collect()) == _norm(batch.collect())
+    # the stream actually ran multi-batch (else the test proves nothing)
+    assert out.agg(F.max("seq")).collect()[0][0] >= 2

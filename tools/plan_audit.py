@@ -43,6 +43,56 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q149_document_chunks": (
+        "pure projection fan-out: sequence/explode/substring/md5 in one "
+        "codegen span over the documents scan — ZERO exchanges. Output "
+        "rows are ~100 bytes (md5 + offsets, never the overlapped chunk "
+        "text), so a downstream shuffle on chunks carries hashes, not "
+        "multiplied corpus bytes."
+    ),
+    "q150_anomaly_zscore": (
+        "count/S1/S2 share one frame spec, so the plan carries ONE "
+        "Window operator on ONE hashpartitioning(user_id) exchange; the "
+        "verdict filter is a post-window projection. The sums are "
+        "BIGINT fixed-point — no float stddev in the plan at all."
+    ),
+    "q151_gopher_quality": (
+        "zero-exchange per-row array folds (token/line higher-order "
+        "functions) in a single codegen span — scan-speed; all seven "
+        "keep-thresholds are integer cross-products, so no float "
+        "comparison gates the verdict."
+    ),
+    "q152_pagerank": (
+        "per-round NON-EAGER localCheckpoint truncates the plan to an "
+        "RDD-backed node (the fully lazy recursion re-expanded the "
+        "source subtree multiplicatively: 65 scans/122 exchanges at "
+        "K=3 before truncation), so the audited plan is just the "
+        "checkpoint-block read; each iteration contributes one "
+        "edges⋈ranks SMJ on src + one contrib aggregate on dst at the "
+        "RDD layer, where the DAG shares every stage. Dangling mass "
+        "and N stay ONE-ROW broadcast cross joins — no collect."
+    ),
+    "q154_phrase_match": (
+        "one narrow (id, pos, token) explode broadcast-joined to the "
+        "literal dictionary (BroadcastHashJoin, corpus never shuffles "
+        "for candidates), then the slice-verify join touches only "
+        "candidate docs; the only exchange is the final (id, phrase) "
+        "count aggregate."
+    ),
+    "q155_stream_anomaly": (
+        "applyInPandasWithState keyed on user_id (8 state partitions in "
+        "the bounded harness): state is the buffered per-entity stream, "
+        "re-sorted and re-resolved per update so out-of-order arrival "
+        "cannot corrupt verdicts (adversarial two-batch test); emits the "
+        "full current anomaly set + tombstones, consumer keeps max-seq. "
+        "Production bounds state via watermark finalize-and-evict."
+    ),
+    "q153_expectations": (
+        "one aggregation pass over one scan: counts/min are map-side "
+        "combinable, the exact uniqueness distinct rides the expand "
+        "rewrite, and the report explodes from a single driver-sized "
+        "row — the only exchange is the global aggregate's."
+    ),
     "q148_ivfpq_topk": (
         "the two quantizer trainings and the encode pass are the only "
         "corpus-wide work (each a broadcast-join + hash aggregate of "

@@ -109,6 +109,15 @@ QUERIES_UNDER_TEST = [
     # PQ-ADC: codebook cells and the LUT are size-invariant; the code
     # table and rank window scale linearly; top-5 × 3 queries is fixed
     "q147_pq_adc_topk",
+    # rolling z-score: replicas add NEW users with the same per-user
+    # value stream, so the window exchange grows linearly and the
+    # anomaly count scales ~xN
+    "q150_anomaly_zscore",
+    # PageRank: lineitem replicas repeat the same (part, supplier)
+    # pairs, so the DISTINCT edge graph — and the output — is IDENTICAL
+    # at every point; what scales is the edge-dedup exchange over the
+    # xN scan. Rank values must also be point-invariant (same graph).
+    "q152_pagerank",
 ]
 # Expected row behavior across scale points — the result check (r06
 # verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
@@ -138,6 +147,8 @@ EXPECT_ROWS = {
     "q144_collocations": "grows",
     "q146_prefix_filter_jaccard": "grows",
     "q147_pq_adc_topk": "fixed",
+    "q150_anomaly_zscore": "grows",
+    "q152_pagerank": "fixed",
     "wide_row_stress": "grows",
 }
 # q98 reads the frequency-preserving documents replica: token counts must
@@ -342,8 +353,13 @@ def main() -> None:
     mult.update(dict(zip(labels, replicas)))
     WIDE_BASE = 1_000_000
 
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     failures: list[str] = []
     for name in QUERIES_UNDER_TEST + ["wide_row_stress"]:
+        if only is not None and name not in only:
+            continue
         rec: dict = {}
         for label, sf_dir in dirs.items():
             if name == "wide_row_stress":
@@ -399,6 +415,14 @@ def main() -> None:
             )
         out["queries"][name] = rec
         print(f"# {name}: {json.dumps(rec)}", file=sys.stderr)
+    if only is not None and os.path.exists("/root/repo/SCALING_r07.json"):
+        # --only refreshes a subset: merge into the existing rows rather
+        # than discarding the un-rerun queries' measurements
+        with open("/root/repo/SCALING_r07.json") as f:
+            prev = json.load(f)
+        merged = prev.get("queries", {})
+        merged.update(out["queries"])
+        out["queries"] = merged
     with open("/root/repo/SCALING_r07.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
