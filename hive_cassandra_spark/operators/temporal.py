@@ -416,3 +416,53 @@ def rolling_zscore(
             ).alias("zscore"),
         )
     )
+
+
+def gapfill_hourly(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Hourly resample with gap filling — the ``time_bucket_gapfill``
+    every time-series/hypertable engine ships: one row per (entity,
+    hour) over each entity's OWN observed span, zero-filled where no
+    events landed, so downstream window math (moving averages, uptime
+    ratios, burn rates) sees a dense regular grid instead of silently
+    skipping empty buckets.
+
+    The spine is per-entity (min-hour → max-hour via ``sequence`` +
+    ``explode``), NOT entity × global-span — an entity active for a day
+    in a year-long corpus contributes 24 rows, not 8 760; total output
+    is Σ per-entity span-hours, and the fill join is an equi-join on
+    (entity, hour), co-keyed with the hourly aggregate's own exchange.
+    Values aggregate as fixed-point BIGINT cents (the q64/q150 money
+    convention), so sums are order-independent and engine-exact.
+
+    Output: (entity, hour, n_events, sum_value_cents) — filled hours
+    carry (0, 0), distinguishable by ``n_events = 0``.
+    """
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    bounds = df.groupBy(entity_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("__h0"),
+        F.date_trunc("hour", F.max(ts_col)).alias("__h1"),
+    )
+    spine = bounds.select(
+        entity_col,
+        F.explode(
+            F.sequence("__h0", "__h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    hourly = df.groupBy(
+        entity_col, F.date_trunc("hour", ts_col).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(cents).alias("__sc"),
+    )
+    return spine.join(hourly, [entity_col, "hour"], "left").select(
+        entity_col,
+        "hour",
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("__sc", F.lit(0)).cast("long").alias("sum_value_cents"),
+    )

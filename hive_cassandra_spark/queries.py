@@ -7473,6 +7473,49 @@ def q155_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q156_time_gapfill",
+    # Per-entity spine: generate_series/sequence are both END-INCLUSIVE
+    # over timestamps with an INTERVAL step; buckets are date_trunc hour
+    # under the pinned UTC session, and values aggregate as fixed-point
+    # cents (order-independent, engine-exact).
+    oracle="""
+    WITH b AS (SELECT user_id,
+                      date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1
+               FROM events GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM b),
+    agg AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+            FROM events GROUP BY 1, 2)
+    SELECT s.user_id, strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           coalesce(a.n, 0) AS n_events,
+           coalesce(a.sc, 0) AS sum_value_cents
+    FROM spine s LEFT JOIN agg a
+      ON a.user_id = s.user_id AND a.hour = s.hour
+    """,
+    doc="hourly gap-filled resample (temporal.gapfill_hourly — the "
+    "time_bucket_gapfill every hypertable engine ships): one row per "
+    "(entity, hour) over each entity's OWN min→max hour span, zero-"
+    "filled where no events landed, so downstream window math sees a "
+    "dense regular grid. The spine is PER-ENTITY (sequence + explode "
+    "bounded by that entity's span-hours — never entity × global-span), "
+    "and the fill is an equi-join on (entity, hour) co-keyed with the "
+    "hourly aggregate; values sum as fixed-point BIGINT cents (the "
+    "q64/q150 money convention). Ordinary overflow of the time_rollup "
+    "family (q64 bears it in-window)",
+)
+def q156_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    out = temporal.gapfill_hourly(ev)
+    return out.select(
+        "user_id", _ts("hour").alias("hour"), "n_events", "sum_value_cents"
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -7887,6 +7930,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # PENDING) plus the live stream_stateful machinery tag via q138's
     # successor path — stands down once q150 rotates in
     "q155_stream_anomaly": {"anomaly_detection", "stream_stateful"},
+    # hourly gap-fill: dense-grid resample over the hypertable rollup
+    # capability — ordinary overflow (q64 bears time_rollup in-window)
+    "q156_time_gapfill": {"time_rollup"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -371,3 +371,24 @@ def test_rolling_zscore_single_window_exchange(spark):
     # exchange of the entity key
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_gapfill_hourly_dense_per_entity_span(spark):
+    ev = spark.createDataFrame(
+        [
+            ("u1", datetime(2024, 1, 1, 0, 10), 1.25),
+            ("u1", datetime(2024, 1, 1, 0, 50), 2.00),
+            ("u1", datetime(2024, 1, 1, 4, 5), 0.75),   # 3h gap → 3 fills
+            ("u2", datetime(2024, 1, 2, 9, 0), 10.00),  # single-hour span
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    out = {(r.user_id, str(r.hour)): (r.n_events, r.sum_value_cents)
+           for r in temporal.gapfill_hourly(ev).collect()}
+    # u1 spans hours 00..04 inclusive = 5 rows; u2 exactly 1
+    assert len(out) == 6
+    assert out[("u1", "2024-01-01 00:00:00")] == (2, 325)
+    for h in (1, 2, 3):
+        assert out[("u1", f"2024-01-01 0{h}:00:00")] == (0, 0)
+    assert out[("u1", "2024-01-01 04:00:00")] == (1, 75)
+    assert out[("u2", "2024-01-02 09:00:00")] == (1, 1000)
