@@ -179,6 +179,51 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query ranked lists — the standard
+    hybrid-retrieval combiner (Cormack et al., SIGIR 2009): a document's
+    fused score is Σ over sources of 1/(k0 + rank), so agreement between
+    retrievers dominates any single retriever's raw score scale. This is
+    how RAG pipelines fuse BM25 (sparse) with embedding-cosine (dense)
+    candidates without calibrating their incomparable score ranges.
+
+    Each input carries exactly ``(query_id, id, rank)`` — already a
+    per-query top-k, i.e. k·|queries| rows regardless of corpus size, so
+    the fusion itself is trivially cheap at 100 TB: one unionAll (no
+    shuffle), one hash aggregate on (query_id, id), and a WindowGroupLimit
+    top-k. The heavy lifting stays in the upstream retrievers, which is
+    the point of fusing rank lists instead of score matrices.
+
+    Scores are exact fixed-point: ``SCALE div (k0 + rank)`` per source,
+    summed as BIGINT — one floor-division per (source, hit), applied
+    identically by any engine, so fused scores (and the re-ranking) are
+    bit-identical cross-engine. Ties break on id ascending.
+
+    Output: (query_id, rank, id, rrf_score, n_sources).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    u = rankings[0].select("query_id", "id", "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select("query_id", "id", "rank"))
+    fused = u.groupBy("query_id", "id").agg(
+        F.sum(F.expr(f"{SCALE} div ({k0} + rank)")).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "rrf_score", "n_sources")
+    )
+
+
 def phrase_match(
     df: DataFrame,
     phrases: list[str],

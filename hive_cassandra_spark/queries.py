@@ -7516,6 +7516,127 @@ def q156_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q157_hybrid_rrf",
+    # RRF is exact fixed-point: one floor-division per (source, hit) —
+    # 1000000 // (60 + rank) — summed as BIGINT, so fused scores replay
+    # bit-for-bit. The sparse leg replays the q135 integer-rational BM25
+    # (rank <= 20); the dense leg replays the q36 round-6 cosine ranking
+    # for three probe vectors (self-match excluded, ties on vec_id).
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(trim(regexp_replace(
+            lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY 1),
+    corpus AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                      CAST(CAST(sum(dl) AS BIGINT)
+                           // (SELECT greatest(CAST(count(*) AS BIGINT), 1)
+                              FROM documents) AS BIGINT) AS a
+               FROM dl),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    q(query_id, term) AS (VALUES
+        ('rare_common', 'dup'), ('rare_common', 'hash'),
+        ('ops', 'join'), ('ops', 'merge'), ('ops', 'sort'),
+        ('vec', 'vector'), ('vec', 'query')),
+    sp_scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(sum((1000000 * (2*n - 2*df + 1) * (88 * tf * a))
+                    // ((2*df + 1) * (40*tf*a + 12*a + 36*dl)))
+                    AS BIGINT) AS score
+        FROM q JOIN tf USING (term) JOIN dfreq USING (term)
+             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus
+        GROUP BY 1, 2),
+    sp_ranked AS (SELECT query_id, doc_id, row_number() OVER (
+                      PARTITION BY query_id ORDER BY score DESC, doc_id
+                  ) AS rnk FROM sp_scored),
+    probes(query_id, qvec_id) AS (VALUES
+        ('rare_common', 3), ('ops', 7), ('vec', 11)),
+    qv AS (SELECT p.query_id, p.qvec_id, e.embedding::DOUBLE[] AS v
+           FROM probes p JOIN embeddings e ON e.vec_id = p.qvec_id),
+    dn_scored AS (
+        SELECT q.query_id, e.vec_id AS doc_id,
+               round(list_cosine_similarity(q.v, e.embedding::DOUBLE[]), 6)
+                 AS cosine
+        FROM qv q JOIN embeddings e ON e.vec_id <> q.qvec_id),
+    dn_ranked AS (SELECT query_id, doc_id, row_number() OVER (
+                      PARTITION BY query_id ORDER BY cosine DESC, doc_id
+                  ) AS rnk FROM dn_scored),
+    hits AS (SELECT query_id, doc_id, rnk
+             FROM sp_ranked WHERE rnk <= 20
+             UNION ALL
+             SELECT query_id, doc_id, rnk
+             FROM dn_ranked WHERE rnk <= 20),
+    fused AS (SELECT query_id, doc_id,
+                     CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_score,
+                     CAST(count(*) AS BIGINT) AS n_sources
+              FROM hits GROUP BY 1, 2)
+    SELECT query_id, rank, doc_id, rrf_score, n_sources FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused)
+    WHERE rank <= 10
+    """,
+    doc="hybrid retrieval via reciprocal-rank fusion "
+    "(retrieval.rrf_fuse, Cormack et al. SIGIR 2009): fuse the BM25 "
+    "sparse top-20 (q135's integer-rational scorer) with the brute-"
+    "cosine dense top-20 (q36's ranking, three probe vectors) into one "
+    "top-10 per query — the standard RAG combiner for incomparable "
+    "score scales, where cross-retriever agreement dominates. Fusion "
+    "input is already per-query top-k (k x |queries| rows regardless of "
+    "corpus size): one unionAll, one hash aggregate, one "
+    "WindowGroupLimit — the heavy lifting stays in the upstream "
+    "retrievers. Scores are exact BIGINT fixed-point (SCALE div "
+    "(60+rank) per source), so the oracle replays the fusion and the "
+    "re-ranking bit-for-bit. Shares the retrieval tag with q135 (the "
+    "q154 precedent): stands down to ordinary overflow once q135 "
+    "rotates in-window",
+)
+def q157_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qterms = spark.createDataFrame(
+        [
+            ("rare_common", "dup"),
+            ("rare_common", "hash"),
+            ("ops", "join"),
+            ("ops", "merge"),
+            ("ops", "sort"),
+            ("vec", "vector"),
+            ("vec", "query"),
+        ],
+        "query_id string, term string",
+    )
+    probes = spark.createDataFrame(
+        [("rare_common", 3), ("ops", 7), ("vec", 11)],
+        "qid string, qvec_id long",
+    )
+    sparse = retrieval.bm25_topk(docs, qterms, k=20).select(
+        "query_id", F.col("doc_id").alias("id"), "rank"
+    )
+    qvecs = emb.join(
+        F.broadcast(probes), emb["vec_id"] == probes["qvec_id"]
+    ).select("vec_id", "embedding")
+    dense = (
+        similarity.brute_force_topk(emb, qvecs, k=20)
+        .join(F.broadcast(probes), F.col("query_id") == F.col("qvec_id"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("neighbor_id").alias("id"),
+            "rank",
+        )
+    )
+    out = retrieval.rrf_fuse([sparse, dense], k=10)
+    return out.select(
+        "query_id", "rank", F.col("id").alias("doc_id"),
+        "rrf_score", "n_sources",
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -7933,6 +8054,10 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # hourly gap-fill: dense-grid resample over the hypertable rollup
     # capability — ordinary overflow (q64 bears time_rollup in-window)
     "q156_time_gapfill": {"time_rollup"},
+    # hybrid RRF fusion shares the retrieval tag with q135 (the q154
+    # precedent): once q135 rotates in-window, q157 stands down to
+    # ordinary overflow without a slot of its own
+    "q157_hybrid_rrf": {"retrieval"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -7992,6 +8117,9 @@ PENDING_ROTATION: set[str] = {
     # precedent): once q150 rotates in and a stream_stateful bearer is
     # in-window (q138 or successor), q155 stands down to overflow
     "q155_stream_anomaly",
+    # hybrid RRF fusion shares retrieval with q135 (q154 precedent):
+    # stands down to ordinary overflow once q135 rotates in
+    "q157_hybrid_rrf",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

@@ -171,3 +171,37 @@ def test_phrase_match_edges_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_rrf_fuse_semantics(spark):
+    import pytest
+    # two sources agree on doc 10 (ranks 1 and 2); doc 20 is rank 1 in
+    # one source only; doc 30 appears low in both
+    a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 30, 2), ("q", 40, 3)],
+        "query_id string, id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", 20, 1), ("q", 10, 2), ("q", 30, 3)],
+        "query_id string, id long, rank int",
+    )
+    rows = {r.id: r for r in retrieval.rrf_fuse([a, b], k=10).collect()}
+    s = 1_000_000
+    assert rows[10].rrf_score == s // 61 + s // 62 and rows[10].n_sources == 2
+    assert rows[20].rrf_score == s // 61 and rows[20].n_sources == 1
+    assert rows[30].rrf_score == s // 62 + s // 63 and rows[30].n_sources == 2
+    # agreement dominates: doc 10 (in both) outranks doc 20 (single rank-1)
+    assert rows[10].rank == 1 and rows[20].rank == 3 and rows[30].rank == 2
+    with pytest.raises(ValueError):
+        retrieval.rrf_fuse([])
+
+
+def test_rrf_fuse_topk_and_ties(spark):
+    # identical scores tie-break on id ascending; k truncates
+    a = spark.createDataFrame(
+        [("q", i, 1) for i in (5, 3, 9)], "query_id string, id long, rank int"
+    )
+    out = retrieval.rrf_fuse([a], k=2).collect()
+    assert [(r.rank, r.id) for r in sorted(out, key=lambda r: r.rank)] == [
+        (1, 3), (2, 5),
+    ]
