@@ -466,3 +466,85 @@ def gapfill_hourly(
         F.coalesce("__n", F.lit(0)).cast("long").alias("n_events"),
         F.coalesce("__sc", F.lit(0)).cast("long").alias("sum_value_cents"),
     )
+
+
+def locf(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    order_col: str = "hour",
+    value_col: str = "sum_value_cents",
+    present_col: str = "n_events",
+    out_col: str = "value_cents_locf",
+) -> DataFrame:
+    """Last-observation-carried-forward over a dense grid — the ``locf()``
+    fill mode of ``time_bucket_gapfill``: rows where ``present_col`` says
+    nothing was observed inherit the most recent observed value within
+    their entity, so dashboards and downstream deltas see a step-held
+    series instead of zeros. Rows before an entity's first observation
+    stay NULL (there is nothing to carry — the honest answer, not 0).
+
+    One window (partition by entity, order by the grid column, unbounded
+    preceding → current) with ``last(..., ignorenulls=True)``: a single
+    exchange + sort per call, running state is one value per entity —
+    bounded however long the grid is. Composes with ``gapfill_hourly``,
+    whose output is already keyed (entity, hour).
+    """
+    w = (
+        W.partitionBy(entity_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    observed = F.when(F.col(present_col) > 0, F.col(value_col))
+    return df.withColumn(out_col, F.last(observed, ignorenulls=True).over(w))
+
+
+def ewma_smoothing(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 8,
+    scale: int = 100,
+) -> DataFrame:
+    """EWMA control-chart smoothing with binary decay — the classic
+    anomaly-detection statistic (Roberts 1959): each event's smoothed
+    level is a weighted sum of the last ``window`` values where the
+    weight HALVES with age, so the statistic tracks level shifts fast
+    while averaging out single-event noise. The z-score family (q150)
+    flags deviation from a rolling mean; the EWMA chart flags sustained
+    drift — the two standard complementary control charts.
+
+    Exactness contract: the usual recursive EWMA (α·x + (1-α)·prev) is
+    a float recurrence with no cross-engine reproducibility. This is the
+    truncated binary-decay form instead — values as fixed-point cents,
+    weights 2^(window-1) … 2^0 over the last ``window`` events via
+    explicit ``lag`` columns (absent history contributes 0, the standard
+    warm-up convention), summed in BIGINT:
+
+        decayed_cents[t] = Σ_{j=0..W-1}  lag(cents, j, 0) · 2^(W-1-j)
+
+    Every term is exact; any engine replays it bit-for-bit. All W lags
+    share ONE window spec (partition by entity, order by ts + tiebreak),
+    so the physical plan is a single exchange + sort + Window operator
+    with W frame readers — per-row state is W values regardless of
+    series length, and the entity partitioning shards freely at 100 TB.
+
+    Output: input row keys + ``cents`` + ``decayed_cents`` (divide by
+    2^window - ... downstream if a normalized level is wanted; kept
+    scaled here to stay in exact integers).
+    """
+    w = W.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    base = df.withColumn("cents", cents)
+    decayed = None
+    for j in range(window):
+        term = F.lag("cents", j, 0).over(w) * F.lit(2 ** (window - 1 - j))
+        decayed = term if decayed is None else decayed + term
+    return base.select(
+        entity_col,
+        tiebreak_col,
+        ts_col,
+        "cents",
+        decayed.cast("long").alias("decayed_cents"),
+    )

@@ -7637,6 +7637,99 @@ def q157_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q158_gapfill_locf",
+    # Same spine/bucket/cents conventions as q156; the carry is
+    # last_value(observed IGNORE NULLS) over (entity ORDER BY hour,
+    # unbounded preceding → current) — exact BIGINT, engine-identical.
+    oracle="""
+    WITH b AS (SELECT user_id,
+                      date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1
+               FROM events GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM b),
+    agg AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+            FROM events GROUP BY 1, 2),
+    grid AS (SELECT s.user_id, s.hour,
+                    coalesce(a.n, 0) AS n_events,
+                    coalesce(a.sc, 0) AS sum_value_cents
+             FROM spine s LEFT JOIN agg a
+               ON a.user_id = s.user_id AND a.hour = s.hour)
+    SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           n_events, sum_value_cents,
+           last_value(CASE WHEN n_events > 0 THEN sum_value_cents END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_cents_locf
+    FROM grid
+    """,
+    doc="gap-filled resample with last-observation-carried-forward "
+    "(temporal.gapfill_hourly + temporal.locf — the locf() fill mode of "
+    "time_bucket_gapfill): empty hours inherit the most recent observed "
+    "hourly value within their entity, so step-held series replace "
+    "zeros for dashboards and delta math. One window over the same "
+    "entity partitioning as the grid (single exchange + sort, one "
+    "carried value of state per entity). Ordinary overflow of the "
+    "time_rollup family (q64 bears it in-window)",
+)
+def q158_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    out = temporal.locf(temporal.gapfill_hourly(ev))
+    return out.select(
+        "user_id", _ts("hour").alias("hour"), "n_events",
+        "sum_value_cents", "value_cents_locf",
+    )
+
+
+@register(
+    "q159_ewma_chart",
+    # Truncated binary-decay EWMA (module contract): the recursive float
+    # form has no cross-engine reproducibility, so the statistic is
+    # sum_{j=0..7} lag(cents, j, 0) * 2^(7-j) over (user ORDER BY ts,
+    # event_id) — exact BIGINT lags, identical in any engine. Output ts
+    # stringifies at second precision (both sides truncate identically).
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           cents,
+           CAST(cents * 128
+                + lag(cents, 1, 0) OVER w * 64
+                + lag(cents, 2, 0) OVER w * 32
+                + lag(cents, 3, 0) OVER w * 16
+                + lag(cents, 4, 0) OVER w * 8
+                + lag(cents, 5, 0) OVER w * 4
+                + lag(cents, 6, 0) OVER w * 2
+                + lag(cents, 7, 0) OVER w AS BIGINT) AS decayed_cents
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="EWMA control-chart smoothing (temporal.ewma_smoothing, Roberts "
+    "1959): per-user binary-decay weighted sum of the last 8 event "
+    "values — weight halves with age — the sustained-drift complement "
+    "to q150's rolling z-score deviation chart. Exactness: fixed-point "
+    "cents, 8 explicit lags sharing ONE window spec (single exchange + "
+    "sort + Window operator; per-row state is 8 values regardless of "
+    "series length), summed in BIGINT — no float recurrence, so the "
+    "oracle replays it bit-for-bit. Shares anomaly_detection with q150 "
+    "(the q155 precedent): stands down to ordinary overflow once q150 "
+    "rotates in-window",
+)
+def q159_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    out = temporal.ewma_smoothing(ev, window=8)
+    return out.select(
+        "user_id", "event_id", _ts("ts").alias("ts"),
+        "cents", "decayed_cents",
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8058,6 +8151,12 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # precedent): once q135 rotates in-window, q157 stands down to
     # ordinary overflow without a slot of its own
     "q157_hybrid_rrf": {"retrieval"},
+    # LOCF fill mode over the gap-filled grid — ordinary overflow of the
+    # hypertable-rollup capability (q64 bears time_rollup in-window)
+    "q158_gapfill_locf": {"time_rollup"},
+    # EWMA control chart shares anomaly_detection with q150 (the q155
+    # precedent): stands down to overflow once q150 rotates in-window
+    "q159_ewma_chart": {"anomaly_detection"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -8120,6 +8219,9 @@ PENDING_ROTATION: set[str] = {
     # hybrid RRF fusion shares retrieval with q135 (q154 precedent):
     # stands down to ordinary overflow once q135 rotates in
     "q157_hybrid_rrf",
+    # EWMA control chart shares anomaly_detection with q150 (q155
+    # precedent): stands down to overflow once q150 rotates in
+    "q159_ewma_chart",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

@@ -392,3 +392,62 @@ def test_gapfill_hourly_dense_per_entity_span(spark):
         assert out[("u1", f"2024-01-01 0{h}:00:00")] == (0, 0)
     assert out[("u1", "2024-01-01 04:00:00")] == (1, 75)
     assert out[("u2", "2024-01-02 09:00:00")] == (1, 1000)
+
+
+def test_locf_carries_last_observed(spark):
+    g = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00", 1, 500),
+            ("u1", "2024-01-01 01:00:00", 0, 0),
+            ("u1", "2024-01-01 02:00:00", 0, 0),
+            ("u1", "2024-01-01 03:00:00", 2, 700),
+            ("u1", "2024-01-01 04:00:00", 0, 0),
+            ("u2", "2024-01-01 00:00:00", 0, 0),  # leading empty → NULL
+            ("u2", "2024-01-01 01:00:00", 1, 42),
+        ],
+        "user_id string, hour string, n_events long, sum_value_cents long",
+    )
+    out = {(r.user_id, r.hour): r.value_cents_locf
+           for r in temporal.locf(g).collect()}
+    assert out[("u1", "2024-01-01 00:00:00")] == 500
+    assert out[("u1", "2024-01-01 01:00:00")] == 500
+    assert out[("u1", "2024-01-01 02:00:00")] == 500
+    assert out[("u1", "2024-01-01 03:00:00")] == 700
+    assert out[("u1", "2024-01-01 04:00:00")] == 700
+    assert out[("u2", "2024-01-01 00:00:00")] is None
+    assert out[("u2", "2024-01-01 01:00:00")] == 42
+
+
+def test_ewma_smoothing_binary_decay(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 10), "u", 1.00),
+            (2, datetime(2024, 1, 1, 0, 20), "u", 2.00),
+            (3, datetime(2024, 1, 1, 0, 30), "u", 4.00),
+            (4, datetime(2024, 1, 1, 0, 30), "u", 8.00),  # ts tie → event_id
+            (5, datetime(2024, 1, 1, 0, 5), "v", 10.00),
+        ],
+        "event_id long, ts timestamp, user_id string, value double",
+    )
+    out = {r.event_id: r.decayed_cents
+           for r in temporal.ewma_smoothing(ev, window=3).collect()}
+    # W=3 → weights 4, 2, 1 over (current, prev, prev2); warm-up = 0
+    assert out[1] == 100 * 4
+    assert out[2] == 200 * 4 + 100 * 2
+    assert out[3] == 400 * 4 + 200 * 2 + 100 * 1
+    assert out[4] == 800 * 4 + 400 * 2 + 200 * 1
+    assert out[5] == 1000 * 4
+
+
+def test_ewma_smoothing_single_window_exchange(spark):
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "u", 1.0)],
+        "event_id long, ts timestamp, user_id string, value double",
+    )
+    plan = (
+        temporal.ewma_smoothing(ev, window=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # all 8 lags share one window spec: one exchange, one Window operator
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
