@@ -149,6 +149,14 @@ HEADLINE = [
     "q154_phrase_match",
     # streaming z-score: stateful re-resolve + tombstone retraction
     "q155_stream_anomaly",
+    # dense-grid resample: per-entity sequence/explode spine + fill join,
+    # and the LOCF variant's extra entity-window carry
+    "q156_time_gapfill",
+    "q158_gapfill_locf",
+    # hybrid RRF: BM25 sparse top-20 + dense cosine top-20 fused exactly
+    "q157_hybrid_rrf",
+    # EWMA drift chart: 8 lags on ONE window exchange
+    "q159_ewma_chart",
 ]
 
 
@@ -226,6 +234,10 @@ def main() -> None:
         "q153_expectations",
         "q154_phrase_match",
         "q155_stream_anomaly",
+        "q156_time_gapfill",
+        "q157_hybrid_rrf",
+        "q158_gapfill_locf",
+        "q159_ewma_chart",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()
