@@ -7730,6 +7730,120 @@ def q159_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q160_jsonl_ingest",
+    # The fixture derives from the documents table (every doc_id % 50 ==
+    # 0 line is prefixed "CORRUPT " — definitely-invalid JSON), so the
+    # oracle needs no file access: good rows replay the per-lang rollup,
+    # corrupt rows collapse into the audit bucket with a 0 char sum
+    # (their parsed fields are NULL on the Spark side).
+    oracle="""
+    SELECT CASE WHEN doc_id % 50 = 0 THEN '__quarantined__'
+                ELSE coalesce(lang, '?') END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 0
+                         ELSE coalesce(n_chars, 0) END) AS BIGINT)
+             AS sum_n_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="schema-on-read JSONL ingest with corrupt-record quarantine "
+    "(ingest.read_jsonl + quarantine_summary): the raw-text front door "
+    "of a training pipeline — crawl extracts ship as JSON-lines with a "
+    "nonzero malformed rate that must surface as an auditable bucket, "
+    "not a silent drop (DROPMALFORMED) or a dead 100 TB job (FAILFAST). "
+    "Explicit schema (inference would be a full extra pass), PERMISSIVE "
+    "Jackson parse, ONE hash aggregate classifying good and quarantined "
+    "rows together (data columns referenced alongside the corrupt "
+    "column, satisfying Spark's corrupt-column-only restriction). "
+    "Fixture: documents re-serialized to JSONL parts with every 50th "
+    "doc's line mangled. New capability (text-interchange serde tier): "
+    "PENDING_ROTATION for a round-8 window slot",
+)
+def q160_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q160_{tok}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    line = F.to_json(
+        F.struct("doc_id", "text", "lang", "source", "n_chars")
+    )
+    docs.select(
+        F.when(F.col("doc_id") % 50 == 0, F.concat(F.lit("CORRUPT "), line))
+        .otherwise(line)
+        .alias("value")
+    ).write.mode("overwrite").text(base)
+    parsed = ingest.read_jsonl(
+        spark, base,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    return ingest.quarantine_summary(parsed, "lang", "n_chars").select(
+        "bucket", "n_rows", "sum_n_chars"
+    )
+
+
+@register(
+    "q161_csv_ingest",
+    # CSV fixture: (doc_id, lang, source, n_chars) with header, every
+    # doc_id % 40 == 0 row carrying an unparseable n_chars ("BAD") — a
+    # type-level malformation, the common CSV failure. Buckets by source.
+    oracle="""
+    SELECT CASE WHEN doc_id % 40 = 0 THEN '__quarantined__'
+                ELSE coalesce(source, '?') END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 40 = 0 THEN 0
+                         ELSE coalesce(n_chars, 0) END) AS BIGINT)
+             AS sum_n_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="schema-on-read CSV ingest with corrupt-record quarantine "
+    "(ingest.read_csv + quarantine_summary): the CSV face of the q160 "
+    "capability — header-skipping Univocity parse under an explicit "
+    "schema, type-level malformations (unparseable bigint) quarantined "
+    "per line into the audit bucket, one classifying aggregate. Shares "
+    "the ingest_text tag with q160: one round-8 slot gates the "
+    "capability; the CSV variant stands down to ordinary overflow once "
+    "q160 rotates in-window",
+)
+def q161_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q161_{tok}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    fixture = docs.select(
+        "doc_id", "lang", "source",
+        F.when(F.col("doc_id") % 40 == 0, F.lit("BAD"))
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("n_chars"),
+    )
+    ingest.write_csv(fixture, base)
+    parsed = ingest.read_csv(
+        spark, base,
+        "doc_id bigint, lang string, source string, n_chars bigint",
+    )
+    return ingest.quarantine_summary(parsed, "source", "n_chars").select(
+        "bucket", "n_rows", "sum_n_chars"
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8157,6 +8271,12 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # EWMA control chart shares anomaly_detection with q150 (the q155
     # precedent): stands down to overflow once q150 rotates in-window
     "q159_ewma_chart": {"anomaly_detection"},
+    # text-interchange serde tier (JSONL + CSV schema-on-read with
+    # corrupt-record quarantine): q160 bears the new family; q161 is the
+    # CSV variant sharing its tag (q154 precedent — stands down once
+    # q160 rotates in-window)
+    "q160_jsonl_ingest": {"ingest_text"},
+    "q161_csv_ingest": {"ingest_text"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -8222,6 +8342,11 @@ PENDING_ROTATION: set[str] = {
     # EWMA control chart shares anomaly_detection with q150 (q155
     # precedent): stands down to overflow once q150 rotates in
     "q159_ewma_chart",
+    # text-interchange serde tier: q160 bears the new ingest_text
+    # family (takes a round-8 slot); q161 is the CSV variant sharing
+    # its tag — stands down once q160 rotates in
+    "q160_jsonl_ingest",
+    "q161_csv_ingest",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 
