@@ -157,6 +157,10 @@ HEADLINE = [
     "q157_hybrid_rrf",
     # EWMA drift chart: 8 lags on ONE window exchange
     "q159_ewma_chart",
+    # text-interchange serdes: JSONL/CSV schema-on-read + quarantine
+    # (each rewrites its fixture then parses it back — honest end-to-end)
+    "q160_jsonl_ingest",
+    "q161_csv_ingest",
 ]
 
 
@@ -238,6 +242,8 @@ def main() -> None:
         "q157_hybrid_rrf",
         "q158_gapfill_locf",
         "q159_ewma_chart",
+        "q160_jsonl_ingest",
+        "q161_csv_ingest",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()
