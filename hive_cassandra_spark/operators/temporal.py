@@ -548,3 +548,47 @@ def ewma_smoothing(
         "cents",
         decayed.cast("long").alias("decayed_cents"),
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history build: collapse a change
+    log into validity intervals — one row per (entity, state run) with
+    ``valid_from`` / ``valid_to`` / ``is_current`` — the standard
+    warehouse shape for "what was this entity's state at time T" joins
+    (which then hit ``asof_join`` / ``range_join_bucketed``).
+
+    Two steps on ONE entity exchange and one sort: (1) keep only run
+    heads (rows whose state differs from ``lag(state)`` — the
+    gaps-and-islands first-of-run filter), (2) ``lead(valid_from)``
+    over the same (key, order) window closes each interval; the last
+    run stays open (``valid_to`` NULL, ``is_current`` true). Both
+    windows share the partitioning and sort, so the physical plan is
+    Exchange → Sort → Window → Filter → Window — no second shuffle,
+    per-row state is one lag/lead value, and the entity key shards
+    freely at 100 TB. Ties at equal timestamps break on
+    ``tiebreak_col`` so the run structure is total-ordered and
+    engine-exact (no floats anywhere).
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    heads = (
+        df.select(key_col, ts_col, tiebreak_col, state_col)
+        .withColumn("__prev", F.lag(state_col).over(w))
+        .filter(
+            F.col("__prev").isNull()
+            | (F.col(state_col) != F.col("__prev"))
+        )
+    )
+    out = heads.withColumn("__valid_to", F.lead(ts_col).over(w))
+    return out.select(
+        key_col,
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.col("__valid_to").alias("valid_to"),
+        F.col("__valid_to").isNull().alias("is_current"),
+    )

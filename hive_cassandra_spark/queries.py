@@ -7844,6 +7844,122 @@ def q161_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q162_scd2_history",
+    # Gaps-and-islands run heads (state <> lag(state)) then
+    # lead(valid_from) closes each interval — identical window
+    # semantics both engines, total-ordered by (ts, event_id), no
+    # floats. Interval bounds stringify at second precision on both
+    # sides; is_current = open interval.
+    oracle="""
+    WITH heads AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM (SELECT user_id, ts, event_id, event_type,
+                     lag(event_type) OVER w AS prev
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WHERE prev IS NULL OR event_type <> prev),
+    iv AS (SELECT user_id, event_type AS state, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS valid_to
+           FROM heads)
+    SELECT user_id, state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM iv
+    """,
+    doc="SCD Type-2 history build (temporal.scd2_intervals): collapse "
+    "the event change log into per-user state validity intervals "
+    "(valid_from/valid_to/is_current) — the standard warehouse shape "
+    "for point-in-time state joins, downstream of CDC apply (q129) and "
+    "upstream of as-of joins (q57). Gaps-and-islands run-head filter + "
+    "lead() close, both windows sharing ONE entity exchange and sort "
+    "(Exchange -> Sort -> Window -> Filter -> Window, plan-asserted in "
+    "tests). Shares the cdc_upsert tag with q129 (the q154 precedent): "
+    "stands down to ordinary overflow once q129 rotates in-window",
+)
+def q162_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    out = temporal.scd2_intervals(ev)
+    return out.select(
+        "user_id", "state",
+        _ts("valid_from").alias("valid_from"),
+        _ts("valid_to").alias("valid_to"),
+        "is_current",
+    )
+
+
+@register(
+    "q163_leakage_safe_split",
+    # q67's recursive-CTE component replay + the q61 md5-bucket split,
+    # applied at CLUSTER granularity: every near-dup cluster lands
+    # wholly in one split, so eval can't contain near-dups of train.
+    # Singleton docs are their own root.
+    oracle=f"""
+    WITH RECURSIVE
+         sh AS ({_SQL_SHINGLES}),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+                   FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                               JOIN sizes sb ON sb.doc_id = doc_b
+                   WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
+         und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, label) AS (
+           SELECT a, a FROM und
+           UNION
+           SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+         roots AS (SELECT d.doc_id,
+                          coalesce(c.component, d.doc_id) AS root
+                   FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         per_root AS (SELECT root, CAST(count(*) AS BIGINT) AS n_docs
+                      FROM roots GROUP BY root),
+         assigned AS (SELECT n_docs,
+                             CASE WHEN ('0x' || substr(md5('leak' ||
+                                  CAST(root AS VARCHAR)), 1, 8))::BIGINT
+                                  % 100 < 90
+                                  THEN 'train' ELSE 'eval' END AS split
+                      FROM per_root)
+    SELECT split, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM assigned GROUP BY split
+    """,
+    doc="leakage-safe train/eval split (dedup.jaccard_pairs + "
+    "dedup.neardup_components + relational.deterministic_split at "
+    "cluster granularity): split membership is md5(salt|cluster_root) "
+    "mod 100, so every near-dup cluster lands wholly in ONE split — "
+    "the decontamination-by-construction a training pipeline needs "
+    "(splitting by doc id leaks train near-dups into eval and "
+    "inflates held-out scores). Composition of three gated "
+    "capabilities; the only additions are a left join of docs to "
+    "their component root and a cluster-level rollup. Shares "
+    "dedup_jaccard (q146) and dedup_components (q133) tags — stands "
+    "down to ordinary overflow once those bearers rotate in-window",
+)
+def q163_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.2)
+    comp = dedup.neardup_components(pairs)
+    roots = docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("root")
+    )
+    per_root = roots.groupBy("root").agg(F.count(F.lit(1)).alias("n_docs"))
+    assigned = relational.deterministic_split(
+        per_root, "root", {"train": 90, "eval": 10}, salt="leak"
+    )
+    return assigned.groupBy("split").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_clusters"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8277,6 +8393,15 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # q160 rotates in-window)
     "q160_jsonl_ingest": {"ingest_text"},
     "q161_csv_ingest": {"ingest_text"},
+    # SCD2 history shares the cdc_upsert tag with q129 (q154 precedent):
+    # stands down to ordinary overflow once q129 rotates in-window
+    "q162_scd2_history": {"cdc_upsert"},
+    # leakage-safe split composes jaccard pairs + components + the split
+    # hash; stands down once q146 (dedup_jaccard) and q133
+    # (dedup_components) rotate in — sampling is already borne in-window
+    "q163_leakage_safe_split": {
+        "dedup_jaccard", "dedup_components", "sampling",
+    },
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -8347,6 +8472,12 @@ PENDING_ROTATION: set[str] = {
     # its tag — stands down once q160 rotates in
     "q160_jsonl_ingest",
     "q161_csv_ingest",
+    # SCD2 history shares cdc_upsert with q129 (q154 precedent):
+    # stands down once q129 rotates in
+    "q162_scd2_history",
+    # leakage-safe split shares dedup_jaccard/dedup_components with
+    # q146/q133: stands down once both bearers rotate in
+    "q163_leakage_safe_split",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

@@ -657,3 +657,34 @@ def test_winnowing_guarantee_property(spark):
     # and the Python replay agrees on every doc (property-level parity)
     for doc_id, text in rows:
         assert fps[doc_id] == _py_winnow(text, k, w)
+
+
+def test_leakage_safe_split_no_cluster_spans_splits(spark, sf_dir):
+    """q163's invariant, asserted at doc granularity: assign every doc its
+    cluster root's split and check each cluster lands in exactly one."""
+    from hive_cassandra_spark import queries as q
+    from hive_cassandra_spark.operators import relational
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.2)
+    comp = dedup.neardup_components(pairs)
+    roots = docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select("doc_id", F.coalesce("component", "doc_id").alias("root"))
+    assigned = relational.deterministic_split(
+        roots, "root", {"train": 90, "eval": 10}, salt="leak"
+    )
+    spans = (
+        assigned.groupBy("root")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    # and the query's cluster-level rollup agrees with the doc-level sum
+    out = {r.split: (r.n_docs, r.n_clusters)
+           for r in q.QUERIES["q163_leakage_safe_split"].fn(spark, sf_dir).collect()}
+    doc_counts = {r.split: r.n for r in
+                  assigned.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {s: v[0] for s, v in out.items()} == doc_counts

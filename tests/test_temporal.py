@@ -451,3 +451,55 @@ def test_ewma_smoothing_single_window_exchange(spark):
     # all 8 lags share one window spec: one exchange, one Window operator
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_scd2_intervals_runs_and_currency(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0), "u", "free"),
+            (2, datetime(2024, 1, 2, 0, 0), "u", "free"),   # same run
+            (3, datetime(2024, 1, 3, 0, 0), "u", "paid"),
+            (4, datetime(2024, 1, 4, 0, 0), "u", "free"),   # state returns
+            (5, datetime(2024, 1, 1, 0, 0), "v", "paid"),
+        ],
+        "event_id long, ts timestamp, user_id string, event_type string",
+    )
+    out = sorted(
+        temporal.scd2_intervals(ev).collect(),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+    u = [r for r in out if r.user_id == "u"]
+    # consecutive duplicate state collapsed: 3 intervals, not 4
+    assert [(r.state, str(r.valid_from), r.valid_to and str(r.valid_to),
+             r.is_current) for r in u] == [
+        ("free", "2024-01-01 00:00:00", "2024-01-03 00:00:00", False),
+        ("paid", "2024-01-03 00:00:00", "2024-01-04 00:00:00", False),
+        ("free", "2024-01-04 00:00:00", None, True),
+    ]
+    v = [r for r in out if r.user_id == "v"]
+    assert len(v) == 1 and v[0].is_current
+
+
+def test_scd2_intervals_tie_and_plan(spark):
+    # equal timestamps: event_id orders the run structure
+    ev = spark.createDataFrame(
+        [
+            (2, datetime(2024, 1, 1), "u", "b"),
+            (1, datetime(2024, 1, 1), "u", "a"),
+        ],
+        "event_id long, ts timestamp, user_id string, event_type string",
+    )
+    out = sorted(temporal.scd2_intervals(ev).collect(),
+                 key=lambda r: r.valid_from if False else r.state)
+    assert [(r.state, r.is_current) for r in out] == [
+        ("a", False), ("b", True),
+    ]
+    plan = (
+        temporal.scd2_intervals(ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both windows share one exchange and one sort
+    import re
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+    assert plan.count("Window [") == 2
