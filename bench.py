@@ -161,6 +161,12 @@ HEADLINE = [
     # (each rewrites its fixture then parses it back — honest end-to-end)
     "q160_jsonl_ingest",
     "q161_csv_ingest",
+    # SCD2 run-collapse: two windows on one exchange + sort
+    "q162_scd2_history",
+    # leakage-safe split: exact-Jaccard pairs + min-label components +
+    # cluster-root split (the q67 machinery plus a rollup — the heavy
+    # leg is the pair join, same price q146 pays)
+    "q163_leakage_safe_split",
 ]
 
 
@@ -244,6 +250,8 @@ def main() -> None:
         "q159_ewma_chart",
         "q160_jsonl_ingest",
         "q161_csv_ingest",
+        "q162_scd2_history",
+        "q163_leakage_safe_split",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()
