@@ -1005,3 +1005,110 @@ def check_expectations(
         .select("r.check_name", "r.metric", "r.passed")
         .orderBy("check_name")
     )
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+) -> dict:
+    """OPTIMIZE-style small-file compaction: rewrite a fragmented parquet
+    directory into ``ceil(total_bytes / target)`` size-targeted files —
+    the lakehouse maintenance pass every table accumulating streaming or
+    per-task writes eventually needs (thousands of KB-sized files turn
+    every scan into an open/footer/seek storm and blow the driver's
+    split-planning memory; the fix is periodic bin-packing, Delta/Iceberg
+    ``OPTIMIZE``).
+
+    Sizing comes from a driver-side FileSystem listing — a manifest-level
+    operation (one RPC per file entry, no data read), exactly how real
+    OPTIMIZE implementations plan. The rewrite is ``coalesce`` — merging
+    partitions WITHOUT a shuffle (pure packing moves no row between
+    tasks; when clustering is also wanted, that is ``zorder_write``'s
+    job, which pays the range exchange deliberately). Content is
+    byte-identical row-wise: same rows, fewer files.
+
+    Returns a stats dict (files/bytes before and after, target) for
+    manifests and tests; read the compacted path for the data.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _list(path: str) -> tuple[int, int]:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            raise ValueError(f"no parquet files under {path}")
+        n = b = 0
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isFile() and name.endswith(".parquet"):
+                n += 1
+                b += st.getLen()
+        return n, b
+
+    n_before, bytes_before = _list(src_path)
+    if n_before == 0:
+        raise ValueError(f"no parquet files under {src_path}")
+    target_bytes = target_mb * 1024 * 1024
+    n_files = max(1, -(-bytes_before // target_bytes))
+    (
+        spark.read.parquet(src_path)
+        .coalesce(int(n_files))
+        .write.mode("overwrite")
+        .parquet(dst_path)
+    )
+    n_after, bytes_after = _list(dst_path)
+    return {
+        "files_before": n_before,
+        "bytes_before": bytes_before,
+        "files_after": n_after,
+        "bytes_after": bytes_after,
+        "target_mb": target_mb,
+    }
+
+
+def incremental_agg(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    weight_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Incremental view maintenance for additive aggregates: fold a CDC
+    delta into a MAINTAINED aggregate without rescanning the base data —
+    cost is O(|base_agg| + |delta|), never O(base source). This is the
+    aggregate-level complement of q129's table-level CDC apply, and the
+    reason maintained rollups stay cheap at 100 TB: the base source is
+    never re-read, only the (groups-sized) aggregate and the day's delta.
+
+    ``base_agg`` carries (keys…, n_rows, sum_cents) — the same shape this
+    function outputs, so maintenance composes day after day. ``delta`` is
+    raw rows; ``weight_col`` (±1) makes retractions first-class: a delete
+    arrives as weight -1 and subtracts exactly what its insert added
+    (fixed-point cents, so the arithmetic is exact and order-free).
+    Groups whose count reaches zero are dropped — matching what a full
+    recompute over the corrected source would produce, which is the IVM
+    correctness contract (and exactly what the q165 oracle checks).
+
+    Plan: one hash aggregate over the delta, one unionByName, one merge
+    aggregate on the keys — map-side combinable, no join, no window.
+    """
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    d = delta.groupBy(*keys).agg(
+        F.sum(w).alias("n_rows"),
+        F.sum(cents * w).alias("sum_cents"),
+    )
+    merged = (
+        base_agg.select(*keys, "n_rows", "sum_cents")
+        .unionByName(d)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+    return merged.filter(F.col("n_rows") > 0)

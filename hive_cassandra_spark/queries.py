@@ -7960,6 +7960,102 @@ def q163_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q164_optimize_compaction",
+    # Compaction is content-preserving by contract: both phases must
+    # replay the identical documents rollup (rows + char sum). The
+    # file-count/bytes mechanics (64 fragments → size-targeted files,
+    # zero-shuffle coalesce) are asserted in test_relational — the
+    # oracle's job is proving no row was lost or duplicated.
+    oracle="""
+    SELECT 'before' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_n_chars
+    FROM documents
+    UNION ALL
+    SELECT 'after', CAST(count(*) AS BIGINT),
+           CAST(sum(coalesce(n_chars, 0)) AS BIGINT)
+    FROM documents
+    """,
+    doc="OPTIMIZE-style small-file compaction "
+    "(relational.compact_files): rewrite a 64-fragment parquet "
+    "directory into size-targeted files via driver-side manifest "
+    "sizing + zero-shuffle coalesce — the lakehouse maintenance pass "
+    "that keeps streaming/per-task write patterns from turning scans "
+    "into footer storms. The query proves the content contract (both "
+    "phases replay the identical rollup); fragment/byte mechanics are "
+    "pytest-asserted. Ordinary overflow: the sharding/layout "
+    "capability is borne in-window (q79 manifest family)",
+)
+def q164_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q164_{tok}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, dst = f"{base}/frag", f"{base}/opt"
+    docs.repartition(64).write.mode("overwrite").parquet(src)
+    relational.compact_files(spark, src, dst, target_mb=128)
+
+    def rollup(path: str, phase: str) -> DataFrame:
+        d = spark.read.parquet(path)
+        return d.groupBy(F.lit(phase).alias("phase")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+            .cast("long").alias("sum_n_chars"),
+        )
+
+    return rollup(src, "before").unionByName(rollup(dst, "after"))
+
+
+@register(
+    "q165_incremental_agg",
+    # The IVM contract: maintaining the aggregate from (base-agg +
+    # delta) must equal a full recompute over all rows — so the oracle
+    # IS the full recompute, and the driver's hash adjudicates the
+    # merge arithmetic (exact fixed-point cents, order-free).
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="incremental view maintenance for additive aggregates "
+    "(relational.incremental_agg): fold a CDC delta into a maintained "
+    "per-user rollup at O(|aggregate| + |delta|) cost — the base "
+    "source is NEVER rescanned, which is why maintained rollups stay "
+    "cheap at 100 TB. Base = events before 2024-01-20 pre-aggregated; "
+    "delta = the remaining raw rows; one delta hash-aggregate + one "
+    "unionByName + one merge aggregate (map-side combinable, no join, "
+    "no window). Retractions are first-class via a ±1 weight column "
+    "(pytest-gated); the oracle is the full recompute, so the driver "
+    "hash adjudicates the merge against ground truth. Shares the "
+    "cdc_upsert tag with q129 (q154 precedent): stands down once q129 "
+    "rotates in-window",
+)
+def q165_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base_agg = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+    )
+    delta = ev.filter(F.col("ts") >= cutoff)
+    return relational.incremental_agg(
+        base_agg, delta, ["user_id"], value_col="value"
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8402,6 +8498,12 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q163_leakage_safe_split": {
         "dedup_jaccard", "dedup_components", "sampling",
     },
+    # OPTIMIZE-style compaction: a layout/manifest maintenance pass —
+    # ordinary overflow (sharding is borne in-window via q79's family)
+    "q164_optimize_compaction": {"sharding"},
+    # incremental view maintenance shares cdc_upsert with q129 (q154
+    # precedent): stands down once q129 rotates in-window
+    "q165_incremental_agg": {"cdc_upsert"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -8478,6 +8580,9 @@ PENDING_ROTATION: set[str] = {
     # leakage-safe split shares dedup_jaccard/dedup_components with
     # q146/q133: stands down once both bearers rotate in
     "q163_leakage_safe_split",
+    # incremental view maintenance shares cdc_upsert with q129:
+    # stands down once q129 rotates in
+    "q165_incremental_agg",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

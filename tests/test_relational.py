@@ -654,3 +654,67 @@ def test_check_expectations_null_and_errors(spark):
         rel.check_expectations(df, [])
     with pytest.raises(ValueError):
         rel.check_expectations(df, [("x", "no_such_kind", "status")])
+
+
+def test_compact_files_packs_and_preserves(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "opt")
+    docs.repartition(32).write.parquet(src)
+    stats = rel.compact_files(spark, src, dst, target_mb=128)
+    assert stats["files_before"] == 32
+    # tiny corpus, 128 MB target → exactly one packed file
+    assert stats["files_after"] == 1
+    # content contract: same rows, nothing lost or duplicated
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(dst)
+    assert after.count() == before.count()
+    assert (
+        after.agg(F.sum("doc_id")).first()[0]
+        == before.agg(F.sum("doc_id")).first()[0]
+    )
+    with pytest.raises(ValueError):
+        rel.compact_files(spark, str(tmp_path / "empty"), dst)
+
+
+def test_compact_files_respects_target(spark, tmp_path):
+    # ~3 MB of rows with a 1 MB target → more than one output file,
+    # each under ~2x target (coalesce packs adjacent partitions)
+    df = spark.range(400_000).withColumn(
+        "pad", F.sha2(F.col("id").cast("string"), 256)
+    )
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "opt")
+    df.repartition(64).write.parquet(src)
+    stats = rel.compact_files(spark, src, dst, target_mb=1)
+    assert stats["files_after"] > 1
+    assert stats["files_after"] < stats["files_before"]
+    assert spark.read.parquet(dst).count() == 400_000
+
+
+def test_incremental_agg_matches_recompute_and_retracts(spark):
+    rows = [
+        ("u", "2024-01-01", 1.00),
+        ("u", "2024-01-02", 2.50),
+        ("v", "2024-01-03", 4.00),
+    ]
+    base_src = spark.createDataFrame(
+        rows, "user_id string, day string, value double"
+    )
+    base = base_src.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long").alias("sum_cents"),
+    )
+    # delta: one insert for u, one retraction for each v row → v vanishes
+    delta = spark.createDataFrame(
+        [
+            ("u", 3.00, 1),
+            ("v", 4.00, -1),
+            ("w", 9.99, 1),
+        ],
+        "user_id string, value double, w int",
+    )
+    out = {r.user_id: (r.n_rows, r.sum_cents)
+           for r in rel.incremental_agg(
+               base, delta, ["user_id"], weight_col="w").collect()}
+    # u: 2 base rows + 1 insert; v: retracted to zero → dropped; w: new
+    assert out == {"u": (3, 650), "w": (1, 999)}
