@@ -118,6 +118,17 @@ QUERIES_UNDER_TEST = [
     # at every point; what scales is the edge-dedup exchange over the
     # xN scan. Rank values must also be point-invariant (same graph).
     "q152_pagerank",
+    # round-7 fill/fusion/warehouse tier: the gap-fill spine grows with
+    # per-user span-hours (new users per replica → grid rows xN); hybrid
+    # RRF's heavy leg is the postings build (q135 shape — linear) while
+    # the fusion stays k-sized (output fixed at 30); SCD2 run heads
+    # scale with users on one exchange; the leakage split pays the
+    # exact-Jaccard pair join (q146's claim) plus a handful of
+    # component rounds — output is always the 2 split rows.
+    "q156_time_gapfill",
+    "q157_hybrid_rrf",
+    "q162_scd2_history",
+    "q163_leakage_safe_split",
 ]
 # Expected row behavior across scale points — the result check (r06
 # verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
@@ -149,6 +160,10 @@ EXPECT_ROWS = {
     "q147_pq_adc_topk": "fixed",
     "q150_anomaly_zscore": "grows",
     "q152_pagerank": "fixed",
+    "q156_time_gapfill": "grows",
+    "q157_hybrid_rrf": "fixed",
+    "q162_scd2_history": "grows",
+    "q163_leakage_safe_split": "fixed",
     "wide_row_stress": "grows",
 }
 # q98 reads the frequency-preserving documents replica: token counts must
