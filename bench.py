@@ -167,6 +167,10 @@ HEADLINE = [
     # cluster-root split (the q67 machinery plus a rollup — the heavy
     # leg is the pair join, same price q146 pays)
     "q163_leakage_safe_split",
+    # OPTIMIZE compaction: fragment write + manifest sizing + coalesce
+    "q164_optimize_compaction",
+    # incremental view maintenance: delta agg + unionByName merge
+    "q165_incremental_agg",
 ]
 
 
@@ -252,6 +256,8 @@ def main() -> None:
         "q161_csv_ingest",
         "q162_scd2_history",
         "q163_leakage_safe_split",
+        "q164_optimize_compaction",
+        "q165_incremental_agg",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()
