@@ -953,26 +953,42 @@ def attach_image_payload(
     per-byte fraction (64 copies each), which is what the q127 oracle
     replays. The entropy path is still fully real: DPCM DC categories,
     Huffman, EOB, stuffing."""
-    if container not in ("bmp", "png", "gif", "jpeg"):
+    if container not in ("bmp", "png", "gif", "jpeg", "jpeg444"):
         raise ValueError(f"unsupported image container {container!r}")
     encode = {
         "bmp": encode_bmp_gray8,
         "png": encode_png_gray8,
         "gif": encode_gif_gray8,
         "jpeg": encode_jpeg_gray8,
+        "jpeg444": encode_jpeg_color444,
     }[container]
-    fmt = f"image/{container}"
+    fmt = "image/jpeg" if container == "jpeg444" else f"image/{container}"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                if container == "jpeg":
+                if container in ("jpeg", "jpeg444"):
                     bw = int(doc_id) % 8 + 2
                     bh = int(doc_id) % 6 + 2
                     raw = text.encode("utf-8")[: bw * bh].ljust(bw * bh, b"\x00")
                     blocks = np.frombuffer(raw, dtype=np.uint8).reshape(bh, bw)
-                    pixels = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                    if container == "jpeg444":
+                        # constant-RGB blocks from byte-derived channels —
+                        # the same per-byte formulas the q166 oracle
+                        # replays (r = byte; g/b affine mod 256)
+                        bi = blocks.astype(np.int64)
+                        rgb_blocks = np.stack(
+                            [
+                                bi,
+                                (bi * 7 + 31) % 256,
+                                (bi * 13 + 101) % 256,
+                            ],
+                            axis=-1,
+                        ).astype(np.uint8)
+                        pixels = np.repeat(np.repeat(rgb_blocks, 8, 0), 8, 1)
+                    else:
+                        pixels = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
                     w, h = bw * 8, bh * 8
                 else:
                     w = int(doc_id) % 64 + 16
@@ -1330,4 +1346,329 @@ def audio_sample_stats(df: DataFrame) -> DataFrame:
         kernel,
         schema="doc_id long, n_samples long, sum_samples long, "
         "min_sample long, max_sample long",
+    )
+
+
+# ---------------------------------------------------------------------
+# Baseline COLOR JPEG (4:4:4 YCbCr) — the color face of the cleanroom
+# T.81 codec. Same generated DCT/zigzag/Huffman machinery as the gray
+# path; what color adds is the pinned-rounding YCbCr transform, a second
+# (chroma) quant table, and the interleaved per-MCU scan with one DC
+# predictor per component. 4:4:4 (no chroma subsampling) is fully legal
+# baseline JPEG — every component carries sampling factor 1x1, an MCU is
+# exactly one block per component — and keeps the exactness contract the
+# q127/q166 oracles need (subsampling would average chroma across
+# blocks; 4:2:0 is a lossy-pipeline option, not a correctness tier).
+# ---------------------------------------------------------------------
+
+_JPEG_QTABLE_CHROMA = np.ones((8, 8), dtype=np.int64)
+_JPEG_QTABLE_CHROMA += 3 * (np.add.outer(np.arange(8), np.arange(8)))
+_JPEG_QTABLE_CHROMA[0, 0] = 1  # DC step 1 keeps constant blocks exact
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range RGB → YCbCr with PINNED rounding: every channel is
+    ``clip(floor(expr + 0.5), 0, 255)`` where expr is the ITU-R BT.601
+    linear combination evaluated left-to-right in float64 — the exact
+    expression an engine-side SQL replay evaluates, so converted planes
+    are bit-identical across engines (plain ``round`` half-even vs
+    half-up at representation boundaries is exactly the cross-engine
+    trap the q150 z-score hit)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = np.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """Inverse JFIF transform, same pinned floor(x+0.5) rounding."""
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = np.floor(y + 1.402 * cr + 0.5)
+    g = np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5)
+    b = np.floor(y + 1.772 * cb + 0.5)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _plane_zigzags(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(ph, pw) float plane → (nby, nbx, 64) quantized zigzag coefficient
+    blocks (vectorized FDCT + quantize, the gray encoder's hot path)."""
+    ph, pw = plane.shape
+    nby, nbx = ph // 8, pw // 8
+    blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+    coefs = np.einsum("ij,yxjk,lk->yxil", _DCT_M, blocks, _DCT_M)
+    quants = np.round(coefs / q).astype(np.int64)
+    return quants.reshape(nby, nbx, 64)[:, :, _ZIGZAG]
+
+
+def _pad_plane(plane: np.ndarray) -> np.ndarray:
+    """Replicate-pad a (h, w) uint8 plane to multiples of 8, float64."""
+    h, w = plane.shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[-1:, :]
+    padded[:h, w:] = padded[:h, w - 1 : w]
+    padded[h:, w:] = padded[h - 1, w - 1]
+    return padded
+
+
+def _write_block(wr, zz: np.ndarray, prev_dc: int, dc_codes, ac_codes) -> int:
+    """Entropy-code one zigzag block (DPCM DC + run/size AC + EOB);
+    returns the new DC predictor."""
+    diff = int(zz[0]) - prev_dc
+    size, bits = _magnitude(diff)
+    wr.write(*dc_codes[size])
+    if size:
+        wr.write(bits, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            wr.write(*ac_codes[0xF0])
+            run -= 16
+        size, bits = _magnitude(v)
+        if size > 10:
+            raise ValueError("coefficient magnitude exceeds table")
+        wr.write(*ac_codes[(run << 4) | size])
+        wr.write(bits, size)
+        run = 0
+    if last < 63:
+        wr.write(*ac_codes[0x00])
+    return int(zz[0])
+
+
+def encode_jpeg_color444(
+    rgb: np.ndarray,
+    qtable_y: np.ndarray | None = None,
+    qtable_c: np.ndarray | None = None,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline color JPEG
+    (4:4:4, three components sampling 1x1, luma + chroma quant tables,
+    interleaved Y/Cb/Cr MCUs with per-component DC prediction, shared
+    canonical Huffman tables — legal per T.81, every component's SOS
+    entry just references table 0). Readable by any JPEG viewer and by
+    ``decode_jpeg_color444``."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_jpeg_color444 needs an (h, w, 3) array")
+    qy = _JPEG_QTABLE if qtable_y is None else np.asarray(qtable_y, np.int64)
+    qc = (
+        _JPEG_QTABLE_CHROMA
+        if qtable_c is None
+        else np.asarray(qtable_c, np.int64)
+    )
+    h, w = rgb.shape[:2]
+    ycc = rgb_to_ycbcr(rgb)
+    zz_per_comp = [
+        _plane_zigzags(_pad_plane(ycc[..., c]), qy if c == 0 else qc)
+        for c in range(3)
+    ]
+    dc_bits, dc_vals = _canonical_table(_DC_LENGTHS)
+    ac_bits, ac_vals = _canonical_table(_AC_LENGTHS)
+    dc_codes = _huffman_codes(dc_bits, dc_vals)
+    ac_codes = _huffman_codes(ac_bits, ac_vals)
+    wr = _JpegBitWriter()
+    nby, nbx = zz_per_comp[0].shape[:2]
+    prev = [0, 0, 0]
+    for by in range(nby):
+        for bx in range(nbx):
+            for c in range(3):
+                prev[c] = _write_block(
+                    wr, zz_per_comp[c][by, bx], prev[c], dc_codes, ac_codes
+                )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(
+        0xFFDB,
+        bytes([0]) + bytes(int(x) for x in qy.reshape(64)[_ZIGZAG])
+        + bytes([1]) + bytes(int(x) for x in qc.reshape(64)[_ZIGZAG]),
+    )
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht_dc = seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    dht_ac = seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + wr.flush()
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_color444(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline 4:4:4 color JPEG → (width, height, (h, w, 3)
+    uint8 YCbCr planes) — planes, not RGB, so exactness-shaped fixtures
+    can be verified without paying the inverse-transform rounding;
+    ``ycbcr_to_rgb`` converts when display-space pixels are wanted.
+    Subsampled (non-1x1), progressive, 12-bit, and restart-interval
+    streams raise."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    w = h = 0
+    comp_q: list[int] = []
+    scan_tabs: list[tuple[int, int]] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG supported"
+            )
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zzq = np.frombuffer(body, dtype=np.uint8, count=64, offset=b + 1)
+                nat = np.empty(64, dtype=np.int64)
+                nat[_ZIGZAG] = zzq
+                qtables[tq] = nat.reshape(8, 8)
+                b += 65
+        elif marker == 0xC0:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 3:
+                raise NotImplementedError(
+                    "decode_jpeg_color444 handles 8-bit 3-component JPEG"
+                )
+            for c in range(3):
+                samp, qid = body[6 + 3 * c + 1], body[6 + 3 * c + 2]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                comp_q.append(qid)
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nvals = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nvals])
+                huff[(tc, th)] = _decode_lut(bytes(bits), bytes(vals))
+                b += 17 + nvals
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:
+            nscan = body[0]
+            if nscan != 3:
+                raise NotImplementedError("expected a 3-component scan")
+            for c in range(3):
+                tabs = body[2 + 2 * c]
+                scan_tabs.append((tabs >> 4, tabs & 0xF))
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    else:
+        raise ValueError("JPEG missing SOS")
+    if w == 0 or any(q not in qtables for q in comp_q):
+        raise ValueError("JPEG missing SOF0/DQT before SOS")
+    scan = data[pos:].replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00\x00"
+    bp = 0
+
+    def peek16(p):
+        b = p >> 3
+        return (
+            int.from_bytes(scan[b : b + 4], "big") >> (16 - (p & 7))
+        ) & 0xFFFF
+
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    zzs = [np.zeros((nby * nbx, 64), dtype=np.int64) for _ in range(3)]
+    prev = [0, 0, 0]
+    for bi in range(nby * nbx):
+        for c in range(3):
+            (dc_sym, dc_len) = huff[(0, scan_tabs[c][0])]
+            (ac_sym, ac_len) = huff[(1, scan_tabs[c][1])]
+            zz = zzs[c][bi]
+            peek = peek16(bp)
+            size, lnb = int(dc_sym[peek]), int(dc_len[peek])
+            if lnb == 0:
+                raise ValueError("invalid Huffman code in scan data")
+            bp += lnb
+            if size:
+                recv = peek16(bp) >> (16 - size)
+                bp += size
+                prev[c] += _extend(recv, size)
+            zz[0] = prev[c]
+            k = 1
+            while k < 64:
+                peek = peek16(bp)
+                sym, lnb = int(ac_sym[peek]), int(ac_len[peek])
+                if lnb == 0:
+                    raise ValueError("invalid Huffman code in scan data")
+                bp += lnb
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                recv = peek16(bp) >> (16 - size)
+                bp += size
+                zz[k] = _extend(recv, size)
+                k += 1
+    planes = []
+    for c in range(3):
+        nat = np.zeros((nby * nbx, 64), dtype=np.int64)
+        nat[:, _ZIGZAG] = zzs[c]
+        coefs = nat.reshape(-1, 8, 8) * qtables[comp_q[c]]
+        blocks = (
+            np.einsum("ji,njk,kl->nil", _DCT_M, coefs.astype(np.float64), _DCT_M)
+            + 128.0
+        )
+        pix = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
+        planes.append(
+            pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)[:h, :w]
+        )
+    return w, h, np.stack(planes, axis=-1).copy()
+
+
+def color_plane_sums(df: DataFrame) -> DataFrame:
+    """Decode color-JPEG payloads and emit exact per-plane pixel sums
+    (doc_id, sum_y, sum_cb, sum_cr) — BIGINT, no floats, so an oracle
+    that replays the fixture's per-byte RGB→YCbCr arithmetic matches
+    bit-for-bit. Arrow-batched ``mapInPandas``; the decode is per-payload
+    CPU work, so callers repartition small inputs first (q127 lesson)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sy, scb, scr = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _w, _h, ycc = decode_jpeg_color444(bytes(payload))
+                p = ycc.astype(np.int64)
+                ids.append(doc_id)
+                sy.append(int(p[..., 0].sum()))
+                scb.append(int(p[..., 1].sum()))
+                scr.append(int(p[..., 2].sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "sum_y": sy, "sum_cb": scb, "sum_cr": scr}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, sum_y long, sum_cb long, sum_cr long"
     )

@@ -8056,6 +8056,62 @@ def q165_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q166_multimodal_jpeg_color",
+    # q127's exactness shape extended to COLOR: constant-RGB blocks from
+    # byte-derived channels convert (pinned floor(x+0.5) BT.601) to
+    # constant YCbCr blocks, which DC-step-1 quantization reproduces
+    # exactly — so the decoded plane sums are pure integers the SQL
+    # replays from the bytes. Both engines evaluate the identical
+    # left-associated float64 expressions before the single floor.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len,
+                      CAST(doc_id % 8 + 2 AS BIGINT)
+                        * CAST(doc_id % 6 + 2 AS BIGINT) AS n
+               FROM documents),
+         byt AS (SELECT doc_id,
+                        unnest(list_transform(range(0, n),
+                          i -> CASE WHEN i < len
+                               THEN ('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::BIGINT
+                               ELSE 0 END)) AS b
+                 FROM d),
+         ch AS (SELECT doc_id, b AS r, (b*7+31) % 256 AS g,
+                       (b*13+101) % 256 AS bb
+                FROM byt),
+         ycc AS (SELECT doc_id,
+                   greatest(0, least(255,
+                     floor(0.299*r + 0.587*g + 0.114*bb + 0.5))) AS y,
+                   greatest(0, least(255,
+                     floor(128.0 - 0.168736*r - 0.331264*g + 0.5*bb + 0.5))) AS cb,
+                   greatest(0, least(255,
+                     floor(128.0 + 0.5*r - 0.418688*g - 0.081312*bb + 0.5))) AS cr
+                 FROM ch)
+    SELECT doc_id, CAST(64 * sum(y) AS BIGINT) AS sum_y,
+           CAST(64 * sum(cb) AS BIGINT) AS sum_cb,
+           CAST(64 * sum(cr) AS BIGINT) AS sum_cr
+    FROM ycc GROUP BY doc_id
+    """,
+    doc="REAL baseline COLOR JPEG (T.81, 4:4:4 YCbCr) decode via Arrow "
+    "mapInPandas: payloads are genuine 3-component JPEGs from the "
+    "from-scratch color encoder (pinned-rounding BT.601 transform, luma "
+    "+ chroma quant tables, interleaved Y/Cb/Cr MCUs with per-component "
+    "DC prediction, shared canonical Huffman tables — "
+    "encode/decode_jpeg_color444, no libjpeg); the decode "
+    "entropy-decodes all three interleaved components, dequantizes per "
+    "component table, IDCTs, and emits exact BIGINT per-plane pixel "
+    "sums the oracle replays byte-for-byte. Extends q127's grayscale "
+    "tier (r06 verdict item 6) to color. Ordinary overflow of the "
+    "multimodal family (q43 bears it in-window)",
+)
+def q166_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    payloads = multimodal.attach_image_payload(docs, container="jpeg444")
+    return multimodal.color_plane_sums(payloads)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8501,6 +8557,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # OPTIMIZE-style compaction: a layout/manifest maintenance pass —
     # ordinary overflow (sharding is borne in-window via q79's family)
     "q164_optimize_compaction": {"sharding"},
+    # color JPEG: ordinary overflow of the multimodal family (q43
+    # bears it in-window; q127 is the grayscale face)
+    "q166_multimodal_jpeg_color": {"multimodal"},
     # incremental view maintenance shares cdc_upsert with q129 (q154
     # precedent): stands down once q129 rotates in-window
     "q165_incremental_agg": {"cdc_upsert"},

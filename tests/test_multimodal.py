@@ -545,3 +545,82 @@ def test_jpeg_flat_table_roundtrip_fuzz():
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
 
     check()
+
+
+def test_color_jpeg_constant_blocks_exact():
+    rng = np.random.RandomState(7)
+    by_ = rng.randint(0, 256, (3, 4), dtype=np.uint8)
+    bi = by_.astype(np.int64)
+    rgb_blocks = np.stack(
+        [bi, (bi * 7 + 31) % 256, (bi * 13 + 101) % 256], axis=-1
+    ).astype(np.uint8)
+    rgb = np.repeat(np.repeat(rgb_blocks, 8, 0), 8, 1)
+    w, h, ycc = multimodal.decode_jpeg_color444(
+        multimodal.encode_jpeg_color444(rgb)
+    )
+    assert (w, h) == (32, 24)
+    # constant blocks carry only DC; DC step 1 on both tables →
+    # decoded planes equal the pinned-rounding conversion EXACTLY
+    assert np.array_equal(ycc, multimodal.rgb_to_ycbcr(rgb))
+
+
+def test_color_jpeg_primary_color_constants():
+    # the well-known BT.601 anchors: red→(76,85,255), green→(150,44,21),
+    # blue→(29,255,107) — an external ground truth, not a self-check
+    for rgb_const, expect in [
+        ((255, 0, 0), (76, 85, 255)),
+        ((0, 255, 0), (150, 44, 21)),
+        ((0, 0, 255), (29, 255, 107)),
+    ]:
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[:] = rgb_const
+        _w, _h, ycc = multimodal.decode_jpeg_color444(
+            multimodal.encode_jpeg_color444(img)
+        )
+        assert tuple(int(x) for x in ycc[0, 0]) == expect, (rgb_const, ycc[0, 0])
+
+
+def test_color_jpeg_lossy_bound_and_rgb_roundtrip():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    w, h, ycc = multimodal.decode_jpeg_color444(
+        multimodal.encode_jpeg_color444(img)
+    )
+    assert (w, h) == (23, 17)
+    # worst-case quantization error bound: half a step per coefficient,
+    # ramped tables → generous but finite bound on noise input
+    err = np.abs(ycc.astype(int) - multimodal.rgb_to_ycbcr(img).astype(int))
+    assert err.max() <= 60
+    rgb_back = multimodal.ycbcr_to_rgb(ycc)
+    assert np.abs(rgb_back.astype(int) - img.astype(int)).max() <= 100
+    # smooth content decodes much tighter
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    grad[..., 0] = np.arange(16, dtype=np.uint8)[None, :] * 4
+    grad[..., 1] = 128
+    grad[..., 2] = np.arange(16, dtype=np.uint8)[:, None] * 4
+    _w, _h, ycc2 = multimodal.decode_jpeg_color444(
+        multimodal.encode_jpeg_color444(grad)
+    )
+    err2 = np.abs(ycc2.astype(int) - multimodal.rgb_to_ycbcr(grad).astype(int))
+    assert err2.max() <= 8
+
+
+def test_color_jpeg_rejects_unsupported():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(multimodal.encode_jpeg_color444(img))
+    # tamper component 1's sampling byte in SOF0 (id,samp,qtab triples)
+    sof_at = bytes(enc).find(b"\xff\xc0")
+    assert sof_at > 0
+    samp_at = sof_at + 4 + 6 + 1  # marker+len+precision/h/w/ncomp, comp0.samp
+    assert enc[samp_at] == 0x11
+    enc[samp_at] = 0x22
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_jpeg_color444(bytes(enc))
+    # the gray decoder refuses 3-component streams rather than misreading
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_jpeg_gray8(multimodal.encode_jpeg_color444(img))
+    # and the color decoder refuses single-component (gray) streams
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_jpeg_color444(
+            multimodal.encode_jpeg_gray8(np.zeros((8, 8), dtype=np.uint8))
+        )
