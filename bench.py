@@ -171,6 +171,8 @@ HEADLINE = [
     "q164_optimize_compaction",
     # incremental view maintenance: delta agg + unionByName merge
     "q165_incremental_agg",
+    # color JPEG: 3-component encode + interleaved entropy decode kernels
+    "q166_multimodal_jpeg_color",
 ]
 
 
@@ -258,6 +260,7 @@ def main() -> None:
         "q163_leakage_safe_split",
         "q164_optimize_compaction",
         "q165_incremental_agg",
+        "q166_multimodal_jpeg_color",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()
