@@ -253,13 +253,17 @@ def test_prefix_sum_leaves_no_cached_rdds_no_range_exchange(spark):
         [(i, f"g{i % 5}", i % 7 + 1) for i in range(500)],
         "k long, g string, v long",
     )
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()  # other suites may hold caches
+    jsc = spark.sparkContext._jsc
+    # compare ID SETS, not counts: other suites' caches can be unpersisted
+    # by the ContextCleaner mid-test (their Python refs get GC'd), which
+    # makes a count-based assert flaky under a full-suite run
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
     out = rel.prefix_sum_by_group(df.repartition(11), ["g"], "k", "v")
     out.collect()
     rn = rel.global_row_number(df, [("k", "desc")])
     rn.collect()
-    assert jsc.getPersistentRDDs().size() == before  # we added NOTHING
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set()  # we added NOTHING
     for d in (out, rn):
         plan = d._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" not in plan
