@@ -89,6 +89,26 @@ def read_csv(
     )
 
 
+def read_jsonl_stream(
+    spark: SparkSession, path: str, schema_ddl: str
+) -> DataFrame:
+    """Streaming face of ``read_jsonl``: FileStreamSource over a JSONL
+    directory with the same explicit-schema PERMISSIVE quarantine
+    contract — the continuous-ingest front door (a crawler drops part
+    files; the stream picks up each file exactly once and malformed
+    lines land in the quarantine column, never kill the query). The
+    same ``quarantine_summary`` aggregate runs as a streaming
+    aggregation; with availableNow + complete mode the bounded replay
+    equals the batch classification row-for-row (q167's oracle is
+    q160's oracle verbatim)."""
+    return (
+        spark.readStream.schema(f"{schema_ddl}, {CORRUPT_COL} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
 def quarantine_summary(
     df: DataFrame,
     group_col: str,

@@ -8112,6 +8112,64 @@ def q166_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.color_plane_sums(payloads)
 
 
+@register(
+    "q167_stream_jsonl_ingest",
+    # q160's oracle verbatim: the bounded streaming replay (availableNow
+    # + complete mode) of the same classifying aggregate over the same
+    # fixture must equal the batch classification row-for-row.
+    oracle="""
+    SELECT CASE WHEN doc_id % 50 = 0 THEN '__quarantined__'
+                ELSE coalesce(lang, '?') END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 0
+                         ELSE coalesce(n_chars, 0) END) AS BIGINT)
+             AS sum_n_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="STREAMING JSONL ingest with corrupt-record quarantine "
+    "(ingest.read_jsonl_stream + quarantine_summary as a streaming "
+    "aggregation): the continuous-ingest front door — a crawler drops "
+    "part files, FileStreamSource picks each up exactly once, "
+    "malformed lines land in the quarantine bucket instead of killing "
+    "the query, and the running per-lang classification maintains "
+    "itself. Bounded replay (availableNow, complete mode, 8 state "
+    "partitions) hash-equals the batch q160 classification — the "
+    "oracle is q160's verbatim. Shares ingest_text with q160 (q154 "
+    "precedent): stands down once q160 rotates in-window",
+)
+def q167_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q167_{tok}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    line = F.to_json(
+        F.struct("doc_id", "text", "lang", "source", "n_chars")
+    )
+    docs.select(
+        F.when(F.col("doc_id") % 50 == 0, F.concat(F.lit("CORRUPT "), line))
+        .otherwise(line)
+        .alias("value")
+    ).write.mode("overwrite").text(base)
+    parsed = ingest.read_jsonl_stream(
+        spark, base,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    out = ingest.quarantine_summary(parsed, "lang", "n_chars")
+    return streaming_events.run_bounded(
+        out, spark, output_mode="complete", state_partitions=8
+    ).select("bucket", "n_rows", "sum_n_chars")
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8563,6 +8621,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # incremental view maintenance shares cdc_upsert with q129 (q154
     # precedent): stands down once q129 rotates in-window
     "q165_incremental_agg": {"cdc_upsert"},
+    # streaming JSONL ingest shares ingest_text with q160 (q154
+    # precedent): stands down once q160 rotates in-window
+    "q167_stream_jsonl_ingest": {"ingest_text"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -8642,6 +8703,9 @@ PENDING_ROTATION: set[str] = {
     # incremental view maintenance shares cdc_upsert with q129:
     # stands down once q129 rotates in
     "q165_incremental_agg",
+    # streaming JSONL ingest shares ingest_text with q160: stands
+    # down once q160 rotates in
+    "q167_stream_jsonl_ingest",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

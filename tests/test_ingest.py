@@ -104,3 +104,33 @@ def test_quarantine_summary_one_pass(spark):
 def test_explicit_schema_required():
     with pytest.raises(TypeError):
         ingest.read_jsonl(None, "/nowhere")  # schema_ddl is not optional
+
+
+def test_stream_jsonl_matches_batch_classification(spark):
+    from hive_cassandra_spark.streaming import events as streaming_events
+
+    path = _tmpdir("jsonl_stream")
+    spark.createDataFrame(
+        [
+            ('{"lang": "en", "n_chars": 5}',),
+            ('{"lang": "de", "n_chars": 7}',),
+            ("broken line",),
+            ('{"lang": "en", "n_chars": 2}',),
+        ],
+        "value string",
+    ).write.mode("overwrite").text(path)
+    ddl = "lang string, n_chars long"
+    batch = {r.bucket: (r.n_rows, r.sum_n_chars)
+             for r in ingest.quarantine_summary(
+                 ingest.read_jsonl(spark, path, ddl), "lang", "n_chars"
+             ).collect()}
+    stream = ingest.quarantine_summary(
+        ingest.read_jsonl_stream(spark, path, ddl), "lang", "n_chars"
+    )
+    out = {r.bucket: (r.n_rows, r.sum_n_chars)
+           for r in streaming_events.run_bounded(
+               stream, spark, output_mode="complete", state_partitions=4
+           ).collect()}
+    assert out == batch == {
+        "en": (2, 7), "de": (1, 7), "__quarantined__": (1, 0)
+    }
