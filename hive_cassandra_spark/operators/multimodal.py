@@ -953,7 +953,7 @@ def attach_image_payload(
     per-byte fraction (64 copies each), which is what the q127 oracle
     replays. The entropy path is still fully real: DPCM DC categories,
     Huffman, EOB, stuffing."""
-    if container not in ("bmp", "png", "gif", "jpeg", "jpeg444"):
+    if container not in ("bmp", "png", "gif", "jpeg", "jpeg444", "jpeg420"):
         raise ValueError(f"unsupported image container {container!r}")
     encode = {
         "bmp": encode_bmp_gray8,
@@ -961,19 +961,33 @@ def attach_image_payload(
         "gif": encode_gif_gray8,
         "jpeg": encode_jpeg_gray8,
         "jpeg444": encode_jpeg_color444,
+        "jpeg420": encode_jpeg_color420,
     }[container]
-    fmt = "image/jpeg" if container == "jpeg444" else f"image/{container}"
+    fmt = (
+        "image/jpeg"
+        if container in ("jpeg444", "jpeg420")
+        else f"image/{container}"
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                if container in ("jpeg", "jpeg444"):
-                    bw = int(doc_id) % 8 + 2
-                    bh = int(doc_id) % 6 + 2
+                if container in ("jpeg", "jpeg444", "jpeg420"):
+                    if container == "jpeg420":
+                        # 4:2:0 exactness needs CONSTANT 16x16 macro-
+                        # blocks (chroma averages a 2x2 group, which must
+                        # stay within one constant region)
+                        bw = int(doc_id) % 4 + 1
+                        bh = int(doc_id) % 3 + 1
+                        rep = 16
+                    else:
+                        bw = int(doc_id) % 8 + 2
+                        bh = int(doc_id) % 6 + 2
+                        rep = 8
                     raw = text.encode("utf-8")[: bw * bh].ljust(bw * bh, b"\x00")
                     blocks = np.frombuffer(raw, dtype=np.uint8).reshape(bh, bw)
-                    if container == "jpeg444":
+                    if container in ("jpeg444", "jpeg420"):
                         # constant-RGB blocks from byte-derived channels —
                         # the same per-byte formulas the q166 oracle
                         # replays (r = byte; g/b affine mod 256)
@@ -986,10 +1000,12 @@ def attach_image_payload(
                             ],
                             axis=-1,
                         ).astype(np.uint8)
-                        pixels = np.repeat(np.repeat(rgb_blocks, 8, 0), 8, 1)
+                        pixels = np.repeat(
+                            np.repeat(rgb_blocks, rep, 0), rep, 1
+                        )
                     else:
-                        pixels = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
-                    w, h = bw * 8, bh * 8
+                        pixels = np.repeat(np.repeat(blocks, rep, 0), rep, 1)
+                    w, h = bw * rep, bh * rep
                 else:
                     w = int(doc_id) % 64 + 16
                     h = int(doc_id) % 48 + 16
@@ -1648,18 +1664,22 @@ def decode_jpeg_color444(data: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, np.stack(planes, axis=-1).copy()
 
 
-def color_plane_sums(df: DataFrame) -> DataFrame:
+def color_plane_sums(df: DataFrame, subsampling: str = "444") -> DataFrame:
     """Decode color-JPEG payloads and emit exact per-plane pixel sums
     (doc_id, sum_y, sum_cb, sum_cr) — BIGINT, no floats, so an oracle
     that replays the fixture's per-byte RGB→YCbCr arithmetic matches
-    bit-for-bit. Arrow-batched ``mapInPandas``; the decode is per-payload
-    CPU work, so callers repartition small inputs first (q127 lesson)."""
+    bit-for-bit. ``subsampling`` picks the decoder ("444" or "420").
+    Arrow-batched ``mapInPandas``; the decode is per-payload CPU work,
+    so callers repartition small inputs first (q127 lesson)."""
+    decode = {"444": decode_jpeg_color444, "420": decode_jpeg_color420}[
+        subsampling
+    ]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, sy, scb, scr = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                _w, _h, ycc = decode_jpeg_color444(bytes(payload))
+                _w, _h, ycc = decode(bytes(payload))
                 p = ycc.astype(np.int64)
                 ids.append(doc_id)
                 sy.append(int(p[..., 0].sum()))
@@ -1672,3 +1692,235 @@ def color_plane_sums(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         kernel, schema="doc_id long, sum_y long, sum_cb long, sum_cr long"
     )
+
+
+def encode_jpeg_color420(
+    rgb: np.ndarray,
+    qtable_y: np.ndarray | None = None,
+    qtable_c: np.ndarray | None = None,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:2:0 JPEG —
+    the subsampling every camera and web encoder defaults to: chroma is
+    averaged over 2x2 pixel groups (pinned floor(mean + 0.5) rounding),
+    so an MCU covers 16x16 pixels and carries FOUR Y blocks (row-major
+    within the MCU) plus one Cb and one Cr block (sampling factors
+    2x2 / 1x1 / 1x1). Everything else — pinned BT.601 transform, per-
+    component quant tables, DPCM DC per component, canonical Huffman —
+    is the 4:4:4 path's machinery. Readable by any JPEG viewer."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_jpeg_color420 needs an (h, w, 3) array")
+    qy = _JPEG_QTABLE if qtable_y is None else np.asarray(qtable_y, np.int64)
+    qc = (
+        _JPEG_QTABLE_CHROMA
+        if qtable_c is None
+        else np.asarray(qtable_c, np.int64)
+    )
+    h, w = rgb.shape[:2]
+    ycc = rgb_to_ycbcr(rgb)
+
+    def pad16(plane: np.ndarray) -> np.ndarray:
+        hh, ww = plane.shape
+        ph, pw = (hh + 15) & ~15, (ww + 15) & ~15
+        out = np.empty((ph, pw), dtype=np.float64)
+        out[:hh, :ww] = plane
+        out[hh:, :ww] = plane[-1:, :]
+        out[:hh, ww:] = out[:hh, ww - 1 : ww]
+        out[hh:, ww:] = out[hh - 1, ww - 1]
+        return out
+
+    ypl = pad16(ycc[..., 0])
+    ph, pw = ypl.shape
+    subs = []
+    for c in (1, 2):
+        full = pad16(ycc[..., c])
+        g = full.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        subs.append(np.floor(g + 0.5))
+    zz_y = _plane_zigzags(ypl, qy)
+    zz_cb = _plane_zigzags(subs[0], qc)
+    zz_cr = _plane_zigzags(subs[1], qc)
+    dc_bits, dc_vals = _canonical_table(_DC_LENGTHS)
+    ac_bits, ac_vals = _canonical_table(_AC_LENGTHS)
+    dc_codes = _huffman_codes(dc_bits, dc_vals)
+    ac_codes = _huffman_codes(ac_bits, ac_vals)
+    wr = _JpegBitWriter()
+    nmy, nmx = ph // 16, pw // 16
+    prev = [0, 0, 0]
+    for my in range(nmy):
+        for mx in range(nmx):
+            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                prev[0] = _write_block(
+                    wr, zz_y[2 * my + dy, 2 * mx + dx], prev[0],
+                    dc_codes, ac_codes,
+                )
+            prev[1] = _write_block(wr, zz_cb[my, mx], prev[1], dc_codes, ac_codes)
+            prev[2] = _write_block(wr, zz_cr[my, mx], prev[2], dc_codes, ac_codes)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(
+        0xFFDB,
+        bytes([0]) + bytes(int(x) for x in qy.reshape(64)[_ZIGZAG])
+        + bytes([1]) + bytes(int(x) for x in qc.reshape(64)[_ZIGZAG]),
+    )
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht_dc = seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    dht_ac = seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + wr.flush()
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_color420(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline 4:2:0 color JPEG → (width, height, (h, w, 3)
+    uint8 YCbCr planes); chroma upsamples by 2x2 replication (pinned —
+    no interpolation, so exactness fixtures survive). Rejects non-4:2:0
+    sampling, progressive, 12-bit, and restart intervals."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    w = h = 0
+    comp_q: list[int] = []
+    scan_tabs: list[tuple[int, int]] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG supported"
+            )
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zzq = np.frombuffer(body, dtype=np.uint8, count=64, offset=b + 1)
+                nat = np.empty(64, dtype=np.int64)
+                nat[_ZIGZAG] = zzq
+                qtables[tq] = nat.reshape(8, 8)
+                b += 65
+        elif marker == 0xC0:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 3:
+                raise NotImplementedError(
+                    "decode_jpeg_color420 handles 8-bit 3-component JPEG"
+                )
+            samps = [body[6 + 3 * c + 1] for c in range(3)]
+            if samps != [0x22, 0x11, 0x11]:
+                raise NotImplementedError(
+                    "decode_jpeg_color420 handles 4:2:0 sampling only"
+                )
+            comp_q = [body[6 + 3 * c + 2] for c in range(3)]
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nvals = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nvals])
+                huff[(tc, th)] = _decode_lut(bytes(bits), bytes(vals))
+                b += 17 + nvals
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:
+            if body[0] != 3:
+                raise NotImplementedError("expected a 3-component scan")
+            for c in range(3):
+                tabs = body[2 + 2 * c]
+                scan_tabs.append((tabs >> 4, tabs & 0xF))
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    else:
+        raise ValueError("JPEG missing SOS")
+    if w == 0 or any(q not in qtables for q in comp_q):
+        raise ValueError("JPEG missing SOF0/DQT before SOS")
+    scan = data[pos:].replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00\x00"
+    bp = 0
+
+    def peek16(p):
+        b = p >> 3
+        return (
+            int.from_bytes(scan[b : b + 4], "big") >> (16 - (p & 7))
+        ) & 0xFFFF
+
+    def read_block(zz: np.ndarray, c: int) -> None:
+        nonlocal bp
+        (dc_sym, dc_len) = huff[(0, scan_tabs[c][0])]
+        (ac_sym, ac_len) = huff[(1, scan_tabs[c][1])]
+        peek = peek16(bp)
+        size, lnb = int(dc_sym[peek]), int(dc_len[peek])
+        if lnb == 0:
+            raise ValueError("invalid Huffman code in scan data")
+        bp += lnb
+        if size:
+            recv = peek16(bp) >> (16 - size)
+            bp += size
+            prev[c] += _extend(recv, size)
+        zz[0] = prev[c]
+        k = 1
+        while k < 64:
+            peek = peek16(bp)
+            sym, lnb = int(ac_sym[peek]), int(ac_len[peek])
+            if lnb == 0:
+                raise ValueError("invalid Huffman code in scan data")
+            bp += lnb
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            recv = peek16(bp) >> (16 - size)
+            bp += size
+            zz[k] = _extend(recv, size)
+            k += 1
+
+    nmy, nmx = (h + 15) // 16, (w + 15) // 16
+    nby, nbx = 2 * nmy, 2 * nmx
+    zz_y = np.zeros((nby * nbx, 64), dtype=np.int64)
+    zz_cb = np.zeros((nmy * nmx, 64), dtype=np.int64)
+    zz_cr = np.zeros((nmy * nmx, 64), dtype=np.int64)
+    prev = [0, 0, 0]
+    for my in range(nmy):
+        for mx in range(nmx):
+            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                read_block(zz_y[(2 * my + dy) * nbx + (2 * mx + dx)], 0)
+            read_block(zz_cb[my * nmx + mx], 1)
+            read_block(zz_cr[my * nmx + mx], 2)
+
+    def idct_plane(zzs: np.ndarray, q: np.ndarray, rows: int, cols: int):
+        nat = np.zeros((zzs.shape[0], 64), dtype=np.int64)
+        nat[:, _ZIGZAG] = zzs
+        coefs = nat.reshape(-1, 8, 8) * q
+        blocks = (
+            np.einsum("ji,njk,kl->nil", _DCT_M, coefs.astype(np.float64), _DCT_M)
+            + 128.0
+        )
+        pix = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
+        return (
+            pix.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(rows * 8, cols * 8)
+        )
+
+    ypl = idct_plane(zz_y, qtables[comp_q[0]], nby, nbx)[:h, :w]
+    cb = idct_plane(zz_cb, qtables[comp_q[1]], nmy, nmx)
+    cr = idct_plane(zz_cr, qtables[comp_q[2]], nmy, nmx)
+    cb = np.repeat(np.repeat(cb, 2, 0), 2, 1)[:h, :w]
+    cr = np.repeat(np.repeat(cr, 2, 0), 2, 1)[:h, :w]
+    return w, h, np.stack([ypl, cb, cr], axis=-1).copy()

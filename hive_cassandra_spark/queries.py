@@ -8170,6 +8170,61 @@ def q167_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bucket", "n_rows", "sum_n_chars")
 
 
+@register(
+    "q168_multimodal_jpeg_420",
+    # q166's exactness shape at 4:2:0: constant 16x16 macro-blocks keep
+    # every 2x2 chroma-average group inside one constant region, so
+    # subsample + DC-step-1 quantization + 2x2 replication upsample
+    # reproduce the converted planes exactly; sums scale by 256 pixels
+    # per macro-block. Same per-byte channel formulas as q166 with
+    # bw = id%4+1, bh = id%3+1.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len,
+                      CAST(doc_id % 4 + 1 AS BIGINT)
+                        * CAST(doc_id % 3 + 1 AS BIGINT) AS n
+               FROM documents),
+         byt AS (SELECT doc_id,
+                        unnest(list_transform(range(0, n),
+                          i -> CASE WHEN i < len
+                               THEN ('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::BIGINT
+                               ELSE 0 END)) AS b
+                 FROM d),
+         ch AS (SELECT doc_id, b AS r, (b*7+31) % 256 AS g,
+                       (b*13+101) % 256 AS bb
+                FROM byt),
+         ycc AS (SELECT doc_id,
+                   greatest(0, least(255,
+                     floor(0.299*r + 0.587*g + 0.114*bb + 0.5))) AS y,
+                   greatest(0, least(255,
+                     floor(128.0 - 0.168736*r - 0.331264*g + 0.5*bb + 0.5))) AS cb,
+                   greatest(0, least(255,
+                     floor(128.0 + 0.5*r - 0.418688*g - 0.081312*bb + 0.5))) AS cr
+                 FROM ch)
+    SELECT doc_id, CAST(256 * sum(y) AS BIGINT) AS sum_y,
+           CAST(256 * sum(cb) AS BIGINT) AS sum_cb,
+           CAST(256 * sum(cr) AS BIGINT) AS sum_cr
+    FROM ycc GROUP BY doc_id
+    """,
+    doc="REAL baseline 4:2:0 JPEG decode — the chroma subsampling every "
+    "camera and web encoder defaults to: an MCU is FOUR interleaved Y "
+    "blocks plus one Cb and one Cr at half resolution "
+    "(encode/decode_jpeg_color420; pinned floor(mean+0.5) 2x2 chroma "
+    "averaging on encode, 2x2 replication upsample on decode). The "
+    "decode walks the 6-block MCU structure with three DC predictors, "
+    "per-component quant tables, and emits exact BIGINT plane sums the "
+    "oracle replays byte-for-byte. Completes the JPEG tier: grayscale "
+    "(q127) → 4:4:4 color (q166) → 4:2:0 subsampled. Ordinary "
+    "overflow of the multimodal family (q43 bears it in-window)",
+)
+def q168_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    payloads = multimodal.attach_image_payload(docs, container="jpeg420")
+    return multimodal.color_plane_sums(payloads, subsampling="420")
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8624,6 +8679,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # streaming JSONL ingest shares ingest_text with q160 (q154
     # precedent): stands down once q160 rotates in-window
     "q167_stream_jsonl_ingest": {"ingest_text"},
+    # 4:2:0 JPEG: ordinary overflow of the multimodal family (q43
+    # bears it in-window; q127/q166 are the gray and 4:4:4 faces)
+    "q168_multimodal_jpeg_420": {"multimodal"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -624,3 +624,60 @@ def test_color_jpeg_rejects_unsupported():
         multimodal.decode_jpeg_color444(
             multimodal.encode_jpeg_gray8(np.zeros((8, 8), dtype=np.uint8))
         )
+
+
+def test_jpeg_420_constant_macroblocks_exact():
+    rng = np.random.RandomState(3)
+    by_ = rng.randint(0, 256, (2, 3), dtype=np.uint8)
+    bi = by_.astype(np.int64)
+    rgb_blocks = np.stack(
+        [bi, (bi * 7 + 31) % 256, (bi * 13 + 101) % 256], axis=-1
+    ).astype(np.uint8)
+    rgb = np.repeat(np.repeat(rgb_blocks, 16, 0), 16, 1)
+    w, h, ycc = multimodal.decode_jpeg_color420(
+        multimodal.encode_jpeg_color420(rgb)
+    )
+    assert (w, h) == (48, 32)
+    # 2x2 chroma averaging inside constant macro-blocks is lossless, so
+    # subsample + DC quantize + replicate-upsample reproduces exactly
+    assert np.array_equal(ycc, multimodal.rgb_to_ycbcr(rgb))
+
+
+def test_jpeg_420_odd_dims_and_lossy_bound():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (19, 21, 3), dtype=np.uint8)
+    w, h, ycc = multimodal.decode_jpeg_color420(
+        multimodal.encode_jpeg_color420(img)
+    )
+    assert (w, h) == (21, 19)
+    conv = multimodal.rgb_to_ycbcr(img)
+    # Y is full-resolution: only quantization error
+    assert np.abs(ycc[..., 0].astype(int) - conv[..., 0].astype(int)).max() <= 40
+    # chroma contract: decode equals subsample→quantize→replicate, so
+    # compare against the subsampled-then-replicated reference (vs the
+    # full-res conversion the averaging loss is content-dependent and
+    # unbounded on noise) — what remains is quantization error only
+    for c in (1, 2):
+        full = conv[..., c].astype(np.float64)
+        padded = np.empty((32, 32))
+        padded[:19, :21] = full
+        padded[19:, :21] = full[-1:, :]
+        padded[:19, 21:] = padded[:19, 20:21]
+        padded[19:, 21:] = padded[18, 20]
+        sub = np.floor(
+            padded.reshape(16, 2, 16, 2).mean(axis=(1, 3)) + 0.5
+        )
+        ref = np.repeat(np.repeat(sub, 2, 0), 2, 1)[:19, :21]
+        assert np.abs(ycc[..., c].astype(int) - ref.astype(int)).max() <= 60
+
+
+def test_jpeg_420_and_444_reject_each_other():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_jpeg_color444(multimodal.encode_jpeg_color420(img))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_jpeg_color420(multimodal.encode_jpeg_color444(img))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_jpeg_color420(
+            multimodal.encode_jpeg_gray8(np.zeros((8, 8), dtype=np.uint8))
+        )
