@@ -173,6 +173,10 @@ HEADLINE = [
     "q165_incremental_agg",
     # color JPEG: 3-component encode + interleaved entropy decode kernels
     "q166_multimodal_jpeg_color",
+    # streaming JSONL ingest: file-stream pickup + streaming quarantine agg
+    "q167_stream_jsonl_ingest",
+    # 4:2:0 JPEG: 6-block MCU decode with chroma upsample
+    "q168_multimodal_jpeg_420",
 ]
 
 
@@ -261,6 +265,8 @@ def main() -> None:
         "q164_optimize_compaction",
         "q165_incremental_agg",
         "q166_multimodal_jpeg_color",
+        "q167_stream_jsonl_ingest",
+        "q168_multimodal_jpeg_420",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()
