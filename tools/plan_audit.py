@@ -43,6 +43,93 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q156_time_gapfill": (
+        "the spine is PER-ENTITY (sequence/explode bounded by each "
+        "entity's own min→max hour span — never entity × global span), "
+        "so grid rows are Σ span-hours; the fill is an equi-join on "
+        "(entity, hour), co-keyed with the hourly aggregate (broadcast "
+        "at this scale, SMJ-able at 100 TB with no extra exchange). "
+        "Values are fixed-point BIGINT cents."
+    ),
+    "q158_gapfill_locf": (
+        "q156's grid plus ONE entity window (last(ignorenulls) over "
+        "unbounded preceding) — one more exchange, one carried value of "
+        "state per entity however long the grid is."
+    ),
+    "q157_hybrid_rrf": (
+        "the two retrievers dominate (BM25 postings build = q135's "
+        "shape; dense = broadcast-probe brute cosine); the fusion "
+        "itself sees only k·|queries| rows regardless of corpus size — "
+        "one unionAll (no shuffle), one hash aggregate, one "
+        "WindowGroupLimit. Scores are BIGINT floor divisions, so the "
+        "fused ranking is engine-exact."
+    ),
+    "q159_ewma_chart": (
+        "all 8 lags share ONE window spec → one exchange + one sort + "
+        "one Window operator with 8 frame readers; per-row state is 8 "
+        "values regardless of series length. No float recurrence — "
+        "BIGINT cents times power-of-two weights."
+    ),
+    "q160_jsonl_ingest": (
+        "explicit schema (inference would be a second full pass over "
+        "100 TB), PERMISSIVE Jackson parse splits by line across tasks "
+        "like any text input; ONE classifying hash aggregate reads the "
+        "scan once and makes the quarantine an auditable row, never a "
+        "silent drop."
+    ),
+    "q161_csv_ingest": (
+        "q160's contract on the Univocity CSV reader: type-level "
+        "malformations quarantine per line; single classifying "
+        "aggregate, single scan."
+    ),
+    "q162_scd2_history": (
+        "gaps-and-islands run heads + lead() close share one "
+        "partitioning and sort: Exchange → Sort → Window → Filter → "
+        "Window (plan-asserted 1 exchange / 1 sort / 2 Windows); "
+        "per-row state is one lag/lead value, entity key shards freely."
+    ),
+    "q163_leakage_safe_split": (
+        "the exact-Jaccard pair join is the dominant leg (q146's "
+        "measured claim: linear shuffle at 10x with disjoint shingle "
+        "spaces); components converge in a handful of min-label rounds "
+        "(near-dup clusters are small-diameter), and the split itself "
+        "is a zero-shuffle md5 projection over cluster roots — every "
+        "cluster lands wholly in one split by construction."
+    ),
+    "q164_optimize_compaction": (
+        "sizing is a driver-side FileSystem listing (manifest-level, "
+        "one RPC per file, no data read — how real OPTIMIZE plans); "
+        "the rewrite is coalesce — pure packing moves no row between "
+        "tasks, zero shuffle; clustering rewrites are zorder_write's "
+        "job and pay their range exchange deliberately."
+    ),
+    "q165_incremental_agg": (
+        "maintenance cost is O(|aggregate| + |delta|): one delta hash "
+        "aggregate + one unionByName + one merge aggregate, all "
+        "map-side combinable, no join, no window — the base SOURCE is "
+        "never rescanned, which is the whole point of IVM at 100 TB. "
+        "Retractions ride a ±1 weight; zero-count groups drop to match "
+        "a full recompute."
+    ),
+    "q166_multimodal_jpeg_color": (
+        "per-payload CPU kernel (3-component interleaved Huffman "
+        "decode + 3 IDCTs) behind Arrow mapInPandas, repartitioned "
+        "across cores first (q127 lesson); plane sums are exact BIGINT "
+        "so the oracle replays the whole pipeline from the fixture "
+        "bytes."
+    ),
+    "q167_stream_jsonl_ingest": (
+        "FileStreamSource picks up each part exactly once; the "
+        "quarantine classification runs as a streaming aggregation "
+        "(state = one row per bucket — bounded by language cardinality, "
+        "not volume); bounded replay hash-equals the batch q160."
+    ),
+    "q168_multimodal_jpeg_420": (
+        "the 6-block MCU walk (4 Y + Cb + Cr, three DC predictors) is "
+        "per-payload kernel work like q166; chroma planes carry 1/4 the "
+        "coefficients — the bytes-on-wire reason 4:2:0 is the camera "
+        "default — and upsample by replication inside the kernel."
+    ),
     "q149_document_chunks": (
         "pure projection fan-out: sequence/explode/substring/md5 in one "
         "codegen span over the documents scan — ZERO exchanges. Output "
