@@ -1112,3 +1112,89 @@ def incremental_agg(
         )
     )
     return merged.filter(F.col("n_rows") > 0)
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+    min_support_ppm: int | None = None,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Market-basket pair mining: co-occurrence support and exact lift
+    for every item pair sharing a basket — the classic warehouse
+    affinity analysis (and the bigram-table builder's set-valued
+    cousin; q144's collocations are the sequence form).
+
+    Plan shape at 100 TB: one DISTINCT (basket, item) exchange, a
+    self-equi-join ON THE BASKET KEY (co-partitioned — both sides share
+    the distinct's hash exchange), a map-side-combinable pair count,
+    then two broadcast joins of the (items-sized) support table and a
+    one-row broadcast N probe. Pair fanout per basket is C(k, 2);
+    ``max_basket_size`` EXCLUDES oversized baskets from pairing (the
+    standard cap in distributed frequent-itemset mining — a single
+    million-item basket would otherwise emit half a trillion pairs),
+    with exclusion a deterministic, oracle-replayable rule rather than
+    a silent truncation.
+
+    Lift is exact fixed-point: ``lift_ppm = (1e6 · N · c_ab) div
+    (c_a · c_b)`` — all BIGINT, one floor division, engine-identical.
+    Output: (item_a, item_b, support, lift_ppm) with item_a < item_b,
+    filtered to ``support >= min_support``; ``min_support_ppm`` adds
+    the standard RELATIVE threshold — support ≥ ceil(ppm·N/1e6) —
+    which keeps the same selectivity as the corpus grows (an absolute
+    count is meaningless across data scales). The ceiling is exact
+    integer arithmetic, so both thresholds replay cross-engine.
+    """
+    b = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = b.groupBy("basket").agg(F.count(F.lit(1)).alias("__k"))
+        b = (
+            b.join(sizes, "basket")
+            .filter(F.col("__k") <= max_basket_size)
+            .drop("__k")
+        )
+    n = b.select("basket").distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item_supp = b.groupBy("item").agg(F.count(F.lit(1)).alias("c_item"))
+    a1 = b.select("basket", F.col("item").alias("item_a"))
+    a2 = b.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a1.join(a2, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    if min_support_ppm is not None:
+        pairs = (
+            pairs.crossJoin(F.broadcast(n))
+            .filter(
+                F.col("support")
+                >= F.expr(f"(n * {int(min_support_ppm)} + 999999) div 1000000")
+            )
+            .drop("n")
+        )
+    ca = item_supp.select(
+        F.col("item").alias("item_a"), F.col("c_item").alias("c_a")
+    )
+    cb = item_supp.select(
+        F.col("item").alias("item_b"), F.col("c_item").alias("c_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.expr("(1000000 * n * support) div (c_a * c_b)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )

@@ -8225,6 +8225,60 @@ def q168_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.color_plane_sums(payloads, subsampling="420")
 
 
+@register(
+    "q169_association_rules",
+    # Exact replay: distinct (order, brand) item sets, pair supports via
+    # the basket self-join with item_a < item_b, the RELATIVE 2.5%
+    # min-support (ceil(ppm*N/1e6) — scale-stable selectivity), and
+    # the one-floor-division fixed-point lift (1e6·N·c_ab) // (c_a·c_b)
+    # — all BIGINT, engine-identical.
+    oracle="""
+    WITH li AS (SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    nn AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM li),
+    supp AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+             FROM li GROUP BY item),
+    pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+                     CAST(count(*) AS BIGINT) AS support
+              FROM li a JOIN li b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2
+              HAVING count(*) >=
+                ((SELECT n FROM nn) * 25000 + 999999) // 1000000)
+    SELECT item_a, item_b, support,
+           CAST((1000000 * nn.n * support) // (ca.c * cb.c) AS BIGINT)
+             AS lift_ppm
+    FROM pairs JOIN supp ca ON ca.item = pairs.item_a
+               JOIN supp cb ON cb.item = pairs.item_b
+               CROSS JOIN nn
+    """,
+    doc="market-basket association rules "
+    "(relational.association_rules): co-occurrence support and exact "
+    "fixed-point lift for brand pairs sharing an order — the classic "
+    "warehouse affinity analysis, and the set-valued cousin of q144's "
+    "sequence collocations. One DISTINCT (basket, item) exchange, a "
+    "basket-keyed self-join riding the same hash partitioning, a "
+    "map-side-combinable pair count with HAVING min-support, broadcast "
+    "item-support attach, one-row broadcast N probe; pair fanout per "
+    "basket is C(k,2) with an oracle-replayable max_basket_size "
+    "exclusion cap for pathological baskets. lift_ppm = "
+    "(1e6*N*c_ab) div (c_a*c_b) — one floor division, BIGINT "
+    "throughout, bit-identical cross-engine. New capability "
+    "(association-rule mining): PENDING_ROTATION for a round-8 slot",
+)
+def q169_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return relational.association_rules(
+        baskets, "basket", "item", min_support_ppm=25_000
+    ).select("item_a", "item_b", "support", "lift_ppm")
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8682,6 +8736,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # 4:2:0 JPEG: ordinary overflow of the multimodal family (q43
     # bears it in-window; q127/q166 are the gray and 4:4:4 faces)
     "q168_multimodal_jpeg_420": {"multimodal"},
+    # association-rule mining: a new capability family (set-valued
+    # co-occurrence with exact lift) — takes a round-8 slot
+    "q169_association_rules": {"association_rules"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -8764,6 +8821,8 @@ PENDING_ROTATION: set[str] = {
     # streaming JSONL ingest shares ingest_text with q160: stands
     # down once q160 rotates in
     "q167_stream_jsonl_ingest",
+    # association-rule mining: new family, takes a round-8 slot
+    "q169_association_rules",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

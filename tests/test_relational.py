@@ -722,3 +722,42 @@ def test_incremental_agg_matches_recompute_and_retracts(spark):
                base, delta, ["user_id"], weight_col="w").collect()}
     # u: 2 base rows + 1 insert; v: retracted to zero → dropped; w: new
     assert out == {"u": (3, 650), "w": (1, 999)}
+
+
+def test_association_rules_support_and_lift(spark):
+    # baskets: {A,B} x3, {A,C} x1, {B,C} x1, {A} x1  → N = 6
+    rows = []
+    for i, items in enumerate(
+        [("A", "B"), ("A", "B"), ("A", "B"), ("A", "C"), ("B", "C"), ("A",)]
+    ):
+        rows += [(i, it) for it in items]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r.item_a, r.item_b): (r.support, r.lift_ppm)
+           for r in rel.association_rules(df, "basket", "item").collect()}
+    # c_A=5, c_B=4, c_C=2, N=6
+    assert out[("A", "B")] == (3, (1_000_000 * 6 * 3) // (5 * 4))
+    assert out[("A", "C")] == (1, (1_000_000 * 6 * 1) // (5 * 2))
+    assert out[("B", "C")] == (1, (1_000_000 * 6 * 1) // (4 * 2))
+    # absolute min support prunes the singletons
+    out2 = rel.association_rules(df, "basket", "item", min_support=2).collect()
+    assert [(r.item_a, r.item_b) for r in out2] == [("A", "B")]
+    # relative threshold: 40% of 6 baskets → ceil = 3 → only {A,B}
+    out3 = rel.association_rules(
+        df, "basket", "item", min_support_ppm=400_000
+    ).collect()
+    assert [(r.item_a, r.item_b) for r in out3] == [("A", "B")]
+
+
+def test_association_rules_basket_cap_and_dedup(spark):
+    # duplicate (basket, item) rows collapse before pairing; the 3-item
+    # basket is excluded by max_basket_size=2 — its pairs vanish, and N
+    # drops accordingly (exclusion, not truncation)
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (1, "B"),
+         (2, "A"), (2, "B"), (2, "C")],
+        "basket long, item string",
+    )
+    out = {(r.item_a, r.item_b): r.support
+           for r in rel.association_rules(
+               df, "basket", "item", max_basket_size=2).collect()}
+    assert out == {("A", "B"): 1}
