@@ -177,6 +177,8 @@ HEADLINE = [
     "q167_stream_jsonl_ingest",
     # 4:2:0 JPEG: 6-block MCU decode with chroma upsample
     "q168_multimodal_jpeg_420",
+    # association rules: basket self-join + relative support + exact lift
+    "q169_association_rules",
 ]
 
 
@@ -267,6 +269,7 @@ def main() -> None:
         "q166_multimodal_jpeg_color",
         "q167_stream_jsonl_ingest",
         "q168_multimodal_jpeg_420",
+        "q169_association_rules",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

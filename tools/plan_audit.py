@@ -130,6 +130,18 @@ NOTES = {
         "coefficients — the bytes-on-wire reason 4:2:0 is the camera "
         "default — and upsample by replication inside the kernel."
     ),
+    "q169_association_rules": (
+        "one DISTINCT (basket, item) exchange; the self-join rides the "
+        "same basket hash partitioning, pair counts are map-side "
+        "combinable (fanout C(k,2) per basket, with the deterministic "
+        "max_basket_size exclusion for pathological baskets), item "
+        "supports and the one-row N attach by broadcast. The relative "
+        "min-support threshold keeps selectivity scale-stable. Not in "
+        "the scaling table for the q143 reason: `part` is not a "
+        "replicated fixture table, so replica lineitem rows would drop "
+        "at the brand join and the scaled run would time a near-empty "
+        "pipeline."
+    ),
     "q149_document_chunks": (
         "pure projection fan-out: sequence/explode/substring/md5 in one "
         "codegen span over the documents scan — ZERO exchanges. Output "
