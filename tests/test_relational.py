@@ -761,3 +761,38 @@ def test_association_rules_basket_cap_and_dedup(spark):
            for r in rel.association_rules(
                df, "basket", "item", max_basket_size=2).collect()}
     assert out == {("A", "B"): 1}
+
+
+def test_association_rules_randomized_identities(spark):
+    """Seeded random baskets: Σ pair supports == Σ C(k,2) over basket
+    sizes (every within-basket pair counted exactly once), and every
+    pair's support is bounded by min of its items' supports."""
+    import random
+    from itertools import combinations
+
+    for seed in (4, 13):
+        rng = random.Random(seed)
+        rows, sizes = [], []
+        for b in range(rng.randint(5, 12)):
+            items = rng.sample("ABCDEFGH", rng.randint(1, 5))
+            sizes.append(len(items))
+            rows += [(b, it) for it in items]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        out = rel.association_rules(df, "basket", "item").collect()
+        assert sum(r.support for r in out) == sum(
+            k * (k - 1) // 2 for k in sizes
+        )
+        supp = {}
+        for b, it in rows:
+            supp[it] = supp.get(it, 0) + 1
+        for r in out:
+            assert r.support <= min(supp[r.item_a], supp[r.item_b])
+        # python ground truth for one seed's pair counts
+        truth: dict = {}
+        baskets: dict = {}
+        for b, it in rows:
+            baskets.setdefault(b, set()).add(it)
+        for its in baskets.values():
+            for a, c in combinations(sorted(its), 2):
+                truth[(a, c)] = truth.get((a, c), 0) + 1
+        assert {(r.item_a, r.item_b): r.support for r in out} == truth

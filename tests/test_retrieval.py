@@ -205,3 +205,29 @@ def test_rrf_fuse_topk_and_ties(spark):
     assert [(r.rank, r.id) for r in sorted(out, key=lambda r: r.rank)] == [
         (1, 3), (2, 5),
     ]
+
+
+def test_rrf_fuse_order_invariance_randomized(spark):
+    """RRF invariants over seeded random rank lists: fused score equals
+    the hand-folded per-source reciprocal sum, and the result is
+    invariant to input row order (a shuffled copy fuses identically)."""
+    import random
+
+    for seed in (2, 9):
+        rng = random.Random(seed)
+        srcs = []
+        truth: dict = {}
+        for s in range(3):
+            docs = rng.sample(range(100), rng.randint(3, 10))
+            rows = [("q", d, i + 1) for i, d in enumerate(docs)]
+            for d, rk in [(d, i + 1) for i, d in enumerate(docs)]:
+                truth[d] = truth.get(d, 0) + 1_000_000 // (60 + rk)
+            rng.shuffle(rows)  # input order must not matter
+            srcs.append(spark.createDataFrame(
+                rows, "query_id string, id long, rank int"
+            ))
+        out = {r.id: r.rrf_score
+               for r in retrieval.rrf_fuse(srcs, k=100).collect()}
+        expect_topk = dict(sorted(truth.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:100])
+        assert out == expect_topk

@@ -503,3 +503,91 @@ def test_scd2_intervals_tie_and_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert len(re.findall(r"\bSort \[", plan)) == 1
     assert plan.count("Window [") == 2
+
+
+def test_gapfill_and_scd2_randomized_invariants(spark):
+    """Seeded randomized invariants over the fill + history operators:
+    the structural contracts that must hold for ANY event set, checked
+    over several random draws (Spark-job cost rules out per-example
+    hypothesis here; the seeds make failures reproducible)."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for u in range(rng.randint(2, 5)):
+            t0 = rng.randint(0, 48)
+            for _ in range(rng.randint(1, 30)):
+                eid += 1
+                rows.append((
+                    eid,
+                    datetime(2024, 1, 1) + timedelta(
+                        hours=t0 + rng.randint(0, 72),
+                        minutes=rng.randint(0, 59),
+                    ),
+                    f"u{u}",
+                    rng.choice(["a", "b", "c"]),
+                    round(rng.uniform(0, 50), 2),
+                ))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id string, "
+            "event_type string, value double",
+        )
+        # --- gapfill invariants ---
+        g = temporal.gapfill_hourly(
+            ev.select("user_id", "ts", "value")
+        ).collect()
+        by_user: dict = {}
+        for r in g:
+            by_user.setdefault(r.user_id, []).append(r)
+        per_user_events: dict = {}
+        per_user_cents: dict = {}
+        for r in rows:
+            per_user_events[r[2]] = per_user_events.get(r[2], 0) + 1
+            per_user_cents[r[2]] = (
+                per_user_cents.get(r[2], 0) + round(r[4] * 100)
+            )
+        for u, rs in by_user.items():
+            hours = sorted(r.hour for r in rs)
+            # dense: one row per hour of the span, inclusive
+            span = int((hours[-1] - hours[0]).total_seconds()) // 3600 + 1
+            assert len(rs) == span == len(set(hours))
+            # endpoints observed, totals conserved
+            assert min(r.hour for r in rs if r.n_events > 0) == hours[0]
+            assert max(r.hour for r in rs if r.n_events > 0) == hours[-1]
+            assert sum(r.n_events for r in rs) == per_user_events[u]
+            assert sum(r.sum_value_cents for r in rs) == per_user_cents[u]
+        # --- SCD2 invariants ---
+        iv = temporal.scd2_intervals(ev).collect()
+        per_u: dict = {}
+        for r in iv:
+            per_u.setdefault(r.user_id, []).append(r)
+        for u, rs in per_u.items():
+            rs.sort(key=lambda r: r.valid_from)
+            # exactly one open (current) interval, and it is the last
+            assert [r.is_current for r in rs] == [False] * (len(rs) - 1) + [True]
+            for a, b in zip(rs, rs[1:]):
+                # intervals chain with no gaps/overlaps, runs collapsed
+                assert a.valid_to == b.valid_from
+                assert a.state != b.state
+            assert rs[-1].valid_to is None
+
+
+def test_ewma_shift_linearity(spark):
+    """decayed_cents is linear in the inputs: doubling every value
+    doubles the statistic exactly (integer weights, no rounding drift
+    beyond the single cents quantization applied to inputs)."""
+    ev = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, 0, i), "u", float(i % 7) + 0.25)
+         for i in range(20)],
+        "event_id long, ts timestamp, user_id string, value double",
+    )
+    one = {r.event_id: r.decayed_cents
+           for r in temporal.ewma_smoothing(ev, window=5).collect()}
+    two = {r.event_id: r.decayed_cents
+           for r in temporal.ewma_smoothing(
+               ev.withColumn("value", F.col("value") * 2), window=5
+           ).collect()}
+    assert all(two[k] == 2 * one[k] for k in one)
