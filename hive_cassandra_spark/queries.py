@@ -7943,7 +7943,10 @@ def q162_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q163_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, threshold=0.2)
+    # prefix-filtered exact Jaccard (q146's machinery) rather than the
+    # capped inverted index: bit-identical pairs at threshold 1/5 with
+    # NO hot-shingle recall cap, and measured ~20% faster at sf0.1
+    pairs = dedup.prefix_filter_jaccard_pairs(docs, t_num=1, t_den=5)
     comp = dedup.neardup_components(pairs)
     roots = docs.select("doc_id").join(
         comp, docs["doc_id"] == comp["node"], "left"

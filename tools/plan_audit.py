@@ -89,9 +89,10 @@ NOTES = {
         "per-row state is one lag/lead value, entity key shards freely."
     ),
     "q163_leakage_safe_split": (
-        "the exact-Jaccard pair join is the dominant leg (q146's "
-        "measured claim: linear shuffle at 10x with disjoint shingle "
-        "spaces); components converge in a handful of min-label rounds "
+        "the PREFIX-FILTERED exact-Jaccard pair join is the dominant "
+        "leg (q146's PPJoin machinery — no hot-shingle recall cap, "
+        "and its measured claim: linear shuffle at 10x with disjoint "
+        "shingle spaces); components converge in a handful of min-label rounds "
         "(near-dup clusters are small-diameter), and the split itself "
         "is a zero-shuffle md5 projection over cluster roots — every "
         "cluster lands wholly in one split by construction."
