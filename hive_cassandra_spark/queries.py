@@ -1871,7 +1871,10 @@ def q67_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q133_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, threshold=0.2)
+    # prefix-filtered exact Jaccard (q146 machinery, q163 precedent):
+    # identical pairs at threshold 1/5, no hot-shingle recall cap,
+    # measured ~20% faster — enter the round-8 window on this plan
+    pairs = dedup.prefix_filter_jaccard_pairs(docs, t_num=1, t_den=5)
     comp = dedup.neardup_components(pairs)
     return dedup.canonical_per_cluster(
         comp, docs.select("doc_id", "n_chars"), quality_col="n_chars"
