@@ -1198,3 +1198,61 @@ def association_rules(
             .alias("lift_ppm"),
         )
     )
+
+
+def table_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two versions of a keyed table — the
+    change-data-FEED generator (the inverse of the q129 CDC *apply*):
+    classify every key as ``insert`` (new in ``after``), ``delete``
+    (gone from ``after``), or ``update`` (present in both with any
+    compared column differing, NULL-aware); unchanged keys are filtered
+    out, so the output is the delta a downstream ``incremental_agg`` /
+    CDC apply consumes, and the tool a data-regression check diffs two
+    snapshot reads with.
+
+    One full-outer equi-join on the keys — both sides shuffle once on
+    the same key hash, the classification is a codegen projection, and
+    the output is delta-sized, not table-sized. Output columns:
+    keys…, ``op``, then ``<col>_before`` / ``<col>_after`` for every
+    compared column (NULL on the absent side).
+    """
+    if not compare_cols:
+        raise ValueError("table_diff needs at least one compare column")
+    b = before.select(
+        *keys,
+        F.lit(True).alias("__in_b"),
+        *[F.col(c).alias(f"{c}_before") for c in compare_cols],
+    )
+    a = after.select(
+        *keys,
+        F.lit(True).alias("__in_a"),
+        *[F.col(c).alias(f"{c}_after") for c in compare_cols],
+    )
+    j = b.join(a, keys, "full_outer")
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"{c}_before").eqNullSafe(F.col(f"{c}_after"))
+        changed = ne if changed is None else (changed | ne)
+    op = (
+        F.when(F.col("__in_b").isNull(), F.lit("insert"))
+        .when(F.col("__in_a").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *keys,
+            "op",
+            *[
+                F.col(f"{c}_{side}")
+                for c in compare_cols
+                for side in ("before", "after")
+            ],
+        )
+    )

@@ -8285,6 +8285,68 @@ def q169_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("item_a", "item_b", "support", "lift_ppm")
 
 
+@register(
+    "q170_table_diff",
+    # Two per-user rollup versions over overlapping event windows: A =
+    # before Jan 20, B = from Jan 5 — so all four classes appear (early-
+    # only users delete, late-only insert, overlapping-with-change
+    # update, days-5..19-only unchanged and filtered). NULL-aware
+    # comparison both sides (IS DISTINCT FROM ≡ eqNullSafe negation).
+    oracle="""
+    WITH a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS s
+               FROM events WHERE ts < TIMESTAMP '2024-01-20'
+               GROUP BY user_id),
+    b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT))
+                      AS BIGINT) AS s
+          FROM events WHERE ts >= TIMESTAMP '2024-01-05'
+          GROUP BY user_id),
+    j AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                 a.user_id IS NOT NULL AS inb,
+                 b.user_id IS NOT NULL AS ina,
+                 a.n AS nb, a.s AS sb, b.n AS na, b.s AS sa
+          FROM a FULL OUTER JOIN b ON a.user_id = b.user_id),
+    c AS (SELECT user_id,
+                 CASE WHEN NOT inb THEN 'insert'
+                      WHEN NOT ina THEN 'delete'
+                      WHEN nb IS DISTINCT FROM na
+                        OR sb IS DISTINCT FROM sa THEN 'update'
+                 END AS op,
+                 nb AS n_rows_before, na AS n_rows_after,
+                 sb AS sum_cents_before, sa AS sum_cents_after
+          FROM j)
+    SELECT * FROM c WHERE op IS NOT NULL
+    """,
+    doc="row-level table diff / change-data-feed generation "
+    "(relational.table_diff): classify every key across two versions "
+    "of a keyed table as insert / delete / update (NULL-aware, "
+    "unchanged keys filtered) — the inverse of q129's CDC apply, the "
+    "producer for q165's incremental maintenance, and the tool a "
+    "data-regression check diffs two snapshot reads (q112) with. One "
+    "full-outer equi-join (both sides shuffle once on the same key "
+    "hash), codegen classification, delta-sized output. Shares the "
+    "cdc_upsert tag with q129 (q154 precedent): stands down once q129 "
+    "rotates in-window",
+)
+def q170_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def rollup(pred) -> DataFrame:
+        return ev.filter(pred).groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+
+    before = rollup(F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+    after = rollup(F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+    return relational.table_diff(
+        before, after, ["user_id"], ["n_rows", "sum_cents"]
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8745,6 +8807,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # association-rule mining: a new capability family (set-valued
     # co-occurrence with exact lift) — takes a round-8 slot
     "q169_association_rules": {"association_rules"},
+    # table diff / change-data-feed generation shares cdc_upsert with
+    # q129 (q154 precedent): stands down once q129 rotates in-window
+    "q170_table_diff": {"cdc_upsert"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -8829,6 +8894,9 @@ PENDING_ROTATION: set[str] = {
     "q167_stream_jsonl_ingest",
     # association-rule mining: new family, takes a round-8 slot
     "q169_association_rules",
+    # table diff shares cdc_upsert with q129: stands down once q129
+    # rotates in
+    "q170_table_diff",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

@@ -796,3 +796,30 @@ def test_association_rules_randomized_identities(spark):
             for a, c in combinations(sorted(its), 2):
                 truth[(a, c)] = truth.get((a, c), 0) + 1
         assert {(r.item_a, r.item_b): r.support for r in out} == truth
+
+
+def test_table_diff_all_classes(spark):
+    before = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20), ("c", 3, None), ("d", 4, 40)],
+        "k string, n int, s int",
+    )
+    after = spark.createDataFrame(
+        [("b", 2, 21), ("c", 3, None), ("d", None, 40), ("e", 5, 50)],
+        "k string, n int, s int",
+    )
+    out = {r.k: r for r in rel.table_diff(
+        before, after, ["k"], ["n", "s"]).collect()}
+    assert out["a"].op == "delete" and out["a"].n_after is None
+    assert out["b"].op == "update" and (out["b"].s_before, out["b"].s_after) == (20, 21)
+    assert "c" not in out                      # NULL == NULL → unchanged
+    assert out["d"].op == "update"             # value → NULL is a change
+    assert out["e"].op == "insert" and out["e"].n_before is None
+    with pytest.raises(ValueError):
+        rel.table_diff(before, after, ["k"], [])
+    # diff → apply-style merge sanity: inserts+updates+deletes account
+    # for every key difference between the versions
+    keys_b = {r.k for r in before.collect()}
+    keys_a = {r.k for r in after.collect()}
+    ops = {r.k: r.op for r in out.values()}
+    assert {k for k, o in ops.items() if o == "insert"} == keys_a - keys_b
+    assert {k for k, o in ops.items() if o == "delete"} == keys_b - keys_a
