@@ -179,6 +179,8 @@ HEADLINE = [
     "q168_multimodal_jpeg_420",
     # association rules: basket self-join + relative support + exact lift
     "q169_association_rules",
+    # table diff: one full-outer equi-join, delta-sized output
+    "q170_table_diff",
 ]
 
 
@@ -270,6 +272,7 @@ def main() -> None:
         "q167_stream_jsonl_ingest",
         "q168_multimodal_jpeg_420",
         "q169_association_rules",
+        "q170_table_diff",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

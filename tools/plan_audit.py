@@ -143,6 +143,12 @@ NOTES = {
         "at the brand join and the scaled run would time a near-empty "
         "pipeline."
     ),
+    "q170_table_diff": (
+        "two per-version rollups + ONE full-outer equi-join — both "
+        "sides shuffle once on the same key hash, the classification "
+        "is a codegen projection, and unchanged keys filter out so the "
+        "output is delta-sized, never table-sized."
+    ),
     "q149_document_chunks": (
         "pure projection fan-out: sequence/explode/substring/md5 in one "
         "codegen span over the documents scan — ZERO exchanges. Output "
