@@ -87,6 +87,17 @@ def _store_files(path: str) -> list[str]:
     return sorted(glob.glob(path))
 
 
+def _vacuum_watermark(path: str) -> int | None:
+    """Batch id up to which the commit log was vacuumed (see
+    ``sink.vacuum_commit_log``), or None for an un-vacuumed store."""
+    marker = os.path.join(path, "_vacuum_watermark")
+    if os.path.isdir(path) and os.path.exists(marker):
+        with open(marker) as fh:
+            txt = fh.read().strip()
+            return int(txt) if txt else None
+    return None
+
+
 @dataclass
 class CellSplit(InputPartition):
     """One scan split: a token-range bucket of the store. ``files`` are the
@@ -187,6 +198,15 @@ class CellStoreReader(DataSourceReader):
         if self.as_of_batch is not None:
             import re
 
+            wm = _vacuum_watermark(self.path)
+            if wm is not None and self.as_of_batch < wm:
+                raise ValueError(
+                    f"as_of_batch={self.as_of_batch} precedes the vacuum "
+                    f"watermark {wm}: batches <= {wm} were folded into one "
+                    "consolidated part (sink.vacuum_commit_log) and that "
+                    "history no longer exists — fail closed rather than "
+                    "return a partial snapshot"
+                )
             kept = []
             for f in files:
                 m = re.search(_BATCH_PART_RE, os.path.basename(f))
@@ -422,6 +442,15 @@ class CellStoreStreamWriter(CellStoreWriter, DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         import glob as _glob
 
+        wm = _vacuum_watermark(self.path)
+        if wm is not None and batchId <= wm:
+            raise ValueError(
+                f"micro-batch {batchId} replayed at or below the vacuum "
+                f"watermark {wm}: committing would sweep the consolidated "
+                "prefix part and destroy the folded history — a replay "
+                "this old means the checkpoint and the store disagree; "
+                "fail closed"
+            )
         if self.overwrite:
             # complete/truncate output mode: each batch REPLACES the store
             # (the batch-overwrite semantics, once per micro-batch)

@@ -8347,6 +8347,111 @@ def q170_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q171_commit_log_vacuum",
+    # Three pinned micro-batches (event_id % 3, mtime-ordered), then
+    # VACUUM folds batches 0-1 into one consolidated part stamped b1.
+    # The contract under the hash: as-of the watermark equals the
+    # pre-vacuum prefix (thirds 0+1), the full read equals everything —
+    # i.e. vacuum changed the file layout and nothing else. The refusal
+    # faces (as-of below watermark, replay at/below watermark) are
+    # pytest-gated.
+    oracle="""
+    SELECT 'asof_b1' AS section, event_type AS cell,
+           count(*) AS n_cells, count(DISTINCT user_id) AS n_rows
+    FROM events WHERE event_id % 3 IN (0, 1) GROUP BY event_type
+    UNION ALL
+    SELECT 'full', event_type, count(*), count(DISTINCT user_id)
+    FROM events GROUP BY event_type
+    """,
+    doc="commit-log VACUUM (sink.vacuum_commit_log — the Delta VACUUM "
+    "analogue for the streaming sink's batch log): fold every part at "
+    "or below a batch id into ONE consolidated LWW-compacted part "
+    "stamped with that id, so a long-lived stream's append-only log "
+    "stops accumulating a part set per micro-batch forever. Reads "
+    "as-of >= the watermark and the full read are unchanged (gated "
+    "here); time travel below the watermark and micro-batch replays "
+    "at/below it refuse fail-closed instead of returning partial "
+    "snapshots or destroying folded history (pytest-gated). Crash-safe "
+    "by idempotent ordering: consolidated parts land before the "
+    "originals are removed, and duplicated cell versions are invisible "
+    "to LWW readers. Ordinary overflow of the connector_datasource "
+    "family (q84 bears it in-window; q112 is the time-travel face)",
+)
+def q171_commit_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import codecs, datasource, sink
+
+    datasource.register(spark)
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q171_{tok}_{os.getpid()}"
+    )
+    thirds, store, ckpt = base + "_src", base + "_store", base + "_ckpt"
+    for p in (thirds, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load_events(spark, sf_dir)
+    for r in range(3):
+        ev.filter(F.col("event_id") % 3 == r).coalesce(1).write.mode(
+            "append"
+        ).parquet(thirds)
+    # pin the source order: third r strictly older than third r+1
+    import glob as _glob
+
+    for f in _glob.glob(f"{thirds}/*.parquet"):
+        rs = [
+            r for r in range(3)
+            if spark.read.parquet(f)
+            .filter(F.col("event_id") % 3 != r).count() == 0
+        ]
+        os.utime(f, ((rs[0] + 1) * 1_000_000, (rs[0] + 1) * 1_000_000))
+
+    src = (
+        spark.readStream.schema(streaming_events.EVENTS_SCHEMA_TS)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(f"{thirds}/*.parquet")
+    )
+    cells = src.select(
+        codecs.encode_col(F.col("user_id"), "bigint").alias("row_key"),
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")
+        ).cast("binary").alias("column_name"),
+        codecs.encode_col(F.col("event_type"), "string").alias("value"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    q = (
+        cells.writeStream.format("cassandra_cells")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(store)
+    )
+    q.awaitTermination()
+    sink.vacuum_commit_log(spark, store, retain_after_batch=1)
+
+    def section(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(
+            codecs.decode_col(F.col("value"), "string").alias("cell")
+        ).agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count_distinct("row_key").alias("n_rows"),
+        ).select(F.lit(name).alias("section"), "cell", "n_cells", "n_rows")
+
+    asof = (
+        spark.read.format("cassandra_cells")
+        .option("as_of_batch", 1)
+        .load(store)
+    )
+    full = spark.read.format("cassandra_cells").load(store)
+    return section(asof, "asof_b1").unionByName(section(full, "full"))
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8810,6 +8915,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # table diff / change-data-feed generation shares cdc_upsert with
     # q129 (q154 precedent): stands down once q129 rotates in-window
     "q170_table_diff": {"cdc_upsert"},
+    # commit-log vacuum: ordinary overflow of the connector family
+    # (q84 bears connector_datasource in-window; q112 is time travel)
+    "q171_commit_log_vacuum": {"connector_datasource"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

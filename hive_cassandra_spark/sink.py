@@ -414,3 +414,108 @@ def recover_store(path: str) -> dict:
         "dropped_partials": dropped_partial,
         "dropped_old": dropped_old,
     }
+
+
+VACUUM_MARKER = "_vacuum_watermark"
+
+
+def vacuum_commit_log(spark, path: str, retain_after_batch: int) -> dict:
+    """Delta-VACUUM analogue for the streaming sink's commit log: fold
+    every micro-batch part with id ≤ ``retain_after_batch`` into ONE
+    consolidated, LWW-compacted part stamped with that batch id, delete
+    the originals, and record a vacuum watermark. Reads as-of any batch
+    ≥ the watermark (and the unpinned full read) are unchanged —
+    LWW over the consolidated prefix equals LWW over the raw prefix by
+    construction — while time travel BEFORE the watermark now refuses
+    fail-closed (the history is truncated, exactly Delta's post-VACUUM
+    contract) and a replayed micro-batch ≤ the watermark is refused by
+    the sink rather than silently destroying the folded history.
+
+    Why it exists: the commit log is append-only, so a long-lived stream
+    accumulates one part set per micro-batch forever — footer storms at
+    read planning and unbounded time-travel surface. Tombstones are
+    KEPT (they must keep suppressing late older writes; purging them is
+    ``compact_store``'s gc_grace job, a different decision).
+
+    Crash safety by idempotent ordering: (1) consolidated parts land
+    under final batch-stamped names while the originals still exist —
+    duplicated cell VERSIONS are invisible to LWW readers; (2) the
+    watermark is written; (3) originals are removed. A crash anywhere
+    leaves a store that reads correctly (or refuses), and re-running
+    the vacuum heals it. One maintainer per store at a time, like
+    compaction. Returns {files_in, files_out, cells_in, cells_out,
+    watermark}.
+    """
+    import glob as _glob
+    import os
+    import re as _re
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from hive_cassandra_spark import datasource
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    ids: dict[str, int] = {}
+    for f in files:
+        m = _re.search(datasource._BATCH_PART_RE, os.path.basename(f))
+        if m is None:
+            raise ValueError(
+                f"{os.path.basename(f)}: vacuum needs a stream-written "
+                "store (batch-id part names define the commit order)"
+            )
+        ids[f] = int(m.group(1))
+    cutoff = int(retain_after_batch)
+    prefix = [f for f in files if ids[f] <= cutoff]
+    if not prefix:
+        return {
+            "files_in": len(files), "files_out": len(files),
+            "cells_in": 0, "cells_out": 0, "watermark": None,
+        }
+    cells = spark.read.parquet(*prefix)
+    cols = set(cells.columns)
+    key = ["row_key", "column_name"] + (
+        ["sub_column_name"] if "sub_column_name" in cols else []
+    )
+    extras = [c for c in ("ttl_s",) if c in cols]
+    cells_in = cells.count()
+    packed = F.struct(*(["ts", "value"] + extras))
+    flat = cells.groupBy(*key).agg(F.max(packed).alias("w")).select(
+        *key,
+        F.col("w.value").alias("value"),
+        F.col("w.ts").alias("ts"),
+        *[F.col(f"w.{c}").alias(c) for c in extras],
+    )
+    tmp = f"{path}.vacuum-{_uuid.uuid4().hex[:12]}"
+    flat.write.mode("overwrite").parquet(tmp)
+    tok = _uuid.uuid4().hex
+    n_out = 0
+    for i, part in enumerate(
+        sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
+    ):
+        os.rename(
+            part,
+            os.path.join(path, f"part-{tok}-b{cutoff:09d}-{i:05d}.parquet"),
+        )
+        n_out += 1
+    marker = os.path.join(path, VACUUM_MARKER)
+    prev = -1
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            prev = int(fh.read().strip() or -1)
+    with open(marker, "w") as fh:
+        fh.write(str(max(prev, cutoff)))
+    for f in prefix:
+        os.remove(f)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    cells_out = spark.read.parquet(
+        os.path.join(path, f"part-{tok}-b{cutoff:09d}-*.parquet")
+    ).count()
+    return {
+        "files_in": len(files),
+        "files_out": len(files) - len(prefix) + n_out,
+        "cells_in": cells_in,
+        "cells_out": cells_out,
+        "watermark": max(prev, cutoff),
+    }

@@ -591,3 +591,78 @@ def test_as_of_batch_composes_with_reversed(spark, store, tmp_path):
         )
     ]
     assert rows == sorted(rows, key=lambda t: (t[0], [255 - x for x in t[1]]))
+
+
+def test_vacuum_commit_log_folds_history_and_guards(spark, store, tmp_path):
+    """sink.vacuum_commit_log: batches <= the watermark fold into one
+    consolidated LWW part; full/as-of-watermark reads are unchanged,
+    file count shrinks, earlier time travel and replays refuse, and a
+    re-run is an idempotent no-op."""
+    import glob
+    import os
+    import re
+
+    from hive_cassandra_spark import sink as sink_mod
+
+    out = str(tmp_path / "vac_store")
+    src = str(tmp_path / "src_thirds")
+    cells = spark.read.parquet(store)
+    third = F.crc32(F.col("row_key")) % 3
+    for r in range(3):
+        cells.filter(third == r).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(cells.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = (
+        stream.writeStream.format("cassandra_cells")
+        .option("checkpointLocation", str(tmp_path / "vac_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination()
+    ids = sorted(
+        {
+            int(re.search(r"-b(\d{9})-", os.path.basename(f)).group(1))
+            for f in glob.glob(f"{out}/part-*-b*.parquet")
+        }
+    )
+    assert len(ids) == 3
+    read = lambda **kw: (  # noqa: E731
+        spark.read.format("cassandra_cells").options(**kw).load(out)
+    )
+    key = lambda r: (bytes(r.row_key), bytes(r.column_name))  # noqa: E731
+    full_before = sorted(map(key, read().collect()))
+    asof1_before = sorted(map(key, read(as_of_batch=1).collect()))
+    files_before = len(glob.glob(f"{out}/*.parquet"))
+
+    stats = sink_mod.vacuum_commit_log(spark, out, retain_after_batch=1)
+    assert stats["watermark"] == 1
+    assert len(glob.glob(f"{out}/*.parquet")) < files_before
+    # reads at/after the watermark are bit-identical
+    assert sorted(map(key, read().collect())) == full_before
+    assert sorted(map(key, read(as_of_batch=1).collect())) == asof1_before
+    assert sorted(map(key, read(as_of_batch=2).collect())) == full_before
+    # truncated history refuses fail-closed
+    with pytest.raises(Exception, match="vacuum watermark"):
+        read(as_of_batch=0).count()
+    # a replayed micro-batch at/below the watermark refuses: rerunning
+    # the SAME stream with its checkpoint deleted replays batch 0
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "vac_ckpt"))
+    q2 = (
+        stream.writeStream.format("cassandra_cells")
+        .option("checkpointLocation", str(tmp_path / "vac_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    with pytest.raises(Exception, match="vacuum watermark|fail closed"):
+        q2.awaitTermination()
+    # idempotent re-run: nothing below the watermark remains to fold
+    again = sink_mod.vacuum_commit_log(spark, out, retain_after_batch=1)
+    assert again["cells_out"] == stats["cells_out"]
+    assert sorted(map(key, read().collect())) == full_before
