@@ -490,15 +490,16 @@ def vacuum_commit_log(spark, path: str, retain_after_batch: int) -> dict:
     tmp = f"{path}.vacuum-{_uuid.uuid4().hex[:12]}"
     flat.write.mode("overwrite").parquet(tmp)
     tok = _uuid.uuid4().hex
-    n_out = 0
+    renamed: list[str] = []
     for i, part in enumerate(
         sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
     ):
-        os.rename(
-            part,
-            os.path.join(path, f"part-{tok}-b{cutoff:09d}-{i:05d}.parquet"),
+        dst = os.path.join(
+            path, f"part-{tok}-b{cutoff:09d}-{i:05d}.parquet"
         )
-        n_out += 1
+        os.rename(part, dst)
+        renamed.append(dst)
+    n_out = len(renamed)
     marker = os.path.join(path, VACUUM_MARKER)
     prev = -1
     if os.path.exists(marker):
@@ -509,9 +510,11 @@ def vacuum_commit_log(spark, path: str, retain_after_batch: int) -> dict:
     for f in prefix:
         os.remove(f)
     _shutil.rmtree(tmp, ignore_errors=True)
-    cells_out = spark.read.parquet(
-        os.path.join(path, f"part-{tok}-b{cutoff:09d}-*.parquet")
-    ).count()
+    # footer-only row counts: no Spark read (a glob read here makes
+    # FileStreamSink log a spurious metadata-probe stack trace)
+    import pyarrow.parquet as _pq
+
+    cells_out = sum(_pq.read_metadata(f).num_rows for f in renamed)
     return {
         "files_in": len(files),
         "files_out": len(files) - len(prefix) + n_out,
