@@ -129,6 +129,13 @@ QUERIES_UNDER_TEST = [
     "q157_hybrid_rrf",
     "q162_scd2_history",
     "q163_leakage_safe_split",
+    # ingest + maintenance: the JSONL fixture rewrite + PERMISSIVE parse
+    # should track corpus bytes linearly with a fixed per-line constant
+    # (output rows = lang buckets + quarantine, fixed); compaction's
+    # manifest sizing + coalesce rewrite should track bytes with the
+    # fixed 2-row content-contract output.
+    "q160_jsonl_ingest",
+    "q164_optimize_compaction",
 ]
 # Expected row behavior across scale points — the result check (r06
 # verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
@@ -164,6 +171,8 @@ EXPECT_ROWS = {
     "q157_hybrid_rrf": "fixed",
     "q162_scd2_history": "grows",
     "q163_leakage_safe_split": "fixed",
+    "q160_jsonl_ingest": "fixed",
+    "q164_optimize_compaction": "fixed",
     "wide_row_stress": "grows",
 }
 # q98 reads the frequency-preserving documents replica: token counts must
