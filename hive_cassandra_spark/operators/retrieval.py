@@ -284,3 +284,64 @@ def phrase_match(
     return verified.groupBy("id", "phrase").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
+
+
+def eval_ranking(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Rank-quality evaluation — the measurement loop every retrieval
+    stack runs against labeled judgments (qrels): per query,
+    precision@k, recall@k, and reciprocal rank, all in exact
+    fixed-point (ppm) so the metrics replay bit-for-bit cross-engine
+    (MRR's 1/rank and the @k ratios are rational; NDCG's log weights
+    are not, which is why it is deliberately absent — the exactness
+    contract beats one more metric).
+
+    ``ranking`` carries (query_id, rank, id) — already a per-query
+    top-k, so the join against the (query, relevant-doc) qrels is
+    k·|queries| × judgments, broadcast-sized however large the corpus
+    that produced the ranking was. One equi-join on (query_id, id),
+    one per-query aggregate, one join to the per-query relevant count:
+    evaluation cost is independent of corpus size, which is what makes
+    eval-every-build feasible.
+
+    Output: (query_id, n_rel, hits_at_k, precision_ppm, recall_ppm,
+    rr_ppm) — rr is 0 when no relevant doc is retrieved, recall is 0
+    for queries with no judgments (flagged by n_rel = 0).
+    """
+    r = ranking.select("query_id", F.col("id"), "rank").filter(
+        F.col("rank") <= k
+    )
+    q = qrels.select("query_id", F.col("id"), F.lit(True).alias("__rel"))
+    joined = r.join(q, ["query_id", "id"], "left")
+    per_q = joined.groupBy("query_id").agg(
+        F.sum(F.when(F.col("__rel"), 1).otherwise(0))
+        .cast("long").alias("hits_at_k"),
+        F.min(F.when(F.col("__rel"), F.col("rank"))).alias("__first_rel"),
+    )
+    n_rel = qrels.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    out = per_q.join(n_rel, "query_id", "full_outer").select(
+        "query_id",
+        F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+        F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+        F.coalesce("__first_rel", F.lit(0)).alias("__first_rel"),
+    )
+    return out.select(
+        "query_id",
+        "n_rel",
+        "hits_at_k",
+        F.expr(f"(1000000 * hits_at_k) div {int(k)}")
+        .cast("long").alias("precision_ppm"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.expr("(1000000 * hits_at_k) div n_rel"),
+        ).otherwise(F.lit(0)).cast("long").alias("recall_ppm"),
+        F.when(
+            F.col("__first_rel") > 0,
+            F.expr("1000000 div __first_rel"),
+        ).otherwise(F.lit(0)).cast("long").alias("rr_ppm"),
+    )

@@ -8452,6 +8452,115 @@ def q171_commit_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return section(asof, "asof_b1").unionByName(section(full, "full"))
 
 
+@register(
+    "q172_retrieval_eval",
+    # Judgments are derived, not asserted: a doc is relevant to a query
+    # iff it contains EVERY query term (count of distinct matched terms
+    # equals the query's term count). The eval arithmetic is exact ppm
+    # (floor divisions) over the q135 ranking at k=10 — NDCG's log
+    # weights are deliberately absent (no cross-engine exactness).
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(trim(regexp_replace(
+            lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY 1),
+    corpus AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                      CAST(CAST(sum(dl) AS BIGINT)
+                           // (SELECT greatest(CAST(count(*) AS BIGINT), 1)
+                              FROM documents) AS BIGINT) AS a
+               FROM dl),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    q(query_id, term) AS (VALUES
+        ('rare_common', 'dup'), ('rare_common', 'hash'),
+        ('ops', 'join'), ('ops', 'merge'), ('ops', 'sort'),
+        ('vec', 'vector'), ('vec', 'query')),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(sum((1000000 * (2*n - 2*df + 1) * (88 * tf * a))
+                    // ((2*df + 1) * (40*tf*a + 12*a + 36*dl)))
+                    AS BIGINT) AS score
+        FROM q JOIN tf USING (term) JOIN dfreq USING (term)
+             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus
+        GROUP BY 1, 2),
+    ranked AS (SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rnk FROM scored),
+    nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+           FROM q GROUP BY 1),
+    qrels AS (SELECT query_id, doc_id AS id FROM (
+                  SELECT q.query_id, tf.doc_id,
+                         CAST(count(DISTINCT q.term) AS BIGINT) AS c
+                  FROM q JOIN tf USING (term) GROUP BY 1, 2) x
+              JOIN nt USING (query_id) WHERE c = n_terms),
+    hits AS (SELECT r.query_id,
+                    CAST(count(qr.id) AS BIGINT) AS hits_at_k,
+                    CAST(coalesce(min(CASE WHEN qr.id IS NOT NULL
+                                      THEN r.rnk END), 0) AS BIGINT)
+                      AS first_rel
+             FROM ranked r LEFT JOIN qrels qr
+               ON qr.query_id = r.query_id AND qr.id = r.doc_id
+             WHERE r.rnk <= 10 GROUP BY 1),
+    nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+             FROM qrels GROUP BY 1)
+    SELECT coalesce(h.query_id, n.query_id) AS query_id,
+           coalesce(n.n_rel, 0) AS n_rel,
+           coalesce(h.hits_at_k, 0) AS hits_at_k,
+           (1000000 * coalesce(h.hits_at_k, 0)) // 10 AS precision_ppm,
+           CASE WHEN coalesce(n.n_rel, 0) > 0
+                THEN (1000000 * coalesce(h.hits_at_k, 0)) // n.n_rel
+                ELSE 0 END AS recall_ppm,
+           CASE WHEN coalesce(h.first_rel, 0) > 0
+                THEN 1000000 // h.first_rel ELSE 0 END AS rr_ppm
+    FROM hits h FULL OUTER JOIN nrel n ON h.query_id = n.query_id
+    """,
+    doc="retrieval evaluation against derived judgments "
+    "(retrieval.eval_ranking): precision@10, recall@10, and reciprocal "
+    "rank per query over the q135 BM25 ranking, with relevance defined "
+    "as containing every query term — the measurement loop a RAG "
+    "pipeline runs on every index build. All metrics are exact "
+    "fixed-point ppm (rational @k ratios and 1/rank; NDCG's log "
+    "weights excluded by the exactness contract), and evaluation cost "
+    "is k x |queries| x judgments — independent of corpus size. Shares "
+    "the retrieval tag with q135 (q154 precedent): stands down once "
+    "q135 rotates in-window",
+)
+def q172_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [
+            ("rare_common", "dup"),
+            ("rare_common", "hash"),
+            ("ops", "join"),
+            ("ops", "merge"),
+            ("ops", "sort"),
+            ("vec", "vector"),
+            ("vec", "query"),
+        ],
+        "query_id string, term string",
+    )
+    post = retrieval.postings(docs)
+    ranking = retrieval.bm25_topk(docs, qterms, k=10, post=post).select(
+        "query_id", "rank", F.col("doc_id").alias("id")
+    )
+    n_terms = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__nt")
+    )
+    qrels = (
+        qterms.join(post, "term")
+        .groupBy("query_id", "id")
+        .agg(F.count_distinct("term").alias("__c"))
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("__c") == F.col("__nt"))
+        .select("query_id", "id")
+    )
+    return retrieval.eval_ranking(ranking, qrels, k=10)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8918,6 +9027,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # commit-log vacuum: ordinary overflow of the connector family
     # (q84 bears connector_datasource in-window; q112 is time travel)
     "q171_commit_log_vacuum": {"connector_datasource"},
+    # retrieval eval shares the retrieval tag with q135 (q154
+    # precedent): stands down once q135 rotates in-window
+    "q172_retrieval_eval": {"retrieval"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -9005,6 +9117,9 @@ PENDING_ROTATION: set[str] = {
     # table diff shares cdc_upsert with q129: stands down once q129
     # rotates in
     "q170_table_diff",
+    # retrieval eval shares retrieval with q135: stands down once
+    # q135 rotates in
+    "q172_retrieval_eval",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

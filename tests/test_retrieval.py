@@ -231,3 +231,35 @@ def test_rrf_fuse_order_invariance_randomized(spark):
         expect_topk = dict(sorted(truth.items(),
                                   key=lambda kv: (-kv[1], kv[0]))[:100])
         assert out == expect_topk
+
+
+def test_eval_ranking_metrics(spark):
+    # query "q": ranking [10, 20, 30]; relevant {20, 99} → hits 1,
+    # first relevant at rank 2, recall 1/2; "r": no judgments
+    ranking = spark.createDataFrame(
+        [("q", 1, 10), ("q", 2, 20), ("q", 3, 30), ("r", 1, 5)],
+        "query_id string, rank int, id long",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 20), ("q", 99), ("s", 7)],
+        "query_id string, id long",
+    )
+    out = {r.query_id: r for r in
+           retrieval.eval_ranking(ranking, qrels, k=3).collect()}
+    q = out["q"]
+    assert (q.n_rel, q.hits_at_k) == (2, 1)
+    assert q.precision_ppm == 1_000_000 // 3
+    assert q.recall_ppm == 500_000
+    assert q.rr_ppm == 500_000  # first relevant at rank 2
+    r = out["r"]
+    assert (r.n_rel, r.hits_at_k, r.recall_ppm, r.rr_ppm) == (0, 0, 0, 0)
+    # judged-but-never-retrieved queries still appear (full outer)
+    s = out["s"]
+    assert (s.n_rel, s.hits_at_k, s.rr_ppm) == (1, 0, 0)
+    # k truncates: a relevant doc past k does not count
+    deep = spark.createDataFrame(
+        [("q", 1, 10), ("q", 2, 20)], "query_id string, rank int, id long"
+    )
+    out2 = {r.query_id: r for r in
+            retrieval.eval_ranking(deep, qrels, k=1).collect()}
+    assert out2["q"].hits_at_k == 0 and out2["q"].rr_ppm == 0
