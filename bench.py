@@ -181,6 +181,8 @@ HEADLINE = [
     "q169_association_rules",
     # table diff: one full-outer equi-join, delta-sized output
     "q170_table_diff",
+    # retrieval eval: ranking x qrels join, corpus-independent metrics
+    "q172_retrieval_eval",
 ]
 
 
@@ -273,6 +275,7 @@ def main() -> None:
         "q168_multimodal_jpeg_420",
         "q169_association_rules",
         "q170_table_diff",
+        "q172_retrieval_eval",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

@@ -149,6 +149,13 @@ NOTES = {
         "is a codegen projection, and unchanged keys filter out so the "
         "output is delta-sized, never table-sized."
     ),
+    "q172_retrieval_eval": (
+        "the q135 postings/ranking build dominates (same inline-replay "
+        "shape, production materializes postings once); the evaluation "
+        "itself joins a k x |queries| rank list to the judgments and "
+        "aggregates per query — corpus-size-independent, which is what "
+        "makes eval-every-build feasible."
+    ),
     "q149_document_chunks": (
         "pure projection fan-out: sequence/explode/substring/md5 in one "
         "codegen span over the documents scan — ZERO exchanges. Output "
