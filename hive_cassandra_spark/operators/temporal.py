@@ -592,3 +592,40 @@ def scd2_intervals(
         F.col("__valid_to").alias("valid_to"),
         F.col("__valid_to").isNull().alias("is_current"),
     )
+
+
+def state_durations(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-in-state analytics over the SCD2 history: for every
+    (entity, state), the total microseconds spent in that state and the
+    number of intervals — the "how long was each user premium / each
+    device offline" metric the history table exists to answer. Open
+    (current) intervals close at the GLOBAL horizon (max event time
+    across the corpus), so every row's time is accounted for and totals
+    are conserved per entity.
+
+    Exactness: durations are epoch-microsecond differences summed as
+    BIGINT — no float seconds, no per-interval rounding, so per-state
+    totals are engine-exact and additive. Plan: ``scd2_intervals``'s
+    single entity exchange + one-row broadcast horizon probe + one
+    map-side-combinable (entity, state) aggregate.
+    """
+    iv = scd2_intervals(df, key_col, ts_col, state_col, tiebreak_col)
+    horizon = df.groupBy().agg(F.max(ts_col).alias("__horizon"))
+    closed = iv.crossJoin(F.broadcast(horizon)).select(
+        key_col,
+        "state",
+        (
+            F.unix_micros(F.coalesce("valid_to", "__horizon"))
+            - F.unix_micros("valid_from")
+        ).alias("__dur_us"),
+    )
+    return closed.groupBy(key_col, "state").agg(
+        F.sum("__dur_us").cast("long").alias("total_us"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )

@@ -8561,6 +8561,49 @@ def q172_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.eval_ranking(ranking, qrels, k=10)
 
 
+@register(
+    "q173_state_durations",
+    # The q162 run-head/lead windows replayed, open intervals closed at
+    # the global max(ts), durations as epoch-microsecond differences
+    # summed in BIGINT — exact and additive, no float seconds.
+    oracle="""
+    WITH heads AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM (SELECT user_id, ts, event_id, event_type,
+                     lag(event_type) OVER w AS prev
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WHERE prev IS NULL OR event_type <> prev),
+    iv AS (SELECT user_id, event_type AS state, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS valid_to
+           FROM heads),
+    h AS (SELECT max(ts) AS horizon FROM events),
+    closed AS (SELECT user_id, state,
+                      epoch_us(coalesce(valid_to, h.horizon))
+                        - epoch_us(valid_from) AS dur_us
+               FROM iv CROSS JOIN h)
+    SELECT user_id, state,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM closed GROUP BY 1, 2
+    """,
+    doc="time-in-state analytics over the SCD2 history "
+    "(temporal.state_durations): total exact microseconds and interval "
+    "counts per (entity, state), with open intervals closed at the "
+    "global horizon so every entity's time is conserved — the metric "
+    "the history table exists to answer (how long premium, how long "
+    "offline). q162's single entity exchange + a one-row broadcast "
+    "horizon probe + one map-side-combinable aggregate; durations are "
+    "epoch-microsecond BIGINT differences, never float seconds. Shares "
+    "the cdc_upsert tag with q129 (q162 is the producer; q154 "
+    "precedent): stands down once q129 rotates in-window",
+)
+def q173_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return temporal.state_durations(ev)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9030,6 +9073,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # retrieval eval shares the retrieval tag with q135 (q154
     # precedent): stands down once q135 rotates in-window
     "q172_retrieval_eval": {"retrieval"},
+    # state durations consume q162's SCD2 intervals — shares the
+    # cdc_upsert tag chain (q154 precedent): stands down with q129
+    "q173_state_durations": {"cdc_upsert"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -9120,6 +9166,9 @@ PENDING_ROTATION: set[str] = {
     # retrieval eval shares retrieval with q135: stands down once
     # q135 rotates in
     "q172_retrieval_eval",
+    # state durations share cdc_upsert with q129: stands down once
+    # q129 rotates in
+    "q173_state_durations",
 }  # r06: all new capabilities rotated
 # in same-round (q105-q110 in the fourth rotation below), none pending
 

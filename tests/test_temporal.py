@@ -591,3 +591,28 @@ def test_ewma_shift_linearity(spark):
                ev.withColumn("value", F.col("value") * 2), window=5
            ).collect()}
     assert all(two[k] == 2 * one[k] for k in one)
+
+
+def test_state_durations_conserves_time(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0), "u", "a"),
+            (2, datetime(2024, 1, 1, 1, 0), "u", "b"),
+            (3, datetime(2024, 1, 1, 3, 0), "u", "a"),
+            (4, datetime(2024, 1, 1, 0, 30), "v", "a"),  # open to horizon
+        ],
+        "event_id long, ts timestamp, user_id string, event_type string",
+    )
+    out = {(r.user_id, r.state): (r.total_us, r.n_intervals)
+           for r in temporal.state_durations(ev).collect()}
+    H = 3_600_000_000  # one hour in microseconds
+    # u: a [0,1h)=1h, b [1h,3h)=2h, a [3h, horizon=3h]=0 → a total 1h
+    assert out[("u", "a")] == (1 * H, 2)
+    assert out[("u", "b")] == (2 * H, 1)
+    # v: single open interval, closed at the GLOBAL horizon (3h): 2.5h
+    assert out[("v", "a")] == (2 * H + H // 2, 1)
+    # conservation: per user, totals sum to (horizon - first event)
+    per_user = {}
+    for (u, _s), (us, _n) in out.items():
+        per_user[u] = per_user.get(u, 0) + us
+    assert per_user == {"u": 3 * H, "v": 2 * H + H // 2}
