@@ -183,6 +183,8 @@ HEADLINE = [
     "q170_table_diff",
     # retrieval eval: ranking x qrels join, corpus-independent metrics
     "q172_retrieval_eval",
+    # state durations: SCD2 intervals + horizon probe + one aggregate
+    "q173_state_durations",
 ]
 
 
@@ -276,6 +278,7 @@ def main() -> None:
         "q169_association_rules",
         "q170_table_diff",
         "q172_retrieval_eval",
+        "q173_state_durations",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

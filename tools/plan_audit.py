@@ -156,6 +156,13 @@ NOTES = {
         "aggregates per query — corpus-size-independent, which is what "
         "makes eval-every-build feasible."
     ),
+    "q173_state_durations": (
+        "q162's single entity exchange and sort feed the interval "
+        "build; the horizon is a one-row broadcast cross join; the "
+        "final (entity, state) aggregate is map-side combinable — "
+        "durations are epoch-microsecond BIGINT differences, exact and "
+        "additive, conserving each entity's total time at any scale."
+    ),
     "q149_document_chunks": (
         "pure projection fan-out: sequence/explode/substring/md5 in one "
         "codegen span over the documents scan — ZERO exchanges. Output "
