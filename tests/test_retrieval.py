@@ -263,3 +263,34 @@ def test_eval_ranking_metrics(spark):
     out2 = {r.query_id: r for r in
             retrieval.eval_ranking(deep, qrels, k=1).collect()}
     assert out2["q"].hits_at_k == 0 and out2["q"].rr_ppm == 0
+
+
+def test_bm25_materialized_postings_collapses_corpus_scans(spark, sf_dir, tmp_path):
+    """The production shape the module docstring promises: indexing once
+    (postings materialized to parquet) collapses the inline path's
+    repeated corpus scans — each stat then reads the small postings
+    artifact, and results are identical."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qset = spark.createDataFrame(
+        [("q1", "dup"), ("q1", "hash"), ("q2", "join")],
+        "query_id string, term string",
+    )
+    inline = retrieval.bm25_topk(docs, qset, k=5)
+    ppath = str(tmp_path / "postings")
+    retrieval.postings(docs).write.parquet(ppath)
+    post = spark.read.parquet(ppath)
+    indexed = retrieval.bm25_topk(docs, qset, k=5, post=post)
+    # identical results (scores are exact BIGINT, so row-for-row)
+    key = lambda r: (r.query_id, r.rank, r.doc_id, r.score)  # noqa: E731
+    assert sorted(map(key, inline.collect())) == sorted(map(key, indexed.collect()))
+    # the indexed plan touches the documents parquet exactly once (the
+    # corpus-count scalar); every other stat reads the postings artifact
+    n_doc_scans = lambda df: (  # noqa: E731
+        df._jdf.queryExecution().executedPlan().toString()
+        .count("documents.parquet")
+    )
+    # inline replays the corpus scan per stat (7 at this query shape);
+    # indexed keeps only the corpus-count scalar's reads (<= 2 — one
+    # may be duplicated into the one-row broadcast probe's subtree)
+    assert n_doc_scans(indexed) <= 2
+    assert n_doc_scans(inline) >= 3 * n_doc_scans(indexed)
