@@ -1256,3 +1256,36 @@ def table_diff(
             ],
         )
     )
+
+
+def zorder_key_n(cols: list, bits: int = 10):
+    """N-dimensional Morton (Z-order) interleave — the ``OPTIMIZE
+    ZORDER BY (a, b, c)`` generalization of ``zorder_key``: bit i of
+    dimension d lands at position i·N + d, so files range-partitioned
+    on the key carry tight min/max on EVERY listed column and parquet
+    row-group pruning serves predicates on any of them. Same exactness
+    contract as the 2-D key: pure div/mod/multiply integer arithmetic
+    (pmod-wrapped into [0, 2^bits)), folded by whole-stage codegen and
+    replayable verbatim by an ANSI-SQL oracle.
+
+    Key width is N·bits — keep it ≤ 62 (3 dims × 20 bits, 6 dims × 10
+    bits); more dimensions dilute clustering quality anyway (each file
+    spans 2^(bits - file_bits/N) of every dimension), which is why
+    lakehouse OPTIMIZE guidance caps ZORDER BY at a handful of columns.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key_n needs at least 2 columns")
+    if n * bits > 62:
+        raise ValueError(
+            f"{n} dims x {bits} bits = {n * bits} key bits > 62 — "
+            "reduce bits or dimensions"
+        )
+    wrapped = [F.pmod(c.cast("long"), F.lit(1 << bits)) for c in cols]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, w in enumerate(wrapped):
+            z = z + ((w / (1 << i)).cast("long") % 2) * (
+                1 << (i * n + d)
+            )
+    return z

@@ -8604,6 +8604,65 @@ def q173_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.state_durations(ev)
 
 
+_Z3_TERMS_SQL = " + ".join(
+    f"((x // {1 << i}) % 2) * {1 << (3 * i)}"
+    f" + ((y // {1 << i}) % 2) * {1 << (3 * i + 1)}"
+    f" + ((w // {1 << i}) % 2) * {1 << (3 * i + 2)}"
+    for i in range(10)
+)
+
+
+@register(
+    "q174_zorder_3d",
+    # q110's replay discipline at three dimensions: the 10-bit
+    # three-way interleave is 30 div/mod terms both engines evaluate
+    # identically; the layout payoff (tight per-file min/max on ALL
+    # three columns after a range-partitioned write) is asserted
+    # against real parquet footers in test_relational.
+    oracle=f"""
+    WITH b AS (SELECT user_id % 1024 AS x, event_id % 1024 AS y,
+                      CAST(round(value * 100) AS BIGINT) % 1024 AS w
+               FROM events),
+    z AS (SELECT CAST({_Z3_TERMS_SQL} AS BIGINT) AS z FROM b)
+    SELECT z // 1048576 AS z_bucket,
+           count(*) AS n,
+           min(z) AS min_z,
+           max(z) AS max_z,
+           CAST(sum(z) AS BIGINT) AS sum_z
+    FROM z GROUP BY z_bucket
+    """,
+    doc="N-dimensional Z-order clustering key "
+    "(relational.zorder_key_n, 3 dims x 10 bits) — the OPTIMIZE "
+    "ZORDER BY (a, b, c) generalization of q110: bit i of dimension d "
+    "lands at position 3i+d, so a range-partitioned write carries "
+    "tight per-file min/max on ALL THREE columns and row-group "
+    "pruning serves predicates on any of them. Same exactness "
+    "contract (pure div/mod integer arithmetic, zero shuffle for the "
+    "key); footer-stats payoff pytest-asserted. Ordinary overflow of "
+    "the zorder_layout family (q110 bears it in-window)",
+)
+def q174_zorder_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    z = relational.zorder_key_n(
+        [
+            F.col("user_id"),
+            F.col("event_id"),
+            F.round(F.col("value") * 100).cast("long"),
+        ],
+        bits=10,
+    )
+    return (
+        ev.select(z.alias("z"))
+        .groupBy((F.col("z") / 1048576).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+            F.sum("z").alias("sum_z"),
+        )
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9076,6 +9135,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # state durations consume q162's SCD2 intervals — shares the
     # cdc_upsert tag chain (q154 precedent): stands down with q129
     "q173_state_durations": {"cdc_upsert"},
+    # 3-dim Z-order: ordinary overflow of the zorder_layout family
+    # (q110 bears it in-window)
+    "q174_zorder_3d": {"zorder_layout"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -823,3 +823,70 @@ def test_table_diff_all_classes(spark):
     ops = {r.k: r.op for r in out.values()}
     assert {k for k, o in ops.items() if o == "insert"} == keys_a - keys_b
     assert {k for k, o in ops.items() if o == "delete"} == keys_b - keys_a
+
+
+def test_zorder_key_n_matches_2d_and_footer_stats(spark, sf_dir, tmp_path):
+    # with two columns the N-dim interleave IS zorder_key
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    two = ev.select(
+        rel.zorder_key(F.col("user_id"), F.col("event_id"), 16).alias("a"),
+        rel.zorder_key_n([F.col("user_id"), F.col("event_id")], 16).alias("b"),
+    )
+    assert two.filter(F.col("a") != F.col("b")).count() == 0
+    with pytest.raises(ValueError, match="at least 2"):
+        rel.zorder_key_n([F.col("user_id")])
+    with pytest.raises(ValueError, match="> 62"):
+        rel.zorder_key_n([F.col("user_id")] * 4, bits=16)
+    # 3-dim layout payoff: range-partition by the 3-way key, then files'
+    # footer min/max must be tighter than the global range on the listed
+    # dimensions. Two Morton preconditions, made explicit because the
+    # naive version of this test violated both: every dimension must FIT
+    # in `bits` (pmod wrapping scrambles a wider one) and must OCCUPY
+    # comparable high bits (a narrow dimension contributes only low key
+    # bits and never clusters — production OPTIMIZE ZORDER rescales by
+    # per-column min/max for exactly this reason).
+    import pyarrow.parquet as pq
+    import glob as g
+
+    hi = {c: ev.agg(F.max(c)).first()[0]
+          for c in ("user_id", "event_id")}
+    z = rel.zorder_key_n(
+        [
+            F.col("user_id") * int(16000 // hi["user_id"]),
+            F.col("event_id") * int(16000 // hi["event_id"]),
+            F.round(F.col("value") * 100).cast("long") * 3,
+        ],
+        bits=14,
+    )
+    def mean_spans(path: str) -> dict:
+        spans = {c: [] for c in ("user_id", "event_id")}
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for i in range(row.num_columns):
+                    col = row.column(i)
+                    name = col.path_in_schema
+                    if name in spans and col.statistics is not None:
+                        st = col.statistics
+                        spans[name].append(st.max - st.min)
+        assert all(spans.values())
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    out, naive = str(tmp_path / "z3"), str(tmp_path / "naive")
+    (
+        ev.withColumn("__z", z)
+        .repartitionByRange(64, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(out)
+    )
+    ev.repartition(64).write.parquet(naive)
+    zs, ns = mean_spans(out), mean_spans(naive)
+    # the judge of a clustering layout is the layout it replaces: the
+    # 3-way interleave must tighten per-file min/max on EVERY listed
+    # dimension versus a hash-random layout of the same file count
+    # (quantile cuts over Morton ranges don't halve every dimension in
+    # every file, so an absolute per-file bound is the wrong assert)
+    for c in zs:
+        assert zs[c] < ns[c] * 0.7, (c, zs[c], ns[c])
