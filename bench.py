@@ -185,6 +185,8 @@ HEADLINE = [
     "q172_retrieval_eval",
     # state durations: SCD2 intervals + horizon probe + one aggregate
     "q173_state_durations",
+    # 3-dim Morton key: 30 div/mod terms in one codegen span
+    "q174_zorder_3d",
 ]
 
 
@@ -279,6 +281,7 @@ def main() -> None:
         "q170_table_diff",
         "q172_retrieval_eval",
         "q173_state_durations",
+        "q174_zorder_3d",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

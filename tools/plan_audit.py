@@ -163,6 +163,15 @@ NOTES = {
         "durations are epoch-microsecond BIGINT differences, exact and "
         "additive, conserving each entity's total time at any scale."
     ),
+    "q174_zorder_3d": (
+        "the 3-way interleave is 30 div/mod terms in one whole-stage-"
+        "codegen span over the scan — zero shuffle for the key itself; "
+        "the one exchange is the gate's bucket aggregate. Layout payoff "
+        "(per-file min/max tightening on ALL listed dims vs a hash-"
+        "random baseline) is footer-asserted in test_relational, with "
+        "the two Morton preconditions documented: dimensions must fit "
+        "the bit budget and occupy comparable high bits (rescale)."
+    ),
     "q149_document_chunks": (
         "pure projection fan-out: sequence/explode/substring/md5 in one "
         "codegen span over the documents scan — ZERO exchanges. Output "
