@@ -298,17 +298,24 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wallclock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wallclock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    print(payload)
+    # Durability: BENCH_r07.json lost the head of the stdout capture to the
+    # driver's buffer limit ("parsed": null). Write the full JSON to a file
+    # next to the script so the artifact survives any capture truncation.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(payload + "\n")
     spark.stop()
 
 

@@ -309,6 +309,63 @@ def minhash_lsh_dedup(
     )
 
 
+def lsh_prefilter_jaccard_pairs(
+    df: DataFrame,
+    t_num: int = 1,
+    t_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH prefilter + integer-exact Jaccard verify: the
+    sub-quadratic 100 TB DEFAULT for near-dup pair generation, vs the
+    exact-but-superlinear ``prefix_filter_jaccard_pairs`` (the opt-in
+    audit path — its candidate set inherently outgrows corpus volume,
+    measured 12.5→40.6 s at 10× on the leakage-split bench, while LSH
+    candidates stay O(near-dup clusters)).
+
+    Candidates come from ``bands`` × ``rows_per_band`` MinHash band
+    collisions (q33's machinery: one shingle explode, one groupBy(doc)
+    with N parallel min-aggregates, one (band, bucket) shuffle); the
+    verify recomputes Jaccard on the FULL shingle sets and keeps pairs
+    with ``t_den·|A∩B| ≥ t_num·|A∪B|`` — integer-exact, so every
+    reported pair is a true pair (precision 1.0 by construction).
+
+    The recall contract: a true pair is reported iff the SAME
+    deterministic md5 band family collides it — so the output is a
+    deterministic, engine-independent function of the corpus that any
+    SQL engine with md5 can replay bit-for-bit (the oracle does exactly
+    that: same bands, same integer verify). With b bands of r rows the
+    miss probability for a pair at Jaccard s is (1 − s^r)^b — the
+    published S-curve; callers below the curve's knee accept boundary
+    movement on LOW-similarity pairs only, which for cluster-level
+    consumers (leakage splits) moves cluster boundaries, never breaks
+    the exactness of any reported similarity.
+    """
+    rows_per_band = num_hashes // bands
+    # same persist contract as minhash_lsh_dedup: signatures + both
+    # verify sides all derive from the compact pre-explode shingle table
+    sh_tbl = shingle_table(df, text_col, id_col, n).persist()
+    sig = _signatures_from_shingles(sh_tbl, num_hashes)
+    cand = lsh_candidate_pairs(lsh_buckets(sig, bands, rows_per_band)).persist()
+    a = sh_tbl.select(F.col("doc").alias("doc_a"), F.col("shs").alias("sh_a"))
+    b = sh_tbl.select(F.col("doc").alias("doc_b"), F.col("shs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(inter * t_den >= union * t_num)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+    )
+
+
 # --------------------------------------------------------------- SimHash ---
 
 SIMHASH_BITS = 64
@@ -1137,6 +1194,98 @@ def edit_distance_name_join(
 
 # --------------------------------------------------- prefix-filter join ---
 
+def prefix_filter_candidates(
+    sh_tbl: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from the prefix-filtered self-join
+    over a (doc, shs) shingle table — the stage whose cardinality decides
+    whether the exact join scales (tools/scaling_check.py records it per
+    scale point). All prunes are integer-exact and lossless:
+
+    - prefix filter: index only each doc's first
+      ``p = |d| − ⌈t·|d|⌉ + 1`` shingles in the global rare-first
+      (document frequency, shingle) order — two sets with J ≥ t MUST
+      collide inside their prefixes;
+    - length filter (per collision row): J ≥ t forces t·|B| ≤ |A| (and
+      symmetrically) — t_den·|A| ≥ t_num·|B|;
+    - AGGREGATED positional filter (per pair — the PPJoin+-tier
+      tightening of Xiao et al.'s per-collision bound): the required
+      overlap is α = ⌈t·(|A|+|B|)/(1+t)⌉. Every common element is
+      either a prefix×prefix collision (exactly ``cnt`` of those for
+      the pair) or sits OUTSIDE one side's prefix — and any such
+      element is greater in the global order than the pair's LAST
+      collision, hence after position i_last in A and j_last in B (the
+      order is total and shared, so both coordinates of the max
+      collision come from the same posting row and max() over each is
+      safe). So overlap ≤ cnt + min(|A|−i_last, |B|−j_last) — strictly
+      tighter than the old any-collision-passes filter
+      (cnt−1 ≤ min(i_last−i_first, j_last−j_first) telescopes it into
+      the per-row bound at the first collision). Soundness requires
+      cnt to count ALL collisions, so there is deliberately no per-row
+      positional pre-drop. The pair-level groupBy replaces a distinct —
+      same single exchange, strictly fewer candidates reaching the
+      verify join (measured at sf0.1 documents: 325,362 → 310,170
+      verified candidates at t=3/10, 498,421 → 477,829 at t=1/5; the
+      raw length-filtered collision space is 596k/766k pairs).
+    """
+    from pyspark.sql import Window
+
+    sh = sh_tbl.select("doc", F.explode_outer("shs").alias("sh"))
+    vocab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
+    # |d| rides along from the array — no second (unordered) window pass
+    sh_n = sh_tbl.select(
+        "doc", F.size("shs").alias("__n"), F.explode_outer("shs").alias("sh")
+    )
+    wo = Window.partitionBy("doc").orderBy("df_cnt", "sh")
+    prefix = (
+        sh_n.join(vocab, "sh")
+        .withColumn("__rn", F.row_number().over(wo))
+        .filter(
+            F.col("__rn")
+            <= F.col("__n")
+            - F.expr(f"({t_num} * __n + {t_den} - 1) div {t_den}")
+            + 1
+        )
+        .select("doc", "sh", "__n", "__rn")
+        # both self-join sides consume the join+window pipeline above;
+        # persist the (much smaller than the full index) prefix postings
+        # so it runs once
+        .persist()
+    )
+    a, b = prefix.alias("a").hint("merge"), prefix.alias("b").hint("merge")
+    alpha_agg = F.expr(
+        f"({t_num} * (n_a + n_b) + {t_num} + {t_den} - 1) "
+        f"div ({t_num} + {t_den})"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("a.__n") * t_den >= F.col("b.__n") * t_num)
+            & (F.col("b.__n") * t_den >= F.col("a.__n") * t_num),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("a.__rn").alias("i_last"),
+            F.max("b.__rn").alias("j_last"),
+            F.max("a.__n").alias("n_a"),  # constant per doc — max = the value
+            F.max("b.__n").alias("n_b"),
+        )
+        .filter(
+            F.col("cnt")
+            + F.least(
+                F.col("n_a") - F.col("i_last"), F.col("n_b") - F.col("j_last")
+            )
+            >= alpha_agg
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     t_num: int = 3,
@@ -1176,60 +1325,8 @@ def prefix_filter_jaccard_pairs(
     table is persisted for its four consumers (vocab, prefix, both
     verify sides) — same contract as ``jaccard_pairs``.
     """
-    from pyspark.sql import Window
-
     sh_tbl = shingle_table(df, text_col, id_col, n).persist()
-    sh = sh_tbl.select("doc", F.explode_outer("shs").alias("sh"))
-    vocab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
-    # |d| rides along from the array — no second (unordered) window pass
-    sh_n = sh_tbl.select(
-        "doc", F.size("shs").alias("__n"), F.explode_outer("shs").alias("sh")
-    )
-    wo = Window.partitionBy("doc").orderBy("df_cnt", "sh")
-    prefix = (
-        sh_n.join(vocab, "sh")
-        .withColumn("__rn", F.row_number().over(wo))
-        .filter(
-            F.col("__rn")
-            <= F.col("__n")
-            - F.expr(f"({t_num} * __n + {t_den} - 1) div {t_den}")
-            + 1
-        )
-        .select("doc", "sh", "__n", "__rn")
-        # both self-join sides consume the join+window pipeline above;
-        # persist the (much smaller than the full index) prefix postings
-        # so it runs once
-        .persist()
-    )
-    a, b = prefix.alias("a").hint("merge"), prefix.alias("b").hint("merge")
-    # PPJoin's two candidate-time prunes, both integer-exact:
-    # - length filter: J ≥ t forces t·|B| ≤ |A| (and symmetrically) —
-    #   t_den·|A| ≥ t_num·|B|;
-    # - position filter: the overlap needed is α = ⌈t·(|A|+|B|)/(1+t)⌉,
-    #   and a collision at positions (i, j) caps the still-possible
-    #   overlap at 1 + min(|A|−i, |B|−j) — prune the posting pair when
-    #   that cap can't reach α. This is what keeps the candidate set
-    #   near the true pair count instead of the raw prefix-collision
-    #   count (measured: 648k raw collisions → verify only what survives).
-    alpha = F.expr(
-        f"({t_num} * (a.__n + b.__n) + {t_num} + {t_den} - 1) "
-        f"div ({t_num} + {t_den})"
-    )
-    possible = 1 + F.least(
-        F.col("a.__n") - F.col("a.__rn"), F.col("b.__n") - F.col("b.__rn")
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc") < F.col("b.doc"))
-            & (F.col("a.__n") * t_den >= F.col("b.__n") * t_num)
-            & (F.col("b.__n") * t_den >= F.col("a.__n") * t_num)
-            & (possible >= alpha),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+    cand = prefix_filter_candidates(sh_tbl, t_num, t_den)
     sa = sh_tbl.select(F.col("doc").alias("doc_a"), F.col("shs").alias("sh_a"))
     sb = sh_tbl.select(F.col("doc").alias("doc_b"), F.col("shs").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

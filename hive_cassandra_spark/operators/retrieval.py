@@ -133,6 +133,35 @@ def with_bm25_term_score(df: DataFrame, out_col: str = "term_score") -> DataFram
     )
 
 
+def build_postings_index(
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Materialize the retrieval index once per corpus version: the
+    postings table at ``<path>/postings`` and the one-row corpus stats
+    at ``<path>/meta``. This is THE corpus pass — the build scans the
+    documents exactly twice (once exploded for postings, once
+    column-pruned for the doc count) and every downstream consumer
+    (BM25 top-k, qrels derivation, RRF's sparse leg, eval) reads only
+    the artifact, which is orders of magnitude smaller than the corpus.
+    At 100 TB the index build is the amortized nightly job; queries are
+    interactive against the parquet postings with min/max term pruning.
+    """
+    post = postings(df, id_col, text_col)
+    post.write.mode("overwrite").parquet(f"{path.rstrip('/')}/postings")
+    corpus_stats(df, post, id_col).write.mode("overwrite").parquet(
+        f"{path.rstrip('/')}/meta"
+    )
+
+
+def read_postings_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(postings, corpus_meta) from a ``build_postings_index`` artifact."""
+    base = path.rstrip("/")
+    return (
+        spark.read.parquet(f"{base}/postings"),
+        spark.read.parquet(f"{base}/meta"),
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -140,6 +169,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     post: DataFrame | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents per query by summed per-term BM25 score.
 
@@ -156,11 +186,18 @@ def bm25_topk(
     and querying the artifact — exactly how production retrieval
     systems amortize the corpus pass — collapses those replays to one
     scan of the (much smaller) postings table per stat.
+
+    ``corpus`` accepts a prebuilt one-row (n, a) corpus-stats table
+    (``corpus_stats()`` output, materialized next to the postings by
+    ``build_postings_index``); with both ``post`` and ``corpus`` given,
+    ``df`` is never touched — the fully-indexed serving path scans ZERO
+    document bytes.
     """
     if post is None:
         post = postings(df, id_col, text_col)
     stats = term_stats(post)
-    corpus = corpus_stats(df, post, id_col)
+    if corpus is None:
+        corpus = corpus_stats(df, post, id_col)
     scored = with_bm25_term_score(
         queries.join(post, "term")
         .join(F.broadcast(stats), "term")

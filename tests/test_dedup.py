@@ -688,3 +688,90 @@ def test_leakage_safe_split_no_cluster_spans_splits(spark, sf_dir):
     doc_counts = {r.split: r.n for r in
                   assigned.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert {s: v[0] for s, v in out.items()} == doc_counts
+
+
+def test_lsh_prefilter_pairs_exact_precision_subset(spark, sf_dir):
+    """The LSH-prefilter join's two-sided contract: every reported pair
+    is a TRUE pair at the integer threshold (precision 1.0 — the verify
+    recomputes Jaccard on the full shingle sets), and the reported set is
+    exactly {true pairs} ∩ {band collisions} — the deterministic recall
+    contract the oracle replays."""
+    docs = _docs(spark, sf_dir, 300)
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.lsh_prefilter_jaccard_pairs(
+               docs, t_num=1, t_den=5).collect()}
+    sets = _shingle_sets(spark, sf_dir, 300)
+    # precision: every reported pair passes the integer threshold with
+    # the exact jaccard of the full sets
+    for (a, b), j in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert inter * 5 >= union * 1, (a, b)
+        assert j == round(inter / union, 4)
+    # recall contract: reported == true pairs among the band collisions
+    sh_tbl = dedup.shingle_table(docs)
+    sig = dedup._signatures_from_shingles(sh_tbl, 12)
+    collisions = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(
+        dedup.lsh_buckets(sig, 4, 3)).collect()}
+    expected = set()
+    for (a, b) in collisions:
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 5 >= union * 1:
+            expected.add((a, b))
+    assert set(got) == expected
+
+
+def test_aggregated_positional_filter_is_lossless(spark, sf_dir):
+    """The PPJoin+-tier pair-level positional filter may only drop pairs
+    that CANNOT reach the threshold: the surviving candidate set must
+    contain every true pair (the exactness proof lives in
+    test_prefix_filter_equals_exhaustive; this isolates the new prune)."""
+    docs = _docs(spark, sf_dir, 300)
+    sh_tbl = dedup.shingle_table(docs)
+    cand = {(r.doc_a, r.doc_b)
+            for r in dedup.prefix_filter_candidates(sh_tbl, 3, 10).collect()}
+    sets = _shingle_sets(spark, sf_dir, 300)
+    ids = sorted(sets)
+    true_pairs = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 10 >= union * 3:
+                true_pairs.add((a, b))
+    assert true_pairs <= cand
+    # and the prune actually prunes: candidates < length-filtered space
+    assert len(cand) < len(ids) * (len(ids) - 1) // 2
+
+
+def test_lsh_leakage_split_no_cluster_spans_splits(spark, sf_dir):
+    """q175's invariant at doc granularity (the q163 test's mirror over
+    the LSH-prefiltered pair graph): every reported-near-dup cluster
+    lands wholly inside one split."""
+    from hive_cassandra_spark import queries as q
+    from hive_cassandra_spark.operators import relational
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.lsh_prefilter_jaccard_pairs(docs, t_num=1, t_den=5)
+    comp = dedup.neardup_components(pairs)
+    roots = docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select("doc_id", F.coalesce("component", "doc_id").alias("root"))
+    assigned = relational.deterministic_split(
+        roots, "root", {"train": 90, "eval": 10}, salt="leak"
+    )
+    spans = (
+        assigned.groupBy("root")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    out = {r.split: (r.n_docs, r.n_clusters)
+           for r in q.QUERIES["q175_lsh_leakage_split"].fn(
+               spark, sf_dir).collect()}
+    doc_counts = {r.split: r.n for r in
+                  assigned.groupBy("split")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {s: v[0] for s, v in out.items()} == doc_counts

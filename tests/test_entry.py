@@ -47,33 +47,39 @@ def test_registration_window_covers_every_family():
     names = list(entrymod.queries())
     window = set(names[:50])
     pinned = {
-        # survivors of earlier rotations (round-2..6 lessons; each earlier
-        # graduation is documented in queries.GRADUATED with cited rows)
-        "q72_contamination", "q73_pii_redact",
-        "q78_tokenize_ids", "q81_url_domains",
-        # round-6 capabilities: first driver row in r06, too young to leave
-        "q87_quality_cascade", "q89_bloom_filter", "q90_skew_salted_join",
-        "q96_corpus_mixing", "q97_chunk_dedup", "q98_heavy_hitters",
-        "q105_countmin_freq", "q106_bucketed_join", "q107_merkle_repair",
-        "q108_secondary_index", "q109_weighted_sample", "q110_zorder_key",
-        # round-7 rotation (r06 verdict item 1): the 18 never-driver-
-        # checked round-6 overflow capabilities earn their first rows
-        "q75_stream_static_join", "q76_mergeable_minhash",
-        "q91_stream_cell_sink", "q92_semantic_dedup",
-        "q94_store_compaction", "q95_incremental_dedup",
-        "q99_stream_incremental_dedup", "q111_stream_countmin",
-        "q112_snapshot_read", "q114_global_shuffle",
-        "q115_partitioned_rollup", "q117_analyze_stats",
-        "q121_histogram", "q122_curation_v2", "q123_stream_histogram",
-        "q124_store_scrub", "q125_maintenance_runbook",
-        "q126_weighted_sample_per_source",
-        # round-7 new capabilities: JPEG decode + multi-insert oracle
-        "q127_multimodal_jpeg", "q128_multi_insert",
-        # round-7 second rotation: the final 8 never-driver-hashed queries
-        "q88_exact_n_sample", "q93_stream_cell_tail",
-        "q104_stream_quantile_sketch", "q113_label_centroids",
-        "q116_stream_index", "q118_multimodal_gif",
-        "q119_multimodal_frames", "q120_audio_ulaw",
+        # round-8 window (r07 verdict item 1: the 46-query rotation debt).
+        # Relational flagship pair:
+        "q01_pricing_summary", "q03_shipping_priority",
+        # stayers — sole/required tag bearers first driver-green in r07,
+        # too young to leave under the multi-round graduation precedent
+        "q95_incremental_dedup", "q99_stream_incremental_dedup",
+        "q104_stream_quantile_sketch", "q111_stream_countmin",
+        "q113_label_centroids", "q116_stream_index", "q122_curation_v2",
+        "q123_stream_histogram", "q125_maintenance_runbook",
+        "q128_multi_insert",
+        # the 17 PENDING_ROTATION new-family bearers (the q87/q89
+        # two-round contract, honored)
+        "q129_cdc_apply", "q133_canonical_selection", "q135_bm25_retrieval",
+        "q136_funnel_analysis", "q137_cohort_retention", "q138_stream_funnel",
+        "q141_winnowing_pairs", "q142_sorted_neighborhood",
+        "q143_edit_distance_join", "q144_collocations",
+        "q146_prefix_filter_jaccard", "q149_document_chunks",
+        "q150_anomaly_zscore", "q152_pagerank", "q153_expectations",
+        "q160_jsonl_ingest", "q169_association_rules",
+        # coverage-required rotations (tags the departing bearers vacate)
+        "q131_gc_grace_compaction", "q132_temperature_mixture",
+        "q134_incremental_analyze", "q151_gopher_quality",
+        "q156_time_gapfill", "q166_multimodal_jpeg_color",
+        "q168_multimodal_jpeg_420", "q174_zorder_3d",
+        # priority never-hashed rotations (r07 verdict's named list)
+        "q147_pq_adc_topk", "q148_ivfpq_topk", "q157_hybrid_rrf",
+        "q162_scd2_history", "q163_leakage_safe_split",
+        "q165_incremental_agg", "q170_table_diff",
+        "q171_commit_log_vacuum", "q172_retrieval_eval",
+        "q173_state_durations",
+        # round-8 new capabilities
+        "q175_lsh_leakage_split", "q176_indexed_retrieval",
+        "q177_recovery_runbook",
     }
     assert pinned <= window, sorted(pinned - window)
     # every query (in or out) must carry family tags, and every overflow

@@ -294,3 +294,24 @@ def test_bm25_materialized_postings_collapses_corpus_scans(spark, sf_dir, tmp_pa
     # may be duplicated into the one-row broadcast probe's subtree)
     assert n_doc_scans(indexed) <= 2
     assert n_doc_scans(inline) >= 3 * n_doc_scans(indexed)
+
+
+def test_postings_index_serving_scans_zero_document_bytes(spark, sf_dir, tmp_path):
+    """q176's production contract: after build_postings_index, the
+    serving plan (ranking from post= + corpus=) reads ONLY the artifact —
+    zero scans of the documents parquet — and is row-identical to the
+    inline path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qset = spark.createDataFrame(
+        [("q1", "dup"), ("q1", "hash"), ("q2", "join")],
+        "query_id string, term string",
+    )
+    base = str(tmp_path / "idx")
+    retrieval.build_postings_index(docs, base)
+    post, corpus = retrieval.read_postings_index(spark, base)
+    served = retrieval.bm25_topk(None, qset, k=5, post=post, corpus=corpus)
+    inline = retrieval.bm25_topk(docs, qset, k=5)
+    key = lambda r: (r.query_id, r.rank, r.doc_id, r.score)  # noqa: E731
+    assert sorted(map(key, served.collect())) == sorted(map(key, inline.collect()))
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 0

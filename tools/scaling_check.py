@@ -28,7 +28,7 @@ Round-7 additions (r06 verdict items 2, 5, 7):
   workload ColumnFamilyWideRowRecordReader.java:240-429 exists for),
   paged + sliced + transposed, verified bounded per task at 1x and Nx.
 
-Writes SCALING_r07.json at the repo root (rendered into PLANS.md by
+Writes SCALING_r08.json at the repo root (rendered into PLANS.md by
 tools/plan_audit.py) and prints it.
 
 Usage: python tools/scaling_check.py [--replicas N[,M...]] [--trials T]
@@ -136,7 +136,46 @@ QUERIES_UNDER_TEST = [
     # fixed 2-row content-contract output.
     "q160_jsonl_ingest",
     "q164_optimize_compaction",
+    # round-8: the LSH-prefilter split (the sub-quadratic default whose
+    # whole claim is that candidate pairs track near-dup clusters, not
+    # volume² — candidate counts recorded per point, below) and the
+    # materialized-postings serving path (frequency-preserving replica,
+    # q135's contract; the timed cost is index build + artifact serve)
+    "q175_lsh_leakage_split",
+    "q176_indexed_retrieval",
 ]
+
+# r07 verdict item 5: for the pair-join queries the scaling table must
+# expose the CANDIDATE-pair growth rate explicitly, not just wall/shuffle
+# — the candidate stage is where quadratic blowup would live. Each entry
+# counts the pairs that reach the exact-verify join at that scale point.
+
+
+def _prefix_cand_count(tn: int, td: int):
+    def fn(spark, sf_dir: str) -> int:
+        from hive_cassandra_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sh_tbl = dedup.shingle_table(docs)
+        return dedup.prefix_filter_candidates(sh_tbl, tn, td).count()
+
+    return fn
+
+
+def _lsh_cand_count(spark, sf_dir: str) -> int:
+    from hive_cassandra_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh_tbl = dedup.shingle_table(docs)
+    sig = dedup._signatures_from_shingles(sh_tbl, 12)
+    return dedup.lsh_candidate_pairs(dedup.lsh_buckets(sig, 4, 3)).count()
+
+
+CANDIDATE_COUNT = {
+    "q146_prefix_filter_jaccard": _prefix_cand_count(3, 10),
+    "q163_leakage_safe_split": _prefix_cand_count(1, 5),
+    "q175_lsh_leakage_split": _lsh_cand_count,
+}
 # Expected row behavior across scale points — the result check (r06
 # verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
 # per-group / per-section outputs) and must be EQUAL at every point.
@@ -173,11 +212,17 @@ EXPECT_ROWS = {
     "q163_leakage_safe_split": "fixed",
     "q160_jsonl_ingest": "fixed",
     "q164_optimize_compaction": "fixed",
+    "q175_lsh_leakage_split": "fixed",
+    "q176_indexed_retrieval": "fixed",
     "wide_row_stress": "grows",
 }
 # q98 reads the frequency-preserving documents replica: token counts must
 # scale WITH the corpus for the MG threshold to keep the same survivors
-FREQ_PRESERVING = {"q98_heavy_hitters", "q135_bm25_retrieval"}
+FREQ_PRESERVING = {
+    "q98_heavy_hitters",
+    "q135_bm25_retrieval",
+    "q176_indexed_retrieval",
+}
 # which table each query reads (only these get synthesized)
 TABLES = ["documents", "embeddings", "events", "lineitem", "orders", "customer"]
 
@@ -414,6 +459,12 @@ def main() -> None:
                 "rows": rows,
                 "shuffle_mb": round(shuf / 1e6, 2),
             }
+            if name in CANDIDATE_COUNT:
+                # the frequency-preserving replica does not apply to the
+                # dedup queries, so count against the dir the query read
+                rec[label]["cand_pairs"] = CANDIDATE_COUNT[name](
+                    spark, sf_dir
+                )
         # result check (r06 verdict item 2): a scaled point that returns
         # a degenerate result is timing a near-empty plan, not evidence
         expect = EXPECT_ROWS[name]
@@ -439,15 +490,15 @@ def main() -> None:
             )
         out["queries"][name] = rec
         print(f"# {name}: {json.dumps(rec)}", file=sys.stderr)
-    if only is not None and os.path.exists("/root/repo/SCALING_r07.json"):
+    if only is not None and os.path.exists("/root/repo/SCALING_r08.json"):
         # --only refreshes a subset: merge into the existing rows rather
         # than discarding the un-rerun queries' measurements
-        with open("/root/repo/SCALING_r07.json") as f:
+        with open("/root/repo/SCALING_r08.json") as f:
             prev = json.load(f)
         merged = prev.get("queries", {})
         merged.update(out["queries"])
         out["queries"] = merged
-    with open("/root/repo/SCALING_r07.json", "w") as f:
+    with open("/root/repo/SCALING_r08.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     if failures:
