@@ -187,6 +187,15 @@ HEADLINE = [
     "q173_state_durations",
     # 3-dim Morton key: 30 div/mod terms in one codegen span
     "q174_zorder_3d",
+    # round-8: the sub-quadratic LSH-prefilter split (vs q163's exact
+    # audit path — the headline comparison the r07 verdict asked for),
+    # the materialized-postings build+serve, and the crash-recovery
+    # runbook (store build + compact + injected crash + recover + read)
+    "q175_lsh_leakage_split",
+    "q176_indexed_retrieval",
+    "q177_recovery_runbook",
+    # progressive JPEG: 4-scan SOF2 encode + scan-accumulating decode
+    "q178_multimodal_jpeg_progressive",
 ]
 
 
@@ -282,6 +291,10 @@ def main() -> None:
         "q172_retrieval_eval",
         "q173_state_durations",
         "q174_zorder_3d",
+        "q175_lsh_leakage_split",
+        "q176_indexed_retrieval",
+        "q177_recovery_runbook",
+        "q178_multimodal_jpeg_progressive",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

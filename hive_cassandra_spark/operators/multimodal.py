@@ -12,16 +12,19 @@ zlib DEFLATE + full scanline unfiltering — stdlib ``zlib`` + numpy, no
 PIL), **GIF** (87a/89a, from-scratch variable-width LZW with width
 growth and 4096-entry table resets, extension skipping, global/local
 palettes — validated against the canonical external 1×1 GIF89a vector)
-**JPEG** (baseline sequential ITU-T T.81, 8-bit grayscale: generated
-zigzag/DCT basis, canonical Huffman tables read from DHT, DPCM DC +
-run/size AC entropy coding, byte stuffing — encoder AND decoder, no
-libjpeg) and **WAV** (RIFF/PCM 16-bit mono, plus the G.711 mu-law
-format-7 telephony variant; animated multi-frame GIF89a on the video
-side) are encoded AND decoded below, so
+**JPEG** (ITU-T T.81, 8-bit grayscale: baseline sequential SOF0 AND
+progressive SOF2 — spectral selection + successive approximation with
+EOBn runs and correction-bit refinement — generated zigzag/DCT basis,
+canonical Huffman tables read from DHT, DPCM DC + run/size AC entropy
+coding, byte stuffing; encoder AND decoder for both modes, no libjpeg;
+color 4:4:4 and 4:2:0 baseline variants further below) and **WAV**
+(RIFF/PCM 16-bit mono, plus the G.711 mu-law format-7 telephony
+variant; animated multi-frame GIF89a on the video side) are encoded
+AND decoded below, so
 ``fake=False`` is a genuinely working path for those formats and for raw
-byte images. Formats that truly need an absent codec library (MP4 →
-ffmpeg; progressive/color JPEG → libjpeg) raise NotImplementedError at
-the exact branch the library call belongs. ``fake=True`` remains the
+byte images. The one format that truly needs an absent codec library
+(MP4 → ffmpeg) raises NotImplementedError at the exact branch the
+library call belongs. ``fake=True`` remains the
 deterministic byte-level fake (real schema, real partitioning, real
 batch plumbing — fake pixels).
 
@@ -685,13 +688,16 @@ def encode_jpeg_gray8(pixels: np.ndarray, qtable: np.ndarray | None = None) -> b
 
 
 def decode_jpeg_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a single-component baseline JPEG → (width, height, (h, w)
-    uint8 pixels). Parses DQT/SOF0/DHT/SOS from the file (tables come
-    from the stream — any Kraft-valid canonical DHT works), entropy-
-    decodes DPCM DC + run/size AC with 0xFF00 unstuffing, dequantizes,
-    un-zigzags, and applies the orthonormal IDCT. Progressive (SOF2),
-    multi-component, 12-bit, arithmetic-coded, and restart-interval
-    streams are out of the baseline-grayscale scope and raise."""
+    """Decode a single-component JPEG → (width, height, (h, w) uint8
+    pixels). Parses DQT/SOF/DHT/SOS from the file (tables come from the
+    stream — any Kraft-valid canonical DHT works), entropy-decodes with
+    0xFF00 unstuffing, dequantizes, un-zigzags, and applies the
+    orthonormal IDCT. Baseline (SOF0) streams decode inline; progressive
+    (SOF2) streams — spectral selection AND successive approximation —
+    dispatch to ``decode_jpeg_gray8_progressive`` (round 8: previously
+    the absent-library stub). Extended-sequential/lossless/arithmetic
+    (SOF1/3/5-7/9-11), 12-bit, multi-component, and restart-interval
+    streams remain out of the grayscale scope and raise."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -703,9 +709,11 @@ def decode_jpeg_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
-        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        if marker == 0xC2:
+            return decode_jpeg_gray8_progressive(data)
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) JPEG supported"
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
             )
         (ln,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + ln]
@@ -810,6 +818,441 @@ def decode_jpeg_gray8(data: bytes) -> tuple[int, int, np.ndarray]:
         .reshape(nby * 8, nbx * 8)
     )
     return w, h, out[:h, :w].copy()
+
+
+# Progressive AC table: EOBn run-length symbols (n<<4 | 0 for n = 0..14,
+# T.81 §G.1.2.2) join ZRL and the run/size symbols. Any Kraft-valid
+# length assignment is legal (the DHT rides in-stream); favor EOB0.
+_AC_PROG_LENGTHS = {0x00: 2, 0xF0: 6}
+_AC_PROG_LENGTHS.update({n << 4: 6 for n in range(1, 15)})
+_AC_PROG_LENGTHS.update(
+    {
+        (run << 4) | size: 12
+        for run in range(16)
+        for size in range(1, 11)
+        if (run << 4) | size not in _AC_PROG_LENGTHS
+    }
+)
+
+
+def encode_jpeg_gray8_progressive(
+    pixels: np.ndarray, qtable: np.ndarray | None = None
+) -> bytes:
+    """Encode a (h, w) uint8 array as a real PROGRESSIVE JPEG (ITU-T
+    T.81 §G — SOF2), exercising BOTH progressive modes:
+
+    - spectral selection: the coefficients ship in three bands —
+      DC-only scans, then AC 1..63;
+    - successive approximation: each band ships at point transform
+      Al=1 first (coefficients arithmetically/sign-magnitude shifted
+      right per §G.1.2.1) and is then refined to full precision by an
+      Al=0 correction-bit scan (§G.1.2.3: DC scans carry one raw bit
+      per block; AC refinement interleaves newly-significant run/size-1
+      symbols, their sign bits, buffered correction bits for
+      already-nonzero history, and shared EOBn end-of-band runs).
+
+    Scan script: (1) DC first Al=1, (2) AC 1-63 first Al=1 with EOBn
+    accumulation, (3) DC refine, (4) AC refine. The quantized
+    coefficients are identical to ``encode_jpeg_gray8``'s, so decoding
+    a progressive stream yields bit-identical pixels to the baseline
+    pipeline over the same source — the cross-codec exactness test.
+    Cleanroom from the published spec; no libjpeg."""
+    q = _JPEG_QTABLE if qtable is None else np.asarray(qtable, dtype=np.int64)
+    h, w = pixels.shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = pixels
+    padded[h:, :w] = pixels[-1:, :]
+    padded[:h, w:] = padded[:h, w - 1 : w]
+    padded[h:, w:] = padded[h - 1, w - 1]
+    nby, nbx = ph // 8, pw // 8
+    blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+    coefs = np.einsum("ij,yxjk,lk->yxil", _DCT_M, blocks, _DCT_M)
+    quants = np.round(coefs / q).astype(np.int64)
+    zzs = quants.reshape(nby * nbx, 64)[:, _ZIGZAG]
+
+    dc_bits, dc_vals = _canonical_table(_DC_LENGTHS)
+    ac_bits, ac_vals = _canonical_table(_AC_PROG_LENGTHS)
+    dc_codes = _huffman_codes(dc_bits, dc_vals)
+    ac_codes = _huffman_codes(ac_bits, ac_vals)
+
+    # ---- scan 1: DC first, Ss=Se=0, Ah=0, Al=1 (arithmetic >> per spec)
+    wr1 = _JpegBitWriter()
+    prev = 0
+    for bi in range(len(zzs)):
+        d = int(zzs[bi, 0]) >> 1
+        size, bits = _magnitude(d - prev)
+        prev = d
+        wr1.write(*dc_codes[size])
+        if size:
+            wr1.write(bits, size)
+
+    # ---- scan 2: AC first, Ss=1, Se=63, Ah=0, Al=1 (sign-magnitude >>)
+    wr2 = _JpegBitWriter()
+    eobrun = 0
+
+    def flush_eob(wr) -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            wr.write(*ac_codes[n << 4])
+            if n:
+                wr.write(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for bi in range(len(zzs)):
+        band = zzs[bi, 1:]
+        t = np.sign(band) * (np.abs(band) >> 1)
+        nz = np.nonzero(t)[0]
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob(wr2)
+            continue
+        flush_eob(wr2)
+        run = 0
+        last = int(nz[-1])
+        for k in range(last + 1):
+            v = int(t[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                wr2.write(*ac_codes[0xF0])
+                run -= 16
+            size, bits = _magnitude(v)
+            wr2.write(*ac_codes[(run << 4) | size])
+            wr2.write(bits, size)
+            run = 0
+        if last < 62:  # trailing zeros: this block's EOB joins the run
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob(wr2)
+    flush_eob(wr2)
+
+    # ---- scan 3: DC refinement, Ah=1, Al=0 — one raw bit per block
+    wr3 = _JpegBitWriter()
+    for bi in range(len(zzs)):
+        wr3.write(int(zzs[bi, 0]) & 1, 1)
+
+    # ---- scan 4: AC refinement, Ss=1, Se=63, Ah=1, Al=0 (§G.1.2.3)
+    wr4 = _JpegBitWriter()
+    eobrun = 0
+    pending: list[int] = []  # correction bits buffered inside the EOB run
+
+    def flush_eob4() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            wr4.write(*ac_codes[n << 4])
+            if n:
+                wr4.write(eobrun - (1 << n), n)
+            for b in pending:
+                wr4.write(b, 1)
+            eobrun = 0
+            pending = []
+
+    for bi in range(len(zzs)):
+        band = zzs[bi, 1:]
+        absv = np.abs(band)  # Al = 0 → no further shift
+        ones = np.nonzero(absv == 1)[0]
+        eob = int(ones[-1]) if len(ones) else -1
+        r = 0
+        br: list[int] = []  # this block's pending correction bits
+        for k in range(63):
+            temp = int(absv[k])
+            if temp == 0:
+                r += 1
+                continue
+            # ZRLs are needed only before a newly-significant coefficient;
+            # zeros past the last one fold into the EOB run instead
+            while r > 15 and k <= eob:
+                flush_eob4()
+                wr4.write(*ac_codes[0xF0])
+                r -= 16
+                for b in br:
+                    wr4.write(b, 1)
+                br = []
+            if temp > 1:  # already nonzero after scan 2 → correction bit
+                br.append(temp & 1)
+                continue
+            # newly significant (|v| == 1): run/size-1 + sign + buffered bits
+            flush_eob4()
+            wr4.write(*ac_codes[(r << 4) | 1])
+            wr4.write(0 if int(band[k]) < 0 else 1, 1)
+            for b in br:
+                wr4.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob4()
+    flush_eob4()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(int(x) for x in q.reshape(64)[_ZIGZAG]))
+    sof = seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    dht_ac = seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht_dc
+        + dht_ac
+        + sos(0, 0, 0, 1)
+        + wr1.flush()
+        + sos(1, 63, 0, 1)
+        + wr2.flush()
+        + sos(0, 0, 1, 0)
+        + wr3.flush()
+        + sos(1, 63, 1, 0)
+        + wr4.flush()
+        + b"\xff\xd9"
+    )
+
+
+class _ScanReader:
+    """Bit reader over one scan's entropy-coded segment: unstuffs FF00
+    once, then resolves symbols with the 16-bit-prefix LUT (same decode
+    shape as the baseline path)."""
+
+    def __init__(self, scan: bytes) -> None:
+        self.scan = scan.replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00\x00"
+        self.bp = 0
+
+    def _peek16(self) -> int:
+        b = self.bp >> 3
+        return (
+            int.from_bytes(self.scan[b : b + 4], "big") >> (16 - (self.bp & 7))
+        ) & 0xFFFF
+
+    def read_symbol(self, lut) -> int:
+        sym, lng = lut
+        peek = self._peek16()
+        s, ln = int(sym[peek]), int(lng[peek])
+        if ln == 0:
+            raise ValueError("invalid Huffman code in scan data")
+        self.bp += ln
+        return s
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self._peek16() >> (16 - n)
+        self.bp += n
+        return v
+
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
+
+def decode_jpeg_gray8_progressive(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a single-component PROGRESSIVE JPEG (SOF2) → (width,
+    height, (h, w) uint8 pixels). Accumulates the coefficient array
+    across an arbitrary scan script — DC first/refine, AC
+    spectral-selection bands at any Ss..Se, successive-approximation
+    first passes (Ah=0, coefficients scaled << Al) and refinement passes
+    (Ah>0: EOBn runs, ZRL over zero-history positions, correction bits
+    on nonzero history per T.81 §G.2) — then dequantizes, un-zigzags,
+    and IDCTs once at EOI. Cleanroom from the published spec."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    w = h = 0
+    comp_q = 0
+    coef: np.ndarray | None = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=b + 1)
+                nat = np.empty(64, dtype=np.int64)
+                nat[_ZIGZAG] = zz
+                qtables[tq] = nat.reshape(8, 8)
+                b += 65
+        elif marker == 0xC2:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "only 8-bit single-component progressive JPEG supported"
+                )
+            comp_q = body[8]
+            nby, nbx = (h + 7) // 8, (w + 7) // 8
+            coef = np.zeros((nby * nbx, 64), dtype=np.int64)
+        elif marker == 0xC0:
+            raise ValueError("baseline SOF0 inside the progressive decoder")
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nvals = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nvals])
+                huff[(tc, th)] = _decode_lut(bytes(bits), bytes(vals))
+                b += 17 + nvals
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:
+            if coef is None:
+                raise ValueError("SOS before SOF2")
+            if body[0] != 1:
+                raise NotImplementedError(
+                    "interleaved multi-component scans unsupported"
+                )
+            td, ta = body[2] >> 4, body[2] & 0xF
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0xF
+            scan_start = pos + 2 + ln
+            i = scan_start
+            while True:  # find the next real marker (skip stuffed FF00)
+                i = data.index(b"\xff", i)
+                nxt = data[i + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    i += 2
+                    continue
+                break
+            rd = _ScanReader(data[scan_start:i])
+            _decode_progressive_scan(rd, coef, huff, td, ta, ss, se, ah, al)
+            pos = i
+            continue
+        pos += 2 + ln
+    if coef is None or w == 0 or comp_q not in qtables:
+        raise ValueError("progressive JPEG missing SOF2/DQT")
+    q = qtables[comp_q]
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    nat = np.zeros((nby * nbx, 64), dtype=np.int64)
+    nat[:, _ZIGZAG] = coef
+    planes = nat.reshape(-1, 8, 8) * q
+    blocks = (
+        np.einsum("ji,njk,kl->nil", _DCT_M, planes.astype(np.float64), _DCT_M)
+        + 128.0
+    )
+    pix = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
+    out = (
+        pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+        .reshape(nby * 8, nbx * 8)
+    )
+    return w, h, out[:h, :w].copy()
+
+
+def _decode_progressive_scan(
+    rd: _ScanReader,
+    coef: np.ndarray,
+    huff: dict,
+    td: int,
+    ta: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Apply one progressive scan's coefficient updates (T.81 §G.2)."""
+    nblocks = len(coef)
+    if ss == 0:  # DC scan (Se must be 0 per spec)
+        if ah == 0:  # first pass: DPCM at point transform Al
+            dc = huff[(0, td)]
+            pred = 0
+            for bi in range(nblocks):
+                size = rd.read_symbol(dc)
+                if size:
+                    pred += _extend(rd.read_bits(size), size)
+                coef[bi, 0] = pred << al
+        else:  # refinement: one raw magnitude bit per block
+            p1 = 1 << al
+            for bi in range(nblocks):
+                if rd.read_bit():
+                    coef[bi, 0] |= p1
+        return
+    ac = huff[(1, ta)]
+    if ah == 0:  # AC first pass over band [Ss..Se]
+        eobrun = 0
+        for bi in range(nblocks):
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = rd.read_symbol(ac)
+                r, s = sym >> 4, sym & 15
+                if s == 0:
+                    if r < 15:  # EOBn: run covers this block too
+                        eobrun = (1 << r) - 1 + rd.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past end of band")
+                    coef[bi, k] = _extend(rd.read_bits(s), s) << al
+                    k += 1
+        return
+    # AC refinement pass (§G.2 / the published successive-approximation
+    # algorithm): correction bits on nonzero history, run/size-1 symbols
+    # for newly-significant coefficients, EOBn runs correcting the tail
+    p1 = 1 << al
+    eobrun = 0
+
+    def correct(bi: int, k: int) -> None:
+        c = int(coef[bi, k])
+        if rd.read_bit() and (c & p1) == 0:
+            coef[bi, k] = c + (p1 if c >= 0 else -p1)
+
+    for bi in range(nblocks):
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = rd.read_symbol(ac)
+                r, s = sym >> 4, sym & 15
+                newval = 0
+                if s == 0:
+                    if r < 15:  # EOBn (current block's tail handled below)
+                        eobrun = (1 << r) + rd.read_bits(r)
+                        break
+                    # r == 15 → ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("refinement size must be 1")
+                    newval = p1 if rd.read_bit() else -p1
+                while k <= se:
+                    if coef[bi, k] != 0:
+                        correct(bi, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("refinement run past end of band")
+                    coef[bi, k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coef[bi, k] != 0:
+                    correct(bi, k)
+                k += 1
+            eobrun -= 1
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
@@ -953,19 +1396,22 @@ def attach_image_payload(
     per-byte fraction (64 copies each), which is what the q127 oracle
     replays. The entropy path is still fully real: DPCM DC categories,
     Huffman, EOB, stuffing."""
-    if container not in ("bmp", "png", "gif", "jpeg", "jpeg444", "jpeg420"):
+    if container not in (
+        "bmp", "png", "gif", "jpeg", "jpeg_prog", "jpeg444", "jpeg420"
+    ):
         raise ValueError(f"unsupported image container {container!r}")
     encode = {
         "bmp": encode_bmp_gray8,
         "png": encode_png_gray8,
         "gif": encode_gif_gray8,
         "jpeg": encode_jpeg_gray8,
+        "jpeg_prog": encode_jpeg_gray8_progressive,
         "jpeg444": encode_jpeg_color444,
         "jpeg420": encode_jpeg_color420,
     }[container]
     fmt = (
         "image/jpeg"
-        if container in ("jpeg444", "jpeg420")
+        if container in ("jpeg_prog", "jpeg444", "jpeg420")
         else f"image/{container}"
     )
 
@@ -973,7 +1419,7 @@ def attach_image_payload(
         for pdf in batches:
             payloads, metas = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                if container in ("jpeg", "jpeg444", "jpeg420"):
+                if container in ("jpeg", "jpeg_prog", "jpeg444", "jpeg420"):
                     if container == "jpeg420":
                         # 4:2:0 exactness needs CONSTANT 16x16 macro-
                         # blocks (chroma averages a 2x2 group, which must
@@ -1126,7 +1572,7 @@ def decode_payload_bytes(buf: bytes, fmt: str) -> bytes:
         return bytes(buf)
     raise NotImplementedError(
         f"decode of format {fmt!r} needs an absent codec library "
-        "(ffmpeg for video containers; libjpeg for progressive/color JPEG)"
+        "(ffmpeg for video containers)"
     )
 
 

@@ -7940,9 +7940,12 @@ def q162_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(splitting by doc id leaks train near-dups into eval and "
     "inflates held-out scores). Composition of three gated "
     "capabilities; the only additions are a left join of docs to "
-    "their component root and a cluster-level rollup. Shares "
-    "dedup_jaccard (q146) and dedup_components (q133) tags — stands "
-    "down to ordinary overflow once those bearers rotate in-window",
+    "their component root and a cluster-level rollup. Since round 8 "
+    "this exact-PPJoin variant is the AUDIT path: q175 (MinHash-LSH "
+    "prefilter + exact verify) is the sub-quadratic production "
+    "default — exact candidates inherently outgrow volume "
+    "(SCALING_r07: 12.5→40.6 s at 10×), LSH candidates track "
+    "near-dup clusters",
 )
 def q163_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -8955,6 +8958,68 @@ def q177_recovery_runbook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q178_multimodal_jpeg_progressive",
+    # q127's byte-histogram oracle verbatim: the payload plane is the
+    # same constant-8x8-block fixture, and the progressive pipeline's
+    # quantized coefficients are identical to the baseline encoder's, so
+    # the decoded plane equals the source exactly. What changed is the
+    # WIRE FORMAT and the decode path: four SOF2 scans (DC/AC spectral
+    # bands, each at Al=1 then refined to Al=0) accumulated into the
+    # coefficient array before one IDCT — the Spark side genuinely
+    # decodes EOBn runs, ZRL-over-history, and correction bits.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len,
+                      CAST(doc_id % 8 + 2 AS BIGINT)
+                        * CAST(doc_id % 6 + 2 AS BIGINT) AS n
+               FROM documents),
+         nib AS (SELECT doc_id, n,
+                        unnest(list_transform(range(0, n),
+                          i -> CASE WHEN i < len
+                               THEN strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1
+                               ELSE 0 END)) AS bin
+                 FROM d),
+         counts AS (SELECT doc_id, bin, count(*) AS c, any_value(n) AS n
+                    FROM nib GROUP BY 1, 2),
+         f AS (SELECT doc_id, bin, round_even(c * 1.0 / n, 6) AS fb FROM counts)
+    SELECT doc_id,
+           coalesce(max(CASE WHEN bin = 0 THEN fb END), 0.0) AS f0,
+           coalesce(max(CASE WHEN bin = 7 THEN fb END), 0.0) AS f7,
+           round(sum(fb), 4) AS f_sum
+    FROM f GROUP BY doc_id
+    """,
+    doc="REAL progressive JPEG (ITU-T T.81 SOF2) decode + feature-extract "
+    "via Arrow mapInPandas: payloads are genuine progressive JPEGs from "
+    "the from-scratch encoder — four scans exercising BOTH progressive "
+    "modes (spectral selection DC/AC bands; successive approximation "
+    "Al=1 first passes + correction-bit refinement with EOBn end-of-band "
+    "runs, §G.1.2.3) — entropy-decoded scan-by-scan into the coefficient "
+    "array, then dequantized + IDCT'd (encode_jpeg_gray8_progressive / "
+    "decode_jpeg_gray8_progressive, no libjpeg). Closes the r07 "
+    "verdict's last multimodal stub (progressive JPEG was an "
+    "absent-library NotImplementedError branch). Ordinary overflow of "
+    "the multimodal family (q166/q168 in-window); pixels are proven "
+    "bit-identical to the baseline pipeline in test_multimodal",
+)
+def q178_multimodal_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    feats = multimodal.extract_features(
+        multimodal.attach_image_payload(docs, container="jpeg_prog"),
+        fake=False,
+    )
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("f_sum"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9462,6 +9527,10 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q177_recovery_runbook": {
         "crash_recovery", "lww", "connector_datasource",
     },
+    # progressive JPEG: ordinary overflow of the multimodal family
+    # (q166/q168 bear it in-window); the fifth real face of the T.81
+    # codec tier (q127 gray baseline, q166 4:4:4, q168 4:2:0)
+    "q178_multimodal_jpeg_progressive": {"multimodal"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

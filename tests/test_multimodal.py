@@ -488,12 +488,13 @@ def test_jpeg_decoder_rejects_out_of_scope_streams():
 
     with pytest.raises(ValueError, match="SOI"):
         multimodal.decode_jpeg_gray8(b"nope")
-    # progressive (SOF2) explicitly out of scope
+    # extended sequential (SOF1) explicitly out of scope (progressive
+    # SOF2 became a real decode path in round 8 — tested below)
     img = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(multimodal.encode_jpeg_gray8(img))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    data[i + 1] = 0xC1
+    with pytest.raises(NotImplementedError, match="SOF0"):
         multimodal.decode_jpeg_gray8(bytes(data))
 
 
@@ -681,3 +682,107 @@ def test_jpeg_420_and_444_reject_each_other():
         multimodal.decode_jpeg_color420(
             multimodal.encode_jpeg_gray8(np.zeros((8, 8), dtype=np.uint8))
         )
+
+
+def test_jpeg_progressive_matches_baseline_pixels():
+    """The cross-codec exactness contract: the progressive encoder uses
+    the same FDCT/quantization as the baseline one, so decoding the SOF2
+    stream must yield BIT-IDENTICAL pixels to the baseline pipeline over
+    the same source — any error in the four-scan accumulation (DC/AC
+    bands, successive-approximation refinement) breaks the equality."""
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(0, 256, (24, 32), dtype=np.uint8),
+        np.full((16, 16), 77, dtype=np.uint8),
+        np.add.outer(np.arange(40), np.arange(56)).astype(np.uint8),
+        np.array([[200]], dtype=np.uint8),          # 1x1
+        rng.integers(0, 256, (7, 9), dtype=np.uint8),   # odd dims
+        (rng.integers(0, 256, (32, 32))
+         * (rng.random((32, 32)) < 0.05)).astype(np.uint8),  # sparse AC
+        (128 + 100 * np.sin(
+            np.add.outer(np.arange(48), np.arange(48)) / 9.0
+        )).astype(np.uint8),                        # smooth → long EOB runs
+    ]
+    for img in cases:
+        base = multimodal.decode_jpeg_gray8(multimodal.encode_jpeg_gray8(img))
+        prog = multimodal.decode_jpeg_gray8(
+            multimodal.encode_jpeg_gray8_progressive(img)
+        )
+        assert base[:2] == prog[:2]
+        assert np.array_equal(base[2], prog[2]), img.shape
+
+
+def test_jpeg_progressive_stream_is_really_sof2():
+    """The payload must be genuine progressive JPEG: SOF2 marker, FOUR
+    SOS scans (DC first, AC first, DC refine, AC refine), and the
+    baseline-only branch must be unreachable for it."""
+    img = np.add.outer(np.arange(24), np.arange(24)).astype(np.uint8)
+    data = multimodal.encode_jpeg_gray8_progressive(img)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    # count SOS markers outside entropy data is fiddly; the scan headers
+    # we emit are distinctive 8-byte segments
+    import struct as _s
+    n_sos, pos = 0, 2
+    while pos + 4 <= len(data):
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = _s.unpack_from(">H", data, pos + 2)
+        if marker == 0xDA:
+            n_sos += 1
+            # skip entropy data to the next marker
+            i = pos + 2 + ln
+            while True:
+                i = data.index(b"\xff", i)
+                if data[i + 1] == 0x00:
+                    i += 2
+                    continue
+                break
+            pos = i
+            continue
+        pos += 2 + ln
+    assert n_sos == 4
+    # and the q127-style constant-block fixture decodes exactly
+    blocks = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    plane = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    w, h, out = multimodal.decode_jpeg_gray8(
+        multimodal.encode_jpeg_gray8_progressive(plane)
+    )
+    assert (w, h) == (32, 24)
+    assert np.array_equal(out, plane)
+
+
+def test_jpeg_progressive_refinement_carries_information():
+    """Successive approximation is real, not a formality: decoding only
+    the first two scans (truncate before the refinement scans) must give
+    a DIFFERENT — coarser — image than the full stream for content with
+    odd coefficients, while the full stream is exact vs baseline."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    data = multimodal.encode_jpeg_gray8_progressive(img)
+    # locate the third SOS (DC refinement) and truncate there + EOI
+    import struct as _s
+    n_sos, pos = 0, 2
+    while pos + 4 <= len(data):
+        marker = data[pos + 1]
+        (ln,) = _s.unpack_from(">H", data, pos + 2)
+        if marker == 0xDA:
+            n_sos += 1
+            if n_sos == 3:
+                truncated = data[:pos] + b"\xff\xd9"
+                break
+            i = pos + 2 + ln
+            while True:
+                i = data.index(b"\xff", i)
+                if data[i + 1] == 0x00:
+                    i += 2
+                    continue
+                break
+            pos = i
+            continue
+        pos += 2 + ln
+    full = multimodal.decode_jpeg_gray8(data)[2]
+    coarse = multimodal.decode_jpeg_gray8_progressive(truncated)[2]
+    assert not np.array_equal(full, coarse)
+    base = multimodal.decode_jpeg_gray8(multimodal.encode_jpeg_gray8(img))[2]
+    assert np.array_equal(full, base)
