@@ -202,7 +202,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    spark = get_spark("bench")
+    # 8g driver heap (fresh process → effective): the default 1g JVM died
+    # with OOM around headline query ~70 in round 8 — the queries persist
+    # intermediate tables (shingle/prefix/candidate) that only the
+    # ContextCleaner reclaims, and its GC-driven pace loses to a 100-query
+    # back-to-back run. Paired with the per-query clearCache below.
+    spark = get_spark("bench", extra_conf={"spark.driver.memory": "8g"})
 
     # Warmup: JVM, parquet footers, and — at the tiny sf0.001 fixture —
     # whole-stage-codegen compilation of the heaviest expression trees
@@ -309,6 +314,11 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # drop the query's leaked persists (operators persist multi-
+        # consumer intermediates and rely on the ContextCleaner, which
+        # can't keep pace with ~100 back-to-back queries): every query
+        # starts cold-cache, same as the first one did
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     payload = json.dumps(

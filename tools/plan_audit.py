@@ -43,6 +43,45 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q175_lsh_leakage_split": (
+        "the sub-quadratic production split (r07 verdict item 2): "
+        "candidates come from MinHash band collisions — one shingle "
+        "explode, one groupBy(doc) with 12 parallel min-aggregates, one "
+        "(band, bucket) exchange — so the candidate set tracks near-dup "
+        "clusters, not volume² (SCALING_r08 records cand_pairs per "
+        "point); the verify is an integer-exact Jaccard on the FULL "
+        "shingle sets of candidates only. Recall is the (1−s^r)^b "
+        "S-curve and the whole function is deterministic, so the DuckDB "
+        "oracle replays the identical bands + verify bit-for-bit. "
+        "q163's exact PPJoin stays as the audit path."
+    ),
+    "q176_indexed_retrieval": (
+        "the materialized-postings serving path (r07 verdict item 3): "
+        "build_postings_index scans the documents parquet exactly TWICE "
+        "(postings explode + corpus count — vs 11 scans / 25 exchanges "
+        "in q172's inline plan, PLANS r07), then the BM25 ranking, the "
+        "derived qrels, AND the eval all read only the parquet "
+        "postings artifact — the serving plan contains zero document "
+        "scans (plan-asserted in test_retrieval). At 100 TB the build "
+        "is the amortized nightly job; queries are interactive."
+    ),
+    "q177_recovery_runbook": (
+        "store build (3 append generations) + compact_store + an "
+        "injected between-renames crash (REAL artifacts: the completed "
+        "compacted dir parked as .compacting-T, the pre-compaction "
+        "store as .old-T) + recover_store roll-forward + read-back "
+        "rollup. Recovery itself is pure driver-side dirent work — "
+        "zero data movement; the timed cost is the store write + "
+        "compaction it shares with q94."
+    ),
+    "q178_multimodal_jpeg_progressive": (
+        "same Arrow mapInPandas batch shape as q127 (repartitioned to "
+        "defaultParallelism before the CPU-bound kernel); the decode "
+        "accumulates FOUR SOF2 scans (DC/AC spectral bands at Al=1, "
+        "then correction-bit refinements) into the coefficient array "
+        "before a single vectorized IDCT — scan cost is entropy-coded "
+        "bytes, paid once per scan, still linear in payload bytes."
+    ),
     "q156_time_gapfill": (
         "the spine is PER-ENTITY (sequence/explode bounded by each "
         "entity's own min→max hour span — never entity × global span), "
@@ -755,7 +794,10 @@ def main() -> None:
     from hive_cassandra_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark("plan-audit")
+    # same heap posture as bench.py (fresh process → effective): ~110
+    # back-to-back queries leak operator persists faster than the
+    # GC-driven ContextCleaner reclaims them under the 1g default
+    spark = get_spark("plan-audit", extra_conf={"spark.driver.memory": "8g"})
     out = [
         "# PLANS — physical-plan audit of the headline queries",
         "",
@@ -785,6 +827,7 @@ def main() -> None:
             )
         else:
             out.append(audit(name, df))
+        spark.catalog.clearCache()  # drop the query's leaked persists
     out.append(_scaling_section())
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
