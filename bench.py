@@ -196,6 +196,8 @@ HEADLINE = [
     "q177_recovery_runbook",
     # progressive JPEG: 4-scan SOF2 encode + scan-accumulating decode
     "q178_multimodal_jpeg_progressive",
+    # BPE merge learning: 5 vocab-sized rounds, 1-row argmax broadcasts
+    "q179_bpe_merges",
 ]
 
 
@@ -300,6 +302,7 @@ def main() -> None:
         "q176_indexed_retrieval",
         "q177_recovery_runbook",
         "q178_multimodal_jpeg_progressive",
+        "q179_bpe_merges",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

@@ -467,3 +467,90 @@ def chunk_documents(
             ).alias("chunk_md5"),
         )
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merges over the
+    corpus vocabulary (Sennrich et al. ACL'16 — the canonical tokenizer-
+    training step): returns ``(step, pair, freq)`` — the merge table, in
+    learned order.
+
+    Relational shape (the 100 TB consideration): the corpus is scanned
+    ONCE, into a (word, count) vocabulary — after that every merge round
+    operates on the VOCABULARY, whose size is corpus-independent, so the
+    iterative part costs O(n_merges × |vocab|) regardless of corpus
+    bytes. Each round is: one explode of adjacent symbol pairs weighted
+    by word count, one map-side-combinable sum aggregate, a 1-row
+    total-ordered argmax (freq DESC, pair ASC — deterministic ties)
+    broadcast back, and one literal string replace applying the merge.
+    ``localCheckpoint`` truncates the per-round lineage (the PageRank
+    contract, `graph.py`).
+
+    Determinism/oracle contract: words are represented as
+    space-separated symbol strings padded with one leading/trailing
+    space, and a merge of pair ``a b`` is the literal replacement of
+    ``' a b '`` by ``' ab '`` — left-to-right, non-overlapping, exactly
+    the semantics of Java's ``String.replace`` (Spark), DuckDB's
+    ``replace``, and Python's ``str.replace``, so the greedy merge is
+    engine-replayable bit-for-bit. Only ASCII-printable words enter the
+    vocabulary: Java regexes split astral characters into UTF-16
+    surrogates while RE2 (DuckDB) is codepoint-based, so the symbolize
+    step is pinned to the subset where the engines agree — documented
+    recall boundary, not a correctness hazard."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w").rlike("^[!-~]+$"))  # ASCII-printable only
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # "hello" -> " h e l l o " (padded so every pair occurrence is the
+    # literal ' a b ' — boundary-safe for the replace-based merge)
+    cur = words.select(
+        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+        "n",
+    ).localCheckpoint(eager=False)
+    merges: DataFrame | None = None
+    for step in range(1, n_merges + 1):
+        arr = F.split(F.trim(F.col("s")), " ")
+        # adjacent pairs: zip the array with its own tail; zip_with pads
+        # the shorter side with NULL, and concat propagates it -> the
+        # trailing NULL pair drops at the filter
+        pairs = F.zip_with(
+            arr,
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        pair_counts = (
+            cur.select(F.explode(pairs).alias("p"), F.col("n"))
+            .filter(F.col("p").isNotNull())
+            .groupBy("p")
+            .agg(F.sum("n").cast("long").alias("freq"))
+        )
+        best = pair_counts.orderBy(F.desc("freq"), F.asc("p")).limit(1)
+        step_row = best.select(
+            F.lit(step).alias("step"),
+            F.col("p").alias("pair"),
+            "freq",
+        )
+        merges = step_row if merges is None else merges.unionByName(step_row)
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(" "), F.col("p"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("p"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                ).alias("s"),
+                "n",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return merges

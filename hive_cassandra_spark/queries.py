@@ -9020,6 +9020,71 @@ def q178_multimodal_jpeg_progressive(
     )
 
 
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB replay of ``text.bpe_merges``: each merge round is
+    a pair-count CTE, a total-ordered 1-row argmax, and the literal
+    ``' a b '`` → ``' ab '`` replace — the same left-to-right
+    non-overlapping semantics Spark's replace (Java String.replace)
+    applies, so the greedy merge sequence matches bit-for-bit."""
+    parts = [
+        "WITH w AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS n",
+        f"           FROM (SELECT unnest({_SQL_TOKS}) AS t FROM documents)",
+        "           WHERE regexp_matches(t, '^[!-~]+$') GROUP BY 1),",
+        "s0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, n"
+        " FROM w)",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f", p{i} AS (SELECT p, CAST(sum(n) AS BIGINT) AS freq FROM ("
+            f"SELECT unnest(list_transform(range(1, len(a)),"
+            f" j -> a[j] || ' ' || a[j+1])) AS p, n"
+            f" FROM (SELECT string_split(trim(s), ' ') AS a, n FROM s{i-1})"
+            f") GROUP BY 1)"
+        )
+        parts.append(
+            f", b{i} AS (SELECT p, freq FROM p{i}"
+            f" ORDER BY freq DESC, p LIMIT 1)"
+        )
+        parts.append(
+            f", s{i} AS (SELECT replace(s, ' ' || b{i}.p || ' ',"
+            f" ' ' || replace(b{i}.p, ' ', '') || ' ') AS s, n"
+            f" FROM s{i-1} CROSS JOIN b{i})"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, p AS pair, freq FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f" {selects}")
+    return "\n".join(parts)
+
+
+@register(
+    "q179_bpe_merges",
+    # The oracle unrolls the five merge rounds as CTE chains; every
+    # decision is engine-exact — BIGINT pair counts, (freq DESC, pair
+    # ASC) total-ordered argmax, literal non-overlapping replace — so
+    # the learned merge TABLE (not just counts) must hash-match.
+    oracle=_bpe_oracle_sql(5),
+    doc="BPE merge learning (text.bpe_merges — Sennrich et al. ACL'16, "
+    "the canonical tokenizer-training step): learn the first five "
+    "byte-pair merges over the corpus vocabulary. The corpus is "
+    "scanned ONCE into a (word, count) vocabulary; every merge round "
+    "then costs O(|vocab|) regardless of corpus bytes — one weighted "
+    "adjacent-pair explode + map-side-combined sum, a 1-row "
+    "deterministic argmax broadcast back, one literal string replace, "
+    "localCheckpoint lineage truncation per round (the PageRank "
+    "contract). Greedy-merge semantics are pinned to left-to-right "
+    "non-overlapping literal replacement, identical across Java/"
+    "DuckDB/Python, and the vocabulary is pinned to ASCII-printable "
+    "words (Java regexes split astral chars into UTF-16 surrogates; "
+    "RE2 is codepoint-based — documented engine-agreement boundary). "
+    "New tokenizer_training capability: PENDING_ROTATION for a "
+    "round-9 window slot",
+)
+def q179_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=5)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9531,6 +9596,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # (q166/q168 bear it in-window); the fifth real face of the T.81
     # codec tier (q127 gray baseline, q166 4:4:4, q168 4:2:0)
     "q178_multimodal_jpeg_progressive": {"multimodal"},
+    # BPE merge learning: a new capability family (tokenizer training)
+    # that landed after the round-8 window froze — PENDING_ROTATION
+    "q179_bpe_merges": {"tokenizer_training"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -9539,7 +9607,12 @@ QUERY_FAMILIES: dict[str, set[str]] = {
 # for rotation into the window next round — exactly how q67-q70 moved
 # in during round 3. Keep this list short-lived: anything still here two
 # rounds after introduction is a bookkeeping failure.
-PENDING_ROTATION: set[str] = set()
+PENDING_ROTATION: set[str] = {
+    # r08 post-freeze addition: BPE merge learning — the
+    # tokenizer_training family has no in-window bearer, so it takes a
+    # round-9 slot (the q87/q89 two-round contract applies)
+    "q179_bpe_merges",
+}
 # Round 8: EMPTY, as the contract requires. Every r07 post-freeze
 # capability took its window slot in the round-8 rotation above (q129,
 # q133, q135-q138, q141-q144, q146, q149/q150/q152/q153, q160, q169),

@@ -250,3 +250,62 @@ def test_chunk_documents_overlap_covers_boundaries(spark):
         assert s1 < e0  # strictly overlapping, no gap
     with pytest.raises(ValueError):
         text.chunk_documents(df, size=100, stride=101)
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    """text.bpe_merges vs a from-scratch Python BPE: same vocabulary
+    build, same greedy left-to-right merge semantics (str.replace), same
+    (freq DESC, pair ASC) tie-break — the learned merge table must match
+    exactly, on a constructed corpus with deliberate ties and repeats
+    AND on the real fixture."""
+    import collections
+    import re
+
+    from hive_cassandra_spark.operators import text as text_ops
+
+    def py_bpe(texts, n_merges):
+        words = collections.Counter()
+        for t in texts:
+            for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+                if w and re.fullmatch(r"[!-~]+", w):
+                    words[w] += 1
+        vocab = {" " + " ".join(w) + " ": n for w, n in words.items()}
+        out = []
+        for step in range(1, n_merges + 1):
+            pairs = collections.Counter()
+            for s, n in vocab.items():
+                syms = s.split()
+                for a, b in zip(syms, syms[1:]):
+                    pairs[f"{a} {b}"] += n
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, best[0], best[1]))
+            pat = " " + best[0] + " "
+            rep = " " + best[0].replace(" ", "") + " "
+            vocab = collections.Counter(
+                {s.replace(pat, rep): n for s, n in vocab.items()}
+            )
+        return out
+
+    corpus = [
+        "low low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest",
+        "ties tees ties tees",  # tie-break exercise
+        "aaa aaa aaab",         # overlapping same-symbol pairs
+        "Ünïcode stays out 😀",  # non-ASCII words excluded
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = [(r.step, r.pair, r.freq)
+           for r in text_ops.bpe_merges(df, n_merges=5).orderBy("step").collect()]
+    assert got == py_bpe(corpus, 5)
+    # and on the real fixture (first 200 docs) — the oracle-gate shape
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    texts = [r.text for r in docs.collect()]
+    got2 = [(r.step, r.pair, r.freq)
+            for r in text_ops.bpe_merges(docs, n_merges=3).orderBy("step").collect()]
+    assert got2 == py_bpe(texts, 3)
