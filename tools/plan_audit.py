@@ -43,6 +43,15 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q179_bpe_merges": (
+        "the corpus is scanned ONCE into the (word, count) vocabulary; "
+        "all five merge rounds then operate on vocab-sized checkpointed "
+        "tables — each round is one pair-explode + map-side-combined "
+        "sum, a 1-row total-ordered argmax joined back as a broadcast "
+        "nested loop (1 row — the legitimate BNLJ), and a literal "
+        "replace projection. Corpus bytes never re-enter after round 0, "
+        "so n_merges scales the vocab-sized tail, not the corpus scan."
+    ),
     "q175_lsh_leakage_split": (
         "the sub-quadratic production split (r07 verdict item 2): "
         "candidates come from MinHash band collisions — one shingle "
@@ -652,9 +661,11 @@ def _scaling_section() -> str:
     import json as _json
     import os as _os
 
-    path = "/root/repo/SCALING_r07.json"
-    if not _os.path.exists(path):
-        path = "/root/repo/SCALING_r06.json"
+    path = "/root/repo/SCALING_r08.json"
+    for fallback in ("SCALING_r07.json", "SCALING_r06.json"):
+        if _os.path.exists(path):
+            break
+        path = f"/root/repo/{fallback}"
     if not _os.path.exists(path):
         return ""
     with open(path) as f:
@@ -679,14 +690,20 @@ def _scaling_section() -> str:
         + " | ".join(f"shuffle {k} (MB)" for k in ["a"] + labs)
         + " | "
         + " | ".join(f"shuffle ratio {k}/a" for k in labs)
-        + " | rows check |",
-        "|" + "---|" * (2 + 2 * (1 + len(labs)) + len(labs)),
+        + " | cand pairs (" + " / ".join(["a"] + labs) + ") | rows check |",
+        "|" + "---|" * (3 + 2 * (1 + len(labs)) + len(labs)),
     ]
     for name, r in data["queries"].items():
+        cand = (
+            " / ".join(str(r[k].get("cand_pairs")) for k in ["a"] + labs)
+            if "cand_pairs" in r["a"]
+            else "—"
+        )
         cells = (
             [str(r[k]["sec"]) for k in ["a"] + labs]
             + [str(r[k]["shuffle_mb"]) for k in ["a"] + labs]
             + [str(r.get(f"shuffle_ratio_{k}")) for k in labs]
+            + [cand]
             + [str(r.get("rows_check", "n/a"))]
         )
         lines.append("| " + name + " | " + " | ".join(cells) + " |")
