@@ -198,6 +198,10 @@ HEADLINE = [
     "q178_multimodal_jpeg_progressive",
     # BPE merge learning: 5 vocab-sized rounds, 1-row argmax broadcasts
     "q179_bpe_merges",
+    # perceptual image dedup: decode + dHash kernel, banded Hamming pairs
+    "q180_image_dedup_dhash",
+    # k-anonymity audit: 3 level aggregates + join-back + rollup
+    "q181_k_anonymity",
 ]
 
 
@@ -303,6 +307,8 @@ def main() -> None:
         "q177_recovery_runbook",
         "q178_multimodal_jpeg_progressive",
         "q179_bpe_merges",
+        "q180_image_dedup_dhash",
+        "q181_k_anonymity",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

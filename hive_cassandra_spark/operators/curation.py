@@ -559,3 +559,52 @@ def gopher_rules(
         F.round(F.col("__ellipsis_lines") / one_l, 4).alias("ellipsis_line_ratio"),
         keep.alias("keep"),
     )
+
+
+def k_anonymity_assign(
+    df: DataFrame,
+    qi_levels: list[list[str]],
+    k: int,
+) -> DataFrame:
+    """k-anonymity generalization assignment (Sweeney 2002; the
+    Mondrian-style multi-level variant, public algorithms): given a
+    ladder of quasi-identifier column sets from finest to coarsest,
+    assign every record the FINEST level at which its QI group reaches
+    size ≥ k; records anonymous at no level get level -1 (suppression
+    candidates). Appends:
+
+    - ``__level``    — chosen generalization level (or -1),
+    - ``__group_n``  — the chosen level's group size (coarsest if -1),
+    - ``__group_key``— the chosen level's QI tuple as a string key.
+
+    The release-gating primitive a training pipeline runs before
+    publishing user-derived data: any record released at its assigned
+    level is indistinguishable from ≥ k−1 others on the released QIs.
+
+    Scale shape: group sizes per level are plain count aggregates —
+    group-cardinality-sized tables joined back on the QI columns
+    (Catalyst/AQE broadcasts them while small; at 100 TB they become
+    shuffle joins on the same keys the aggregate already hashed). One
+    fact scan feeds all levels; no window over the fact table, no
+    driver collect."""
+    out = df
+    for i, cols in enumerate(qi_levels):
+        g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias(f"__n{i}"))
+        out = out.join(g, cols, "left")
+    last = len(qi_levels) - 1
+    level = F.lit(-1)
+    group_n = F.col(f"__n{last}")
+    group_key = F.concat_ws("|", *qi_levels[last])
+    for i in reversed(range(len(qi_levels))):
+        ok = F.col(f"__n{i}") >= k
+        level = F.when(ok, F.lit(i)).otherwise(level)
+        group_n = F.when(ok, F.col(f"__n{i}")).otherwise(group_n)
+        group_key = F.when(
+            ok, F.concat_ws("|", *qi_levels[i])
+        ).otherwise(group_key)
+    out = (
+        out.withColumn("__level", level)
+        .withColumn("__group_n", group_n.cast("long"))
+        .withColumn("__group_key", group_key)
+    )
+    return out.drop(*[f"__n{i}" for i in range(len(qi_levels))])

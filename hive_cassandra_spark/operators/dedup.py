@@ -484,6 +484,21 @@ def simhash_pairs(
     documented recall trade, sized (10k default) to never trigger on
     non-degenerate data."""
     sig = simhash(df, text_col, id_col)
+    return signature_hamming_pairs(sig, max_hamming, max_bucket)
+
+
+def signature_hamming_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature table (doc, sim_hi,
+    sim_lo) — the banded-Hamming engine ``simhash_pairs`` runs on text
+    SimHash and ``multimodal.image_dhash`` runs on perceptual image
+    hashes: 4 × 16-bit position-banded candidates (a pair within
+    Hamming ≤3 must agree on ≥1 band by pigeonhole; wider thresholds
+    keep band agreement as a documented recall heuristic), exact
+    bit_count(xor) verify inside the one-shuffle grouped-pair explode."""
     bands = simhash_bands(sig)
     # same one-shuffle grouped-pairs shape as lsh_candidate_pairs; members
     # carry their signature halves so Hamming verifies inside the explode.

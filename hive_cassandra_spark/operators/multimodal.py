@@ -1378,7 +1378,7 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 def attach_image_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    container: str = "bmp",
+    container: str = "bmp", wh_mod: tuple[int, int] = (64, 48),
 ) -> DataFrame:
     """Synthesize REAL image payloads from the documents fixture: the pixel
     plane is the utf-8 text bytes truncated / zero-padded to width×height
@@ -1453,8 +1453,11 @@ def attach_image_payload(
                         pixels = np.repeat(np.repeat(blocks, rep, 0), rep, 1)
                     w, h = bw * rep, bh * rep
                 else:
-                    w = int(doc_id) % 64 + 16
-                    h = int(doc_id) % 48 + 16
+                    # wh_mod narrows the geometry classes when a consumer
+                    # needs cross-doc comparability (image_dhash: near-dup
+                    # planes only resample identically at equal geometry)
+                    w = int(doc_id) % wh_mod[0] + 16
+                    h = int(doc_id) % wh_mod[1] + 16
                     raw = text.encode("utf-8")[: w * h].ljust(w * h, b"\x00")
                     pixels = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
                 payloads.append(encode(pixels))
@@ -1573,6 +1576,55 @@ def decode_payload_bytes(buf: bytes, fmt: str) -> bytes:
     raise NotImplementedError(
         f"decode of format {fmt!r} needs an absent codec library "
         "(ffmpeg for video containers)"
+    )
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """64-bit perceptual difference hash (dHash, public algorithm) of the
+    decoded grayscale plane: ``(doc_id, sim_hi, sim_lo)`` — two
+    non-negative 32-bit halves, the house 64-bit-signature layout, so
+    ``dedup.signature_hamming_pairs`` runs banded near-dup search over
+    it directly. THE image-dedup primitive of a multimodal training
+    pipeline: perceptually-similar images (recompressions, minor edits)
+    land within a few Hamming bits while the byte payloads differ
+    completely, which byte-level dedup can never see.
+
+    The kernel REALLY decodes the container (``decode_payload_bytes`` —
+    BMP/PNG/GIF/JPEG, no image library), nearest-neighbor-resamples the
+    plane to a 9×8 grid with the floor-index rule (row r → r·h div 8,
+    col c → c·w div 9 — `_nn_resize_raw`'s arithmetic, exactly
+    SQL-replayable), and sets bit ``r·8 + c`` iff
+    ``p[r, c] > p[r, c+1]`` (strict; 8 comparisons per row). Bits 0-31
+    → ``sim_lo``, 32-63 → ``sim_hi``. Arrow ``mapInPandas`` batches —
+    never a per-row UDF."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows8 = np.arange(8)
+        cols9 = np.arange(9)
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for doc_id, buf, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                m = _meta_dict(meta)
+                w, h = int(m["width"]), int(m["height"])
+                plane = np.frombuffer(
+                    decode_payload_bytes(bytes(buf), str(m["format"])),
+                    dtype=np.uint8,
+                ).reshape(h, w)
+                grid = plane[rows8 * h // 8][:, cols9 * w // 9].astype(np.int16)
+                bits = (grid[:, :8] > grid[:, 1:]).astype(np.uint64)
+                weights = (1 << np.arange(8, dtype=np.uint64))
+                rowvals = (bits * weights[None, :]).sum(axis=1)
+                lo = int((rowvals[:4] << (8 * np.arange(4, dtype=np.uint64))).sum())
+                hi = int((rowvals[4:] << (8 * np.arange(4, dtype=np.uint64))).sum())
+                ids.append(doc_id)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"doc": ids, "sim_hi": his, "sim_lo": los})
+
+    return df.select("doc_id", "payload", "meta").mapInPandas(
+        kernel, schema="doc long, sim_hi long, sim_lo long"
     )
 
 

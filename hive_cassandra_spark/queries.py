@@ -9085,6 +9085,163 @@ def q179_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=5)
 
 
+@register(
+    "q180_image_dedup_dhash",
+    # The oracle replays the whole perceptual pipeline from the byte
+    # fixture: the BMP plane IS the utf-8 text padded to w×h (the q43
+    # contract — Spark really decodes the container, the SQL goes
+    # straight to the bytes), the 9×8 floor-index resample and strict
+    # p[r,c] > p[r,c+1] bits are integer arithmetic, the 64-bit
+    # signature lives as two non-negative 32-bit halves (the q34
+    # layout), and candidates band into 4 × 16-bit words with exact
+    # bit_count(xor) Hamming verify.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len,
+                      CAST(doc_id % 4 + 16 AS BIGINT) AS w,
+                      CAST(doc_id % 3 + 16 AS BIGINT) AS h
+               FROM documents),
+    grid AS (SELECT doc_id, r, c, hx, len,
+                    (r * h // 8) * w + (c * w // 9) AS idx
+             FROM d
+             CROSS JOIN (SELECT unnest(range(0, 8)) AS r)
+             CROSS JOIN (SELECT unnest(range(0, 9)) AS c)),
+    px AS (SELECT doc_id, r, c,
+                  CASE WHEN idx < len THEN
+                    (strpos('0123456789ABCDEF',
+                            substr(hx, CAST(2*idx+1 AS INT), 1)) - 1) * 16
+                    + (strpos('0123456789ABCDEF',
+                              substr(hx, CAST(2*idx+2 AS INT), 1)) - 1)
+                  ELSE 0 END AS v
+           FROM grid),
+    bits AS (SELECT a.doc_id, a.r, a.c,
+                    CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+             FROM px a JOIN px b
+               ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+             WHERE a.c < 8),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN r < 4
+                        THEN bit * (CAST(1 AS BIGINT) << CAST(r*8+c AS INT))
+                        ELSE 0 END) AS BIGINT) AS sim_lo,
+                   CAST(sum(CASE WHEN r >= 4
+                        THEN bit * (CAST(1 AS BIGINT) << CAST((r-4)*8+c AS INT))
+                        ELSE 0 END) AS BIGINT) AS sim_hi
+            FROM bits GROUP BY doc_id),
+    bands AS (SELECT doc_id AS doc, sim_hi, sim_lo, i AS pos,
+                     (CASE WHEN i < 2 THEN sim_lo ELSE sim_hi END
+                      >> (16 * (i % 2))) & 65535 AS band
+              FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+              QUALIFY count(*) OVER (PARTITION BY pos, band) <= 10000),
+    pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                     CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                        + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT)
+                       AS hamming
+              FROM bands a JOIN bands b
+                ON a.pos = b.pos AND a.band = b.band AND a.doc < b.doc)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+    """,
+    doc="perceptual image dedup (multimodal.image_dhash + "
+    "dedup.signature_hamming_pairs): 64-bit difference hash over the "
+    "REALLY-decoded grayscale plane (BMP container through the q43 "
+    "cleanroom decoder; floor-index 9x8 resample; strict adjacent-pixel "
+    "comparisons), then the q34 banded-Hamming engine — 4 x 16-bit "
+    "position bands, exact bit_count(xor) verify, bucket-width cap. "
+    "THE image-dedup primitive of a multimodal training pipeline: "
+    "recompressed / lightly-edited images collide within a few Hamming "
+    "bits while their byte payloads differ completely, invisible to "
+    "byte-level dedup. Narrowed geometry classes (wh_mod=(4,3)) keep "
+    "near-dup TEXT planes geometrically comparable so the fixture "
+    "carries true perceptual pairs (60 at Hamming<=6, sf0.01). New "
+    "image_dedup capability: PENDING_ROTATION for a round-9 slot",
+)
+def q180_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    payloads = multimodal.attach_image_payload(
+        docs, container="bmp", wh_mod=(4, 3)
+    )
+    sig = multimodal.image_dhash(payloads)
+    return dedup.signature_hamming_pairs(sig, max_hamming=6)
+
+
+@register(
+    "q181_k_anonymity",
+    # The oracle replays the generalization ladder with three grouped
+    # CTEs joined back on the QI columns and the same finest-level-
+    # that-reaches-k CASE; group keys concatenate the released QI tuple
+    # so n_groups counts the actual indistinguishability classes. All
+    # decisions are integer (group counts vs k); the bucket floor runs
+    # on IEEE doubles both engines read from the same parquet.
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                      CAST(floor(c_acctbal / 100) AS BIGINT) AS bal100,
+                      CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal1000
+               FROM customer),
+    n0 AS (SELECT c_nationkey, c_mktsegment, bal100, count(*) AS n
+           FROM c GROUP BY 1, 2, 3),
+    n1 AS (SELECT c_nationkey, c_mktsegment, bal1000, count(*) AS n
+           FROM c GROUP BY 1, 2, 3),
+    n2 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+           FROM c GROUP BY 1, 2),
+    a AS (SELECT c.*, n0.n AS s0, n1.n AS s1, n2.n AS s2
+          FROM c JOIN n0 USING (c_nationkey, c_mktsegment, bal100)
+                 JOIN n1 USING (c_nationkey, c_mktsegment, bal1000)
+                 JOIN n2 USING (c_nationkey, c_mktsegment)),
+    asg AS (SELECT *,
+             CASE WHEN s0 >= 5 THEN 0 WHEN s1 >= 5 THEN 1
+                  WHEN s2 >= 5 THEN 2 ELSE -1 END AS level,
+             CASE WHEN s0 >= 5 THEN s0 WHEN s1 >= 5 THEN s1
+                  ELSE s2 END AS gn,
+             CASE WHEN s0 >= 5
+                  THEN c_nationkey || '|' || c_mktsegment || '|' || bal100
+                  WHEN s1 >= 5
+                  THEN c_nationkey || '|' || c_mktsegment || '|' || bal1000
+                  ELSE c_nationkey || '|' || c_mktsegment END AS gkey
+            FROM a)
+    SELECT level, CAST(count(*) AS BIGINT) AS n_records,
+           CAST(count(DISTINCT gkey) AS BIGINT) AS n_groups,
+           CAST(min(gn) AS BIGINT) AS min_group_size,
+           CAST(max(gn) AS BIGINT) AS max_group_size
+    FROM asg GROUP BY level
+    """,
+    doc="k-anonymity generalization audit (curation.k_anonymity_assign "
+    "— Sweeney 2002, Mondrian-style level ladder): every record gets "
+    "the FINEST quasi-identifier generalization at which its group "
+    "reaches k=5 (nation+segment+balance/100 → /1000 → nation+segment), "
+    "or -1 = suppression candidate; the report rolls up records, "
+    "indistinguishability classes, and group-size bounds per level — "
+    "the release gate a pipeline runs before publishing user-derived "
+    "training data. Group sizes are count aggregates joined back on "
+    "their own grouping keys (broadcast while small, co-hashed shuffle "
+    "at 100 TB); one fact scan, no fact-table window, no collect. New "
+    "privacy_audit capability: PENDING_ROTATION for a round-9 slot",
+)
+def q181_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal100"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal1000"),
+    )
+    assigned = curation.k_anonymity_assign(
+        cust,
+        [
+            ["c_nationkey", "c_mktsegment", "bal100"],
+            ["c_nationkey", "c_mktsegment", "bal1000"],
+            ["c_nationkey", "c_mktsegment"],
+        ],
+        k=5,
+    )
+    return assigned.groupBy(F.col("__level").alias("level")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_distinct("__group_key").alias("n_groups"),
+        F.min("__group_n").alias("min_group_size"),
+        F.max("__group_n").alias("max_group_size"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9599,6 +9756,12 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # BPE merge learning: a new capability family (tokenizer training)
     # that landed after the round-8 window froze — PENDING_ROTATION
     "q179_bpe_merges": {"tokenizer_training"},
+    # perceptual image dedup: a new capability family (dHash over
+    # really-decoded planes + banded Hamming) — PENDING_ROTATION
+    "q180_image_dedup_dhash": {"image_dedup"},
+    # k-anonymity generalization audit: a new capability family
+    # (privacy release gating) — PENDING_ROTATION
+    "q181_k_anonymity": {"privacy_audit"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -9612,6 +9775,10 @@ PENDING_ROTATION: set[str] = {
     # tokenizer_training family has no in-window bearer, so it takes a
     # round-9 slot (the q87/q89 two-round contract applies)
     "q179_bpe_merges",
+    # r08 post-freeze addition: perceptual image dedup — same contract
+    "q180_image_dedup_dhash",
+    # r08 post-freeze addition: k-anonymity release audit — same contract
+    "q181_k_anonymity",
 }
 # Round 8: EMPTY, as the contract requires. Every r07 post-freeze
 # capability took its window slot in the round-8 rotation above (q129,

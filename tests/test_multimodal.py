@@ -786,3 +786,40 @@ def test_jpeg_progressive_refinement_carries_information():
     assert not np.array_equal(full, coarse)
     base = multimodal.decode_jpeg_gray8(multimodal.encode_jpeg_gray8(img))[2]
     assert np.array_equal(full, base)
+
+
+def test_image_dhash_matches_numpy_reference(spark, sf_dir):
+    """image_dhash must equal a direct numpy replay over the decoded BMP
+    plane: floor-index 9x8 resample, strict adjacent comparison, bit
+    r*8+c packed into lo (r<4) / hi (r>=4)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 30
+    )
+    payloads = multimodal.attach_image_payload(docs, wh_mod=(4, 3))
+    got = {r.doc: (r.sim_hi, r.sim_lo)
+           for r in multimodal.image_dhash(payloads).collect()}
+    for r in payloads.collect():
+        w, h, plane = multimodal.decode_bmp_gray8(bytes(r.payload))
+        grid = plane[np.arange(8) * h // 8][:, np.arange(9) * w // 9]
+        lo = hi = 0
+        for rr in range(8):
+            for cc in range(8):
+                if int(grid[rr, cc]) > int(grid[rr, cc + 1]):
+                    if rr < 4:
+                        lo |= 1 << (rr * 8 + cc)
+                    else:
+                        hi |= 1 << ((rr - 4) * 8 + cc)
+        assert got[r.doc_id] == (hi, lo), r.doc_id
+    # identical planes collide at Hamming 0 through the banded engine
+    from hive_cassandra_spark.operators import dedup as dd
+
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 3 * 4 * 1000)
+    # +multiple of 12 keeps (w, h) identical for the copies
+    both = multimodal.attach_image_payload(
+        docs.unionAll(dup), wh_mod=(4, 3)
+    )
+    pairs = dd.signature_hamming_pairs(
+        multimodal.image_dhash(both), max_hamming=0
+    ).collect()
+    copies = {(r.doc_a, r.doc_b) for r in pairs if r.doc_b - r.doc_a == 12000}
+    assert len(copies) >= 3

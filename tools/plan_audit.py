@@ -43,6 +43,22 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q180_image_dedup_dhash": (
+        "the decode+dHash kernel is one Arrow mapInPandas pass "
+        "(repartitioned to cores); the signature table is 3 longs/doc, "
+        "so the banded-Hamming join (q34's engine: (pos, band) groupBy, "
+        "in-bucket pair explode, bucket-width cap) runs over a relation "
+        "~10^4x smaller than the payloads — image bytes never enter a "
+        "shuffle."
+    ),
+    "q181_k_anonymity": (
+        "three count aggregates over one fact scan, joined back on "
+        "their own grouping keys (broadcast while small; identical "
+        "hash keys at 100 TB so the join adds no new exchange shape), "
+        "then a codegen CASE ladder + one rollup. No fact-table "
+        "window, no collect; suppression accounting rides the same "
+        "pass."
+    ),
     "q179_bpe_merges": (
         "the corpus is scanned ONCE into the (word, count) vocabulary; "
         "all five merge rounds then operate on vocab-sized checkpointed "
