@@ -202,6 +202,8 @@ HEADLINE = [
     "q180_image_dedup_dhash",
     # k-anonymity audit: 3 level aggregates + join-back + rollup
     "q181_k_anonymity",
+    # materialized IVF-PQ: index build (parquet) + artifact-only serving
+    "q182_indexed_ann",
 ]
 
 
@@ -309,6 +311,7 @@ def main() -> None:
         "q179_bpe_merges",
         "q180_image_dedup_dhash",
         "q181_k_anonymity",
+        "q182_indexed_ann",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

@@ -739,17 +739,45 @@ def ivfpq_topk(
     query with id < ``query_max``, self excluded; only neighbors whose
     home cell was probed appear (the IVF recall tradeoff, by design).
     """
-    pos = items.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    ix = _ivfpq_build(items, n_cells, m, k_codes, id_col, vec_col)
+    qpos = ix["pos"].filter(F.col("id") < query_max).withColumnRenamed(
+        "id", "query_id"
     )
-    dim_row = items.select(F.size(vec_col).alias("__dim")).limit(1)
-    d2_of = lambda x, c: F.round(  # noqa: E731
+    qcd = ix["cd"].filter(F.col("id") < query_max).select(
+        F.col("id").alias("query_id"), "ccid", "d2"
+    )
+    return _ivfpq_serve(ix, qpos, qcd, nprobe, m, topk)
+
+
+def _d2_of(x: str, c: str) -> Column:
+    """Round-6 squared euclidean between two exploded (i, value) sides
+    inside a groupBy — the q140/q147 float contract."""
+    return F.round(
         F.sum(F.col(x) * F.col(x))
         + F.sum(F.col(c) * F.col(c))
         - 2 * F.sum(F.col(x) * F.col(c)),
         6,
     )
+
+
+def _ivfpq_build(
+    items: DataFrame,
+    n_cells: int,
+    m: int,
+    k_codes: int,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """The index-construction half of IVF-PQ, shared by the inline query
+    (``ivfpq_topk``) and the persisted artifact (``build_ivfpq_index``):
+    coarse centroids, per-item cell assignments, residual PQ codebooks,
+    and per-item PQ codes — all from the deterministic one-Lloyd-round
+    hash-init construction the q148 oracle replays."""
+    pos = items.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    dim_row = items.select(F.size(vec_col).alias("__dim")).limit(1)
     # coarse quantizer: one round from the hash init
     a0 = items.select(
         F.col(id_col).alias("id"),
@@ -763,7 +791,7 @@ def ivfpq_topk(
     cd = (
         pos.join(F.broadcast(cc), "i")
         .groupBy("id", "ccid")
-        .agg(d2_of("x", "c").alias("d2"))
+        .agg(_d2_of("x", "c").alias("d2"))
     )
     w_cell = Window.partitionBy("id").orderBy("d2", "ccid")
     cassign = (
@@ -796,7 +824,7 @@ def ivfpq_topk(
     pd_ = (
         res.join(F.broadcast(pc), ["sub", "i"])
         .groupBy("id", "sub", "pcid")
-        .agg(d2_of("r", "c").alias("d2"))
+        .agg(_d2_of("r", "c").alias("d2"))
     )
     w_code = Window.partitionBy("id", "sub").orderBy("d2", "pcid")
     codes = (
@@ -804,24 +832,39 @@ def ivfpq_topk(
         .filter(F.col("__rn") == 1)
         .select("id", "sub", "pcid")
     )
-    # query side: nprobe nearest cells, residual LUT per probed cell
+    return {
+        "pos": pos,
+        "dim": dim_row,
+        "cc": cc,
+        "cd": cd,
+        "assign": cassign,
+        "pc": pc,
+        "codes": codes,
+    }
+
+
+def _ivfpq_serve(
+    ix: dict,
+    qpos: DataFrame,
+    qcd: DataFrame,
+    nprobe: int,
+    m: int,
+    topk: int,
+) -> DataFrame:
+    """The query half of IVF-PQ over index parts ``ix``: probe the
+    ``nprobe`` nearest cells, build the per-(query, cell) residual ADC
+    LUT, score the probed cells' codes, rank. ``qpos`` is the exploded
+    query vectors (query_id, i, x); ``qcd`` the query→cell distances."""
     w_probe = Window.partitionBy("query_id").orderBy("d2", "ccid")
     probes = (
-        cd.filter(F.col("id") < query_max)
-        .select(F.col("id").alias("query_id"), "ccid", "d2")
-        .withColumn("__rn", F.row_number().over(w_probe))
+        qcd.withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= nprobe)
         .select("query_id", "ccid")
     )
     qres = (
-        probes.join(
-            pos.filter(F.col("id") < query_max).withColumnRenamed(
-                "id", "query_id"
-            ),
-            "query_id",
-        )
-        .join(F.broadcast(cc), ["ccid", "i"])
-        .join(F.broadcast(dim_row))
+        probes.join(qpos, "query_id")
+        .join(F.broadcast(ix["cc"]), ["ccid", "i"])
+        .join(F.broadcast(ix["dim"]))
         .select(
             "query_id",
             "ccid",
@@ -831,13 +874,13 @@ def ivfpq_topk(
         )
     )
     lut = (
-        qres.join(F.broadcast(pc), ["sub", "i"])
+        qres.join(F.broadcast(ix["pc"]), ["sub", "i"])
         .groupBy("query_id", "ccid", "sub", "pcid")
-        .agg(d2_of("qr", "c").alias("d2"))
+        .agg(_d2_of("qr", "c").alias("d2"))
     )
     adc = (
-        probes.join(cassign, "ccid")
-        .join(codes, "id")
+        probes.join(ix["assign"], "ccid")
+        .join(ix["codes"], "id")
         .join(
             F.broadcast(lut),
             ["query_id", "ccid", "sub", "pcid"],
@@ -851,3 +894,71 @@ def ivfpq_topk(
         adc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
         .filter(F.col("rank") <= topk)
     )
+
+
+def build_ivfpq_index(
+    items: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 4,
+    k_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index once per corpus version — the Faiss
+    index-file analogue, and the vector-side counterpart of
+    ``retrieval.build_postings_index``: coarse centroids, PQ codebooks,
+    per-item cell assignments, and per-item PQ codes land as parquet
+    under ``path``. This is THE corpus pass; serving then reads only
+    the artifact, whose dominant parts (assignments + codes) are a few
+    ints per vector — ~128× smaller than the vectors — and the corpus
+    embeddings are never rescanned. At 100 TB of vectors the build is
+    the amortized nightly job; queries are interactive."""
+    base = path.rstrip("/")
+    ix = _ivfpq_build(items, n_cells, m, k_codes, id_col, vec_col)
+    ix["cc"].write.mode("overwrite").parquet(f"{base}/coarse_centroids")
+    ix["pc"].write.mode("overwrite").parquet(f"{base}/pq_codebooks")
+    ix["assign"].write.mode("overwrite").parquet(f"{base}/assignments")
+    ix["codes"].write.mode("overwrite").parquet(f"{base}/codes")
+    ix["dim"].write.mode("overwrite").parquet(f"{base}/meta")
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    m: int = 4,
+    topk: int = 5,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF-PQ top-k from a ``build_ivfpq_index`` artifact: the
+    query vectors are the ONLY non-artifact input — corpus embeddings
+    are never touched (plan-asserted in test_similarity). Same
+    deterministic arithmetic as the inline ``ivfpq_topk``, so results
+    are row-identical when the queries are the same corpus members."""
+    base = path.rstrip("/")
+    ix = {
+        "cc": spark.read.parquet(f"{base}/coarse_centroids"),
+        "pc": spark.read.parquet(f"{base}/pq_codebooks"),
+        "assign": spark.read.parquet(f"{base}/assignments"),
+        "codes": spark.read.parquet(f"{base}/codes"),
+        "dim": spark.read.parquet(f"{base}/meta"),
+    }
+    # Query-side frames are interactive-scale by definition (|queries| ×
+    # dim rows); checkpoint them once so the serve plan's several
+    # consumers (probe ranking, residual LUT, ADC join) don't each
+    # replay the query scan — exchange reuse does not canonicalize
+    # through posexplode (the q176 lesson on the text side).
+    qpos = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    ).localCheckpoint(eager=False)
+    qcd = (
+        qpos.join(F.broadcast(ix["cc"]), "i")
+        .groupBy("query_id", "ccid")
+        .agg(_d2_of("x", "c").alias("d2"))
+        .localCheckpoint(eager=False)
+    )
+    return _ivfpq_serve(ix, qpos, qcd, nprobe, m, topk)

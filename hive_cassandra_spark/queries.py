@@ -9242,6 +9242,46 @@ def q181_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q182_indexed_ann",
+    # q148's oracle verbatim (the q176 pattern): the indexed build is
+    # the same deterministic one-Lloyd-round construction, so results
+    # are row-identical — what changed is the PLAN: corpus embeddings
+    # are scanned only during the index build; serving reads the
+    # parquet artifact (assignments + codes ≈ a few ints per vector,
+    # ~128x smaller than the vectors) plus the ≤3 query rows.
+    oracle=QUERIES["q148_ivfpq_topk"].oracle,
+    doc="materialized IVF-PQ index serving (similarity."
+    "build_ivfpq_index + ivfpq_topk_indexed) — the Faiss index-file "
+    "analogue and the vector-side counterpart of q176's postings "
+    "artifact: coarse centroids, residual PQ codebooks, inverted-list "
+    "assignments and per-item codes persist once per corpus version; "
+    "queries probe nprobe cells and ADC-score the probed codes with "
+    "ZERO corpus-vector rescans (plan-asserted). Completes the "
+    "production posture across both retrieval modalities. Ordinary "
+    "overflow of the similarity_ann family (q113/q147/q148 in-window)",
+)
+def q182_indexed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q182_{tok}_{os.getpid()}_ivfpq"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    similarity.build_ivfpq_index(emb, base, n_cells=8, m=4, k_codes=8)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivfpq_topk_indexed(
+        spark, base, queries, nprobe=2, m=4, topk=5
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9762,6 +9802,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # k-anonymity generalization audit: a new capability family
     # (privacy release gating) — PENDING_ROTATION
     "q181_k_anonymity": {"privacy_audit"},
+    # materialized IVF-PQ index serving: ordinary overflow of the
+    # similarity_ann family (q113/q147/q148 bear it in-window)
+    "q182_indexed_ann": {"similarity_ann"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

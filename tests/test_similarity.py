@@ -345,3 +345,39 @@ def test_ivfpq_residual_recovers_offset_structure(spark):
     # query 0 (blob A, pat +0.5): same-blob same-pattern neighbor 2
     # must beat same-blob other-pattern neighbors
     assert got[0][0] == 2
+
+
+def test_ivfpq_indexed_equals_inline_and_skips_corpus(spark, sf_dir, tmp_path):
+    """q182's production contract (the q176 pattern on the vector side):
+    serving from a build_ivfpq_index artifact is row-identical to the
+    inline ivfpq_topk, and the serving plan reads the embeddings parquet
+    at most once (the <=3 query rows, pushed filter) — the corpus
+    vectors live only in the artifact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    inline = similarity.ivfpq_topk(
+        emb, n_cells=8, nprobe=2, m=4, k_codes=8, query_max=3, topk=5
+    )
+    base = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(emb, base, n_cells=8, m=4, k_codes=8)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = similarity.ivfpq_topk_indexed(
+        spark, base, queries, nprobe=2, m=4, topk=5
+    )
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.adc_d2)  # noqa: E731
+    assert sorted(map(key, served.collect())) == sorted(
+        map(key, inline.collect())
+    )
+    # the serve plan reads the artifact + the checkpointed query rows;
+    # the embeddings parquet appears at most once (and only as the <=3
+    # query rows behind a pushed vec_id filter) vs the inline plan's
+    # many corpus passes
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    n_served = plan.count("embeddings.parquet")
+    n_inline = (
+        inline._jdf.queryExecution().executedPlan().toString()
+        .count("embeddings.parquet")
+    )
+    assert n_served <= 1, plan
+    assert n_inline >= 5  # the inline path replays the corpus per stat

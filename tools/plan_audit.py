@@ -43,6 +43,16 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q182_indexed_ann": (
+        "the q176 pattern on the vector side: the index build scans the "
+        "embeddings once into parquet (centroids + codebooks + "
+        "assignments + codes — the dominant parts are a few ints per "
+        "vector, ~128x smaller than the vectors); serving probes nprobe "
+        "cells and ADC-scores the probed codes reading ONLY the "
+        "artifact plus the checkpointed query rows — corpus vectors "
+        "are never rescanned (plan-asserted: <=1 embeddings scan served "
+        "vs >=5 inline)."
+    ),
     "q180_image_dedup_dhash": (
         "the decode+dHash kernel is one Arrow mapInPandas pass "
         "(repartitioned to cores); the signature table is 3 longs/doc, "
