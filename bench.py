@@ -204,6 +204,8 @@ HEADLINE = [
     "q181_k_anonymity",
     # materialized IVF-PQ: index build (parquet) + artifact-only serving
     "q182_indexed_ann",
+    # OCC commits: 3 staged writes + atomic claims + recovery sweep
+    "q183_occ_commit",
 ]
 
 
@@ -312,6 +314,7 @@ def main() -> None:
         "q180_image_dedup_dhash",
         "q181_k_anonymity",
         "q182_indexed_ann",
+        "q183_occ_commit",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

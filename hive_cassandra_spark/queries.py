@@ -9282,6 +9282,133 @@ def q182_indexed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q183_occ_commit",
+    # The commit-protocol contract, hash-gated end-to-end: writer A
+    # commits at v1; writer B races with a STALE expected version and
+    # must fail closed (lost-update prevention), then refresh and land
+    # at v2; a torn in-flight commit (claim + token-matched junk part,
+    # no published marker) must be swept by occ_recover — if recovery
+    # left the junk part behind, the rollup counts would break the
+    # hash — and writer C then claims v3. The oracle replays the three
+    # writers' disjoint key sets plus the literal protocol outcomes.
+    oracle="""
+    WITH a AS (SELECT c_custkey AS k, c_mktsegment AS v
+               FROM customer WHERE c_custkey % 3 = 0),
+    b AS (SELECT c_custkey AS k, c_name AS v
+          FROM customer WHERE c_custkey % 3 = 1),
+    c AS (SELECT c_custkey AS k, c_mktsegment AS v
+          FROM customer WHERE c_custkey % 3 = 2),
+    u AS (SELECT 'a' AS writer, k, v FROM a
+          UNION ALL SELECT 'b', k, v FROM b
+          UNION ALL SELECT 'c', k, v FROM c)
+    SELECT writer,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           min(v) AS min_val,
+           max(v) AS max_val,
+           CAST(3 AS BIGINT) AS final_version,
+           CAST(1 AS BIGINT) AS stale_conflicts,
+           CAST(1 AS BIGINT) AS recovered_claims,
+           CAST(1 AS BIGINT) AS recovered_parts
+    FROM u GROUP BY writer
+    """,
+    doc="optimistic-concurrency commits for the cell store "
+    "(sink.occ_commit/occ_recover/store_version — the Delta/Iceberg "
+    "commit-protocol shape): writers declare the version they read, "
+    "exactly one claims each next version via an atomic mkdir, losers "
+    "fail closed with the fresh version and retry against refreshed "
+    "state — the lost-update prevention the reference's thrift "
+    "batch_mutate (AbstractColumnSerDe.java:47,75) never had. The "
+    "runbook races two writers (stale loser retries), injects a torn "
+    "claim with token-matched junk parts (recovery must sweep them or "
+    "the hash breaks), recovers, and lands a third commit; store "
+    "content and every protocol outcome ride the oracle hash. "
+    "Ordinary overflow of the connector_datasource family "
+    "(q116/q171/q177 in-window)",
+)
+def q183_occ_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import codecs, sink
+
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    store = os.path.join(
+        tempfile.gettempdir(), f"hcs_q183_{tok}_{os.getpid()}_store"
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer")
+
+    def cells(mod, col_name, value_col, ts):
+        return cust.filter(F.col("c_custkey") % 3 == mod).select(
+            codecs.encode_col(F.col("c_custkey"), "bigint").alias("row_key"),
+            codecs.encode_col(F.lit(col_name), "string").alias("column_name"),
+            codecs.encode_col(value_col, "string").alias("value"),
+            F.lit(ts).cast("long").alias("ts"),
+        )
+
+    # writer A lands first at v1
+    ra = sink.occ_commit(spark, store, cells(0, "a", F.col("c_mktsegment"), 1000), 0)
+    assert ra["committed"] and ra["version"] == 1, ra
+    # writer B raced against the SAME version-0 snapshot: fails closed
+    rb1 = sink.occ_commit(spark, store, cells(1, "b", F.col("c_name"), 2000), 0)
+    stale_conflicts = int(rb1["conflict"] and not rb1["committed"])
+    # B refreshes (re-reads the store at the reported version) and retries
+    rb2 = sink.occ_commit(
+        spark, store, cells(1, "b", F.col("c_name"), 2000), rb1["version"]
+    )
+    assert rb2["committed"] and rb2["version"] == 2, rb2
+    # inject a torn commit: claim for v3 with a token-matched junk part
+    # and NO published marker — exactly what a crash between claim and
+    # publish leaves behind
+    claim = os.path.join(store, "_occ-claim-000000003")
+    os.mkdir(claim)
+    with open(os.path.join(claim, "token"), "w") as fh:
+        fh.write("deadbeef")
+    cells(0, "junk", F.lit("JUNK"), 9000).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store, ".occ-staging-junk"))
+    import glob as _glob
+
+    junk = _glob.glob(os.path.join(store, ".occ-staging-junk", "*.parquet"))[0]
+    os.rename(
+        junk,
+        os.path.join(store, "part-occ-v000000003-00000-deadbeef.parquet"),
+    )
+    rec = sink.occ_recover(store)
+    # writer C lands after recovery freed the claim
+    rc = sink.occ_commit(
+        spark, store, cells(2, "c", F.col("c_mktsegment"), 3000),
+        sink.store_version(store),
+    )
+    assert rc["committed"] and rc["version"] == 3, rc
+    back = spark.read.parquet(store)
+    return (
+        back.groupBy(
+            codecs.decode_col(F.col("column_name"), "string").alias("writer")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count_distinct("row_key").alias("n_keys"),
+            F.min(codecs.decode_col(F.col("value"), "string")).alias("min_val"),
+            F.max(codecs.decode_col(F.col("value"), "string")).alias("max_val"),
+        )
+        .withColumn(
+            "final_version", F.lit(sink.store_version(store)).cast("long")
+        )
+        .withColumn("stale_conflicts", F.lit(stale_conflicts).cast("long"))
+        .withColumn(
+            "recovered_claims", F.lit(rec["dropped_claims"]).cast("long")
+        )
+        .withColumn(
+            "recovered_parts", F.lit(rec["dropped_parts"]).cast("long")
+        )
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9805,6 +9932,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # materialized IVF-PQ index serving: ordinary overflow of the
     # similarity_ann family (q113/q147/q148 bear it in-window)
     "q182_indexed_ann": {"similarity_ann"},
+    # OCC commit protocol: ordinary overflow of the connector family
+    # (q116/q171/q177 bear connector_datasource in-window)
+    "q183_occ_commit": {"connector_datasource"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -522,3 +522,126 @@ def vacuum_commit_log(spark, path: str, retain_after_batch: int) -> dict:
         "cells_out": cells_out,
         "watermark": max(prev, cutoff),
     }
+
+
+def store_version(path: str) -> int:
+    """Current committed version of an OCC-managed store: the highest
+    PUBLISHED ``_occ-v%09d`` marker (0 = never committed). Markers are
+    underscore-prefixed so every parquet reader ignores them."""
+    import glob as _glob
+    import os
+
+    marks = _glob.glob(os.path.join(path, "_occ-v*"))
+    if not marks:
+        return 0
+    return max(int(os.path.basename(m)[6:]) for m in marks)
+
+
+def occ_commit(spark, path: str, cells, expected_version: int) -> dict:
+    """Optimistic-concurrency commit for a cell store — the Delta /
+    Iceberg commit-protocol shape (public): a writer declares the store
+    version it READ its inputs at, and the commit succeeds only if it
+    atomically claims ``expected_version + 1``; a concurrent writer that
+    claimed it first forces this writer to REFRESH and retry against the
+    new state instead of silently clobbering it (lost-update
+    prevention — the transactional layer the reference's thrift
+    batch_mutate, AbstractColumnSerDe.java:47,75, never had).
+
+    Protocol (single-filesystem atomics, the q94/q177 swap discipline):
+    1. stage the data files under a hidden ``.occ-staging-*`` dir;
+    2. CLAIM the version: ``os.mkdir(_occ-claim-v)`` — atomic, exactly
+       one winner per version, the claim dir is permanent; a loser
+       cleans its staging and reports the conflict with the fresh
+       version so the caller can re-derive and retry;
+    3. move the staged files in under version-stamped names
+       (``part-occ-v%09d-*``), then PUBLISH with the ``_occ-v%09d``
+       marker file — ``store_version`` counts only published markers,
+       so a torn commit is never observed as current.
+
+    A crash between claim and publish leaves a claim without a marker:
+    ``occ_recover`` sweeps those (drops the claim's token-matched part
+    files) so the version becomes claimable again. Returns
+    {committed, version, conflict, files}.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    cur = store_version(path)
+    if cur != expected_version:
+        return {
+            "committed": False, "version": cur, "conflict": True, "files": 0,
+        }
+    v = cur + 1
+    token = uuid.uuid4().hex[:8]
+    staging = os.path.join(path, f".occ-staging-{v:09d}-{token}")
+    cells.write.mode("overwrite").parquet(staging)
+    claim = os.path.join(path, f"_occ-claim-{v:09d}")
+    try:
+        os.mkdir(claim)  # the atom: exactly one writer owns version v
+    except FileExistsError:
+        shutil.rmtree(staging, ignore_errors=True)
+        return {
+            "committed": False,
+            "version": store_version(path),
+            "conflict": True,
+            "files": 0,
+        }
+    # record the winner's token inside the claim so recovery can match
+    # this commit's part files if we crash before publishing
+    with open(os.path.join(claim, "token"), "w") as fh:
+        fh.write(token)
+    n = 0
+    for f in sorted(_glob.glob(os.path.join(staging, "*.parquet"))):
+        os.rename(
+            f,
+            os.path.join(
+                path, f"part-occ-v{v:09d}-{n:05d}-{token}.parquet"
+            ),
+        )
+        n += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    with open(os.path.join(path, f"_occ-v{v:09d}"), "w") as fh:
+        fh.write(token)
+    return {"committed": True, "version": v, "conflict": False, "files": n}
+
+
+def occ_recover(path: str) -> dict:
+    """Crash recovery for ``occ_commit``: a claim whose version has no
+    published marker is a torn commit — drop its token-matched part
+    files and the claim itself so the version becomes claimable again
+    (the in-flight writer is presumed dead; the ``recover_store``
+    single-maintainer contract). Leftover staging dirs sweep
+    unconditionally (they were never visible). Idempotent; returns
+    {dropped_claims, dropped_parts, dropped_staging}."""
+    import glob as _glob
+    import os
+    import shutil
+
+    dropped_claims = dropped_parts = dropped_staging = 0
+    for stg in _glob.glob(os.path.join(path, ".occ-staging-*")):
+        shutil.rmtree(stg, ignore_errors=True)
+        dropped_staging += 1
+    for claim in _glob.glob(os.path.join(path, "_occ-claim-*")):
+        v = int(os.path.basename(claim)[11:])
+        if os.path.exists(os.path.join(path, f"_occ-v{v:09d}")):
+            continue  # published — the claim is the permanent winner record
+        token = ""
+        tok_file = os.path.join(claim, "token")
+        if os.path.exists(tok_file):
+            token = open(tok_file).read().strip()
+        if token:
+            for f in _glob.glob(
+                os.path.join(path, f"part-occ-v{v:09d}-*-{token}.parquet")
+            ):
+                os.remove(f)
+                dropped_parts += 1
+        shutil.rmtree(claim, ignore_errors=True)
+        dropped_claims += 1
+    return {
+        "dropped_claims": dropped_claims,
+        "dropped_parts": dropped_parts,
+        "dropped_staging": dropped_staging,
+    }

@@ -478,3 +478,64 @@ def test_recover_store_all_crash_points(spark, tmp_path):
     assert sink.recover_store(s4) == {
         "rolled_forward": 0, "dropped_partials": 0, "dropped_old": 0,
     }
+
+
+def test_occ_commit_protocol(spark, tmp_path):
+    """The OCC contract: exactly one writer per version, stale writers
+    fail closed with the fresh version, torn commits recover, and the
+    store content is exactly the committed generations."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark import sink
+
+    store = str(tmp_path / "occ_store")
+
+    def gen(tag, n):
+        return spark.range(n).select(
+            F2.encode(F2.concat(F2.lit(tag), F2.col("id").cast("string")),
+                      "utf-8").alias("row_key"),
+            F2.encode(F2.lit(tag), "utf-8").alias("column_name"),
+            F2.encode(F2.col("id").cast("string"), "utf-8").alias("value"),
+            F2.lit(1).cast("long").alias("ts"),
+        )
+
+    assert sink.store_version(store if False else str(tmp_path / "nope")) == 0
+    r1 = sink.occ_commit(spark, store, gen("a", 10), 0)
+    assert r1 == {"committed": True, "version": 1, "conflict": False,
+                  "files": r1["files"]}
+    # stale writer: conflict reports the CURRENT version for the retry
+    r2 = sink.occ_commit(spark, store, gen("b", 5), 0)
+    assert not r2["committed"] and r2["conflict"] and r2["version"] == 1
+    # no partial data from the loser
+    assert spark.read.parquet(store).count() == 10
+    r3 = sink.occ_commit(spark, store, gen("b", 5), r2["version"])
+    assert r3["committed"] and r3["version"] == 2
+    assert spark.read.parquet(store).count() == 15
+    # torn commit: claim v3 + token-matched junk part, no marker
+    import os
+
+    claim = os.path.join(store, "_occ-claim-000000003")
+    os.mkdir(claim)
+    with open(os.path.join(claim, "token"), "w") as fh:
+        fh.write("feedface")
+    gen("x", 3).coalesce(1).write.parquet(str(tmp_path / "junk"))
+    import glob
+
+    junk = glob.glob(str(tmp_path / "junk" / "*.parquet"))[0]
+    os.rename(junk, os.path.join(
+        store, "part-occ-v000000003-00000-feedface.parquet"))
+    # version is still 2 (markers only), but v3 is unclaimable until
+    # recovery sweeps the dead claim
+    assert sink.store_version(store) == 2
+    blocked = sink.occ_commit(spark, store, gen("c", 4), 2)
+    assert not blocked["committed"] and blocked["conflict"]
+    rec = sink.occ_recover(store)
+    assert rec["dropped_claims"] == 1 and rec["dropped_parts"] == 1
+    assert sink.occ_recover(store)["dropped_claims"] == 0  # idempotent
+    assert spark.read.parquet(store).count() == 15  # junk swept
+    r4 = sink.occ_commit(spark, store, gen("c", 4), 2)
+    assert r4["committed"] and r4["version"] == 3
+    assert spark.read.parquet(store).count() == 19
+    # published claims are permanent winner records — never swept
+    assert sink.occ_recover(store)["dropped_claims"] == 0
+    assert sink.store_version(store) == 3

@@ -43,6 +43,13 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q183_occ_commit": (
+        "three staged parquet writes + atomic mkdir version claims + "
+        "the recovery sweep; the protocol itself is driver-side dirent "
+        "work — zero data movement beyond the committed files, and the "
+        "loser's staging never becomes visible (store_version counts "
+        "only published markers). The timed cost is the three writes."
+    ),
     "q182_indexed_ann": (
         "the q176 pattern on the vector side: the index build scans the "
         "embeddings once into parquet (centroids + codebooks + "
