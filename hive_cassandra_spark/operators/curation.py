@@ -608,3 +608,116 @@ def k_anonymity_assign(
         .withColumn("__group_key", group_key)
     )
     return out.drop(*[f"__n{i}" for i in range(len(qi_levels))])
+
+
+def _char_ngrams(norm_col, n: int):
+    """All overlapping character n-grams of an (already normalized)
+    string column as an array — empty for strings shorter than n. The
+    sequence/transform/substring composition stays in one codegen span
+    (the q149 chunking shape); both Spark and DuckDB index substrings by
+    codepoint, so the grams agree cross-engine."""
+    return F.when(
+        F.length(norm_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm_col) - (n - 1)),
+            lambda i: F.substring(norm_col, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def quality_model_train(
+    df: DataFrame,
+    n: int = 3,
+    top_k: int = 256,
+    good_min_tokens: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a fastText-style linear quality scorer over char n-grams —
+    the learned third leg of public LLM-data curation pipelines (CCNet /
+    Gopher cite linear classifiers over character n-grams; fastText,
+    Joulin et al. 2016). Returns the weight table ``(g, w)``: the
+    ``top_k`` n-grams by discriminative strength.
+
+    Determinism contract (the q74-keywords precedent): weights are
+    INTEGER document-frequency log-odds surrogates — ``w = df_good −
+    df_bad`` — and selection is (|w| DESC, g ASC), so training is
+    bit-exact across engines with no log()/libm drift; a production
+    deployment would drop trained float weights into the same table
+    shape. Labels come from a declarative rule (token count ≥
+    ``good_min_tokens``), standing in for human labels.
+
+    Scale: ONE corpus scan; the (doc, gram) distinct + per-gram counts
+    are map-side-combinable aggregations; the final top-k ranks the
+    VOCABULARY (corpus-independent size), not the corpus.
+    """
+    from hive_cassandra_spark.operators.text import normalize
+
+    lab = df.select(
+        F.col(id_col).alias("__d"),
+        normalize(F.col(text_col)).alias("__t"),
+    ).select(
+        "__d",
+        "__t",
+        (F.size(F.filter(F.split("__t", " "), lambda x: x != F.lit("")))
+         >= good_min_tokens).alias("__good"),
+    )
+    grams = lab.select(
+        "__d", "__good", F.explode(_char_ngrams(F.col("__t"), n)).alias("g")
+    ).distinct()
+    df_counts = grams.groupBy("g").agg(
+        F.sum(F.when(F.col("__good"), 1).otherwise(0)).alias("dfg"),
+        F.sum(F.when(F.col("__good"), 0).otherwise(1)).alias("dfb"),
+    )
+    w = df_counts.select(
+        "g", (F.col("dfg") - F.col("dfb")).cast("long").alias("w")
+    ).filter(F.col("w") != 0)
+    rank = Window.orderBy(F.abs(F.col("w")).desc(), F.col("g").asc())
+    # single-partition window over the VOCABULARY only — bounded by the
+    # n-gram space, never by corpus rows (documented training-side cost)
+    return (
+        w.withColumn("__rn", F.row_number().over(rank))
+        .filter(F.col("__rn") <= top_k)
+        .select("g", "w")
+    )
+
+
+def quality_model_score(
+    df: DataFrame,
+    weights: DataFrame,
+    n: int = 3,
+    threshold: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents with a ``quality_model_train`` weight table:
+    ``score = Σ w(g)`` over every n-gram OCCURRENCE, ``keep = score ≥
+    threshold``. Because the logistic sigmoid is monotone, thresholding
+    the sigmoid at σ(τ) is EXACTLY thresholding this integer logit at τ
+    — the keep verdict never touches a float.
+
+    Scale: the exploded grams inner-join the BROADCAST weight table
+    first (≤ top_k rows), which prunes every non-model occurrence
+    before the only shuffle — one map-side-combinable sum keyed by
+    document; docs with no model gram come back via the left join with
+    score 0. No per-gram-per-doc counting state ever materializes
+    (Σ_g w_g·count_g ≡ Σ_occurrences w)."""
+    from hive_cassandra_spark.operators.text import normalize
+
+    base = df.select(F.col(id_col), normalize(F.col(text_col)).alias("__t"))
+    occ = base.select(
+        id_col, F.explode(_char_ngrams(F.col("__t"), n)).alias("g")
+    )
+    scores = (
+        occ.join(F.broadcast(weights), "g")
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("__s"))
+    )
+    return (
+        base.join(scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("score"),
+        )
+        .withColumn("keep", (F.col("score") >= threshold).cast("boolean"))
+    )

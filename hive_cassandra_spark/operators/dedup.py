@@ -281,6 +281,12 @@ def minhash_lsh_dedup(
     so threshold ≤ ~0.6 keeps recall high while the verify step keeps
     precision exact. Returns (doc_a, doc_b, jaccard).
     """
+    assert num_hashes % bands == 0, (
+        f"num_hashes={num_hashes} must divide into bands={bands}: a "
+        "remainder would compute minhash columns that enter no band — "
+        "wasted signature work and silently lower recall than the "
+        "(1-s^r)^b formula for the requested num_hashes"
+    )
     rows_per_band = num_hashes // bands
     # Persist the compact (doc, shs) table once: signatures, LSH buckets and
     # the exact-verify step all derive from it, so without the persist the
@@ -344,6 +350,12 @@ def lsh_prefilter_jaccard_pairs(
     consumers (leakage splits) moves cluster boundaries, never breaks
     the exactness of any reported similarity.
     """
+    assert num_hashes % bands == 0, (
+        f"num_hashes={num_hashes} must divide into bands={bands}: a "
+        "remainder would compute minhash columns that enter no band — "
+        "wasted signature work and silently lower recall than the "
+        "(1-s^r)^b formula for the requested num_hashes"
+    )
     rows_per_band = num_hashes // bands
     # same persist contract as minhash_lsh_dedup: signatures + both
     # verify sides all derive from the compact pre-explode shingle table

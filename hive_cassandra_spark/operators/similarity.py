@@ -920,7 +920,18 @@ def build_ivfpq_index(
     ix["pc"].write.mode("overwrite").parquet(f"{base}/pq_codebooks")
     ix["assign"].write.mode("overwrite").parquet(f"{base}/assignments")
     ix["codes"].write.mode("overwrite").parquet(f"{base}/codes")
-    ix["dim"].write.mode("overwrite").parquet(f"{base}/meta")
+    # the meta artifact carries the build parameters: serving derives
+    # the subspace split from __m rather than trusting its caller (a
+    # mismatched m would silently mis-bucket `sub` and return wrong
+    # neighbors with no error)
+    (
+        ix["dim"]
+        .withColumn("__m", F.lit(int(m)))
+        .withColumn("__n_cells", F.lit(int(n_cells)))
+        .withColumn("__k_codes", F.lit(int(k_codes)))
+        .write.mode("overwrite")
+        .parquet(f"{base}/meta")
+    )
 
 
 def ivfpq_topk_indexed(
@@ -928,7 +939,7 @@ def ivfpq_topk_indexed(
     path: str,
     queries: DataFrame,
     nprobe: int = 2,
-    m: int = 4,
+    m: int | None = None,
     topk: int = 5,
     id_col: str = "query_id",
     vec_col: str = "embedding",
@@ -937,7 +948,10 @@ def ivfpq_topk_indexed(
     query vectors are the ONLY non-artifact input — corpus embeddings
     are never touched (plan-asserted in test_similarity). Same
     deterministic arithmetic as the inline ``ivfpq_topk``, so results
-    are row-identical when the queries are the same corpus members."""
+    are row-identical when the queries are the same corpus members.
+    The subspace count ``m`` comes from the artifact's meta table;
+    passing one that disagrees with the build raises instead of
+    silently mis-bucketing the subspace split."""
     base = path.rstrip("/")
     ix = {
         "cc": spark.read.parquet(f"{base}/coarse_centroids"),
@@ -946,6 +960,21 @@ def ivfpq_topk_indexed(
         "codes": spark.read.parquet(f"{base}/codes"),
         "dim": spark.read.parquet(f"{base}/meta"),
     }
+    meta_cols = set(ix["dim"].columns)
+    built_m = (
+        int(ix["dim"].select("__m").head()[0]) if "__m" in meta_cols else m
+    )
+    if built_m is None:
+        raise ValueError(
+            "index meta carries no __m and no m was passed — rebuild the "
+            "artifact with build_ivfpq_index or pass the build-time m"
+        )
+    if m is not None and m != built_m:
+        raise ValueError(
+            f"m={m} disagrees with the artifact's build-time m={built_m}"
+        )
+    m = built_m
+    ix["dim"] = ix["dim"].select("__dim")
     # Query-side frames are interactive-scale by definition (|queries| ×
     # dim rows); checkpoint them once so the serve plan's several
     # consumers (probe ranking, residual LUT, ADC join) don't each

@@ -513,6 +513,51 @@ def bpe_merges(
         F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
         "n",
     ).localCheckpoint(eager=False)
+    return _bpe_merge_rounds(cur, n_merges)
+
+
+def bpe_merges_bytes(
+    df: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-level BPE merge learning — the GPT-2 tokenizer-training shape
+    (Radford et al. 2019): every word is first projected onto a fixed
+    256-symbol BYTE alphabet (its UTF-8 bytes, each rendered as a
+    two-hex-digit symbol), then the same greedy merge machinery as
+    ``bpe_merges`` applies unchanged. Because the projection is a
+    deterministic, engine-agnostic byte map, the ASCII-printable
+    vocabulary boundary disappears: any unicode word — emoji, CJK,
+    combining marks, astral-plane codepoints — participates, and the
+    Java-UTF-16 vs RE2-codepoint regex divergence never arises (no
+    regex ever inspects the raw word; symbols are pure hex). Returns
+    ``(step, pair, freq)``; merged symbols concatenate their hex digits
+    (' 68 65 ' → ' 6865 '), so a merge table row is itself a byte-span
+    id. Same single-corpus-scan / O(n_merges × |vocab|) cost shape as
+    ``bpe_merges``."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # "hé" -> " 68 c3 a9 " — one two-hex symbol per UTF-8 byte, padded
+    # so every pair occurrence is the literal ' a b '
+    cur = words.select(
+        F.concat(
+            F.lit(" "),
+            F.regexp_replace(
+                F.lower(F.hex(F.encode("w", "UTF-8"))), "(..)", "$1 "
+            ),
+        ).alias("s"),
+        "n",
+    ).localCheckpoint(eager=False)
+    return _bpe_merge_rounds(cur, n_merges)
+
+
+def _bpe_merge_rounds(cur: DataFrame, n_merges: int) -> DataFrame:
+    """The shared greedy merge loop over a padded symbol-string
+    vocabulary ``(s, n)`` — see ``bpe_merges`` for the determinism and
+    cost contract."""
     merges: DataFrame | None = None
     for step in range(1, n_merges + 1):
         arr = F.split(F.trim(F.col("s")), " ")

@@ -255,6 +255,49 @@ def stream_to_cells(
     )
 
 
+def _compact_winners(
+    cells: DataFrame,
+    key: list,
+    extras: list,
+    drop_tombstones: bool,
+    now_millis: int | None,
+    gc_grace_s: int | None,
+    has_ttl: bool,
+) -> DataFrame:
+    """The compaction winner computation shared by ``compact_store`` and
+    ``occ_compact_store``: per cell key keep the (ts, value, extras)
+    struct-max — highest ts wins, ties to the lexically greater value
+    (Cassandra's reconciliation rule) — then apply the tombstone /
+    gc_grace / TTL purge rules documented on ``compact_store``."""
+    packed = F.struct(*(["ts", "value"] + extras))
+    won = cells.groupBy(*key).agg(F.max(packed).alias("w"))
+    flat = won.select(
+        *key,
+        F.col("w.value").alias("value"),
+        F.col("w.ts").alias("ts"),
+        *[F.col(f"w.{c}").alias(c) for c in extras],
+    )
+    if drop_tombstones:
+        if gc_grace_s is not None and now_millis is not None:
+            # purge only tombstones past the grace window; younger ones
+            # keep suppressing late-arriving older writes
+            flat = flat.filter(
+                F.col("value").isNotNull()
+                | (F.col("ts") + gc_grace_s * 1000 > F.lit(now_millis))
+            )
+        else:
+            flat = flat.filter(F.col("value").isNotNull())
+    if now_millis is not None and has_ttl:
+        flat = flat.filter(
+            F.col("ttl_s").isNull()
+            | (
+                F.col("ts") + F.col("ttl_s").cast("long") * 1000
+                > F.lit(now_millis)
+            )
+        )
+    return flat
+
+
 def compact_store(
     spark,
     path: str,
@@ -313,29 +356,10 @@ def compact_store(
     cells_in = cells.count()
     files_in = len(_glob.glob(os.path.join(path, "*.parquet")))
 
-    packed = F.struct(*(["ts", "value"] + extras))
-    won = cells.groupBy(*key).agg(F.max(packed).alias("w"))
-    flat = won.select(
-        *key,
-        F.col("w.value").alias("value"),
-        F.col("w.ts").alias("ts"),
-        *[F.col(f"w.{c}").alias(c) for c in extras],
+    flat = _compact_winners(
+        cells, key, extras, drop_tombstones, now_millis, gc_grace_s,
+        "ttl_s" in cols,
     )
-    if drop_tombstones:
-        if gc_grace_s is not None and now_millis is not None:
-            # purge only tombstones past the grace window; younger ones
-            # keep suppressing late-arriving older writes
-            flat = flat.filter(
-                F.col("value").isNotNull()
-                | (F.col("ts") + gc_grace_s * 1000 > F.lit(now_millis))
-            )
-        else:
-            flat = flat.filter(F.col("value").isNotNull())
-    if now_millis is not None and "ttl_s" in cols:
-        flat = flat.filter(
-            F.col("ttl_s").isNull()
-            | (F.col("ts") + F.col("ttl_s").cast("long") * 1000 > F.lit(now_millis))
-        )
 
     token = uuid.uuid4().hex[:8]
     tmp_dir = f"{path.rstrip('/')}.compacting-{token}"
@@ -537,7 +561,9 @@ def store_version(path: str) -> int:
     return max(int(os.path.basename(m)[6:]) for m in marks)
 
 
-def occ_commit(spark, path: str, cells, expected_version: int) -> dict:
+def occ_commit(
+    spark, path: str, cells, expected_version: int, snapshot: bool = False,
+) -> dict:
     """Optimistic-concurrency commit for a cell store — the Delta /
     Iceberg commit-protocol shape (public): a writer declares the store
     version it READ its inputs at, and the commit succeeds only if it
@@ -556,12 +582,35 @@ def occ_commit(spark, path: str, cells, expected_version: int) -> dict:
     3. move the staged files in under version-stamped names
        (``part-occ-v%09d-*``), then PUBLISH with the ``_occ-v%09d``
        marker file — ``store_version`` counts only published markers,
-       so a torn commit is never observed as current.
+       so a torn commit is never observed as the current VERSION.
+
+    Torn-commit isolation applies to ``store_version`` and to readers
+    that go through ``occ_read`` (which lists only part files whose
+    version has a published marker). A raw ``spark.read.parquet(path)``
+    glob over the directory sees unpublished parts too — committed
+    consumers must read via ``occ_read`` (q183 does) or run
+    ``occ_recover`` first.
+
+    With ``snapshot=True`` the committed cells are a FULL REPLACEMENT of
+    every version ≤ ``expected_version`` (the compaction commit shape):
+    the published marker records the snapshot flag, ``occ_read`` then
+    lists only parts of versions ≥ the newest snapshot, and
+    ``occ_vacuum`` may physically drop the superseded parts at leisure.
+    Because the snapshot claims the next version through the SAME mkdir
+    atom, a concurrent append that wins the race forces the compactor to
+    refresh (re-read, now including the new append) and retry — the
+    lost-update window of the plain rename-swap discipline
+    (``compact_store``) is gone.
 
     A crash between claim and publish leaves a claim without a marker:
     ``occ_recover`` sweeps those (drops the claim's token-matched part
-    files) so the version becomes claimable again. Returns
-    {committed, version, conflict, files}.
+    files) so the version becomes claimable again. A loser whose mkdir
+    failed against a claim that has NO published marker gets
+    ``claim_pending=True`` in its result: the claimant is either still
+    in flight or dead, and a refresh-and-retry loop alone will spin
+    forever on a dead claim — the caller should invoke ``occ_recover``
+    (single-maintainer contract) before retrying. Returns
+    {committed, version, conflict, claim_pending, files}.
     """
     import glob as _glob
     import os
@@ -572,7 +621,8 @@ def occ_commit(spark, path: str, cells, expected_version: int) -> dict:
     cur = store_version(path)
     if cur != expected_version:
         return {
-            "committed": False, "version": cur, "conflict": True, "files": 0,
+            "committed": False, "version": cur, "conflict": True,
+            "claim_pending": False, "files": 0,
         }
     v = cur + 1
     token = uuid.uuid4().hex[:8]
@@ -583,10 +633,17 @@ def occ_commit(spark, path: str, cells, expected_version: int) -> dict:
         os.mkdir(claim)  # the atom: exactly one writer owns version v
     except FileExistsError:
         shutil.rmtree(staging, ignore_errors=True)
+        # distinguish a live racing writer (its marker will appear and
+        # store_version will advance) from a DEAD claim (no marker ever):
+        # a caller that only refresh-and-retries would spin forever on
+        # the latter — claim_pending tells it to run occ_recover first
         return {
             "committed": False,
             "version": store_version(path),
             "conflict": True,
+            "claim_pending": not os.path.exists(
+                os.path.join(path, f"_occ-v{v:09d}")
+            ),
             "files": 0,
         }
     # record the winner's token inside the claim so recovery can match
@@ -604,8 +661,73 @@ def occ_commit(spark, path: str, cells, expected_version: int) -> dict:
         n += 1
     shutil.rmtree(staging, ignore_errors=True)
     with open(os.path.join(path, f"_occ-v{v:09d}"), "w") as fh:
-        fh.write(token)
-    return {"committed": True, "version": v, "conflict": False, "files": n}
+        fh.write(token + ("\nsnapshot" if snapshot else ""))
+    return {
+        "committed": True, "version": v, "conflict": False,
+        "claim_pending": False, "files": n,
+    }
+
+
+def _occ_snapshot_floor(path: str) -> int:
+    """Highest published snapshot version (0 = none): versions below it
+    are superseded — invisible to ``occ_read``, droppable by
+    ``occ_vacuum``."""
+    import glob as _glob
+    import os
+
+    floor = 0
+    for m in _glob.glob(os.path.join(path, "_occ-v*")):
+        try:
+            with open(m) as fh:
+                lines = fh.read().splitlines()
+        except OSError:
+            continue
+        if len(lines) > 1 and lines[1] == "snapshot":
+            floor = max(floor, int(os.path.basename(m)[6:]))
+    return floor
+
+
+def occ_read(spark, path: str):
+    """Snapshot-isolation read of an OCC-managed store: only part files
+    whose version has a PUBLISHED ``_occ-v%09d`` marker are listed — a
+    torn commit's parts (claim without marker) are invisible without
+    waiting for ``occ_recover`` — and versions below the newest
+    published SNAPSHOT commit (a compaction's full replacement) are
+    superseded and skipped even before ``occ_vacuum`` physically drops
+    them. Listing is O(files) driver-side dirent work (the same cost
+    class as any parquet file listing), zero data movement; the returned
+    DataFrame scans exactly the committed, current parts. An empty /
+    never-committed store reads as an empty cell DataFrame."""
+    import glob as _glob
+    import os
+    import re as _re
+
+    published = {
+        int(os.path.basename(m)[6:])
+        for m in _glob.glob(os.path.join(path, "_occ-v*"))
+    }
+    floor = _occ_snapshot_floor(path)
+    pat = _re.compile(r"part-occ-v(\d{9})-\d{5}-[0-9a-f]+\.parquet$")
+    files = []
+    for f in sorted(_glob.glob(os.path.join(path, "part-occ-v*.parquet"))):
+        m = pat.search(os.path.basename(f))
+        if m and int(m.group(1)) in published and int(m.group(1)) >= floor:
+            files.append(f)
+    if not files:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("row_key", T.BinaryType()),
+                    T.StructField("column_name", T.BinaryType()),
+                    T.StructField("value", T.BinaryType()),
+                    T.StructField("ts", T.LongType()),
+                ]
+            ),
+        )
+    return spark.read.parquet(*files)
 
 
 def occ_recover(path: str) -> dict:
@@ -645,3 +767,85 @@ def occ_recover(path: str) -> dict:
         "dropped_parts": dropped_parts,
         "dropped_staging": dropped_staging,
     }
+
+
+def occ_vacuum(path: str) -> dict:
+    """Physically drop part files superseded by the newest published
+    SNAPSHOT commit (they are already invisible to ``occ_read``, so this
+    is pure space reclamation — safe at leisure, idempotent). Driver-side
+    dirent work, O(files), zero data movement. Returns {dropped_parts,
+    floor}."""
+    import glob as _glob
+    import os
+    import re as _re
+
+    floor = _occ_snapshot_floor(path)
+    dropped = 0
+    if floor:
+        pat = _re.compile(r"part-occ-v(\d{9})-\d{5}-[0-9a-f]+\.parquet$")
+        for f in _glob.glob(os.path.join(path, "part-occ-v*.parquet")):
+            m = pat.search(os.path.basename(f))
+            if m and int(m.group(1)) < floor:
+                os.remove(f)
+                dropped += 1
+    return {"dropped_parts": dropped, "floor": floor}
+
+
+def occ_compact_store(
+    spark,
+    path: str,
+    now_millis: int | None = None,
+    drop_tombstones: bool = True,
+    gc_grace_s: int | None = None,
+    max_retries: int = 5,
+) -> dict:
+    """``compact_store`` routed through the OCC commit protocol — the
+    r08-verdict item-3 consumer. The plain swap discipline has a
+    lost-update window: compaction reads the store, a concurrent ingest
+    appends, compaction's rename-swap clobbers the append. Here the
+    compacted winners are committed as a SNAPSHOT at the exact version
+    the inputs were read at: a concurrent append that claimed the next
+    version first forces a refresh-and-retry that re-reads WITH the new
+    append included — no write is ever lost, with zero coordination
+    between ingest and maintenance (the Delta/Iceberg optimistic-
+    compaction shape). A dead in-flight claim (claim_pending) is swept
+    via ``occ_recover`` under the documented single-maintainer contract.
+    Superseded parts are vacuumed after the commit. Returns
+    {cells_in, cells_out, version, conflicts, vacuumed, files}.
+    """
+    conflicts = 0
+    for _ in range(max_retries):
+        v_read = store_version(path)
+        cells = occ_read(spark, path)
+        cols = set(cells.columns)
+        key = ["row_key", "column_name"] + (
+            ["sub_column_name"] if "sub_column_name" in cols else []
+        )
+        extras = [c for c in ("ttl_s",) if c in cols]
+        cells_in = cells.count()
+        flat = _compact_winners(
+            cells, key, extras, drop_tombstones, now_millis, gc_grace_s,
+            "ttl_s" in cols,
+        )
+        # materialize the winners BEFORE the claim: the commit's write
+        # must not re-read store files that a racing vacuum could move
+        flat = flat.localCheckpoint(eager=True)
+        cells_out = flat.count()
+        res = occ_commit(spark, path, flat, v_read, snapshot=True)
+        if res["committed"]:
+            vac = occ_vacuum(path)
+            return {
+                "cells_in": cells_in,
+                "cells_out": cells_out,
+                "version": res["version"],
+                "conflicts": conflicts,
+                "vacuumed": vac["dropped_parts"],
+                "files": res["files"],
+            }
+        conflicts += 1
+        if res["claim_pending"]:
+            occ_recover(path)  # dead claim: single-maintainer sweep
+    raise RuntimeError(
+        f"occ_compact_store: {max_retries} consecutive commit conflicts "
+        f"on {path} — a live writer is outpacing compaction"
+    )

@@ -414,8 +414,6 @@ def test_k_anonymity_assign_levels_and_invariant(spark):
     groups = collections.Counter(
         (r["__level"], r["__group_key"]) for r in out if r["__level"] >= 0
     )
-    for (_, _), n in groups.items():
-        pass
     for (level, key), n in groups.items():
         assert n >= 5 or level == 1  # level-1 key pools records whose
         # finer siblings were released at level 0 — group_n counts ALL
@@ -430,3 +428,75 @@ def test_k_anonymity_assign_levels_and_invariant(spark):
             assert r["__group_n"] == pop[(r.region, r.city)]
         else:
             assert r["__group_n"] == pop[(r.region,)]
+
+
+def test_quality_model_train_score_vs_python(spark):
+    """quality_model_train/score vs a from-scratch Python replay: integer
+    df-difference weights, (|w| DESC, g ASC) top-k, per-occurrence sum,
+    logit-threshold keep — exact equality on a corpus constructed so that
+    good/bad classes have overlapping AND disjoint trigrams, short docs
+    (< n chars) score 0, and a tie at the top-k boundary exercises the
+    deterministic cut."""
+    import collections
+    import re
+
+    from hive_cassandra_spark.operators import curation as cur
+
+    min_tokens = 4
+    corpus = [
+        (0, "alpha beta gamma delta epsilon"),     # good (5 tokens)
+        (1, "alpha beta gamma delta"),              # good (4)
+        (2, "zeta eta theta iota kappa"),           # good (5)
+        (3, "alpha zeta"),                          # bad (2)
+        (4, "beta"),                                # bad (1)
+        (5, "xy"),                                  # bad, shorter than n
+        (6, "gamma gamma gamma"),                   # bad (3), repeats
+    ]
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    def grams(t, n=3):
+        t = norm(t)
+        return [t[i:i + n] for i in range(len(t) - n + 1)]
+
+    def py_model(top_k):
+        dfg, dfb = collections.Counter(), collections.Counter()
+        for _, t in corpus:
+            good = len(norm(t).split(" ")) >= min_tokens
+            for g in set(grams(t)):
+                (dfg if good else dfb)[g] += 1
+        w = {
+            g: dfg[g] - dfb[g]
+            for g in set(dfg) | set(dfb)
+            if dfg[g] != dfb[g]
+        }
+        cut = sorted(w.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:top_k]
+        weights = dict(cut)
+        out = {}
+        for d, t in corpus:
+            s = sum(weights.get(g, 0) for g in grams(t))
+            out[d] = (s, s >= 0)
+        return weights, out
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    for top_k in (5, 10_000):  # tie-boundary cut AND the everything case
+        exp_w, exp_scores = py_model(top_k)
+        got_w = {
+            r.g: r.w
+            for r in cur.quality_model_train(
+                df, n=3, top_k=top_k, good_min_tokens=min_tokens
+            ).collect()
+        }
+        assert got_w == exp_w, top_k
+        scored = cur.quality_model_score(
+            df,
+            cur.quality_model_train(
+                df, n=3, top_k=top_k, good_min_tokens=min_tokens
+            ),
+            n=3,
+        )
+        got = {r.doc_id: (r.score, r.keep) for r in scored.collect()}
+        assert got == exp_scores, top_k
+    # the sub-n doc is present with score exactly 0
+    assert got[5] == (0, True)

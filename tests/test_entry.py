@@ -47,17 +47,18 @@ def test_registration_window_covers_every_family():
     names = list(entrymod.queries())
     window = set(names[:50])
     pinned = {
-        # round-8 window (r07 verdict item 1: the 46-query rotation debt).
-        # Relational flagship pair:
+        # round-9 window (r08 verdict item 1: the PENDING_ROTATION
+        # contract plus the never-hashed sweep). Relational flagship pair:
         "q01_pricing_summary", "q03_shipping_priority",
-        # stayers — sole/required tag bearers first driver-green in r07,
-        # too young to leave under the multi-round graduation precedent
-        "q95_incremental_dedup", "q99_stream_incremental_dedup",
-        "q104_stream_quantile_sketch", "q111_stream_countmin",
-        "q113_label_centroids", "q116_stream_index", "q122_curation_v2",
-        "q123_stream_histogram", "q125_maintenance_runbook",
-        "q128_multi_insert",
-        # the 17 PENDING_ROTATION new-family bearers (the q87/q89
+        # the three round-8 PENDING_ROTATION capabilities taking their
+        # contractual slots, the three round-8 late additions, and the
+        # four most load-bearing never-hashed overflow variants
+        "q179_bpe_merges", "q180_image_dedup_dhash", "q181_k_anonymity",
+        "q178_multimodal_jpeg_progressive", "q182_indexed_ann",
+        "q183_occ_commit", "q139_dynamic_partition_pruning",
+        "q164_optimize_compaction", "q130_hll_distinct",
+        "q145_equidepth_histogram",
+        # the 17 round-8 new-family bearers (the q87/q89
         # two-round contract, honored)
         "q129_cdc_apply", "q133_canonical_selection", "q135_bm25_retrieval",
         "q136_funnel_analysis", "q137_cohort_retention", "q138_stream_funnel",

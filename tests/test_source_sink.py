@@ -502,10 +502,12 @@ def test_occ_commit_protocol(spark, tmp_path):
     assert sink.store_version(store if False else str(tmp_path / "nope")) == 0
     r1 = sink.occ_commit(spark, store, gen("a", 10), 0)
     assert r1 == {"committed": True, "version": 1, "conflict": False,
-                  "files": r1["files"]}
-    # stale writer: conflict reports the CURRENT version for the retry
+                  "claim_pending": False, "files": r1["files"]}
+    # stale writer: conflict reports the CURRENT version for the retry;
+    # no claim is pending (the winner published), so plain retry suffices
     r2 = sink.occ_commit(spark, store, gen("b", 5), 0)
     assert not r2["committed"] and r2["conflict"] and r2["version"] == 1
+    assert not r2["claim_pending"]
     # no partial data from the loser
     assert spark.read.parquet(store).count() == 10
     r3 = sink.occ_commit(spark, store, gen("b", 5), r2["version"])
@@ -527,8 +529,15 @@ def test_occ_commit_protocol(spark, tmp_path):
     # version is still 2 (markers only), but v3 is unclaimable until
     # recovery sweeps the dead claim
     assert sink.store_version(store) == 2
+    # snapshot-isolation read: the torn commit's junk part is invisible
+    # through occ_read even BEFORE recovery (raw glob reads would see it)
+    assert sink.occ_read(spark, store).count() == 15
     blocked = sink.occ_commit(spark, store, gen("c", 4), 2)
     assert not blocked["committed"] and blocked["conflict"]
+    # the blocking claim has no published marker: claim_pending tells the
+    # caller a refresh-and-retry loop alone would spin forever — run
+    # occ_recover (a live racing writer would have published by now)
+    assert blocked["claim_pending"]
     rec = sink.occ_recover(store)
     assert rec["dropped_claims"] == 1 and rec["dropped_parts"] == 1
     assert sink.occ_recover(store)["dropped_claims"] == 0  # idempotent
@@ -539,3 +548,69 @@ def test_occ_commit_protocol(spark, tmp_path):
     # published claims are permanent winner records — never swept
     assert sink.occ_recover(store)["dropped_claims"] == 0
     assert sink.store_version(store) == 3
+    # occ_read sees exactly the committed parts; an empty store reads as
+    # an empty typed cell frame
+    assert sink.occ_read(spark, store).count() == 19
+    empty = sink.occ_read(spark, str(tmp_path / "never_committed"))
+    assert empty.count() == 0 and "row_key" in empty.columns
+
+
+def test_occ_compact_store_snapshot_and_vacuum(spark, tmp_path):
+    """occ_compact_store: winners land as a SNAPSHOT commit — superseded
+    versions become invisible to occ_read immediately and occ_vacuum
+    physically drops them; appends AFTER the snapshot layer on top; a
+    stale snapshot commit fails closed (the lost-update race)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark import sink
+
+    store = str(tmp_path / "occ_store")
+
+    def gen(tag, n, ts, null_vals=False):
+        return spark.range(n).select(
+            F2.encode(F2.col("id").cast("string"), "utf-8").alias("row_key"),
+            F2.encode(F2.lit("c"), "utf-8").alias("column_name"),
+            (
+                F2.lit(None).cast("binary")
+                if null_vals
+                else F2.encode(
+                    F2.concat(F2.lit(tag), F2.col("id").cast("string")),
+                    "utf-8",
+                )
+            ).alias("value"),
+            F2.lit(ts).cast("long").alias("ts"),
+        )
+
+    # v1: 10 base cells; v2: 4 updated; v3: tombstones for ids 0-1
+    assert sink.occ_commit(spark, store, gen("a", 10, 1000), 0)["committed"]
+    assert sink.occ_commit(spark, store, gen("b", 4, 2000), 1)["committed"]
+    assert sink.occ_commit(
+        spark, store, gen("t", 2, 3000, null_vals=True), 2
+    )["committed"]
+    res = sink.occ_compact_store(spark, store)
+    assert res["version"] == 4 and res["conflicts"] == 0
+    assert res["cells_in"] == 16 and res["cells_out"] == 8  # 10 -2 tombstoned
+    # superseded parts are gone from disk AND from reads
+    vers = {
+        os.path.basename(f)[10:19]
+        for f in glob.glob(os.path.join(store, "part-occ-v*.parquet"))
+    }
+    assert vers == {"000000004"}
+    compacted = sink.occ_read(spark, store)
+    assert compacted.count() == 8
+    vals = {
+        bytes(r.value).decode() for r in compacted.select("value").collect()
+    }
+    assert vals == {"b2", "b3", "a4", "a5", "a6", "a7", "a8", "a9"}
+    # a stale snapshot commit (reader at v4, append lands v5) fails closed
+    assert sink.occ_commit(spark, store, gen("z", 1, 4000), 4)["committed"]
+    stale = sink.occ_commit(spark, store, gen("x", 1, 5000), 4, snapshot=True)
+    assert stale["conflict"] and not stale["committed"]
+    # post-snapshot append layers on top of the snapshot floor
+    assert sink.occ_read(spark, store).count() == 9
+    # second compaction folds it in (z0 at ts 4000 beats tombstone 3000)
+    res2 = sink.occ_compact_store(spark, store)
+    assert res2["version"] == 6 and res2["cells_out"] == 9
