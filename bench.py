@@ -206,6 +206,18 @@ HEADLINE = [
     "q182_indexed_ann",
     # OCC commits: 3 staged writes + atomic claims + recovery sweep
     "q183_occ_commit",
+    # byte-level BPE: hex projection + 5 vocab-sized merge rounds
+    "q184_bpe_merges_bytes",
+    # OCC compaction: 4 staged writes + the raced snapshot + vacuum
+    "q185_occ_compaction",
+    # learned quality filter: trigram df training + broadcast-LUT scoring
+    "q186_quality_model",
+    # BPE apply: trainer chain + one replace-chain projection encode
+    "q187_bpe_apply",
+    # incremental postings: half build + delta append + artifact serve
+    "q188_incremental_retrieval",
+    # image dedup canonical: dhash pairs + components + quality argmax
+    "q189_image_dedup_canonical",
 ]
 
 
@@ -315,6 +327,12 @@ def main() -> None:
         "q181_k_anonymity",
         "q182_indexed_ann",
         "q183_occ_commit",
+        "q184_bpe_merges_bytes",
+        "q185_occ_compaction",
+        "q186_quality_model",
+        "q187_bpe_apply",
+        "q188_incremental_retrieval",
+        "q189_image_dedup_canonical",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

@@ -98,15 +98,20 @@ def term_stats(post: DataFrame) -> DataFrame:
 
 
 def corpus_stats(df: DataFrame, post: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One-row ``(n, a)``: corpus document count and integer average
-    document length ``A = floor(total_tokens / N)``. N counts every
-    document (token-less docs simply never enter the postings)."""
+    """One-row ``(n, s, a)``: corpus document count, total token count,
+    and integer average document length ``A = floor(s / N)``. N counts
+    every document (token-less docs simply never enter the postings).
+    ``s`` rides along because ``a`` alone is floor-lossy: incremental
+    index maintenance (``update_postings_index``) re-derives the merged
+    average from exact ``(n, s)`` sums, never from a stale floor."""
     n = df.groupBy().agg(F.count(F.lit(1)).alias("n"))
     # total tokens = Σ tf over all postings (each posting row carries its
     # term's count once) — again derived from tf, not a fresh token pass
-    s = post.groupBy().agg(F.sum("tf").alias("s"))
+    s = post.groupBy().agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("s"))
     return n.crossJoin(s).select(
-        "n", F.expr("s div greatest(n, 1)").cast("long").alias("a")
+        "n",
+        F.col("s").cast("long").alias("s"),
+        F.expr("s div greatest(n, 1)").cast("long").alias("a"),
     )
 
 
@@ -160,6 +165,67 @@ def read_postings_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{base}/postings"),
         spark.read.parquet(f"{base}/meta"),
     )
+
+
+def update_postings_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incremental maintenance of a ``build_postings_index`` artifact —
+    the nightly rebuild becomes a delta job (the q165 incremental-view
+    shape applied to the retrieval index): ONLY the new documents are
+    scanned; their postings APPEND to the postings table (per-doc
+    postings are independent, so append ≡ rebuild exactly), and the
+    one-row corpus stats merge additively from exact ``(n, s)`` sums —
+    never from the floor-lossy average — so the refreshed ``a`` equals
+    a from-scratch rebuild's bit-for-bit, which is what q188's
+    full-corpus oracle gates.
+
+    Contract: ``new_docs`` ids must be unseen (CDC upsert/delete is
+    q129/q165's territory; an id re-fed here would double-count).
+    Single maintainer per artifact at a time, same as ``compact_store``
+    — route commits through ``sink.occ_commit`` when ingest races
+    maintenance. Returns {docs_added, tokens_added, n, a}.
+    """
+    base = path.rstrip("/")
+    meta = spark.read.parquet(f"{base}/meta")
+    if "s" not in meta.columns:
+        raise ValueError(
+            "index meta has no total-token column 's' — rebuilt it with "
+            "build_postings_index (a floor-rounded average alone cannot "
+            "be merged exactly)"
+        )
+    delta_post = postings(new_docs, id_col, text_col)
+    delta_post.write.mode("append").parquet(f"{base}/postings")
+    delta_stats = corpus_stats(new_docs, delta_post, id_col)
+    old = meta.head()
+    dlt = delta_stats.head()
+    n, s = int(old["n"]) + int(dlt["n"]), int(old["s"]) + int(dlt["s"])
+    merged = spark.createDataFrame(
+        [(n, s, s // max(n, 1))], "n long, s long, a long"
+    )
+    # two-file swap discipline: land the merged row beside the live meta,
+    # then rename over it — a reader never sees a half-written meta dir
+    import os
+    import shutil
+
+    tmp = f"{base}/meta.updating"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    live = f"{base}/meta"
+    old_dir = f"{base}/meta.old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(live, old_dir)
+    os.rename(tmp, live)
+    shutil.rmtree(old_dir)
+    return {
+        "docs_added": int(dlt["n"]),
+        "tokens_added": int(dlt["s"]),
+        "n": n,
+        "a": s // max(n, 1),
+    }
 
 
 def bm25_topk(

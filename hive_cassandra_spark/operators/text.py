@@ -554,6 +554,64 @@ def bpe_merges_bytes(
     return _bpe_merge_rounds(cur, n_merges)
 
 
+def bpe_apply(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    byte_level: bool = True,
+) -> DataFrame:
+    """APPLY a learned merge table — the tokenizer's serving half (the
+    trainer halves are ``bpe_merges``/``bpe_merges_bytes``): encode the
+    corpus vocabulary with the merges in learned order and return the
+    resulting token histogram ``(token, n_occ, vocab_occ, token_id)`` —
+    corpus occurrences, occurrences across vocabulary entries, and the
+    dense id a tokenizer would assign (n_occ DESC, token ASC).
+
+    Relational shape: the merge table is bounded by ``n_merges`` (a
+    caller parameter, never data-sized), so it collects as a literal
+    LUT (the ≤k-centroid precedent) and the whole encode is ONE
+    projection — a chain of literal replaces — over the (word, count)
+    vocabulary: the corpus is scanned once into the vocabulary and
+    never re-entered, applying K merges costs K string passes over
+    vocab-sized data, and per-document token ids (when a consumer needs
+    them) are a broadcast join of this encoded vocabulary back to the
+    corpus words — the corpus text itself is never re-parsed. The final
+    token_id ranking is a single-partition window over the VOCABULARY
+    only (corpus-independent size, documented)."""
+    pairs = [
+        r["pair"]
+        for r in merges.select("step", "pair").orderBy("step").collect()
+    ]
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    if not byte_level:
+        words = words.filter(F.col("w").rlike("^[!-~]+$"))
+    words = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    if byte_level:
+        sym = F.concat(
+            F.lit(" "),
+            F.regexp_replace(
+                F.lower(F.hex(F.encode("w", "UTF-8"))), "(..)", "$1 "
+            ),
+        )
+    else:
+        sym = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
+    for p in pairs:
+        sym = F.replace(
+            sym, F.lit(" " + p + " "), F.lit(" " + p.replace(" ", "") + " ")
+        )
+    toks = words.select(
+        F.explode(F.split(F.trim(sym), " ")).alias("token"), "n"
+    )
+    hist = toks.groupBy("token").agg(
+        F.sum("n").cast("long").alias("n_occ"),
+        F.count(F.lit(1)).cast("long").alias("vocab_occ"),
+    )
+    w_id = Window.orderBy(F.desc("n_occ"), F.asc("token"))
+    return hist.withColumn(
+        "token_id", F.row_number().over(w_id).cast("long")
+    )
+
+
 def _bpe_merge_rounds(cur: DataFrame, n_merges: int) -> DataFrame:
     """The shared greedy merge loop over a padded symbol-string
     vocabulary ``(s, n)`` — see ``bpe_merges`` for the determinism and

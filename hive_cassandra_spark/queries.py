@@ -9148,6 +9148,107 @@ def q184_bpe_merges_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merges_bytes(_t(spark, sf_dir, "documents"), n_merges=5)
 
 
+def _bpe_bytes_apply_oracle_sql(n_merges: int) -> str:
+    """q184's CTE chain extended through the ENCODE step: the final
+    merged vocabulary s{n} is exactly what applying the learned merge
+    table produces, so the token histogram over it replays
+    ``text.bpe_apply`` bit-for-bit."""
+    base = _bpe_bytes_oracle_sql(n_merges)
+    # strip the trainer's final merge-table SELECT; keep the CTE chain
+    chain = base[: base.rindex(" SELECT 1 AS step")]
+    return (
+        chain
+        + f""" , hist AS (
+        SELECT token, CAST(sum(n) AS BIGINT) AS n_occ,
+               CAST(count(*) AS BIGINT) AS vocab_occ
+        FROM (SELECT unnest(string_split(trim(s), ' ')) AS token, n
+              FROM s{n_merges})
+        GROUP BY token)
+    SELECT token, n_occ, vocab_occ,
+           CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS BIGINT)
+           AS token_id
+    FROM hist"""
+    )
+
+
+@register(
+    "q187_bpe_apply",
+    # The serving half of the tokenizer pair: the oracle replays q184's
+    # merge chain, then the ENCODE — explode the merged vocabulary's
+    # symbols weighted by word count — so the full token histogram
+    # (corpus occurrences, vocabulary occurrences, dense token ids)
+    # must hash-match. Every merge decision AND its application are
+    # adjudicated in one gate.
+    oracle=_bpe_bytes_apply_oracle_sql(5),
+    doc="BPE tokenizer application (text.bpe_apply — the serving half "
+    "of q184's byte-level trainer): encode the corpus vocabulary with "
+    "the learned merges in order and emit the token histogram with "
+    "dense token ids. The merge table is parameter-bounded, so it "
+    "collects as a literal LUT and the encode is ONE projection (a "
+    "literal replace chain) over the vocab — the corpus is scanned "
+    "once into the vocabulary and never re-parsed; per-doc token ids "
+    "are a broadcast join of this encoded vocab back to corpus words. "
+    "Ordinary overflow of the tokenizer_training family (q179 "
+    "in-window since round 9)",
+)
+def q187_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.bpe_merges_bytes(docs, n_merges=5)
+    return text.bpe_apply(docs, merges, byte_level=True)
+
+
+@register(
+    "q188_incremental_retrieval",
+    # q135's full-corpus oracle VERBATIM: the index is built on half the
+    # corpus and incrementally updated with the other half, so the
+    # driver hash is the merge-equals-rebuild proof (per-doc postings
+    # append exactly; corpus stats merge from exact (n, s) sums, never
+    # the floor-lossy average — a stale `a` would shift every score).
+    oracle=QUERIES["q135_bm25_retrieval"].oracle,
+    doc="incremental postings-index maintenance (retrieval."
+    "update_postings_index — the q165 incremental-view shape applied "
+    "to q176's materialized index): the nightly corpus pass becomes a "
+    "delta job that scans ONLY the new documents, appends their "
+    "postings (per-doc postings are independent, so append = rebuild), "
+    "and merges the one-row corpus stats additively from exact (n, s) "
+    "totals. Serving reads only the refreshed artifact — zero document "
+    "scans, zero old-corpus rescans. Ordinary overflow of the "
+    "retrieval family (q135/q176 in-window)",
+)
+def q188_incremental_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q188_{tok}_{os.getpid()}_idx"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    # nightly build on the even half, delta update with the odd half
+    retrieval.build_postings_index(docs.filter(F.col("doc_id") % 2 == 0), base)
+    upd = retrieval.update_postings_index(
+        spark, base, docs.filter(F.col("doc_id") % 2 == 1)
+    )
+    assert upd["docs_added"] > 0, upd
+    post, corpus = retrieval.read_postings_index(spark, base)
+    qset = spark.createDataFrame(
+        [
+            ("rare_common", "dup"),
+            ("rare_common", "hash"),
+            ("ops", "join"),
+            ("ops", "merge"),
+            ("ops", "sort"),
+            ("vec", "vector"),
+            ("vec", "query"),
+        ],
+        "query_id string, term string",
+    )
+    return retrieval.bm25_topk(None, qset, k=10, post=post, corpus=corpus)
+
+
 @register(
     "q185_occ_compaction",
     # The lost-update race, hash-gated: three generations land as OCC
@@ -9673,6 +9774,73 @@ def q183_occ_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recovered_parts", F.lit(rec["dropped_parts"]).cast("long")
         )
     )
+
+
+def _image_canonical_oracle_sql() -> str:
+    """q180's perceptual-pair CTE chain spliced into q133's recursive
+    component + canonical-argmax tail: the full image-dedup PRODUCTION
+    output — who survives — is adjudicated in one hash, end to end from
+    the container bytes."""
+    base = QUERIES["q180_image_dedup_dhash"].oracle
+    chain = base[: base.rindex("SELECT doc_a")]
+    return (
+        chain.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+        + """, hp AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= 6),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM hp
+            UNION SELECT doc_b, doc_a FROM hp),
+    reach(node, label) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    q AS (SELECT c.component, c.node, dd.n_chars,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY dd.n_chars DESC, c.node ASC)
+                     AS rn
+          FROM comp c JOIN documents dd ON dd.doc_id = c.node)
+    SELECT component,
+           max(CASE WHEN rn = 1 THEN node END) AS canonical_id,
+           max(CASE WHEN rn = 1 THEN n_chars END) AS best_quality,
+           count(*) AS cluster_size
+    FROM q GROUP BY component"""
+    )
+
+
+@register(
+    "q189_image_dedup_canonical",
+    # End-to-end adjudication: container bytes → dhash signatures →
+    # banded pairs (q180's CTEs verbatim) → recursive min-label
+    # components → quality argmax (q133's tail). The output is the
+    # linear production shape — one row per duplicate CLUSTER — so this
+    # gate also proves the pair graph's transitive closure is right,
+    # which the pair list alone cannot.
+    oracle=_image_canonical_oracle_sql(),
+    doc="image-dedup canonical assignment (multimodal.image_dhash + "
+    "dedup.signature_hamming_pairs + neardup_components + "
+    "canonical_per_cluster): the production output of perceptual "
+    "dedup — per duplicate cluster, keep the highest-quality member "
+    "(longest doc, ties to smallest id) and report cluster size. "
+    "Pairs are quadratic in dense-duplicate regimes (measured in "
+    "SCALING_r09's cand_pairs); the CLUSTER output is linear in docs, "
+    "and the component rounds converge in graph-diameter iterations "
+    "over hash-partitioned joins (q67/q152's contract). Ordinary "
+    "overflow of the image_dedup (q180) + dedup_components "
+    "(q133/q163/q175) families",
+)
+def q189_image_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    payloads = multimodal.attach_image_payload(
+        docs, container="bmp", wh_mod=(4, 3)
+    )
+    pairs = dedup.signature_hamming_pairs(
+        multimodal.image_dhash(payloads), max_hamming=6
+    )
+    comp = dedup.neardup_components(pairs)
+    return dedup.canonical_per_cluster(
+        comp, docs.select("doc_id", "n_chars"), quality_col="n_chars"
+    ).select("component", "canonical_id", "best_quality", "cluster_size")
 
 
 # =====================================================================
@@ -10232,6 +10400,17 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # scoring — the rule tiers q87/q151 are its complement, not its
     # bearer) — PENDING_ROTATION for a round-10 slot
     "q186_quality_model": {"quality_model"},
+    # BPE application (encode): the serving half of the trainer pair —
+    # ordinary overflow of the tokenizer_training family (q179
+    # in-window since round 9)
+    "q187_bpe_apply": {"tokenizer_training"},
+    # incremental postings maintenance: ordinary overflow of the
+    # retrieval family (q135/q176 in-window)
+    "q188_incremental_retrieval": {"retrieval"},
+    # image-dedup canonical assignment: the production (cluster-level)
+    # output — ordinary overflow of the image_dedup (q180) and
+    # dedup_components (q133/q163/q175) families
+    "q189_image_dedup_canonical": {"image_dedup", "dedup_components"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

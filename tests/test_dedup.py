@@ -775,3 +775,60 @@ def test_lsh_leakage_split_no_cluster_spans_splits(spark, sf_dir):
                   assigned.groupBy("split")
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert {s: v[0] for s, v in out.items()} == doc_counts
+
+
+def test_image_dedup_canonical_matches_union_find(spark, sf_dir):
+    """The composed image-dedup production pipeline (dhash pairs →
+    components → quality argmax) vs a Python union-find + argmax replay
+    over the SAME pair list: component labels, keepers, qualities, and
+    cluster sizes must match exactly."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import dedup as dd
+    from hive_cassandra_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(8)
+    sig = mm.image_dhash(
+        mm.attach_image_payload(docs, container="bmp", wh_mod=(4, 3))
+    )
+    pairs = dd.signature_hamming_pairs(sig, max_hamming=6)
+    plist = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    assert plist, "fixture must carry perceptual pairs for this test to bite"
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in plist:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    quality = {
+        r.doc_id: r.n_chars
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    import collections
+
+    clusters = collections.defaultdict(list)
+    for node in parent:
+        clusters[find(node)].append(node)
+    expected = {
+        comp: (
+            max(members, key=lambda m: (quality[m], -m)),
+            max(quality[m] for m in members),
+            len(members),
+        )
+        for comp, members in clusters.items()
+    }
+    got = {
+        r.component: (r.canonical_id, r.best_quality, r.cluster_size)
+        for r in dd.canonical_per_cluster(
+            dd.neardup_components(pairs),
+            docs.select("doc_id", "n_chars"),
+            quality_col="n_chars",
+        ).collect()
+    }
+    assert got == expected

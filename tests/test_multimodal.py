@@ -823,3 +823,75 @@ def test_image_dhash_matches_numpy_reference(spark, sf_dir):
     ).collect()
     copies = {(r.doc_a, r.doc_b) for r in pairs if r.doc_b - r.doc_a == 12000}
     assert len(copies) >= 3
+
+
+def test_image_dhash_survives_jpeg_quality_shift(spark):
+    """The r08-verdict item-7 recall gate: a perceptually-identical image
+    re-encoded at a 4x coarser JPEG quantization table (the 'quality
+    shift' of a real re-upload pipeline) must land within a few Hamming
+    bits of the original encode — and the banded signature_hamming_pairs
+    engine must FIND every (original, re-encode) pair, even though the
+    byte payloads differ completely (which exact/byte-level dedup can
+    never see)."""
+    from hive_cassandra_spark.operators import dedup as dd
+    from hive_cassandra_spark.operators.multimodal import (
+        _JPEG_QTABLE,
+        decode_jpeg_gray8,
+        encode_jpeg_gray8,
+    )
+
+    # blocky high-contrast images aligned to the 9x8 dhash grid: cell
+    # (r, c) is a constant 8x8 block with value ((r*9+c)*37 % 8)*32 —
+    # deterministic, adjacent cells always differ by >=32, so the dhash
+    # bits ride coarse structure that quantization noise cannot flip
+    def img(seed):
+        cells = (((np.arange(8)[:, None] * 9 + np.arange(9)[None, :]) * 37
+                  + seed * 11) % 8) * 32
+        blocky = np.kron(cells, np.ones((8, 8), dtype=np.int64))
+        # mild intra-block texture (amplitude 7 << the 32-level cell
+        # contrast): gives each block AC energy so the coarser table is
+        # ACTUALLY lossy, without threatening the dhash grid comparisons
+        h, w = blocky.shape
+        texture = (np.arange(h)[:, None] % 8) + (np.arange(w)[None, :] % 8) // 2
+        return np.clip(blocky + texture, 0, 255).astype(np.uint8)
+
+    coarse_q = np.minimum(_JPEG_QTABLE * 4, 255)
+    rows = []
+    for seed in range(6):
+        plane = img(seed)
+        h, w = plane.shape
+        for doc_id, buf in (
+            (seed, encode_jpeg_gray8(plane)),
+            (1000 + seed, encode_jpeg_gray8(plane, qtable=coarse_q)),
+        ):
+            rows.append((doc_id, bytearray(buf), ("image/jpeg", w, h, 1)))
+        # the quality shift must actually change pixels somewhere across
+        # the suite, or the test degenerates into the hamming-0 case
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, "
+        "meta struct<format:string,width:int,height:int,n_frames:int>",
+    )
+    from hive_cassandra_spark.operators import multimodal as mm
+
+    sig = {r.doc: (r.sim_hi, r.sim_lo)
+           for r in mm.image_dhash(df).collect()}
+    for seed in range(6):
+        hi_a, lo_a = sig[seed]
+        hi_b, lo_b = sig[1000 + seed]
+        ham = bin((hi_a ^ hi_b)).count("1") + bin((lo_a ^ lo_b)).count("1")
+        assert ham <= 6, (seed, ham)
+    pairs = dd.signature_hamming_pairs(mm.image_dhash(df), max_hamming=6)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    for seed in range(6):
+        assert (seed, 1000 + seed) in found, seed
+    # sanity: the shift is a REAL re-encode (bytes and pixels differ for
+    # at least some images), so this is not the identical-plane case
+    diffs = 0
+    for seed in range(6):
+        a = decode_jpeg_gray8(encode_jpeg_gray8(img(seed)))[2]
+        b = decode_jpeg_gray8(
+            encode_jpeg_gray8(img(seed), qtable=coarse_q)
+        )[2]
+        diffs += int(not np.array_equal(a, b))
+    assert diffs > 0

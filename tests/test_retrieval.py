@@ -315,3 +315,43 @@ def test_postings_index_serving_scans_zero_document_bytes(spark, sf_dir, tmp_pat
     assert sorted(map(key, served.collect())) == sorted(map(key, inline.collect()))
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") == 0
+
+
+def test_update_postings_index_equals_rebuild(spark, docs, tmp_path):
+    """Incremental maintenance == from-scratch rebuild, exactly: build on
+    a prefix, update with the rest, and both the artifact contents
+    (postings + merged (n, s, a) stats) and the served BM25 ranking must
+    equal the full rebuild's. Also: the guard against an s-less meta."""
+    inc = str(tmp_path / "inc_idx")
+    full = str(tmp_path / "full_idx")
+    old_docs = docs.filter(F.col("doc_id") <= 3)
+    new_docs = docs.filter(F.col("doc_id") > 3)
+    retrieval.build_postings_index(old_docs, inc)
+    res = retrieval.update_postings_index(spark, inc, new_docs)
+    assert res["docs_added"] == 2 and res["tokens_added"] == 10
+    retrieval.build_postings_index(docs, full)
+    post_i, meta_i = retrieval.read_postings_index(spark, inc)
+    post_f, meta_f = retrieval.read_postings_index(spark, full)
+    assert sorted(map(tuple, post_i.collect())) == sorted(
+        map(tuple, post_f.collect())
+    )
+    assert meta_i.collect() == meta_f.collect()
+    assert res["n"] == 5 and res["a"] == meta_f.head()["a"]
+    q = spark.createDataFrame(
+        [("qa", "alpha"), ("qd", "delta")], "query_id string, term string"
+    )
+    served_i = sorted(map(tuple, retrieval.bm25_topk(
+        None, q, k=5, post=post_i, corpus=meta_i).collect()))
+    served_f = sorted(map(tuple, retrieval.bm25_topk(
+        docs, q, k=5).collect()))
+    assert served_i == served_f
+    # meta without the exact total-token column cannot merge — fail closed
+    meta_i.select("n", "a").write.mode("overwrite").parquet(
+        str(tmp_path / "lossy_meta")
+    )
+    import shutil
+
+    shutil.rmtree(f"{inc}/meta")
+    shutil.copytree(str(tmp_path / "lossy_meta"), f"{inc}/meta")
+    with pytest.raises(ValueError, match="total-token"):
+        retrieval.update_postings_index(spark, inc, new_docs)

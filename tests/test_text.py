@@ -389,3 +389,65 @@ def test_bpe_merges_bytes_unicode_adversarial(spark, sf_dir):
         .collect()
     ]
     assert got2 == py_bpe_bytes(texts, 3)
+
+
+def test_bpe_apply_matches_python_encode(spark):
+    """text.bpe_apply vs a from-scratch Python replay: learn byte-level
+    merges, apply them to the vocabulary in learned order, and the token
+    histogram (corpus occurrences, vocab occurrences, dense ids) must
+    match exactly — including multi-occurrence tokens within one word
+    and unicode words."""
+    import collections
+    import re
+
+    from hive_cassandra_spark.operators import text as text_ops
+
+    corpus = [
+        "banana banana bandana",
+        "an analyst ran a scan",
+        "naïve café 😀 café",
+    ]
+
+    def py_hist(n_merges):
+        words = collections.Counter()
+        for t in corpus:
+            for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+                if w:
+                    words[w] += 1
+        vocab = {
+            " " + " ".join(f"{b:02x}" for b in w.encode("utf-8")) + " ": n
+            for w, n in words.items()
+        }
+        for _ in range(n_merges):
+            pairs = collections.Counter()
+            for s, n in vocab.items():
+                syms = s.split()
+                for a, b in zip(syms, syms[1:]):
+                    pairs[f"{a} {b}"] += n
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            vocab = collections.Counter({
+                s.replace(" " + best + " ", " " + best.replace(" ", "") + " "): n
+                for s, n in vocab.items()
+            })
+        hist = {}
+        for s, n in vocab.items():
+            for tok in s.split():
+                occ, voc = hist.get(tok, (0, 0))
+                hist[tok] = (occ + n, voc + 1)
+        ranked = sorted(hist.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        return {
+            tok: (occ, voc, i + 1)
+            for i, (tok, (occ, voc)) in enumerate(ranked)
+        }
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    merges = text_ops.bpe_merges_bytes(df, n_merges=4)
+    got = {
+        r.token: (r.n_occ, r.vocab_occ, r.token_id)
+        for r in text_ops.bpe_apply(df, merges, byte_level=True).collect()
+    }
+    assert got == py_hist(4)

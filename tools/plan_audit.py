@@ -43,6 +43,62 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q189_image_dedup_canonical": (
+        "the production image-dedup output: q180's dhash pairs feed the "
+        "min-label component rounds (hash-partitioned join + min agg per "
+        "round, localCheckpoint truncation, convergence by scalar sum) "
+        "and one max_by per component picks the keeper. Pair space is "
+        "quadratic in dense-duplicate regimes (SCALING_r09 cand_pairs); "
+        "the cluster output is LINEAR in docs, and the quality join "
+        "touches only clustered ids — O(duplicates), never O(corpus)."
+    ),
+    "q187_bpe_apply": (
+        "the serving half of the tokenizer pair: the learned merge "
+        "table (parameter-bounded) collects as a literal LUT and the "
+        "encode is ONE projection — a chain of literal replaces — over "
+        "the (word, count) vocabulary; the token histogram is one "
+        "map-side-combined aggregate and the dense-id window ranks the "
+        "VOCABULARY only. Timed cost is dominated by re-learning the "
+        "merges (q184's chain); the encode itself adds a vocab-sized "
+        "projection."
+    ),
+    "q188_incremental_retrieval": (
+        "the index delta job: only the odd-half documents are scanned "
+        "(postings explode + stats), their postings APPEND to the "
+        "artifact, and the one-row stats merge from exact (n, s) sums "
+        "— the even half is never rescanned. Serving reads only the "
+        "refreshed artifact (q176's zero-document-scan contract); the "
+        "oracle is q135's full-corpus BM25, so the hash is the "
+        "merge-equals-rebuild proof."
+    ),
+    "q184_bpe_merges_bytes": (
+        "q179's merge machinery over the 256-symbol byte alphabet: the "
+        "hex projection (lower(hex(encode(w)))) is one codegen "
+        "expression — no regex ever inspects the raw word, so unicode "
+        "words participate and the ASCII boundary is gone. Same "
+        "corpus-scanned-once / vocab-sized-rounds cost shape; symbol "
+        "strings are ~3x longer (two hex chars + space per byte), which "
+        "only scales the vocab-sized tail."
+    ),
+    "q185_occ_compaction": (
+        "compact_store routed through the OCC protocol: the compacted "
+        "winners commit as a SNAPSHOT at the exact version the inputs "
+        "were read at, so the raced ingest that claimed v4 first forces "
+        "the refresh-and-retry — the lost-update window of the "
+        "rename-swap discipline is structurally gone. Timed cost is the "
+        "four staged writes + one winner aggregation (max-struct, "
+        "map-side combined) + driver-side dirent vacuum."
+    ),
+    "q186_quality_model": (
+        "training is one corpus scan: distinct (doc, trigram) pairs -> "
+        "two map-side-combined counts -> a vocab-sized top-256 window "
+        "(single-partition over the VOCABULARY only, never corpus "
+        "rows); scoring explodes trigram occurrences and inner-joins "
+        "the 256-row BROADCAST weight table BEFORE the only shuffle "
+        "(the per-doc sum), so non-model grams never move. Integer "
+        "weights + logit threshold: the keep verdict never touches a "
+        "float."
+    ),
     "q183_occ_commit": (
         "three staged parquet writes + atomic mkdir version claims + "
         "the recovery sweep; the protocol itself is driver-side dirent "

@@ -28,7 +28,16 @@ Round-7 additions (r06 verdict items 2, 5, 7):
   workload ColumnFamilyWideRowRecordReader.java:240-429 exists for),
   paged + sliced + transposed, verified bounded per task at 1x and Nx.
 
-Writes SCALING_r08.json at the repo root (rendered into PLANS.md by
+Round-9 additions (r08 verdict items 6 + 7):
+- the two materialized-index BUILD legs run as standalone rows
+  (postings_build, ivfpq_build): the nightly 100 TB cost of the q176/q182
+  serving paths, with per-point artifact_mb alongside wall/shuffle;
+- q180 (perceptual image dedup) joins the candidate-count tier: its
+  cand_pairs column measures the banded-Hamming candidate curve in the
+  dense-duplicate regime the replicas create (letter bijections preserve
+  pixel gradients, so replicas are perceptual near-dups of each other).
+
+Writes SCALING_r09.json at the repo root (rendered into PLANS.md by
 tools/plan_audit.py) and prints it.
 
 Usage: python tools/scaling_check.py [--replicas N[,M...]] [--trials T]
@@ -143,6 +152,18 @@ QUERIES_UNDER_TEST = [
     # q135's contract; the timed cost is index build + artifact serve)
     "q175_lsh_leakage_split",
     "q176_indexed_retrieval",
+    # round-9 (r08 verdict item 7): perceptual image dedup. NOTE the
+    # measured regime honestly: the scaled documents replicas stay
+    # perceptual NEAR-DUPS of their originals under any letter bijection
+    # (the pixel plane is the text bytes, and a bijection mostly
+    # preserves adjacent-pixel gradients), so the true pair space — and
+    # with it the candidate space — compounds ACROSS replicas. That is
+    # the dense-duplicate regime, the exact workload image dedup exists
+    # for; the documented guard is the max_bucket cap
+    # (dedup.SIMHASH_MAX_BUCKET), which bounds any bucket's explode at
+    # max_bucket²/2 regardless of corpus size. cand_pairs below records
+    # the curve.
+    "q180_image_dedup_dhash",
 ]
 
 # r07 verdict item 5: for the pair-join queries the scaling table must
@@ -171,10 +192,26 @@ def _lsh_cand_count(spark, sf_dir: str) -> int:
     return dedup.lsh_candidate_pairs(dedup.lsh_buckets(sig, 4, 3)).count()
 
 
+def _dhash_cand_count(spark, sf_dir: str) -> int:
+    """q180's candidate space: every distinct in-bucket pair the banded
+    engine would exact-verify (max_hamming=128 disables the verdict
+    filter, so the count is the pre-verify candidate set)."""
+    from hive_cassandra_spark.operators import dedup, multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sig = multimodal.image_dhash(
+        multimodal.attach_image_payload(docs, container="bmp", wh_mod=(4, 3))
+    )
+    return dedup.signature_hamming_pairs(sig, max_hamming=128).count()
+
+
 CANDIDATE_COUNT = {
     "q146_prefix_filter_jaccard": _prefix_cand_count(3, 10),
     "q163_leakage_safe_split": _prefix_cand_count(1, 5),
     "q175_lsh_leakage_split": _lsh_cand_count,
+    "q180_image_dedup_dhash": _dhash_cand_count,
 }
 # Expected row behavior across scale points — the result check (r06
 # verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
@@ -214,6 +251,9 @@ EXPECT_ROWS = {
     "q164_optimize_compaction": "fixed",
     "q175_lsh_leakage_split": "fixed",
     "q176_indexed_retrieval": "fixed",
+    "q180_image_dedup_dhash": "grows",
+    "postings_build": "grows",
+    "ivfpq_build": "grows",
     "wide_row_stress": "grows",
 }
 # q98 reads the frequency-preserving documents replica: token counts must
@@ -222,6 +262,7 @@ FREQ_PRESERVING = {
     "q98_heavy_hitters",
     "q135_bm25_retrieval",
     "q176_indexed_retrieval",
+    "postings_build",
 }
 # which table each query reads (only these get synthesized)
 TABLES = ["documents", "embeddings", "events", "lineitem", "orders", "customer"]
@@ -371,6 +412,54 @@ def wide_row_stress(spark, n_cells: int):
     return groups
 
 
+ARTIFACT_PATH: dict[str, str] = {}
+
+
+def postings_build(spark, sf_dir: str):
+    """The q176 serving path's nightly cost (r08 verdict item 6): ONLY
+    the index build — postings explode + corpus stats into the parquet
+    artifact. Runs against the frequency-preserving replica (q135's
+    contract) so df and N scale together; returns the postings table so
+    .count() tracks artifact rows (the 'grows' axis). The artifact dir
+    size lands in the record as artifact_mb."""
+    import shutil
+
+    from hive_cassandra_spark.operators import retrieval
+
+    path = f"/tmp/hcs_scaling_postings_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    retrieval.build_postings_index(docs, path)
+    ARTIFACT_PATH["postings_build"] = path
+    return spark.read.parquet(f"{path}/postings")
+
+
+def ivfpq_build(spark, sf_dir: str):
+    """The q182 serving path's nightly cost: ONLY the IVF-PQ index build
+    (coarse k-means round, PQ codebooks, assignments, codes → parquet).
+    Returns the codes table (m rows per vector) so .count() tracks
+    artifact rows; artifact_mb records the materialized index size —
+    the ~128x-smaller-than-vectors claim, measured per point."""
+    import shutil
+
+    from hive_cassandra_spark.operators import similarity
+
+    path = f"/tmp/hcs_scaling_ivfpq_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.build_ivfpq_index(emb, path, n_cells=8, m=4, k_codes=8)
+    ARTIFACT_PATH["ivfpq_build"] = path
+    return spark.read.parquet(f"{path}/codes")
+
+
+def dir_mb(path: str) -> float:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return round(total / 1e6, 2)
+
+
 def shuffle_write_bytes(spark) -> int:
     url = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
@@ -426,20 +515,31 @@ def main() -> None:
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     failures: list[str] = []
-    for name in QUERIES_UNDER_TEST + ["wide_row_stress"]:
+    extra_runners = {
+        "postings_build": postings_build,
+        "ivfpq_build": ivfpq_build,
+    }
+    for name in QUERIES_UNDER_TEST + [
+        "postings_build", "ivfpq_build", "wide_row_stress",
+    ]:
         if only is not None and name not in only:
             continue
         rec: dict = {}
         for label, sf_dir in dirs.items():
+            base_fn = (
+                extra_runners[name].__call__
+                if name in extra_runners
+                else QUERIES[name].fn
+            )
             if name == "wide_row_stress":
                 fn = lambda s, _d, m=mult[label]: wide_row_stress(
                     s, WIDE_BASE * m
                 )
             elif name in FREQ_PRESERVING and label != "a":
                 d = dirs[label] + "_freq"
-                fn = lambda s, _d, d=d: QUERIES[name].fn(s, d)
+                fn = lambda s, _d, d=d, b=base_fn: b(s, d)
             else:
-                fn = QUERIES[name].fn
+                fn = base_fn
             fn(spark, sf_dir).count()  # warm: codegen + footers
             secs, rows, shuf = [], 0, 0
             for _ in range(trials):
@@ -459,6 +559,8 @@ def main() -> None:
                 "rows": rows,
                 "shuffle_mb": round(shuf / 1e6, 2),
             }
+            if name in ARTIFACT_PATH:
+                rec[label]["artifact_mb"] = dir_mb(ARTIFACT_PATH[name])
             if name in CANDIDATE_COUNT:
                 # the frequency-preserving replica does not apply to the
                 # dedup queries, so count against the dir the query read
@@ -490,15 +592,15 @@ def main() -> None:
             )
         out["queries"][name] = rec
         print(f"# {name}: {json.dumps(rec)}", file=sys.stderr)
-    if only is not None and os.path.exists("/root/repo/SCALING_r08.json"):
+    if only is not None and os.path.exists("/root/repo/SCALING_r09.json"):
         # --only refreshes a subset: merge into the existing rows rather
         # than discarding the un-rerun queries' measurements
-        with open("/root/repo/SCALING_r08.json") as f:
+        with open("/root/repo/SCALING_r09.json") as f:
             prev = json.load(f)
         merged = prev.get("queries", {})
         merged.update(out["queries"])
         out["queries"] = merged
-    with open("/root/repo/SCALING_r08.json", "w") as f:
+    with open("/root/repo/SCALING_r09.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     if failures:
