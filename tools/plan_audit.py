@@ -750,8 +750,8 @@ def _scaling_section() -> str:
     import json as _json
     import os as _os
 
-    path = "/root/repo/SCALING_r08.json"
-    for fallback in ("SCALING_r07.json", "SCALING_r06.json"):
+    path = "/root/repo/SCALING_r09.json"
+    for fallback in ("SCALING_r08.json", "SCALING_r07.json", "SCALING_r06.json"):
         if _os.path.exists(path):
             break
         path = f"/root/repo/{fallback}"

@@ -526,20 +526,21 @@ def main() -> None:
             continue
         rec: dict = {}
         for label, sf_dir in dirs.items():
-            base_fn = (
-                extra_runners[name].__call__
-                if name in extra_runners
-                else QUERIES[name].fn
-            )
             if name == "wide_row_stress":
                 fn = lambda s, _d, m=mult[label]: wide_row_stress(
                     s, WIDE_BASE * m
                 )
-            elif name in FREQ_PRESERVING and label != "a":
-                d = dirs[label] + "_freq"
-                fn = lambda s, _d, d=d, b=base_fn: b(s, d)
             else:
-                fn = base_fn
+                base_fn = (
+                    extra_runners[name]
+                    if name in extra_runners
+                    else QUERIES[name].fn
+                )
+                if name in FREQ_PRESERVING and label != "a":
+                    d = dirs[label] + "_freq"
+                    fn = lambda s, _d, d=d, b=base_fn: b(s, d)
+                else:
+                    fn = base_fn
             fn(spark, sf_dir).count()  # warm: codegen + footers
             secs, rows, shuf = [], 0, 0
             for _ in range(trials):
