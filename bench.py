@@ -218,6 +218,8 @@ HEADLINE = [
     "q188_incremental_retrieval",
     # image dedup canonical: dhash pairs + components + quality argmax
     "q189_image_dedup_canonical",
+    # ANN recall eval: exact L2 ground truth + IVF-PQ replay + overlap
+    "q190_ann_recall",
 ]
 
 
@@ -333,6 +335,7 @@ def main() -> None:
         "q187_bpe_apply",
         "q188_incremental_retrieval",
         "q189_image_dedup_canonical",
+        "q190_ann_recall",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

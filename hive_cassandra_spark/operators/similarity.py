@@ -83,6 +83,81 @@ def brute_force_topk(
     )
 
 
+def l2_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by squared L2 distance (self
+    excluded) — the ground truth the IVF/PQ tiers approximate, so this
+    is the reference side of ``ann_recall_eval``. Same plan shape as
+    ``brute_force_topk``: items ⋈ broadcast(queries), corpus never
+    shuffles, WindowGroupLimit top-k. d2 uses the sum-of-squares
+    algebra (‖x‖² + ‖y‖² − 2⟨x,y⟩) rounded to 6 — the q148 float
+    contract — with deterministic (d2 ASC, neighbor ASC) ties."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    it = items.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("iv"),
+    )
+    scored = it.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("qv"), F.col("qv"))
+            + dot(F.col("iv"), F.col("iv"))
+            - 2 * dot(F.col("qv"), F.col("iv")),
+            6,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d2", "rank")
+    )
+
+
+def ann_recall_eval(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate ANN ranking against the exact ground
+    truth — the eval tier of the ANN family (the q172 retrieval-eval
+    sibling): per query, how many of the exact top-k did the index
+    return. Inputs are any two (query_id, neighbor_id, rank) frames;
+    output ``(query_id, k, overlap, recall_pct)`` with the percentage in
+    exact integers (100·overlap div k — no float ever). Both sides are
+    k·|queries| rows regardless of corpus size, so the eval is trivially
+    cheap at any scale — the cost lives in the rankings being evaluated."""
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    ov = e.join(a, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("overlap")
+    )
+    return (
+        e.select("query_id")
+        .distinct()
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).cast("long").alias("k"),
+            F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias("overlap"),
+            (F.lit(100) * F.coalesce(F.col("overlap"), F.lit(0)))
+            .cast("long")
+            .alias("__num"),
+        )
+        .withColumn("recall_pct", F.expr(f"__num div {int(k)}"))
+        .drop("__num")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).randn(tables, bits, dim)
 

@@ -9843,6 +9843,68 @@ def q189_image_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("component", "canonical_id", "best_quality", "cluster_size")
 
 
+def _ann_recall_oracle_sql() -> str:
+    """q148's IVF-PQ CTE chain (verbatim, minus its final SELECT) joined
+    with the exact squared-L2 ground truth over the same `pos` explode,
+    then the per-query top-5 overlap — recall@5 in exact integers."""
+    base = QUERIES["q148_ivfpq_topk"].oracle
+    chain = base[: base.rindex("SELECT query_id, neighbor_id, adc_d2")]
+    return (
+        chain
+        + """, exd AS (SELECT qa.vec_id AS query_id, pb.vec_id AS neighbor_id,
+                 round(sum(qa.x * qa.x) + sum(pb.x * pb.x)
+                       - 2 * sum(qa.x * pb.x), 6) AS d2
+          FROM pos qa JOIN pos pb
+            ON qa.i = pb.i AND pb.vec_id <> qa.vec_id
+          WHERE qa.vec_id < 3 GROUP BY 1, 2),
+    ex AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY d2, neighbor_id) AS rn FROM exd) WHERE rn <= 5),
+    ap AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
+           WHERE rn <= 5),
+    ov AS (SELECT e.query_id, count(*) AS overlap
+           FROM ex e JOIN ap a ON a.query_id = e.query_id
+                              AND a.neighbor_id = e.neighbor_id
+           GROUP BY 1)
+    SELECT q.query_id,
+           CAST(5 AS BIGINT) AS k,
+           CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+           CAST(100 * coalesce(ov.overlap, 0) // 5 AS BIGINT) AS recall_pct
+    FROM (SELECT DISTINCT query_id FROM ex) q
+    LEFT JOIN ov USING (query_id)"""
+    )
+
+
+@register(
+    "q190_ann_recall",
+    # One hash adjudicates BOTH rankings and the measurement: the exact
+    # squared-L2 ground truth, q148's full IVF-PQ replay (CTEs
+    # verbatim), and the per-query top-5 overlap in exact integers
+    # (100*overlap div 5 — no float). If either ranking OR the recall
+    # arithmetic drifts, the hash breaks.
+    oracle=_ann_recall_oracle_sql(),
+    doc="ANN recall evaluation (similarity.l2_topk + ann_recall_eval "
+    "over ivfpq_topk) — the eval tier of the ANN family and the q172 "
+    "retrieval-eval sibling: recall@5 of the IVF-PQ index against the "
+    "exact squared-L2 ground truth, per query, in exact integers. Both "
+    "eval inputs are k-by-queries rows regardless of corpus size, so "
+    "the measurement is free at any scale; the nightly recall report "
+    "is how a production vector index is tuned (nprobe/m/k_codes "
+    "trade-offs) before serving. Ordinary overflow of the "
+    "similarity_ann family (q147/q148/q182 in-window)",
+)
+def q190_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = similarity.l2_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    approx = similarity.ivfpq_topk(
+        emb, n_cells=8, nprobe=2, m=4, k_codes=8, query_max=3, topk=5
+    )
+    return similarity.ann_recall_eval(exact, approx, k=5)
+
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -10411,6 +10473,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # output — ordinary overflow of the image_dedup (q180) and
     # dedup_components (q133/q163/q175) families
     "q189_image_dedup_canonical": {"image_dedup", "dedup_components"},
+    # ANN recall@k eval: the measurement tier of the ANN family —
+    # ordinary overflow (q147/q148/q182 bear similarity_ann in-window)
+    "q190_ann_recall": {"similarity_ann"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

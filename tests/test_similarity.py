@@ -381,3 +381,43 @@ def test_ivfpq_indexed_equals_inline_and_skips_corpus(spark, sf_dir, tmp_path):
     )
     assert n_served <= 1, plan
     assert n_inline >= 5  # the inline path replays the corpus per stat
+
+
+def test_l2_topk_and_ann_recall_eval(spark):
+    """l2_topk vs a numpy exact replay, and ann_recall_eval vs a hand
+    set computation — including a query where the approx ranking misses
+    everything (recall 0) and one with partial overlap."""
+    import numpy as np
+
+    from hive_cassandra_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.randn(8).round(3) for i in range(12)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    exact = sim.l2_topk(df, df.filter("vec_id < 2"), k=4)
+    got = {}
+    for r in exact.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.d2))
+    for q in (0, 1):
+        qv = vecs[q].astype(float)
+        d2 = sorted(
+            (round(float(np.sum(qv * qv) + np.sum(v * v) - 2 * np.dot(qv, v)), 6), i)
+            for i, v in vecs.items()
+            if i != q
+        )[:4]
+        expect = [(rk + 1, i, d) for rk, (d, i) in enumerate(d2)]
+        assert sorted(got[q]) == expect, q
+    # recall eval: construct approx rankings by hand
+    approx = spark.createDataFrame(
+        # query 0: 2 of exact top-4 present; query 1: none
+        [(0, got[0][0][1], 1), (0, got[0][1][1], 2), (0, 999, 3), (0, 998, 4),
+         (1, 901, 1), (1, 902, 2), (1, 903, 3), (1, 904, 4)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    ev = {r.query_id: (r.k, r.overlap, r.recall_pct)
+          for r in sim.ann_recall_eval(exact, approx, k=4).collect()}
+    assert ev[0] == (4, 2, 50)
+    assert ev[1] == (4, 0, 0)

@@ -43,6 +43,15 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q190_ann_recall": (
+        "the eval tier: the exact ground truth is one corpus scan "
+        "joined to the 3 broadcast queries (corpus never shuffles; "
+        "WindowGroupLimit top-k), the approx side replays q148's "
+        "IVF-PQ, and the overlap/percentage arithmetic runs on "
+        "k-by-queries rows — integer recall (100*overlap div k), no "
+        "float. At 100 TB the measurement is free; the cost is the "
+        "rankings being evaluated, which is the point of the report."
+    ),
     "q189_image_dedup_canonical": (
         "the production image-dedup output: q180's dhash pairs feed the "
         "min-label component rounds (hash-partitioned join + min agg per "
