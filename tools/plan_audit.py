@@ -770,6 +770,10 @@ def _scaling_section() -> str:
     if _os.path.exists("/root/repo/SCALING_r08_20x.json"):
         with open("/root/repo/SCALING_r08_20x.json") as f:
             extra20 = _json.load(f)
+    extra20_r09 = None
+    if _os.path.exists("/root/repo/SCALING_r09_20x.json"):
+        with open("/root/repo/SCALING_r09_20x.json") as f:
+            extra20_r09 = _json.load(f)
     with open(path) as f:
         data = _json.load(f)
     pts = data["points"]
@@ -881,6 +885,20 @@ def _scaling_section() -> str:
             "join as the opt-in audit.",
             "",
         ]
+    if extra20_r09:
+        lines += [
+            "### Round-9 additions at the 20× point (SCALING_r09_20x.json)",
+            "",
+            "| query | sec | shuffle (MB) | candidate pairs | artifact (MB) |",
+            "|---|---|---|---|---|",
+        ]
+        for name, r in extra20_r09["queries"].items():
+            b = r["b"]
+            lines.append(
+                f"| {name} | {b['sec']} | {b['shuffle_mb']} | "
+                f"{b.get('cand_pairs', '—')} | {b.get('artifact_mb', '—')} |"
+            )
+        lines += ["", extra20_r09.get("note", ""), ""]
     return "\n".join(lines)
 
 
