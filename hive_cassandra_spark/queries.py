@@ -10007,6 +10007,19 @@ def q190_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an ordinary redundant overflow variant whose capability bearer is
 # in-window THIS round, and all locally green via tools/check_oracle.py.
 #
+# Round-10 rotation (r09 verdict item 1): q186 (learned quality filter,
+# the only PENDING_ROTATION entry) takes its contractual round-10 slot,
+# joined by the six round-9 post-freeze additions the verdict named ahead
+# of old redundant variants: q184 byte-BPE, q185 OCC-routed compaction,
+# q187 BPE apply, q188 incremental postings maintenance, q189 image-dedup
+# canonicals, q190 ANN recall eval. Funding: seven of the 17 round-8
+# rotated-in bearers are now 2x-green (r08+r09). Three leave as ORDINARY
+# OVERFLOW (their tags keep in-window bearers): q133 (dedup_components ->
+# q163/q175/q189), q135 (retrieval -> q157/q172/q176/q188), q136 (funnel
+# -> q138). Four are sole bearers and GRADUATE on cited r08+r09 histories:
+# q137 (cohort_retention), q141 (dedup_winnowing), q142 (dedup_blocking),
+# q143 (string_sim_join).
+
 # Round-9 rotation (r08 verdict item 1): the three PENDING_ROTATION
 # round-8 capabilities (q179 BPE merge learning, q180 dHash image dedup,
 # q181 k-anonymity audit) take their contractual slots, joined by the
@@ -10048,15 +10061,19 @@ _WINDOW_ORDER = [
     # the round-7 window froze — every family tag that had NO in-window
     # bearer gets one now (the q87/q89 two-round contract, honored)
     "q129_cdc_apply",
-    "q133_canonical_selection",
-    "q135_bm25_retrieval",
-    "q136_funnel_analysis",
-    "q137_cohort_retention",
     "q138_stream_funnel",
-    "q141_winnowing_pairs",
-    "q142_sorted_neighborhood",
-    "q143_edit_distance_join",
     "q144_collocations",
+    # round-10 rotations: the PENDING_ROTATION round-9 capability takes
+    # its contractual slot (the q87/q89 two-round contract)...
+    "q186_quality_model",             # quality_model (learned filter)
+    # ...and the six round-9 post-freeze additions earn their first
+    # driver rows (r09 verdict item 1 named them ahead of old variants)
+    "q184_bpe_merges_bytes",          # tokenizer_training (byte alphabet)
+    "q185_occ_compaction",            # lww + connector (OCC consumer)
+    "q187_bpe_apply",                 # tokenizer_training (encode)
+    "q188_incremental_retrieval",     # retrieval (index maintenance)
+    "q189_image_dedup_canonical",     # image_dedup + dedup_components
+    "q190_ann_recall",                # similarity_ann (recall@k eval)
     "q146_prefix_filter_jaccard",
     "q149_document_chunks",
     "q150_anomaly_zscore",
@@ -10484,12 +10501,11 @@ QUERY_FAMILIES: dict[str, set[str]] = {
 # for rotation into the window next round — exactly how q67-q70 moved
 # in during round 3. Keep this list short-lived: anything still here two
 # rounds after introduction is a bookkeeping failure.
-PENDING_ROTATION: set[str] = {
-    # r09 post-freeze addition: the fastText-style learned quality
-    # filter — the quality_model family has no in-window bearer, so it
-    # takes a round-10 slot (the q87/q89 two-round contract applies)
-    "q186_quality_model",
-}
+PENDING_ROTATION: set[str] = set()
+# Round 10: EMPTY, as the contract requires. q186 (learned quality
+# filter, the sole r09 post-freeze PENDING entry) took its round-10
+# window slot per the two-round contract — see the round-10 rotation
+# note above.
 # Round 9: the r08 post-freeze capabilities (q179 BPE, q180 dHash image
 # dedup, q181 k-anonymity) cleared PENDING_ROTATION into window slots per
 # the two-round contract — see the round-9 rotation note above.
@@ -10641,6 +10657,16 @@ GRADUATED = {
     "q109_weighted_sample",      # weighted_sampling: green r06+r07
     "q124_store_scrub",          # codec_decode: green r07
     "q126_weighted_sample_per_source",  # weighted_sampling: green r07
+    # round-10 graduations (r09 verdict item 1): four sole-bearer
+    # round-8 rotated-in queries fund the q186 contract slot plus the
+    # round-9 post-freeze additions, each driver-green in BOTH r08 and
+    # r09 (q133/q135/q136 left the window the same round but need no
+    # exemption: q163/q175/q189 bear dedup_components, q157/q172/q176/
+    # q188 bear retrieval, q138 bears funnel in-window):
+    "q137_cohort_retention",     # cohort_retention (sole): green r08+r09
+    "q141_winnowing_pairs",      # dedup_winnowing (sole): green r08+r09
+    "q142_sorted_neighborhood",  # dedup_blocking (sole): green r08+r09
+    "q143_edit_distance_join",   # string_sim_join (sole): green r08+r09
 }
 
 

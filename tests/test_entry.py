@@ -47,23 +47,28 @@ def test_registration_window_covers_every_family():
     names = list(entrymod.queries())
     window = set(names[:50])
     pinned = {
-        # round-9 window (r08 verdict item 1: the PENDING_ROTATION
-        # contract plus the never-hashed sweep). Relational flagship pair:
+        # round-10 window (r09 verdict item 1: the q186 PENDING_ROTATION
+        # contract plus the round-9 post-freeze additions). Relational
+        # flagship pair:
         "q01_pricing_summary", "q03_shipping_priority",
-        # the three round-8 PENDING_ROTATION capabilities taking their
-        # contractual slots, the three round-8 late additions, and the
-        # four most load-bearing never-hashed overflow variants
+        # round-9 rotations that stay: the three round-8 PENDING_ROTATION
+        # capabilities, the three round-8 late additions, and the four
+        # load-bearing overflow variants
         "q179_bpe_merges", "q180_image_dedup_dhash", "q181_k_anonymity",
         "q178_multimodal_jpeg_progressive", "q182_indexed_ann",
         "q183_occ_commit", "q139_dynamic_partition_pruning",
         "q164_optimize_compaction", "q130_hll_distinct",
         "q145_equidepth_histogram",
-        # the 17 round-8 new-family bearers (the q87/q89
-        # two-round contract, honored)
-        "q129_cdc_apply", "q133_canonical_selection", "q135_bm25_retrieval",
-        "q136_funnel_analysis", "q137_cohort_retention", "q138_stream_funnel",
-        "q141_winnowing_pairs", "q142_sorted_neighborhood",
-        "q143_edit_distance_join", "q144_collocations",
+        # the round-10 contract slot + the six round-9 post-freeze
+        # additions (r09 verdict item 1)
+        "q186_quality_model", "q184_bpe_merges_bytes",
+        "q185_occ_compaction", "q187_bpe_apply",
+        "q188_incremental_retrieval", "q189_image_dedup_canonical",
+        "q190_ann_recall",
+        # the round-8 new-family bearers still funding their families
+        # in-window (q133/q135/q136/q137/q141/q142/q143 rotated out in
+        # round 10 — three as ordinary overflow, four GRADUATED)
+        "q129_cdc_apply", "q138_stream_funnel", "q144_collocations",
         "q146_prefix_filter_jaccard", "q149_document_chunks",
         "q150_anomaly_zscore", "q152_pagerank", "q153_expectations",
         "q160_jsonl_ingest", "q169_association_rules",
