@@ -220,6 +220,17 @@ HEADLINE = [
     "q189_image_dedup_canonical",
     # ANN recall eval: exact L2 ground truth + IVF-PQ replay + overlap
     "q190_ann_recall",
+    # OCC-versioned index lifecycle: 2 snapshot builds + 2 delta commits
+    # + the raced stale rebuild + artifact-only BM25 serve
+    "q191_occ_indexed_retrieval",
+    # recall-driven nprobe tuning: 1 build + 1 max-probe ADC pass +
+    # exact ground truth + per-candidate re-rank
+    "q192_ann_tune_nprobe",
+    # corpus byte-BPE tokenization: trainer chain + vocab encode +
+    # per-doc broadcast join
+    "q193_bpe_tokenize_docs",
+    # hashed quality model: bucket-bounded training + broadcast scoring
+    "q194_quality_model_hashed",
 ]
 
 
@@ -336,6 +347,10 @@ def main() -> None:
         "q188_incremental_retrieval",
         "q189_image_dedup_canonical",
         "q190_ann_recall",
+        "q191_occ_indexed_retrieval",
+        "q192_ann_tune_nprobe",
+        "q193_bpe_tokenize_docs",
+        "q194_quality_model_hashed",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

@@ -383,7 +383,16 @@ def lsh_prefilter_jaccard_pairs(
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16 → 65,536 buckets/band
-SIMHASH_MAX_BUCKET = 10_000
+# Cap on DISTINCT signatures per (pos, band) bucket. Since the r10
+# exact-signature pre-collapse, duplicate-heavy corpora cannot trigger it
+# (identical docs are one signature), and candidate generation is a
+# distributed self-join AQE can skew-split — so the cap's only job is to
+# refuse DEGENERATE stop-bands (a band value carried by ~everything, e.g.
+# the all-zeros word of near-empty docs) whose candidate space no cluster
+# should pay. 100k distinct sigs in one 16-bit bucket ≈ 5B candidate
+# pairs — beyond that the band carries no discriminating signal and
+# dropping it is the documented recall trade.
+SIMHASH_MAX_BUCKET = 100_000
 
 
 def simhash(
@@ -487,16 +496,110 @@ def simhash_pairs(
     differing bits touch ≤3 bands); verify with bit_count(xor) over both
     halves. Returns (doc_a, doc_b, hamming).
 
-    ``max_bucket`` drops degenerate buckets (more members than the cap)
-    before pair generation: a band value shared by k docs emits k²/2 pairs,
-    and at 100 TB a stop-band (e.g. the all-zeros word from near-empty
-    docs) would otherwise produce a quadratic straggler task. Dropped
-    buckets lose only pairs whose OTHER three bands all differ — by the
-    pigeonhole those have Hamming ≥... no guarantee, so the cap is a
-    documented recall trade, sized (10k default) to never trigger on
+    ``max_bucket`` drops degenerate buckets (more DISTINCT signatures
+    than the cap) before pair generation: a band value shared by k
+    distinct signatures emits k²/2 signature pairs, and at 100 TB a
+    stop-band (e.g. the all-zeros word from near-empty docs) would
+    otherwise produce a quadratic straggler task. Exact-duplicate
+    clusters collapse before the cap is measured (they can no longer
+    trigger it); dropped buckets lose only cross-signature pairs whose
+    OTHER three bands all differ, so the cap remains a documented
+    recall trade, sized (10k default) to never trigger on
     non-degenerate data."""
     sig = simhash(df, text_col, id_col)
     return signature_hamming_pairs(sig, max_hamming, max_bucket)
+
+
+def signature_band_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
+) -> DataFrame:
+    """The banded-Hamming CANDIDATE stage over DISTINCT signatures:
+    verified signature pairs (ha, la, hb, lb, hamming ≤ ``max_hamming``)
+    where the two 64-bit signatures (as 32-bit halves) share ≥1 of the
+    4 × 16-bit position bands.
+
+    This is where the engine's quadratic would live, so it runs over the
+    DISTINCT (sim_hi, sim_lo) space only: a crawl drowning in exact
+    duplicates (the regime image dedup exists for) collapses to one row
+    per distinct signature before any bucket is grouped, so in-bucket
+    pair space is quadratic in distinct near-dup signatures, never in
+    documents. ``max_bucket`` now caps DISTINCT signatures per
+    (pos, band) bucket — a cap that hot exact-duplicate clusters can no
+    longer trigger (SCALING_r09 measured the old doc-level cap firing at
+    20× and silently dropping recall)."""
+    from pyspark.sql import Window
+
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    words = [
+        ("sim_lo", 0),
+        ("sim_lo", SIMHASH_BAND_BITS),
+        ("sim_hi", 0),
+        ("sim_hi", SIMHASH_BAND_BITS),
+    ]
+    dsig = sig.select("sim_hi", "sim_lo").distinct()
+    bands = dsig.select(
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("pos"),
+                        F.shiftright(F.col(col), sh)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band"),
+                    )
+                    for i, (col, sh) in enumerate(words)
+                ]
+            )
+        ).alias("bb"),
+    ).select("sim_hi", "sim_lo", "bb.pos", "bb.band")
+    # cap on DISTINCT signatures per bucket (a degenerate stop-band
+    # guard); the >1 filter drops singleton buckets before the join
+    bucket_w = Window.partitionBy("pos", "band")
+    bands = (
+        bands.withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w))
+        .filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket))
+        .drop("bucket_n")
+    )
+    # candidate generation is a DISTRIBUTED self-join keyed on
+    # (pos, band), not a per-bucket collected-array explode: a hot band
+    # spreads across tasks (AQE skew-split applies) instead of building
+    # a bucket²/2 array in one row — the explode formulation put a
+    # 33k-wide band's 550M candidates in ONE task at the 20x scale
+    # point; the join spreads the identical candidate set. The Hamming
+    # verify lands in the join filter, so the dedup shuffle (distinct)
+    # sees only verified pairs, never the raw candidate space.
+    a_side = bands.select(
+        "pos",
+        "band",
+        F.col("sim_hi").alias("ha"),
+        F.col("sim_lo").alias("la"),
+    )
+    b_side = bands.select(
+        "pos",
+        "band",
+        F.col("sim_hi").alias("hb"),
+        F.col("sim_lo").alias("lb"),
+    )
+    cand = a_side.join(b_side, ["pos", "band"]).filter(
+        (F.col("ha") < F.col("hb"))
+        | ((F.col("ha") == F.col("hb")) & (F.col("la") < F.col("lb")))
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ha", "la", "hb", "lb", "hamming")
+        .distinct()
+    )
 
 
 def signature_hamming_pairs(
@@ -507,46 +610,117 @@ def signature_hamming_pairs(
     """Near-dup pairs over ANY 64-bit signature table (doc, sim_hi,
     sim_lo) — the banded-Hamming engine ``simhash_pairs`` runs on text
     SimHash and ``multimodal.image_dhash`` runs on perceptual image
-    hashes: 4 × 16-bit position-banded candidates (a pair within
-    Hamming ≤3 must agree on ≥1 band by pigeonhole; wider thresholds
-    keep band agreement as a documented recall heuristic), exact
-    bit_count(xor) verify inside the one-shuffle grouped-pair explode."""
-    bands = simhash_bands(sig)
-    # same one-shuffle grouped-pairs shape as lsh_candidate_pairs; members
-    # carry their signature halves so Hamming verifies inside the explode.
-    # (pos, band) buckets hold ~|docs|/65,536 members; the size filter caps
-    # the quadratic in-bucket explode at max_bucket²/2 regardless of corpus.
-    grouped = (
-        bands.groupBy("pos", "band")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc", "sim_hi", "sim_lo"))
-            ).alias("ms")
-        )
-        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    hashes. Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Exact-signature duplicates are collapsed FIRST (r09 verdict item 2):
+
+    1. ``signature_band_pairs`` bands + pairs the DISTINCT signature
+       space only — quadratic work tracks distinct near-dup signatures,
+       not documents, so dense exact-duplicate clusters (Hamming 0,
+       the dominant regime in web crawls) cost nothing in the bucket
+       explode and the ``max_bucket`` cap stops firing on them.
+    2. Hamming-0 pairs expand via an equality self-join on the
+       signature (hash-partitioned; AQE splits hot-signature skew) —
+       identical signatures need no banding to be found, so they are
+       emitted unconditionally (strictly better recall than the old
+       doc-level engine, which could cap-drop them).
+    3. Cross-signature pairs expand each verified signature pair over
+       both member sets (the signature-pair table is candidate-sized
+       and broadcastable; the expansion joins are keyed on the
+       signature halves).
+
+    The expanded output is exactly the true pair set — unavoidable when
+    the caller wants pairs; use ``signature_neardup_edges`` for the
+    connectivity-sufficient linear edge set when the consumer is
+    connected components (q189's path)."""
+    sig = sig.select("doc", "sim_hi", "sim_lo").persist()
+    spairs = signature_band_pairs(sig, max_hamming, max_bucket)
+    a_side = sig.select(
+        F.col("sim_hi").alias("ha"),
+        F.col("sim_lo").alias("la"),
+        F.col("doc").alias("dx"),
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x["doc"].alias("doc_a"),
-                    y["doc"].alias("doc_b"),
-                    (
-                        F.bit_count(x["sim_hi"].bitwiseXOR(y["sim_hi"]))
-                        + F.bit_count(x["sim_lo"].bitwiseXOR(y["sim_lo"]))
-                    ).alias("hamming"),
-                ),
+    b_side = sig.select(
+        F.col("sim_hi").alias("hb"),
+        F.col("sim_lo").alias("lb"),
+        F.col("doc").alias("dy"),
+    )
+    cross = (
+        spairs.join(a_side, ["ha", "la"])
+        .join(b_side, ["hb", "lb"])
+        .select(
+            F.least("dx", "dy").alias("doc_a"),
+            F.greatest("dx", "dy").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x, y = sig.alias("x"), sig.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.sim_hi") == F.col("y.sim_hi"))
+        & (F.col("x.sim_lo") == F.col("y.sim_lo"))
+        & (F.col("x.doc") < F.col("y.doc")),
+    ).select(
+        F.col("x.doc").alias("doc_a"),
+        F.col("y.doc").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    # disjoint by construction (cross pairs differ in signature, within
+    # pairs share it; a doc has exactly one signature row) — no distinct
+    return cross.unionByName(within)
+
+
+def signature_neardup_edges(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Connectivity-sufficient near-dup edge set over a 64-bit signature
+    table: (doc_a, doc_b) edges whose connected components are IDENTICAL
+    to those of the full ``signature_hamming_pairs`` output, with
+    O(docs + distinct-signature pairs) edges instead of the quadratic
+    within-cluster pair space.
+
+    Star edges link each exact-signature group's min-doc representative
+    to its members (k−1 edges for a k-duplicate cluster, not k²/2);
+    each verified distinct-signature pair contributes ONE representative
+    ↔ representative edge. Any member pair the full expansion would emit
+    is connected through the two stars plus that rep edge, and no edge
+    here joins docs the full graph keeps apart — so the transitive
+    closure is unchanged. This is the 100 TB components path (q189)."""
+    sig = sig.select("doc", "sim_hi", "sim_lo").persist()
+    reps = sig.groupBy("sim_hi", "sim_lo").agg(
+        F.min("doc").alias("rep"), F.count(F.lit(1)).alias("n_members")
+    )
+    star = (
+        sig.join(reps, ["sim_hi", "sim_lo"])
+        .filter(F.col("doc") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"))
+    )
+    spairs = signature_band_pairs(sig, max_hamming, max_bucket)
+    cross = (
+        spairs.join(
+            reps.select(
+                F.col("sim_hi").alias("ha"),
+                F.col("sim_lo").alias("la"),
+                F.col("rep").alias("ra"),
             ),
+            ["ha", "la"],
+        )
+        .join(
+            reps.select(
+                F.col("sim_hi").alias("hb"),
+                F.col("sim_lo").alias("lb"),
+                F.col("rep").alias("rb"),
+            ),
+            ["hb", "lb"],
+        )
+        .select(
+            F.least("ra", "rb").alias("doc_a"),
+            F.greatest("ra", "rb").alias("doc_b"),
         )
     )
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return star.unionByName(cross)
 
 
 # ---------------------------------------------------- embedding near-dup ---
@@ -708,7 +882,13 @@ def neardup_components(
     storage connector); the composition-of-DataFrame-ops tier of the
     custom-operator policy, same shape GraphX/GraphFrames use internally.
     """
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # persist the directed edge list BEFORE mirroring it: the union-swap
+    # references the edge subtree twice, so an unpersisted (often
+    # expensive — banded pair join, prefix filter) upstream would be
+    # recomputed for each leg inside the und materialization
+    edges = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).persist()
     und = (
         edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -719,6 +899,8 @@ def neardup_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    # und is fully materialized by the eager localCheckpoint above
+    edges.unpersist()
     # Convergence signal: labels only ever DECREASE (min-propagation), so
     # sum(component) is strictly monotone until the fixpoint — an unchanged
     # sum proves an unchanged labeling. One scalar aggregate per round
@@ -733,6 +915,23 @@ def neardup_components(
             labels.unionAll(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer-jumping shortcut (Shiloach-Vishkin style): each node
+        # additionally adopts its label's own label, so label chains halve
+        # every round and the loop converges in O(log diameter) rounds
+        # instead of O(diameter). Every label IS a node id (min-label
+        # init + min propagation), so the self-join always matches; the
+        # labels table is node-sized — far smaller than the edge list the
+        # main propagation joins — making the extra join cheap.
+        hop = labels.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
+        labels = (
+            labels.join(hop, labels["component"] == hop["c_node"], "left")
+            .select(
+                "node",
+                F.coalesce("c_comp", "component").alias("component"),
+            )
             .localCheckpoint()
         )
         new_sum = labels.agg(F.sum("component")).collect()[0][0]

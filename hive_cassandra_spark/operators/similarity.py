@@ -971,6 +971,133 @@ def _ivfpq_serve(
     )
 
 
+def ann_tune_nprobe(
+    items: DataFrame,
+    candidates=(1, 2, 4),
+    k: int = 5,
+    target_pct: int = 60,
+    n_cells: int = 8,
+    m: int = 4,
+    k_codes: int = 8,
+    query_max: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall-driven nprobe selection (r09 verdict item 4): measure
+    recall@k on a deterministic validation split for every candidate
+    nprobe and CHOOSE the cheapest one that meets the target — the
+    tuning report a production vector index is operated by, closing the
+    loop q190 opened (``choose_ann_strategy`` picks by corpus size
+    alone; this picks by measured quality).
+
+    ONE index build and ONE max-candidate scoring pass evaluate every
+    candidate: an item's ADC distance is independent of nprobe (it
+    scores against its single home cell's residual LUT), so candidate
+    p's ranking is exactly the max-probe ADC rows whose home-cell probe
+    rank ≤ p — re-ranked per candidate over candidate-sized data, never
+    re-scored. Exact ground truth is one corpus scan against the
+    broadcast validation queries (``l2_topk``'s shape).
+
+    All verdicts are exact integers (recall = 100·overlap div (k·|Q|);
+    integer threshold; deterministic ties): chosen = the smallest
+    nprobe meeting ``target_pct``, else the highest-recall candidate
+    (ties to the smaller nprobe). Output one row per candidate:
+    (nprobe, overlap_total, nq, recall_pct, meets_target, chosen)."""
+    cands = sorted({int(c) for c in candidates})
+    max_p = cands[-1]
+    ix = _ivfpq_build(items, n_cells, m, k_codes, id_col, vec_col)
+    qpos = ix["pos"].filter(F.col("id") < query_max).withColumnRenamed(
+        "id", "query_id"
+    )
+    qcd = ix["cd"].filter(F.col("id") < query_max).select(
+        F.col("id").alias("query_id"), "ccid", "d2"
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "ccid")
+    probes = (
+        qcd.withColumn("prank", F.row_number().over(w_probe).cast("int"))
+        .filter(F.col("prank") <= max_p)
+        .select("query_id", "ccid", "prank")
+    )
+    qres = (
+        probes.join(qpos, "query_id")
+        .join(F.broadcast(ix["cc"]), ["ccid", "i"])
+        .join(F.broadcast(ix["dim"]))
+        .select(
+            "query_id",
+            "ccid",
+            F.expr(f"i div (__dim div {int(m)})").alias("sub"),
+            "i",
+            (F.col("x") - F.col("c")).alias("qr"),
+        )
+    )
+    lut = (
+        qres.join(F.broadcast(ix["pc"]), ["sub", "i"])
+        .groupBy("query_id", "ccid", "sub", "pcid")
+        .agg(_d2_of("qr", "c").alias("d2"))
+    )
+    adc = (
+        probes.join(ix["assign"], "ccid")
+        .join(ix["codes"], "id")
+        .join(F.broadcast(lut), ["query_id", "ccid", "sub", "pcid"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"), "prank")
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+    )
+    spark = items.sparkSession
+    cand_df = spark.createDataFrame([(c,) for c in cands], "nprobe int")
+    w_rank = Window.partitionBy("nprobe", "query_id").orderBy(
+        "adc_d2", "neighbor_id"
+    )
+    approx = (
+        adc.join(F.broadcast(cand_df), F.col("prank") <= F.col("nprobe"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    queries = items.filter(F.col(id_col) < query_max)
+    exact = l2_topk(items, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    ov = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "nprobe"
+    ).agg(F.count(F.lit(1)).alias("overlap_total"))
+    nq_row = exact.groupBy().agg(
+        F.count_distinct("query_id").alias("nq")
+    )
+    rep = (
+        cand_df.join(ov, "nprobe", "left")
+        .crossJoin(F.broadcast(nq_row))
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.coalesce("overlap_total", F.lit(0))
+            .cast("long")
+            .alias("overlap_total"),
+            F.col("nq").cast("long").alias("nq"),
+        )
+        .withColumn(
+            "recall_pct",
+            F.expr(f"(100 * overlap_total) div ({int(k)} * nq)"),
+        )
+        .withColumn(
+            "meets_target",
+            (F.col("recall_pct") >= target_pct).cast("long"),
+        )
+    )
+    # chosen = smallest nprobe meeting the target, else highest recall
+    # (tie to smaller nprobe) — a single deterministic ordering over the
+    # candidate-count-sized report (the one-row-window cost is nil here)
+    w_choose = Window.orderBy(
+        F.col("meets_target").desc(),
+        F.when(F.col("meets_target") == 1, F.col("nprobe"))
+        .otherwise(-F.col("recall_pct"))
+        .asc(),
+        F.col("nprobe").asc(),
+    )
+    return rep.withColumn(
+        "chosen", (F.row_number().over(w_choose) == 1).cast("long")
+    )
+
+
 def build_ivfpq_index(
     items: DataFrame,
     path: str,
@@ -1007,6 +1134,99 @@ def build_ivfpq_index(
         .write.mode("overwrite")
         .parquet(f"{base}/meta")
     )
+
+
+def build_ivfpq_index_occ(
+    spark,
+    items: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 4,
+    k_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_version: int | None = None,
+) -> dict:
+    """``build_ivfpq_index`` routed through the OCC commit protocol
+    (r09 verdict item 3, the vector-side sibling of
+    ``retrieval.build_postings_index_occ``): all five index tables
+    publish atomically as ONE SNAPSHOT commit, so a reader never sees
+    centroids from one build and codes from another, and a rebuild
+    whose read version went stale fails closed instead of clobbering a
+    concurrent refresh."""
+    from hive_cassandra_spark import sink
+
+    ix = _ivfpq_build(items, n_cells, m, k_codes, id_col, vec_col)
+    meta = (
+        ix["dim"]
+        .withColumn("__m", F.lit(int(m)))
+        .withColumn("__n_cells", F.lit(int(n_cells)))
+        .withColumn("__k_codes", F.lit(int(k_codes)))
+    )
+    v = (
+        sink.store_version(path)
+        if expected_version is None
+        else expected_version
+    )
+    res = sink.occ_commit_tables(
+        spark,
+        path,
+        {
+            "coarse_centroids": ix["cc"],
+            "pq_codebooks": ix["pc"],
+            "assignments": ix["assign"],
+            "codes": ix["codes"],
+            "meta": meta.coalesce(1),
+        },
+        v,
+        snapshot=True,
+    )
+    if res["committed"]:
+        sink.occ_vacuum(path)
+    return res
+
+
+def ivfpq_topk_indexed_occ(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    topk: int = 5,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivfpq_topk_indexed`` over an OCC-versioned artifact: every
+    table reads at the latest published snapshot (one consistent index
+    version — a torn or in-flight rebuild is invisible). ``m`` always
+    comes from the artifact's meta."""
+    from hive_cassandra_spark import sink
+
+    ix = {
+        "cc": sink.occ_read_table(
+            spark, path, "coarse_centroids", latest_only=True
+        ),
+        "pc": sink.occ_read_table(
+            spark, path, "pq_codebooks", latest_only=True
+        ),
+        "assign": sink.occ_read_table(
+            spark, path, "assignments", latest_only=True
+        ),
+        "codes": sink.occ_read_table(spark, path, "codes", latest_only=True),
+        "dim": sink.occ_read_table(spark, path, "meta", latest_only=True),
+    }
+    m = int(ix["dim"].select("__m").head()[0])
+    ix["dim"] = ix["dim"].select("__dim")
+    qpos = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    ).localCheckpoint(eager=False)
+    qcd = (
+        qpos.join(F.broadcast(ix["cc"]), "i")
+        .groupBy("query_id", "ccid")
+        .agg(_d2_of("x", "c").alias("d2"))
+        .localCheckpoint(eager=False)
+    )
+    return _ivfpq_serve(ix, qpos, qcd, nprobe, m, topk)
 
 
 def ivfpq_topk_indexed(

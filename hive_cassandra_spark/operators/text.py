@@ -612,6 +612,80 @@ def bpe_apply(
     )
 
 
+def bpe_tokenize_docs(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    byte_level: bool = True,
+) -> DataFrame:
+    """Tokenize the CORPUS to ids under a learned BPE merge table — the
+    production serving path (r09 verdict item 5; q78's tokenize-to-ids
+    shape driven by the q184 byte-level trainer instead of a fixed
+    vocabulary): per document, the token counts ``(doc_id, token,
+    token_id, n)`` a training pipeline feeds packing / length batching /
+    lm-scoring from.
+
+    Relational shape — the corpus text is parsed ONCE and never re-fed
+    through the merge chain: the distinct (word, count) vocabulary is
+    encoded through the literal merge-replace chain (vocab-sized work,
+    exactly ``bpe_apply``'s projection), token ids come from the same
+    (n_occ DESC, token ASC) histogram ranking ``bpe_apply`` assigns (a
+    vocabulary-sized single-partition window — corpus-independent,
+    documented), and per-document ids are the exploded corpus words
+    BROADCAST-joined to the encoded vocabulary. The only corpus-sized
+    shuffles are the (doc, word) and (doc, token) aggregations."""
+    pairs = [
+        r["pair"]
+        for r in merges.select("step", "pair").orderBy("step").collect()
+    ]
+    doc_words = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    if not byte_level:
+        doc_words = doc_words.filter(F.col("w").rlike("^[!-~]+$"))
+    vocab = doc_words.groupBy("w").agg(F.sum("n_w").alias("n"))
+    if byte_level:
+        sym = F.concat(
+            F.lit(" "),
+            F.regexp_replace(
+                F.lower(F.hex(F.encode("w", "UTF-8"))), "(..)", "$1 "
+            ),
+        )
+    else:
+        sym = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
+    for p in pairs:
+        sym = F.replace(
+            sym, F.lit(" " + p + " "), F.lit(" " + p.replace(" ", "") + " ")
+        )
+    word_toks = vocab.select(
+        "w", F.split(F.trim(sym), " ").alias("toks"), "n"
+    )
+    hist = (
+        word_toks.select(F.explode("toks").alias("token"), "n")
+        .groupBy("token")
+        .agg(F.sum("n").cast("long").alias("n_occ"))
+    )
+    w_id = Window.orderBy(F.desc("n_occ"), F.asc("token"))
+    ids = hist.withColumn(
+        "token_id", F.row_number().over(w_id).cast("long")
+    ).select("token", "token_id")
+    per_doc = (
+        doc_words.join(F.broadcast(word_toks.select("w", "toks")), "w")
+        .select("doc_id", F.explode("toks").alias("token"), "n_w")
+        .groupBy("doc_id", "token")
+        .agg(F.sum("n_w").cast("long").alias("n"))
+    )
+    return per_doc.join(F.broadcast(ids), "token").select(
+        "doc_id", "token", "token_id", "n"
+    )
+
+
 def _bpe_merge_rounds(cur: DataFrame, n_merges: int) -> DataFrame:
     """The shared greedy merge loop over a padded symbol-string
     vocabulary ``(s, n)`` — see ``bpe_merges`` for the determinism and

@@ -1225,20 +1225,36 @@ _SQL_SIMHASH_HI = " + ".join(
          votes AS (SELECT doc, {_SQL_SIMHASH_VOTES} FROM h GROUP BY doc),
          sig AS (SELECT doc, CAST({_SQL_SIMHASH_HI} AS BIGINT) AS sim_hi,
                       CAST({_SQL_SIMHASH_LO} AS BIGINT) AS sim_lo FROM votes),
-         bands AS (SELECT doc, sim_hi, sim_lo, i AS pos,
-                          (CASE WHEN i < 2 THEN sim_lo ELSE sim_hi END
-                           >> (16 * (i % 2))) & 65535 AS band
-                   FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
-                   QUALIFY count(*) OVER (PARTITION BY pos, band) <= 10000),
-         pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
-                          CAST(bit_count(xor(a.sim_hi, b.sim_hi))
-                             + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
-                   FROM bands a JOIN bands b
-                     ON a.pos = b.pos AND a.band = b.band AND a.doc < b.doc)
+         dsig AS (SELECT DISTINCT sim_hi, sim_lo FROM sig),
+         dbands AS (SELECT sim_hi, sim_lo, i AS pos,
+                           (CASE WHEN i < 2 THEN sim_lo ELSE sim_hi END
+                            >> (16 * (i % 2))) & 65535 AS band
+                    FROM dsig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+                    QUALIFY count(*) OVER (PARTITION BY pos, band) <= 100000),
+         spairs AS (SELECT DISTINCT a.sim_hi AS ha, a.sim_lo AS la,
+                           b.sim_hi AS hb, b.sim_lo AS lb,
+                           CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                              + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT)
+                             AS hamming
+                    FROM dbands a JOIN dbands b
+                      ON a.pos = b.pos AND a.band = b.band
+                     AND (a.sim_hi < b.sim_hi
+                          OR (a.sim_hi = b.sim_hi AND a.sim_lo < b.sim_lo))),
+         pairs AS (SELECT least(x.doc, y.doc) AS doc_a,
+                          greatest(x.doc, y.doc) AS doc_b, p.hamming
+                   FROM spairs p
+                   JOIN sig x ON x.sim_hi = p.ha AND x.sim_lo = p.la
+                   JOIN sig y ON y.sim_hi = p.hb AND y.sim_lo = p.lb
+                   UNION ALL
+                   SELECT x.doc, y.doc, CAST(0 AS INT)
+                   FROM sig x JOIN sig y
+                     ON x.sim_hi = y.sim_hi AND x.sim_lo = y.sim_lo
+                    AND x.doc < y.doc)
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
     """,
-    doc="SimHash(64-bit, two 32-bit halves) near-dup pairs: 16-bit-band "
-    "candidates (4 × 65,536 buckets, width-capped at 10k) + Hamming verify "
+    doc="SimHash(64-bit, two 32-bit halves) near-dup pairs: exact-"
+    "signature pre-collapse, 16-bit-band candidates over DISTINCT "
+    "signatures (4 × 65,536 buckets, stop-band cap) + Hamming verify "
     "— md5-derived token hashes keep the full pipeline oracle-comparable",
 )
 def q34_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9457,8 +9473,10 @@ def q186_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     # straight to the bytes), the 9×8 floor-index resample and strict
     # p[r,c] > p[r,c+1] bits are integer arithmetic, the 64-bit
     # signature lives as two non-negative 32-bit halves (the q34
-    # layout), and candidates band into 4 × 16-bit words with exact
-    # bit_count(xor) Hamming verify.
+    # layout), and candidates band into 4 × 16-bit words over the
+    # DISTINCT-signature space (exact duplicates collapse first —
+    # r09 verdict item 2) with exact bit_count(xor) Hamming verify;
+    # Hamming-0 pairs expand via the signature-equality self-join.
     oracle="""
     WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
                       octet_length(encode(text)) AS len,
@@ -9491,25 +9509,41 @@ def q186_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN bit * (CAST(1 AS BIGINT) << CAST((r-4)*8+c AS INT))
                         ELSE 0 END) AS BIGINT) AS sim_hi
             FROM bits GROUP BY doc_id),
-    bands AS (SELECT doc_id AS doc, sim_hi, sim_lo, i AS pos,
-                     (CASE WHEN i < 2 THEN sim_lo ELSE sim_hi END
-                      >> (16 * (i % 2))) & 65535 AS band
-              FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
-              QUALIFY count(*) OVER (PARTITION BY pos, band) <= 10000),
-    pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
-                     CAST(bit_count(xor(a.sim_hi, b.sim_hi))
-                        + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT)
-                       AS hamming
-              FROM bands a JOIN bands b
-                ON a.pos = b.pos AND a.band = b.band AND a.doc < b.doc)
+    dsig AS (SELECT DISTINCT sim_hi, sim_lo FROM sig),
+    dbands AS (SELECT sim_hi, sim_lo, i AS pos,
+                      (CASE WHEN i < 2 THEN sim_lo ELSE sim_hi END
+                       >> (16 * (i % 2))) & 65535 AS band
+               FROM dsig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+               QUALIFY count(*) OVER (PARTITION BY pos, band) <= 100000),
+    spairs AS (SELECT DISTINCT a.sim_hi AS ha, a.sim_lo AS la,
+                      b.sim_hi AS hb, b.sim_lo AS lb,
+                      CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                         + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT)
+                        AS hamming
+               FROM dbands a JOIN dbands b
+                 ON a.pos = b.pos AND a.band = b.band
+                AND (a.sim_hi < b.sim_hi
+                     OR (a.sim_hi = b.sim_hi AND a.sim_lo < b.sim_lo))),
+    pairs AS (SELECT least(x.doc_id, y.doc_id) AS doc_a,
+                     greatest(x.doc_id, y.doc_id) AS doc_b, p.hamming
+              FROM spairs p
+              JOIN sig x ON x.sim_hi = p.ha AND x.sim_lo = p.la
+              JOIN sig y ON y.sim_hi = p.hb AND y.sim_lo = p.lb
+              UNION ALL
+              SELECT x.doc_id, y.doc_id, CAST(0 AS INT)
+              FROM sig x JOIN sig y
+                ON x.sim_hi = y.sim_hi AND x.sim_lo = y.sim_lo
+               AND x.doc_id < y.doc_id)
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
     """,
     doc="perceptual image dedup (multimodal.image_dhash + "
     "dedup.signature_hamming_pairs): 64-bit difference hash over the "
     "REALLY-decoded grayscale plane (BMP container through the q43 "
     "cleanroom decoder; floor-index 9x8 resample; strict adjacent-pixel "
-    "comparisons), then the q34 banded-Hamming engine — 4 x 16-bit "
-    "position bands, exact bit_count(xor) verify, bucket-width cap. "
+    "comparisons), then the q34 banded-Hamming engine — exact-signature "
+    "pre-collapse (dense duplicate clusters never reach the bucket "
+    "explode), 4 x 16-bit position bands over DISTINCT signatures, "
+    "exact bit_count(xor) verify, bucket-width cap on distinct sigs. "
     "THE image-dedup primitive of a multimodal training pipeline: "
     "recompressed / lightly-edited images collide within a few Hamming "
     "bits while their byte payloads differ completely, invisible to "
@@ -9780,7 +9814,10 @@ def _image_canonical_oracle_sql() -> str:
     """q180's perceptual-pair CTE chain spliced into q133's recursive
     component + canonical-argmax tail: the full image-dedup PRODUCTION
     output — who survives — is adjudicated in one hash, end to end from
-    the container bytes."""
+    the container bytes. The oracle closes over the FULL pair graph
+    while the engine walks the linear star/rep edge set — hash equality
+    IS the proof that the reduced edges preserve the transitive
+    closure."""
     base = QUERIES["q180_image_dedup_dhash"].oracle
     chain = base[: base.rindex("SELECT doc_a")]
     return (
@@ -9816,13 +9853,16 @@ def _image_canonical_oracle_sql() -> str:
     # which the pair list alone cannot.
     oracle=_image_canonical_oracle_sql(),
     doc="image-dedup canonical assignment (multimodal.image_dhash + "
-    "dedup.signature_hamming_pairs + neardup_components + "
+    "dedup.signature_neardup_edges + neardup_components + "
     "canonical_per_cluster): the production output of perceptual "
     "dedup — per duplicate cluster, keep the highest-quality member "
-    "(longest doc, ties to smallest id) and report cluster size. "
-    "Pairs are quadratic in dense-duplicate regimes (measured in "
-    "SCALING_r09's cand_pairs); the CLUSTER output is linear in docs, "
-    "and the component rounds converge in graph-diameter iterations "
+    "(longest doc, ties to smallest id) and report cluster size. The "
+    "component graph is the connectivity-sufficient LINEAR edge set "
+    "(star edges inside exact-signature groups + one rep-rep edge per "
+    "verified distinct-signature pair — provably the same transitive "
+    "closure as the full pair expansion, O(docs + distinct-sig pairs) "
+    "edges instead of quadratic within-cluster pairs; r09 verdict "
+    "item 2); component rounds converge in graph-diameter iterations "
     "over hash-partitioned joins (q67/q152's contract). Ordinary "
     "overflow of the image_dedup (q180) + dedup_components "
     "(q133/q163/q175) families",
@@ -9834,10 +9874,10 @@ def q189_image_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.attach_image_payload(
         docs, container="bmp", wh_mod=(4, 3)
     )
-    pairs = dedup.signature_hamming_pairs(
+    edges = dedup.signature_neardup_edges(
         multimodal.image_dhash(payloads), max_hamming=6
     )
-    comp = dedup.neardup_components(pairs)
+    comp = dedup.neardup_components(edges)
     return dedup.canonical_per_cluster(
         comp, docs.select("doc_id", "n_chars"), quality_col="n_chars"
     ).select("component", "canonical_id", "best_quality", "cluster_size")
@@ -9902,6 +9942,354 @@ def q190_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, n_cells=8, nprobe=2, m=4, k_codes=8, query_max=3, topk=5
     )
     return similarity.ann_recall_eval(exact, approx, k=5)
+
+
+@register(
+    "q191_occ_indexed_retrieval",
+    # q135's full-corpus BM25 oracle extended with the protocol
+    # outcomes as constant columns: the served ranking hash-matches the
+    # full corpus ONLY if snapshot v3 (rebuild) + delta v4 compose to
+    # exactly-once coverage — a lost delta, a double-applied batch, or
+    # a clobbering stale rebuild all break the hash; the protocol
+    # counters gate the runbook's three injected races explicitly.
+    oracle=QUERIES["q135_bm25_retrieval"].oracle.replace(
+        "SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10",
+        """SELECT query_id, rank, doc_id, score,
+           CAST(4 AS BIGINT) AS final_version,
+           CAST(1 AS BIGINT) AS stale_rebuild_conflicts,
+           CAST(1 AS BIGINT) AS replayed_batch_noops
+    FROM ranked WHERE rank <= 10""",
+    ),
+    doc="OCC-versioned retrieval index lifecycle (retrieval."
+    "build_postings_index_occ / update_postings_index_occ / "
+    "read_postings_index_occ over sink.occ_commit_tables — r09 verdict "
+    "item 3 + advisor finding 2): the postings artifact gets the same "
+    "snapshot-at-read-version commits the cell store got in q183/q185. "
+    "Delta postings AND merged corpus stats publish under ONE marker "
+    "(no stale-stats window, crash leaves nothing visible); a retried "
+    "delta batch detects its marker tag and no-ops (double-append "
+    "structurally gone); a REBUILD that read at a stale version fails "
+    "closed against a delta that landed first, refreshes, and commits "
+    "a superseding snapshot; the next delta layers on top. Serving "
+    "reads only published parts ≥ the snapshot floor. Ordinary "
+    "overflow of the retrieval (q135/q176/q188) + connector "
+    "(q171/q177/q183/q185) families",
+)
+def q191_occ_indexed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    from hive_cassandra_spark import sink
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q191_{tok}_{os.getpid()}_occidx"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    quarter = F.col("doc_id") % 4
+    # v1: nightly build on the %4 ∈ {0, 2} half (snapshot commit)
+    r1 = retrieval.build_postings_index_occ(
+        spark, docs.filter(quarter.isin(0, 2)), base
+    )
+    assert r1["committed"] and r1["version"] == 1, r1
+    # v2: delta update with the %4 == 1 quarter, batch-tagged
+    r2 = retrieval.update_postings_index_occ(
+        spark, base, docs.filter(quarter == 1), batch_id="delta-1"
+    )
+    assert r2["version"] == 2 and not r2["already_applied"], r2
+    # a crashed maintainer RETRIES the same batch: the marker tag says
+    # it already published — no-op instead of double-appended postings
+    r3 = retrieval.update_postings_index_occ(
+        spark, base, docs.filter(quarter == 1), batch_id="delta-1"
+    )
+    replayed_noops = int(r3["already_applied"])
+    # a rebuild that derived from the v1 snapshot (stale — it would
+    # clobber delta-1) must fail closed...
+    stale = retrieval.build_postings_index_occ(
+        spark, docs.filter(quarter.isin(0, 2)), base, expected_version=1
+    )
+    stale_conflicts = int(stale["conflict"] and not stale["committed"])
+    # ...then refresh: rebuild over everything ingested so far lands as
+    # the v3 superseding snapshot (prior versions vacuumed)
+    r4 = retrieval.build_postings_index_occ(
+        spark, docs.filter(quarter != 3), base
+    )
+    assert r4["committed"] and r4["version"] == 3, r4
+    # v4: the final quarter arrives as a new delta batch
+    r5 = retrieval.update_postings_index_occ(
+        spark, base, docs.filter(quarter == 3), batch_id="delta-2"
+    )
+    assert r5["version"] == 4, r5
+    # serve from the artifact: snapshot v3 + delta v4 = the full corpus,
+    # every document exactly once
+    post, corpus = retrieval.read_postings_index_occ(spark, base)
+    qset = spark.createDataFrame(
+        [
+            ("rare_common", "dup"),
+            ("rare_common", "hash"),
+            ("ops", "join"),
+            ("ops", "merge"),
+            ("ops", "sort"),
+            ("vec", "vector"),
+            ("vec", "query"),
+        ],
+        "query_id string, term string",
+    )
+    return (
+        retrieval.bm25_topk(None, qset, k=10, post=post, corpus=corpus)
+        .withColumn("final_version", F.lit(sink.store_version(base)).cast("long"))
+        .withColumn(
+            "stale_rebuild_conflicts", F.lit(stale_conflicts).cast("long")
+        )
+        .withColumn(
+            "replayed_batch_noops", F.lit(replayed_noops).cast("long")
+        )
+    )
+
+
+def _ann_tune_oracle_sql() -> str:
+    """q148's IVF-PQ CTE chain up to the query-cell distances, then the
+    tuning harness: probes keep their RANK so every candidate nprobe is
+    evaluated from ONE max-probe ADC pass (an item's ADC distance does
+    not depend on nprobe — only its visibility does), exact ground truth
+    from the same pos explode, integer recall per candidate, and the
+    deterministic choose ordering replayed verbatim."""
+    base = QUERIES["q148_ivfpq_topk"].oracle
+    chain = base[: base.index("probes AS")]
+    return (
+        chain
+        + """probes AS (SELECT query_id, ccid, CAST(rn AS INT) AS prank FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY d2, ccid) AS rn FROM qd) WHERE rn <= 4),
+    qres AS (SELECT p.query_id, p.ccid, (pos.i - 1) // 16 AS sub, pos.i,
+                    pos.x - cc.c AS r
+             FROM probes p JOIN pos ON pos.vec_id = p.query_id
+                           JOIN cc ON cc.ccid = p.ccid AND cc.i = pos.i),
+    lut AS (SELECT q.query_id, q.ccid, q.sub, pc.pcid,
+                   round(sum(q.r*q.r) + sum(pc.c*pc.c)
+                         - 2*sum(q.r*pc.c), 6) AS d2
+            FROM qres q JOIN pc ON pc.sub = q.sub AND pc.i = q.i
+            GROUP BY 1, 2, 3, 4),
+    adc AS (SELECT l.query_id, co.vec_id AS neighbor_id, p.prank,
+                   round(sum(l.d2), 6) AS adc_d2
+            FROM probes p
+            JOIN cassign ca ON ca.ccid = p.ccid
+            JOIN codes co ON co.vec_id = ca.vec_id
+            JOIN lut l ON l.query_id = p.query_id AND l.ccid = p.ccid
+                       AND l.sub = co.sub AND l.pcid = co.pcid
+            WHERE co.vec_id <> l.query_id
+            GROUP BY 1, 2, 3),
+    exd AS (SELECT qa.vec_id AS query_id, pb.vec_id AS neighbor_id,
+                   round(sum(qa.x * qa.x) + sum(pb.x * pb.x)
+                         - 2 * sum(qa.x * pb.x), 6) AS d2
+            FROM pos qa JOIN pos pb
+              ON qa.i = pb.i AND pb.vec_id <> qa.vec_id
+            WHERE qa.vec_id < 3 GROUP BY 1, 2),
+    ex AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY d2, neighbor_id) AS rn FROM exd) WHERE rn <= 5),
+    cand(nprobe) AS (VALUES (1), (2), (4)),
+    ap AS (SELECT nprobe, query_id, neighbor_id FROM
+             (SELECT c.nprobe, a.query_id, a.neighbor_id,
+                     row_number() OVER (PARTITION BY c.nprobe, a.query_id
+                         ORDER BY a.adc_d2, a.neighbor_id) AS rn
+              FROM cand c JOIN adc a ON a.prank <= c.nprobe)
+           WHERE rn <= 5),
+    ov AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS overlap_total
+           FROM ap JOIN ex USING (query_id, neighbor_id) GROUP BY 1),
+    nqr AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM ex),
+    rep AS (SELECT CAST(c.nprobe AS BIGINT) AS nprobe,
+                   CAST(coalesce(ov.overlap_total, 0) AS BIGINT)
+                     AS overlap_total,
+                   nqr.nq,
+                   CAST(100 * coalesce(ov.overlap_total, 0)
+                        // (5 * nqr.nq) AS BIGINT) AS recall_pct
+            FROM cand c LEFT JOIN ov ON ov.nprobe = c.nprobe CROSS JOIN nqr),
+    rep2 AS (SELECT *, CAST(recall_pct >= 60 AS BIGINT) AS meets_target
+             FROM rep)
+    SELECT nprobe, overlap_total, nq, recall_pct, meets_target,
+           CAST(row_number() OVER (ORDER BY meets_target DESC,
+                CASE WHEN meets_target = 1 THEN nprobe
+                     ELSE -recall_pct END ASC,
+                nprobe ASC) = 1 AS BIGINT) AS chosen
+    FROM rep2"""
+    )
+
+
+@register(
+    "q192_ann_tune_nprobe",
+    # One hash adjudicates the whole tuning loop: every candidate's
+    # ranking (from the shared max-probe ADC pass), the exact ground
+    # truth, the integer recall arithmetic, the threshold verdicts, AND
+    # the deterministic choose ordering — a drift anywhere flips
+    # recall_pct / meets_target / chosen and breaks the hash.
+    oracle=_ann_tune_oracle_sql(),
+    doc="recall-driven ANN parameter choice (similarity.ann_tune_nprobe "
+    "— r09 verdict item 4, closing the measurement loop q190 opened): "
+    "recall@5 on the deterministic validation split is measured for "
+    "every candidate nprobe from ONE index build and ONE max-candidate "
+    "scoring pass (an item's ADC distance is nprobe-independent — only "
+    "its probe-rank visibility changes, so candidates re-rank "
+    "candidate-sized data, never re-score the corpus), and the "
+    "cheapest candidate meeting the integer recall target is CHOSEN "
+    "(else highest recall, ties to the smaller nprobe) — the tuning "
+    "report a production index is operated by, instead of "
+    "choose_ann_strategy's size-only heuristic. Ordinary overflow of "
+    "the similarity_ann family (q147/q148/q182/q190 in-window)",
+)
+def q192_ann_tune_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_tune_nprobe(
+        _t(spark, sf_dir, "embeddings"),
+        candidates=(1, 2, 4), k=5, target_pct=60,
+        n_cells=8, m=4, k_codes=8, query_max=3,
+    )
+
+
+def _bpe_tokenize_docs_oracle_sql(n_merges: int) -> str:
+    """The q184 byte-BPE merge chain re-derived with the WORD carried
+    through every round (w, s, n), then the corpus-tokenization tail:
+    word → ordered merged tokens, token ids from the same
+    (n_occ DESC, token ASC) histogram ranking ``bpe_apply`` assigns,
+    per-document token counts from the exploded corpus words joined to
+    the encoded vocabulary. Gated on the doc_id % 10 = 0 document
+    sample to keep the compare payload bounded — the vocabulary encode
+    and id assignment are corpus-wide in both engines either way."""
+    parts = [
+        "WITH dw AS (SELECT doc_id, t AS w, CAST(count(*) AS BIGINT) AS n_w",
+        f"            FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS t"
+        "  FROM documents)",
+        "            GROUP BY 1, 2),",
+        "w AS (SELECT w, CAST(sum(n_w) AS BIGINT) AS n FROM dw GROUP BY 1),",
+        "s0 AS (SELECT w, ' ' || regexp_replace(lower(hex(encode(w))),"
+        " '(..)', '\\1 ', 'g') AS s, n FROM w)",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f", p{i} AS (SELECT p, CAST(sum(n) AS BIGINT) AS freq FROM ("
+            f"SELECT unnest(list_transform(range(1, len(a)),"
+            f" j -> a[j] || ' ' || a[j+1])) AS p, n"
+            f" FROM (SELECT string_split(trim(s), ' ') AS a, n FROM s{i-1})"
+            f") GROUP BY 1)"
+        )
+        parts.append(
+            f", b{i} AS (SELECT p, freq FROM p{i}"
+            f" ORDER BY freq DESC, p LIMIT 1)"
+        )
+        parts.append(
+            f", s{i} AS (SELECT w, replace(s, ' ' || b{i}.p || ' ',"
+            f" ' ' || replace(b{i}.p, ' ', '') || ' ') AS s, n"
+            f" FROM s{i-1} CROSS JOIN b{i})"
+        )
+    parts.append(
+        f""", wt AS (SELECT w, string_split(trim(s), ' ') AS toks
+             FROM s{n_merges}),
+    hist AS (SELECT token, CAST(sum(n) AS BIGINT) AS n_occ
+             FROM (SELECT unnest(string_split(trim(s), ' ')) AS token, n
+                   FROM s{n_merges})
+             GROUP BY 1),
+    ids AS (SELECT token, CAST(row_number() OVER (ORDER BY n_occ DESC,
+                token) AS BIGINT) AS token_id FROM hist),
+    dt AS (SELECT doc_id, token, CAST(sum(n_w) AS BIGINT) AS n
+           FROM (SELECT dw.doc_id, unnest(wt.toks) AS token, dw.n_w
+                 FROM dw JOIN wt USING (w))
+           GROUP BY 1, 2)
+    SELECT dt.doc_id, dt.token, ids.token_id, dt.n
+    FROM dt JOIN ids USING (token)
+    WHERE dt.doc_id % 10 = 0"""
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "q193_bpe_tokenize_docs",
+    # The full production tokenizer path in one hash: the learned merge
+    # decisions (q184's chain, word-carried), the vocabulary encode,
+    # the dense id assignment, AND the per-document token counts — a
+    # drift in any merge round, replace application, id ranking, or
+    # doc-level join breaks it. Output gated on the doc_id % 10 sample
+    # (the machinery upstream is corpus-wide in both engines).
+    oracle=_bpe_tokenize_docs_oracle_sql(5),
+    doc="corpus tokenization to ids under the learned byte-level BPE "
+    "merges (text.bpe_tokenize_docs — r09 verdict item 5: q78's "
+    "tokenize-to-ids production shape driven by q184's trainer instead "
+    "of a fixed vocabulary): the corpus text is parsed ONCE into "
+    "(doc, word) counts; the distinct vocabulary runs the literal "
+    "merge-replace chain (vocab-sized, corpus-independent); token ids "
+    "come from bpe_apply's (n_occ DESC, token) histogram ranking; and "
+    "per-doc token counts are the exploded corpus words broadcast-"
+    "joined to the encoded vocabulary — what packing (q71), length "
+    "batching (q102), and LM scoring (q100) consume. Ordinary "
+    "overflow of the tokenizer_training family (q179/q184/q187 "
+    "in-window)",
+)
+def q193_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.bpe_merges_bytes(docs, n_merges=5)
+    return text.bpe_tokenize_docs(docs, merges, byte_level=True).filter(
+        F.col("doc_id") % 10 == 0
+    )
+
+
+@register(
+    "q194_quality_model_hashed",
+    # q186's train-then-score replay with the hashing trick swapped in:
+    # features are md5 buckets mod 4096 (exact integer arithmetic both
+    # engines agree on), df weights aggregate per BUCKET over distinct
+    # (doc, bucket), no ranking step, and every doc's integer score and
+    # keep verdict must hash-match.
+    oracle="""
+    WITH s AS (SELECT doc_id,
+                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+               FROM documents),
+    lab AS (SELECT doc_id, t,
+                   len(list_filter(string_split(t, ' '), x -> x <> '')) >= 50
+                   AS good
+            FROM s),
+    occ AS (SELECT doc_id, good,
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+            FROM (SELECT doc_id, good,
+                         unnest(list_transform(range(1, len(t) - 1),
+                                               i -> substr(t, i, 3))) AS g
+                  FROM lab WHERE len(t) >= 3)),
+    dfc AS (SELECT b,
+                   count(DISTINCT CASE WHEN good THEN doc_id END) AS dfg,
+                   count(DISTINCT CASE WHEN NOT good THEN doc_id END) AS dfb
+            FROM occ GROUP BY b),
+    w AS (SELECT b, CAST(dfg - dfb AS BIGINT) AS w FROM dfc
+          WHERE dfg <> dfb),
+    sc AS (SELECT o.doc_id, CAST(sum(w.w) AS BIGINT) AS s
+           FROM occ o JOIN w ON o.b = w.b GROUP BY o.doc_id)
+    SELECT l.doc_id,
+           CAST(coalesce(sc.s, 0) AS BIGINT) AS score,
+           CAST(coalesce(sc.s, 0) >= 0 AS BIGINT) AS keep
+    FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id
+    """,
+    doc="hashed-feature quality filter (curation."
+    "quality_model_train_hashed/score_hashed — fastText's hashing "
+    "trick, Joulin 2016 §2.1, on q186's integer scorer; r09 verdict "
+    "item 8): features are md5 buckets mod 4096, so the weight table "
+    "is a HARD ≤4096-row parameter at any corpus — even the training-"
+    "side aggregation state is bucket-bounded, where q186's top-k "
+    "selection still ranked the open n-gram vocabulary. Colliding "
+    "grams share a weight (the documented fastText trade); scoring "
+    "broadcast-joins the bucket weights before its only shuffle; the "
+    "keep verdict stays a float-free integer logit threshold. "
+    "Ordinary overflow of the quality_model family (q186 in-window)",
+)
+def q194_quality_model_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    weights = curation.quality_model_train_hashed(
+        docs, n=3, n_buckets=4096, good_min_tokens=50
+    )
+    scored = curation.quality_model_score_hashed(
+        docs, weights, n=3, n_buckets=4096, threshold=0
+    )
+    return scored.select(
+        "doc_id", "score", F.col("keep").cast("long").alias("keep")
+    )
 
 
 
@@ -10019,6 +10407,15 @@ def q190_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -> q138). Four are sole bearers and GRADUATE on cited r08+r09 histories:
 # q137 (cohort_retention), q141 (dedup_winnowing), q142 (dedup_blocking),
 # q143 (string_sim_join).
+#
+# Round-10 second rotation: the four round-10 NEW capabilities take
+# slots from birth (the q175-q177 precedent): q191 OCC-versioned index
+# lifecycle (verdict item 3 + advisor finding 2), q192 recall-driven
+# nprobe tuning (item 4), q193 corpus byte-BPE tokenization (item 5),
+# q194 hashed quality model (item 8). Funding: q146 leaves as ORDINARY
+# OVERFLOW (dedup_jaccard → q163 in-window); q144 (collocations), q149
+# (chunking), q152 (graph_pagerank) are sole bearers and GRADUATE on
+# cited r08+r09 driver-green histories.
 
 # Round-9 rotation (r08 verdict item 1): the three PENDING_ROTATION
 # round-8 capabilities (q179 BPE merge learning, q180 dHash image dedup,
@@ -10062,7 +10459,11 @@ _WINDOW_ORDER = [
     # bearer gets one now (the q87/q89 two-round contract, honored)
     "q129_cdc_apply",
     "q138_stream_funnel",
-    "q144_collocations",
+    # round-10 new capabilities (immediate slots, q175-q177 precedent)
+    "q191_occ_indexed_retrieval",     # retrieval + connector (OCC index)
+    "q192_ann_tune_nprobe",           # similarity_ann (recall tuning)
+    "q193_bpe_tokenize_docs",         # tokenizer_training (corpus ids)
+    "q194_quality_model_hashed",      # quality_model (hashing trick)
     # round-10 rotations: the PENDING_ROTATION round-9 capability takes
     # its contractual slot (the q87/q89 two-round contract)...
     "q186_quality_model",             # quality_model (learned filter)
@@ -10074,10 +10475,7 @@ _WINDOW_ORDER = [
     "q188_incremental_retrieval",     # retrieval (index maintenance)
     "q189_image_dedup_canonical",     # image_dedup + dedup_components
     "q190_ann_recall",                # similarity_ann (recall@k eval)
-    "q146_prefix_filter_jaccard",
-    "q149_document_chunks",
     "q150_anomaly_zscore",
-    "q152_pagerank",
     "q153_expectations",
     "q160_jsonl_ingest",
     "q169_association_rules",
@@ -10493,6 +10891,21 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # ANN recall@k eval: the measurement tier of the ANN family —
     # ordinary overflow (q147/q148/q182 bear similarity_ann in-window)
     "q190_ann_recall": {"similarity_ann"},
+    # round-10: OCC-versioned retrieval-index lifecycle — the retrieval
+    # artifact gets q183/q185's commit protocol (r09 verdict item 3);
+    # retrieval borne in-window by q176/q188, connector by q171/q177/
+    # q183/q185
+    "q191_occ_indexed_retrieval": {"retrieval", "connector_datasource"},
+    # round-10: recall-driven nprobe tuning — the parameter-choice tier
+    # of the ANN family (q147/q148/q182/q190 bear similarity_ann)
+    "q192_ann_tune_nprobe": {"similarity_ann"},
+    # round-10: corpus tokenization under the learned byte-BPE merges —
+    # the production serving path of the tokenizer_training family
+    # (q179/q184/q187 bear it in-window)
+    "q193_bpe_tokenize_docs": {"tokenizer_training"},
+    # round-10: the hashing-trick variant of the learned quality filter
+    # (q186 bears quality_model in-window since round 10)
+    "q194_quality_model_hashed": {"quality_model"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -10667,6 +11080,12 @@ GRADUATED = {
     "q141_winnowing_pairs",      # dedup_winnowing (sole): green r08+r09
     "q142_sorted_neighborhood",  # dedup_blocking (sole): green r08+r09
     "q143_edit_distance_join",   # string_sim_join (sole): green r08+r09
+    # round-10 second rotation: three more sole bearers fund the four
+    # round-10 new capabilities (q146 leaves as ordinary overflow —
+    # q163 bears dedup_jaccard in-window):
+    "q144_collocations",         # collocations (sole): green r08+r09
+    "q149_document_chunks",      # chunking (sole): green r08+r09
+    "q152_pagerank",             # graph_pagerank (sole): green r08+r09
 }
 
 

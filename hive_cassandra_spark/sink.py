@@ -668,6 +668,151 @@ def occ_commit(
     }
 
 
+def occ_commit_tables(
+    spark,
+    path: str,
+    tables: dict,
+    expected_version: int,
+    snapshot: bool = False,
+    tag: str | None = None,
+) -> dict:
+    """One ATOMIC versioned commit spanning several parquet tables — the
+    multi-table face of ``occ_commit`` for artifacts whose consistency
+    spans files (a retrieval index's postings + corpus meta, an IVF-PQ
+    index's centroids + codebooks + assignments + codes). The r09
+    advisor flagged ``update_postings_index``'s two-rename swap: delta
+    postings appended BEFORE the meta merge, so a crash left postings
+    with stale stats and a retry double-appended. Here every table's
+    parts stage first, ONE mkdir claims the version, parts rename in
+    under ``<path>/<table>/part-occ-v%09d-*-<token>.parquet``, and ONE
+    marker publishes them together — readers (``occ_read_table``) see
+    all of the commit or none of it.
+
+    ``snapshot=True`` supersedes every prior version (the rebuild
+    commit); an append commit layers on top (the delta commit). ``tag``
+    lands in the marker (e.g. a batch id) so a crashed-then-retried
+    delta can detect it already published (``store_tags``) instead of
+    double-applying. Same conflict/claim_pending contract as
+    ``occ_commit``."""
+    import glob as _glob
+    import os
+    import shutil
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    cur = store_version(path)
+    if cur != expected_version:
+        return {
+            "committed": False, "version": cur, "conflict": True,
+            "claim_pending": False, "files": 0,
+        }
+    v = cur + 1
+    token = uuid.uuid4().hex[:8]
+    staging = os.path.join(path, f".occ-staging-{v:09d}-{token}")
+    for tname, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(staging, tname))
+    claim = os.path.join(path, f"_occ-claim-{v:09d}")
+    try:
+        os.mkdir(claim)
+    except FileExistsError:
+        shutil.rmtree(staging, ignore_errors=True)
+        return {
+            "committed": False,
+            "version": store_version(path),
+            "conflict": True,
+            "claim_pending": not os.path.exists(
+                os.path.join(path, f"_occ-v{v:09d}")
+            ),
+            "files": 0,
+        }
+    with open(os.path.join(claim, "token"), "w") as fh:
+        fh.write(token)
+    n = 0
+    for tname in tables:
+        os.makedirs(os.path.join(path, tname), exist_ok=True)
+        k = 0
+        for f in sorted(
+            _glob.glob(os.path.join(staging, tname, "*.parquet"))
+        ):
+            os.rename(
+                f,
+                os.path.join(
+                    path, tname,
+                    f"part-occ-v{v:09d}-{k:05d}-{token}.parquet",
+                ),
+            )
+            k += 1
+            n += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    lines = [token]
+    if snapshot:
+        lines.append("snapshot")
+    if tag:
+        lines.append(f"tag:{tag}")
+    with open(os.path.join(path, f"_occ-v{v:09d}"), "w") as fh:
+        fh.write("\n".join(lines))
+    return {
+        "committed": True, "version": v, "conflict": False,
+        "claim_pending": False, "files": n,
+    }
+
+
+def store_tags(path: str) -> dict:
+    """{version: tag} for every published marker that carries one —
+    lets a retried delta job detect its batch already landed."""
+    import glob as _glob
+    import os
+
+    out = {}
+    for m in _glob.glob(os.path.join(path, "_occ-v*")):
+        try:
+            with open(m) as fh:
+                lines = fh.read().splitlines()
+        except OSError:
+            continue
+        for ln in lines[1:]:
+            if ln.startswith("tag:"):
+                out[int(os.path.basename(m)[6:])] = ln[4:]
+    return out
+
+
+def occ_read_table(spark, path: str, table: str, latest_only: bool = False):
+    """Snapshot-isolation read of one table of an ``occ_commit_tables``
+    artifact: parts of PUBLISHED versions at or above the newest
+    snapshot floor, unioned (append semantics); ``latest_only=True``
+    reads just the highest published version carrying parts for this
+    table (replace semantics — the one-row meta shape). Raises
+    FileNotFoundError when no committed parts exist: index consumers
+    must fail closed, not silently serve an empty index."""
+    import glob as _glob
+    import os
+    import re as _re
+
+    published = {
+        int(os.path.basename(m)[6:])
+        for m in _glob.glob(os.path.join(path, "_occ-v*"))
+    }
+    floor = _occ_snapshot_floor(path)
+    pat = _re.compile(r"part-occ-v(\d{9})-\d{5}-[0-9a-f]+\.parquet$")
+    by_version: dict = {}
+    for f in sorted(
+        _glob.glob(os.path.join(path, table, "part-occ-v*.parquet"))
+    ):
+        m = pat.search(os.path.basename(f))
+        if m and int(m.group(1)) in published and int(m.group(1)) >= floor:
+            by_version.setdefault(int(m.group(1)), []).append(f)
+    if not by_version:
+        raise FileNotFoundError(
+            f"no committed parts for table '{table}' under {path} — "
+            "the artifact was never built (or every version was swept)"
+        )
+    if latest_only:
+        files = by_version[max(by_version)]
+    else:
+        files = [f for fs in by_version.values() for f in fs]
+    return spark.read.parquet(*files)
+
+
 def _occ_snapshot_floor(path: str) -> int:
     """Highest published snapshot version (0 = none): versions below it
     are superseded — invisible to ``occ_read``, droppable by
@@ -687,7 +832,7 @@ def _occ_snapshot_floor(path: str) -> int:
     return floor
 
 
-def occ_read(spark, path: str):
+def occ_read(spark, path: str, empty_schema=None):
     """Snapshot-isolation read of an OCC-managed store: only part files
     whose version has a PUBLISHED ``_occ-v%09d`` marker are listed — a
     torn commit's parts (claim without marker) are invisible without
@@ -696,8 +841,16 @@ def occ_read(spark, path: str):
     superseded and skipped even before ``occ_vacuum`` physically drops
     them. Listing is O(files) driver-side dirent work (the same cost
     class as any parquet file listing), zero data movement; the returned
-    DataFrame scans exactly the committed, current parts. An empty /
-    never-committed store reads as an empty cell DataFrame."""
+    DataFrame scans exactly the committed, current parts.
+
+    An empty / never-committed store reads as an empty cell DataFrame
+    whose schema comes from, in order: ``empty_schema`` (a StructType)
+    if given; the parquet footer of any part file present but not
+    currently visible (superseded or unpublished — the store's actual
+    cell shape); else the base 4-column cell layout. Without this, a
+    store whose cells carry ``sub_column_name`` / ``ttl_s`` would read
+    back 4-column when empty and diverge from the non-empty case in
+    downstream unions and compaction key derivation."""
     import glob as _glob
     import os
     import re as _re
@@ -709,11 +862,18 @@ def occ_read(spark, path: str):
     floor = _occ_snapshot_floor(path)
     pat = _re.compile(r"part-occ-v(\d{9})-\d{5}-[0-9a-f]+\.parquet$")
     files = []
-    for f in sorted(_glob.glob(os.path.join(path, "part-occ-v*.parquet"))):
+    all_parts = sorted(_glob.glob(os.path.join(path, "part-occ-v*.parquet")))
+    for f in all_parts:
         m = pat.search(os.path.basename(f))
         if m and int(m.group(1)) in published and int(m.group(1)) >= floor:
             files.append(f)
     if not files:
+        if empty_schema is not None:
+            return spark.createDataFrame([], empty_schema)
+        if all_parts:
+            # no visible version, but the store HAS a cell shape — take
+            # the schema from any part footer (metadata-only read)
+            return spark.read.parquet(all_parts[-1]).limit(0)
         from pyspark.sql import types as T
 
         return spark.createDataFrame(
@@ -730,19 +890,32 @@ def occ_read(spark, path: str):
     return spark.read.parquet(*files)
 
 
-def occ_recover(path: str) -> dict:
+def occ_recover(path: str, min_age_s: float = 0.0) -> dict:
     """Crash recovery for ``occ_commit``: a claim whose version has no
     published marker is a torn commit — drop its token-matched part
     files and the claim itself so the version becomes claimable again
     (the in-flight writer is presumed dead; the ``recover_store``
     single-maintainer contract). Leftover staging dirs sweep
-    unconditionally (they were never visible). Idempotent; returns
-    {dropped_claims, dropped_parts, dropped_staging}."""
+    unconditionally (they were never visible). Idempotent.
+
+    ``min_age_s`` age-gates the sweep: a claim younger than it is left
+    alone (counted in ``skipped_young``). "No marker at conflict time"
+    does NOT prove the claimant is dead — a live writer sits in exactly
+    that state between its mkdir claim and its marker publish, and
+    sweeping it would delete its claim and already-renamed parts, so its
+    eventually-published marker would name a version with silently
+    missing files. Automated maintenance (``occ_compact_store``) passes
+    a grace period; a human-invoked recovery after a known crash may
+    keep the 0 default. Returns {dropped_claims, dropped_parts,
+    dropped_staging, skipped_young}."""
     import glob as _glob
     import os
     import shutil
+    import time as _time
 
     dropped_claims = dropped_parts = dropped_staging = 0
+    skipped_young = 0
+    now = _time.time()
     for stg in _glob.glob(os.path.join(path, ".occ-staging-*")):
         shutil.rmtree(stg, ignore_errors=True)
         dropped_staging += 1
@@ -750,22 +923,36 @@ def occ_recover(path: str) -> dict:
         v = int(os.path.basename(claim)[11:])
         if os.path.exists(os.path.join(path, f"_occ-v{v:09d}")):
             continue  # published — the claim is the permanent winner record
+        try:
+            age = now - os.path.getmtime(claim)
+        except OSError:
+            age = float("inf")  # claim vanished mid-sweep: nothing to skip
+        if age < min_age_s:
+            skipped_young += 1
+            continue  # possibly a live writer between claim and publish
         token = ""
         tok_file = os.path.join(claim, "token")
         if os.path.exists(tok_file):
             token = open(tok_file).read().strip()
         if token:
-            for f in _glob.glob(
-                os.path.join(path, f"part-occ-v{v:09d}-*-{token}.parquet")
+            # root-level cell parts AND one-level table subdirs (the
+            # occ_commit_tables layout) carry the claimant's token
+            for pattern in (
+                os.path.join(path, f"part-occ-v{v:09d}-*-{token}.parquet"),
+                os.path.join(
+                    path, "*", f"part-occ-v{v:09d}-*-{token}.parquet"
+                ),
             ):
-                os.remove(f)
-                dropped_parts += 1
+                for f in _glob.glob(pattern):
+                    os.remove(f)
+                    dropped_parts += 1
         shutil.rmtree(claim, ignore_errors=True)
         dropped_claims += 1
     return {
         "dropped_claims": dropped_claims,
         "dropped_parts": dropped_parts,
         "dropped_staging": dropped_staging,
+        "skipped_young": skipped_young,
     }
 
 
@@ -783,11 +970,15 @@ def occ_vacuum(path: str) -> dict:
     dropped = 0
     if floor:
         pat = _re.compile(r"part-occ-v(\d{9})-\d{5}-[0-9a-f]+\.parquet$")
-        for f in _glob.glob(os.path.join(path, "part-occ-v*.parquet")):
-            m = pat.search(os.path.basename(f))
-            if m and int(m.group(1)) < floor:
-                os.remove(f)
-                dropped += 1
+        for pattern in (
+            os.path.join(path, "part-occ-v*.parquet"),
+            os.path.join(path, "*", "part-occ-v*.parquet"),
+        ):
+            for f in _glob.glob(pattern):
+                m = pat.search(os.path.basename(f))
+                if m and int(m.group(1)) < floor:
+                    os.remove(f)
+                    dropped += 1
     return {"dropped_parts": dropped, "floor": floor}
 
 
@@ -798,6 +989,7 @@ def occ_compact_store(
     drop_tombstones: bool = True,
     gc_grace_s: int | None = None,
     max_retries: int = 5,
+    claim_grace_s: float = 10.0,
 ) -> dict:
     """``compact_store`` routed through the OCC commit protocol — the
     r08-verdict item-3 consumer. The plain swap discipline has a
@@ -808,11 +1000,25 @@ def occ_compact_store(
     version first forces a refresh-and-retry that re-reads WITH the new
     append included — no write is ever lost, with zero coordination
     between ingest and maintenance (the Delta/Iceberg optimistic-
-    compaction shape). A dead in-flight claim (claim_pending) is swept
-    via ``occ_recover`` under the documented single-maintainer contract.
-    Superseded parts are vacuumed after the commit. Returns
-    {cells_in, cells_out, version, conflicts, vacuumed, files}.
+    compaction shape).
+
+    A pending claim (claim without marker) is AMBIGUOUS: a live ingest
+    sits in exactly that state between its mkdir claim and its marker
+    publish, indistinguishable from a dead claimant at conflict time.
+    Sweeping it immediately would delete the live writer's claim and its
+    already-renamed parts — its eventually-published marker would then
+    name a version with silently missing files. So the sweep is
+    age-gated (r09 advisor finding): compaction WAITS, polling for the
+    marker, until the claim is at least ``claim_grace_s`` old, and only
+    then invokes ``occ_recover(min_age_s=claim_grace_s)``; a live writer
+    that publishes inside the grace window turns the wait into an
+    ordinary refresh-and-retry. Superseded parts are vacuumed after the
+    commit. Returns {cells_in, cells_out, version, conflicts, vacuumed,
+    files}.
     """
+    import os as _os
+    import time as _time
+
     conflicts = 0
     for _ in range(max_retries):
         v_read = store_version(path)
@@ -844,7 +1050,23 @@ def occ_compact_store(
             }
         conflicts += 1
         if res["claim_pending"]:
-            occ_recover(path)  # dead claim: single-maintainer sweep
+            # wait out the grace window (polling for the marker / version
+            # advance — a LIVE claimant publishing turns this into a
+            # normal refresh), then sweep only claims older than it
+            claim = _os.path.join(
+                path, f"_occ-claim-{res['version'] + 1:09d}"
+            )
+            while True:
+                if store_version(path) > res["version"]:
+                    break  # claimant published — ordinary conflict retry
+                try:
+                    age = _time.time() - _os.path.getmtime(claim)
+                except OSError:
+                    break  # claim gone (recovered elsewhere / published)
+                if age >= claim_grace_s:
+                    occ_recover(path, min_age_s=claim_grace_s)
+                    break
+                _time.sleep(min(0.2, claim_grace_s - age))
     raise RuntimeError(
         f"occ_compact_store: {max_retries} consecutive commit conflicts "
         f"on {path} — a live writer is outpacing compaction"

@@ -500,3 +500,28 @@ def test_quality_model_train_score_vs_python(spark):
         assert got == exp_scores, top_k
     # the sub-n doc is present with score exactly 0
     assert got[5] == (0, True)
+
+
+def test_quality_model_hashed_bounded_and_deterministic(spark, sf_dir):
+    """The hashing-trick quality model: the weight table never exceeds
+    n_buckets (a HARD parameter — the r09 verdict item-8 contract), the
+    verdicts are deterministic across runs, and colliding features
+    aside, strongly-good docs keep."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import curation as cu
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = cu.quality_model_train_hashed(docs, n=3, n_buckets=64)
+    assert w.count() <= 64
+    assert w.select("b").distinct().count() == w.count()
+    scored1 = cu.quality_model_score_hashed(
+        docs, w, n=3, n_buckets=64, threshold=0
+    )
+    scored2 = cu.quality_model_score_hashed(
+        docs, w, n=3, n_buckets=64, threshold=0
+    )
+    assert sorted(scored1.collect()) == sorted(scored2.collect())
+    # every document is scored exactly once (left join keeps no-feature docs)
+    assert scored1.count() == docs.count()
+    assert scored1.select("doc_id").distinct().count() == docs.count()

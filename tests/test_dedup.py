@@ -147,18 +147,43 @@ def test_simhash_band_space_and_bucket_width(spark, sf_dir):
     assert top.mx <= 25, top.mx
 
 
-def test_simhash_bucket_cap_drops_degenerate_buckets(spark):
-    """A corpus of identical docs lands every member in the same 4 buckets;
-    with max_bucket below the corpus size those buckets are dropped (the
-    documented recall trade that kills the quadratic straggler at scale),
-    and with the default cap the pairs come back."""
+def test_simhash_exact_duplicates_immune_to_bucket_cap(spark):
+    """r09 verdict item 2: a corpus of identical docs collapses to ONE
+    distinct signature before banding, so even a max_bucket far below the
+    corpus size cannot drop the duplicate cluster — the Hamming-0 pairs
+    come back via the signature-equality expansion regardless of the cap
+    (the old doc-level cap silently lost exactly these pairs at 20x)."""
     rows = [(i, "same exact text for every single document here") for i in range(20)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    capped = dedup.simhash_pairs(df, max_hamming=3, max_bucket=10).collect()
-    assert capped == []
-    full = dedup.simhash_pairs(df, max_hamming=3).collect()
-    assert len(full) == 20 * 19 // 2
-    assert all(r.hamming == 0 for r in full)
+    capped = dedup.simhash_pairs(df, max_hamming=3, max_bucket=2).collect()
+    assert len(capped) == 20 * 19 // 2
+    assert all(r.hamming == 0 for r in capped)
+
+
+def test_signature_band_pairs_cap_counts_distinct_signatures(spark):
+    """The bucket cap guards the candidate stage, which now runs over
+    DISTINCT signatures: with more distinct near-dup signatures than the
+    cap in a shared band, cross-signature candidates drop (the documented
+    recall trade), while exact-duplicate pairs survive untouched."""
+    # 5 distinct signatures sharing band 0 at every position (identical
+    # halves except low bits), plus 10 docs that all carry signature 0
+    sig_rows = [(100 + i, i, i) for i in range(5)] + [
+        (200 + j, 0, 0) for j in range(10)
+    ]
+    sig = spark.createDataFrame(
+        sig_rows, "doc long, sim_hi long, sim_lo long"
+    )
+    # distinct-sig space is 5 (docs 100..104 plus the shared 0-signature);
+    # cap=3 drops the shared buckets → no cross-signature candidates
+    cands = dedup.signature_band_pairs(sig, max_hamming=64, max_bucket=3)
+    assert cands.count() == 0
+    # but the full engine still emits every exact-duplicate pair: the 10
+    # signature-0 clones pair with each other AND with doc 100 (also 0,0)
+    pairs = dedup.signature_hamming_pairs(sig, max_hamming=3, max_bucket=3)
+    zero_group = 11  # docs 100, 200..209 all carry (0, 0)
+    assert pairs.count() == zero_group * (zero_group - 1) // 2
+    # with the cap lifted, cross-signature candidates reappear
+    assert dedup.signature_band_pairs(sig, max_hamming=64).count() == 10
 
 
 def test_embedding_neardup_blocks(spark, sf_dir):
@@ -280,10 +305,13 @@ def test_neardup_components_raises_when_cap_hit(spark):
     the fixpoint must raise, never silently return split components."""
     import pytest
 
-    chain = [(i, i + 1) for i in range(40)]
+    # pointer jumping converges in O(log diameter) rounds, so a chain
+    # needs length >> 2^max_iters for the cap to bite (a 40-chain used
+    # to exhaust 10 plain-propagation rounds; it now converges in ~6)
+    chain = [(i, i + 1) for i in range(300)]
     df = spark.createDataFrame(chain, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="fixpoint|max_iters"):
-        dedup.neardup_components(df, max_iters=10)
+        dedup.neardup_components(df, max_iters=3)
 
 
 def test_merge_signatures_equals_full_corpus(spark, sf_dir):

@@ -65,12 +65,16 @@ def test_registration_window_covers_every_family():
         "q185_occ_compaction", "q187_bpe_apply",
         "q188_incremental_retrieval", "q189_image_dedup_canonical",
         "q190_ann_recall",
+        # the round-10 new capabilities (immediate slots, q175-q177
+        # precedent)
+        "q191_occ_indexed_retrieval", "q192_ann_tune_nprobe",
+        "q193_bpe_tokenize_docs", "q194_quality_model_hashed",
         # the round-8 new-family bearers still funding their families
-        # in-window (q133/q135/q136/q137/q141/q142/q143 rotated out in
-        # round 10 — three as ordinary overflow, four GRADUATED)
-        "q129_cdc_apply", "q138_stream_funnel", "q144_collocations",
-        "q146_prefix_filter_jaccard", "q149_document_chunks",
-        "q150_anomaly_zscore", "q152_pagerank", "q153_expectations",
+        # in-window (q133/q135/q136/q137/q141/q142/q143/q144/q146/q149/
+        # q152 rotated out across round 10 — four as ordinary overflow,
+        # seven GRADUATED)
+        "q129_cdc_apply", "q138_stream_funnel",
+        "q150_anomaly_zscore", "q153_expectations",
         "q160_jsonl_ingest", "q169_association_rules",
         # coverage-required rotations (tags the departing bearers vacate)
         "q131_gc_grace_compaction", "q132_temperature_mixture",

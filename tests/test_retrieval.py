@@ -355,3 +355,105 @@ def test_update_postings_index_equals_rebuild(spark, docs, tmp_path):
     shutil.copytree(str(tmp_path / "lossy_meta"), f"{inc}/meta")
     with pytest.raises(ValueError, match="total-token"):
         retrieval.update_postings_index(spark, inc, new_docs)
+
+
+def test_occ_index_lifecycle_matches_plain_build(spark, sf_dir, tmp_path):
+    """OCC-versioned index (r09 verdict item 3): snapshot build + delta
+    update must read back IDENTICAL postings and meta to a from-scratch
+    plain build over the full corpus."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import retrieval as rt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    occ_path = str(tmp_path / "occ_idx")
+    r1 = rt.build_postings_index_occ(
+        spark, docs.filter(F2.col("doc_id") % 2 == 0), occ_path
+    )
+    assert r1["committed"] and r1["version"] == 1
+    r2 = rt.update_postings_index_occ(
+        spark, occ_path, docs.filter(F2.col("doc_id") % 2 == 1),
+        batch_id="b1",
+    )
+    assert r2["version"] == 2 and not r2["already_applied"]
+    plain_path = str(tmp_path / "plain_idx")
+    rt.build_postings_index(docs, plain_path)
+    post_occ, meta_occ = rt.read_postings_index_occ(spark, occ_path)
+    post_plain, meta_plain = rt.read_postings_index(spark, plain_path)
+    assert meta_occ.collect() == meta_plain.collect()
+    assert (
+        post_occ.select("id", "term", "tf").exceptAll(
+            post_plain.select("id", "term", "tf")
+        ).count() == 0
+    )
+    assert post_occ.count() == post_plain.count()
+
+
+def test_occ_index_replayed_batch_noops(spark, sf_dir, tmp_path):
+    """A crashed-then-retried delta batch must detect its marker tag and
+    no-op — the double-append corruption the r09 advisor flagged."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import retrieval as rt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "idx")
+    rt.build_postings_index_occ(
+        spark, docs.filter(F2.col("doc_id") % 2 == 0), path
+    )
+    delta = docs.filter(F2.col("doc_id") % 2 == 1)
+    r1 = rt.update_postings_index_occ(spark, path, delta, batch_id="night-1")
+    n_after = rt.read_postings_index_occ(spark, path)[0].count()
+    r2 = rt.update_postings_index_occ(spark, path, delta, batch_id="night-1")
+    assert r2["already_applied"] and r2["version"] == r1["version"]
+    assert rt.read_postings_index_occ(spark, path)[0].count() == n_after
+
+
+def test_occ_index_torn_update_invisible_and_recovered(spark, sf_dir, tmp_path):
+    """A delta that crashed between claim and publish leaves NOTHING
+    visible (readers see the prior version; stats and postings stay
+    consistent), and the next maintenance run sweeps it after the grace
+    window and lands cleanly."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import retrieval as rt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "idx")
+    rt.build_postings_index_occ(
+        spark, docs.filter(F2.col("doc_id") % 2 == 0), path
+    )
+    base_rows = rt.read_postings_index_occ(spark, path)[0].count()
+    base_meta = rt.read_postings_index_occ(spark, path)[1].collect()
+    # torn delta: claim for v2 + token-matched junk part in postings/,
+    # NO marker — exactly what a crash mid-commit leaves
+    claim = os.path.join(path, "_occ-claim-000000002")
+    os.mkdir(claim)
+    with open(os.path.join(claim, "token"), "w") as fh:
+        fh.write("deadc0de")
+    os.makedirs(os.path.join(path, "postings"), exist_ok=True)
+    with open(
+        os.path.join(
+            path, "postings", "part-occ-v000000002-00000-deadc0de.parquet"
+        ),
+        "wb",
+    ) as fh:
+        fh.write(b"junk")
+    # invisible: reads still serve v1 exactly
+    assert rt.read_postings_index_occ(spark, path)[0].count() == base_rows
+    assert rt.read_postings_index_occ(spark, path)[1].collect() == base_meta
+    # the claim is STALE (backdate past any grace), so the next delta
+    # sweeps it and commits
+    os.utime(claim, (1_000_000_000, 1_000_000_000))
+    r = rt.update_postings_index_occ(
+        spark, path, docs.filter(F2.col("doc_id") % 2 == 1),
+        batch_id="b2", claim_grace_s=0.5,
+    )
+    assert r["version"] in (2, 3) and not r["already_applied"]
+    assert not os.path.exists(
+        os.path.join(
+            path, "postings", "part-occ-v000000002-00000-deadc0de.parquet"
+        )
+    )

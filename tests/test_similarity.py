@@ -421,3 +421,77 @@ def test_l2_topk_and_ann_recall_eval(spark):
           for r in sim.ann_recall_eval(exact, approx, k=4).collect()}
     assert ev[0] == (4, 2, 50)
     assert ev[1] == (4, 0, 0)
+
+
+def test_ann_tune_nprobe_report_and_choice(spark, sf_dir):
+    """The tuning report: recall is non-decreasing in nprobe (more probed
+    cells can only add candidates), exactly one candidate is chosen, the
+    choice follows the documented ordering, and the max-candidate recall
+    equals an independent ann_recall_eval of the plain ivfpq_topk at
+    that nprobe (the shared-ADC-pass evaluation is exact, not an
+    approximation of the sweep)."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rep = {
+        r.nprobe: r
+        for r in sim.ann_tune_nprobe(
+            emb, candidates=(1, 2, 4), k=5, target_pct=60, query_max=3
+        ).collect()
+    }
+    assert set(rep) == {1, 2, 4}
+    assert rep[1].recall_pct <= rep[2].recall_pct <= rep[4].recall_pct
+    chosen = [p for p, r in rep.items() if r.chosen == 1]
+    assert len(chosen) == 1
+    meeting = sorted(p for p, r in rep.items() if r.meets_target == 1)
+    if meeting:
+        assert chosen[0] == meeting[0]
+    else:
+        best = max(rep.values(), key=lambda r: (r.recall_pct, -r.nprobe))
+        assert chosen[0] == best.nprobe
+    # cross-check the shared-pass evaluation against the independent path
+    exact = sim.l2_topk(emb, emb.filter(F2.col("vec_id") < 3), k=5)
+    approx = sim.ivfpq_topk(
+        emb, n_cells=8, nprobe=4, m=4, k_codes=8, query_max=3, topk=5
+    )
+    ev = sim.ann_recall_eval(exact, approx, k=5)
+    total = ev.agg(F2.sum("overlap")).collect()[0][0]
+    nq = ev.count()
+    assert rep[4].overlap_total == total and rep[4].nq == nq
+
+
+def test_ivfpq_occ_index_matches_plain_artifact(spark, sf_dir, tmp_path):
+    """OCC-routed IVF-PQ build/serve: identical results to the plain
+    artifact, all five tables publish atomically, and a stale rebuild
+    fails closed."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    occ_path = str(tmp_path / "occ_ivfpq")
+    r1 = sim.build_ivfpq_index_occ(spark, emb, occ_path, n_cells=8, m=4, k_codes=8)
+    assert r1["committed"] and r1["version"] == 1
+    plain_path = str(tmp_path / "plain_ivfpq")
+    sim.build_ivfpq_index(emb, plain_path, n_cells=8, m=4, k_codes=8)
+    queries = emb.filter(F2.col("vec_id") < 3).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        sim.ivfpq_topk_indexed_occ(
+            spark, occ_path, queries, nprobe=2, topk=5
+        ).collect()
+    )
+    want = sorted(
+        sim.ivfpq_topk_indexed(
+            spark, plain_path, queries, nprobe=2, m=4, topk=5
+        ).collect()
+    )
+    assert got == want
+    # a rebuild that read at version 0 (stale) fails closed
+    stale = sim.build_ivfpq_index_occ(
+        spark, emb, occ_path, n_cells=8, m=4, k_codes=8, expected_version=0
+    )
+    assert stale["conflict"] and not stale["committed"]

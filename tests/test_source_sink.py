@@ -614,3 +614,146 @@ def test_occ_compact_store_snapshot_and_vacuum(spark, tmp_path):
     # second compaction folds it in (z0 at ts 4000 beats tombstone 3000)
     res2 = sink.occ_compact_store(spark, store)
     assert res2["version"] == 6 and res2["cells_out"] == 9
+
+
+def test_occ_recover_age_gate_spares_live_claims(spark, tmp_path):
+    """r09 advisor finding (sink.py occ_compact_store): claim_pending only
+    means 'no marker at conflict time' — a live writer between its mkdir
+    claim and marker publish is indistinguishable from a dead one. The
+    sweep must therefore be age-gated: a fresh claim survives
+    occ_recover(min_age_s=...) untouched (with its renamed parts), while
+    a claim older than the gate is swept."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark import sink
+
+    store = str(tmp_path / "occ_store")
+    cells = spark.range(3).select(
+        F2.encode(F2.col("id").cast("string"), "utf-8").alias("row_key"),
+        F2.encode(F2.lit("c"), "utf-8").alias("column_name"),
+        F2.encode(F2.lit("v"), "utf-8").alias("value"),
+        F2.lit(1).cast("long").alias("ts"),
+    )
+    assert sink.occ_commit(spark, store, cells, 0)["committed"]
+    # a writer mid-flight: claim + token + renamed part, marker NOT yet
+    # published (it is alive — the marker would land milliseconds later)
+    claim = os.path.join(store, "_occ-claim-000000002")
+    os.mkdir(claim)
+    with open(os.path.join(claim, "token"), "w") as fh:
+        fh.write("beefcafe")
+    with open(
+        os.path.join(store, "part-occ-v000000002-00000-beefcafe.parquet"),
+        "wb",
+    ) as fh:
+        fh.write(b"live-writer-part")
+    rec = sink.occ_recover(store, min_age_s=60.0)
+    assert rec["dropped_claims"] == 0 and rec["skipped_young"] == 1
+    assert os.path.exists(claim)  # the live writer's claim survived
+    assert os.path.exists(
+        os.path.join(store, "part-occ-v000000002-00000-beefcafe.parquet")
+    )
+    # ...the same claim, BACKDATED past the gate, is a dead claim: swept
+    old = 1_000_000_000
+    os.utime(claim, (old, old))
+    rec2 = sink.occ_recover(store, min_age_s=60.0)
+    assert rec2["dropped_claims"] == 1 and rec2["dropped_parts"] == 1
+    assert not os.path.exists(claim)
+
+
+def test_occ_compact_store_waits_out_live_claim(spark, tmp_path):
+    """occ_compact_store must not sweep a pending claim inside the grace
+    window: a racing writer that publishes mid-wait turns the wait into
+    an ordinary refresh-and-retry, and the writer's cells survive into
+    the compacted snapshot (the exact lost-update the advisor flagged)."""
+    import os
+    import threading
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark import sink
+
+    store = str(tmp_path / "occ_store")
+
+    def gen(tag, n, ts):
+        return spark.range(n).select(
+            F2.encode(F2.concat(F2.lit(tag), F2.col("id").cast("string")),
+                      "utf-8").alias("row_key"),
+            F2.encode(F2.lit("c"), "utf-8").alias("column_name"),
+            F2.encode(F2.lit(tag), "utf-8").alias("value"),
+            F2.lit(ts).cast("long").alias("ts"),
+        )
+
+    assert sink.occ_commit(spark, store, gen("a", 5, 1000), 0)["committed"]
+    # a live writer has claimed v2 and renamed its part, but not yet
+    # published; it will publish ~0.5 s from now
+    claim = os.path.join(store, "_occ-claim-000000002")
+    os.mkdir(claim)
+    with open(os.path.join(claim, "token"), "w") as fh:
+        fh.write("cafebabe")
+    staged = str(tmp_path / "staged")
+    gen("b", 3, 2000).coalesce(1).write.parquet(staged)
+    import glob
+
+    part = glob.glob(os.path.join(staged, "*.parquet"))[0]
+    os.rename(part, os.path.join(
+        store, "part-occ-v000000002-00000-cafebabe.parquet"))
+
+    def publish():
+        time.sleep(0.5)
+        with open(os.path.join(store, "_occ-v000000002"), "w") as fh:
+            fh.write("cafebabe")
+
+    t = threading.Thread(target=publish)
+    t.start()
+    try:
+        res = sink.occ_compact_store(spark, store, claim_grace_s=30.0)
+    finally:
+        t.join()
+    # the compactor waited, saw the publish, refreshed, and its snapshot
+    # INCLUDES the racing writer's three cells — nothing was lost
+    assert res["version"] == 3 and res["conflicts"] >= 1
+    vals = {
+        bytes(r.value).decode()
+        for r in sink.occ_read(spark, store).select("value").collect()
+    }
+    assert vals == {"a", "b"}
+    assert sink.occ_read(spark, store).count() == 8
+
+
+def test_occ_read_empty_store_preserves_cell_schema(spark, tmp_path):
+    """r09 advisor finding: an OCC store whose cells carry extra columns
+    (sub_column_name / ttl_s) must not read back 4-column when empty.
+    The empty path takes the schema from any part footer on disk, or
+    from an explicit empty_schema."""
+    import os
+
+    from pyspark.sql import functions as F2, types as T
+
+    from hive_cassandra_spark import sink
+
+    store = str(tmp_path / "occ_store")
+    wide = spark.range(4).select(
+        F2.encode(F2.col("id").cast("string"), "utf-8").alias("row_key"),
+        F2.encode(F2.lit("c"), "utf-8").alias("column_name"),
+        F2.encode(F2.lit("s"), "utf-8").alias("sub_column_name"),
+        F2.encode(F2.lit("v"), "utf-8").alias("value"),
+        F2.lit(1).cast("long").alias("ts"),
+        F2.lit(30).cast("long").alias("ttl_s"),
+    )
+    assert sink.occ_commit(spark, store, wide, 0)["committed"]
+    # snapshot away every visible version, leaving only superseded parts
+    empty_snap = spark.createDataFrame([], sink.occ_read(spark, store).schema)
+    assert sink.occ_commit(
+        spark, store, empty_snap, 1, snapshot=True
+    )["committed"]
+    back = sink.occ_read(spark, store)
+    assert back.count() == 0
+    assert "sub_column_name" in back.columns and "ttl_s" in back.columns
+    # explicit schema wins on a never-committed store
+    sch = T.StructType([T.StructField("row_key", T.BinaryType()),
+                        T.StructField("ts", T.LongType())])
+    never = sink.occ_read(spark, str(tmp_path / "never"), empty_schema=sch)
+    assert never.columns == ["row_key", "ts"]

@@ -451,3 +451,33 @@ def test_bpe_apply_matches_python_encode(spark):
         for r in text_ops.bpe_apply(df, merges, byte_level=True).collect()
     }
     assert got == py_hist(4)
+
+
+def test_bpe_tokenize_docs_consistent_with_apply(spark, sf_dir):
+    """Corpus tokenization under the learned merges must agree with the
+    vocabulary-level histogram bpe_apply emits: summing per-doc token
+    counts over the corpus reproduces n_occ exactly, and token ids
+    match bpe_apply's dense ranking."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = tx.bpe_merges_bytes(docs, n_merges=5)
+    per_doc = tx.bpe_tokenize_docs(docs, merges, byte_level=True)
+    hist = {
+        r.token: (r.n_occ, r.token_id)
+        for r in tx.bpe_apply(docs, merges, byte_level=True).collect()
+    }
+    agg = {
+        r.token: (r.n, r.tid)
+        for r in per_doc.groupBy("token")
+        .agg(F2.sum("n").alias("n"), F2.first("token_id").alias("tid"))
+        .collect()
+    }
+    assert set(agg) == set(hist)
+    for tok, (n, tid) in agg.items():
+        assert hist[tok] == (n, tid), tok
+    # token ids are consistent within every doc row
+    ids = per_doc.select("token", "token_id").distinct()
+    assert ids.count() == ids.select("token").distinct().count()

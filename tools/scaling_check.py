@@ -37,7 +37,7 @@ Round-9 additions (r08 verdict items 6 + 7):
   dense-duplicate regime the replicas create (letter bijections preserve
   pixel gradients, so replicas are perceptual near-dups of each other).
 
-Writes SCALING_r09.json at the repo root (rendered into PLANS.md by
+Writes SCALING_r10.json at the repo root (rendered into PLANS.md by
 tools/plan_audit.py) and prints it.
 
 Usage: python tools/scaling_check.py [--replicas N[,M...]] [--trials T]
@@ -152,18 +152,22 @@ QUERIES_UNDER_TEST = [
     # q135's contract; the timed cost is index build + artifact serve)
     "q175_lsh_leakage_split",
     "q176_indexed_retrieval",
-    # round-9 (r08 verdict item 7): perceptual image dedup. NOTE the
-    # measured regime honestly: the scaled documents replicas stay
-    # perceptual NEAR-DUPS of their originals under any letter bijection
-    # (the pixel plane is the text bytes, and a bijection mostly
-    # preserves adjacent-pixel gradients), so the true pair space — and
-    # with it the candidate space — compounds ACROSS replicas. That is
-    # the dense-duplicate regime, the exact workload image dedup exists
-    # for; the documented guard is the max_bucket cap
-    # (dedup.SIMHASH_MAX_BUCKET), which bounds any bucket's explode at
-    # max_bucket²/2 regardless of corpus size. cand_pairs below records
-    # the curve.
+    # round-9 (r08 verdict item 7): perceptual image dedup. The scaled
+    # documents replicas stay perceptual NEAR-DUPS of their originals
+    # under any letter bijection (the pixel plane is the text bytes),
+    # so the TRUE pair space compounds across replicas — the
+    # dense-duplicate regime, the exact workload image dedup exists
+    # for. Round 10 (r09 verdict item 2): the engine now collapses
+    # exact signatures BEFORE banding, so the candidate stage —
+    # cand_pairs below counts dedup.signature_band_pairs, the stage
+    # where a quadratic would live — tracks DISTINCT near-dup
+    # signatures, not documents, and the max_bucket cap (now on
+    # distinct sigs per bucket) can no longer fire on hot duplicate
+    # clusters. q180's pair OUTPUT still grows with the true duplicate
+    # pair space (that is the result, not overhead); q189 walks the
+    # linear star/rep edge set instead.
     "q180_image_dedup_dhash",
+    "q189_image_dedup_canonical",
 ]
 
 # r07 verdict item 5: for the pair-join queries the scaling table must
@@ -193,9 +197,12 @@ def _lsh_cand_count(spark, sf_dir: str) -> int:
 
 
 def _dhash_cand_count(spark, sf_dir: str) -> int:
-    """q180's candidate space: every distinct in-bucket pair the banded
-    engine would exact-verify (max_hamming=128 disables the verdict
-    filter, so the count is the pre-verify candidate set)."""
+    """q180/q189's candidate space: every distinct-signature in-bucket
+    pair the banded engine exact-verifies (max_hamming=128 disables the
+    verdict filter, so the count is the pre-verify candidate set). This
+    is the stage where a quadratic would live — the r10 engine runs it
+    over DISTINCT signatures (exact duplicates pre-collapsed), so the
+    curve must track distinct near-dup signatures, not documents."""
     from hive_cassandra_spark.operators import dedup, multimodal
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
@@ -204,7 +211,7 @@ def _dhash_cand_count(spark, sf_dir: str) -> int:
     sig = multimodal.image_dhash(
         multimodal.attach_image_payload(docs, container="bmp", wh_mod=(4, 3))
     )
-    return dedup.signature_hamming_pairs(sig, max_hamming=128).count()
+    return dedup.signature_band_pairs(sig, max_hamming=128).count()
 
 
 CANDIDATE_COUNT = {
@@ -212,6 +219,7 @@ CANDIDATE_COUNT = {
     "q163_leakage_safe_split": _prefix_cand_count(1, 5),
     "q175_lsh_leakage_split": _lsh_cand_count,
     "q180_image_dedup_dhash": _dhash_cand_count,
+    "q189_image_dedup_canonical": _dhash_cand_count,
 }
 # Expected row behavior across scale points — the result check (r06
 # verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
@@ -252,6 +260,8 @@ EXPECT_ROWS = {
     "q175_lsh_leakage_split": "fixed",
     "q176_indexed_retrieval": "fixed",
     "q180_image_dedup_dhash": "grows",
+    # replicas give 1x-singleton docs near-dup partners → new clusters
+    "q189_image_dedup_canonical": "grows",
     "postings_build": "grows",
     "ivfpq_build": "grows",
     "wide_row_stress": "grows",
@@ -593,15 +603,15 @@ def main() -> None:
             )
         out["queries"][name] = rec
         print(f"# {name}: {json.dumps(rec)}", file=sys.stderr)
-    if only is not None and os.path.exists("/root/repo/SCALING_r09.json"):
+    if only is not None and os.path.exists("/root/repo/SCALING_r10.json"):
         # --only refreshes a subset: merge into the existing rows rather
         # than discarding the un-rerun queries' measurements
-        with open("/root/repo/SCALING_r09.json") as f:
+        with open("/root/repo/SCALING_r10.json") as f:
             prev = json.load(f)
         merged = prev.get("queries", {})
         merged.update(out["queries"])
         out["queries"] = merged
-    with open("/root/repo/SCALING_r09.json", "w") as f:
+    with open("/root/repo/SCALING_r10.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     if failures:
