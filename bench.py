@@ -231,6 +231,12 @@ HEADLINE = [
     "q193_bpe_tokenize_docs",
     # hashed quality model: bucket-bounded training + broadcast scoring
     "q194_quality_model_hashed",
+    # DSIR selection: one featurize scan + broadcast weights + top-budget
+    "q195_dsir_selection",
+    # stream-maintained OCC index: bootstrap + 4 streamed deltas + serve
+    "q196_stream_indexed_retrieval",
+    # asymmetric containment: rare-first prefix probe vs full postings
+    "q197_containment_dedup",
 ]
 
 
@@ -351,6 +357,9 @@ def main() -> None:
         "q192_ann_tune_nprobe",
         "q193_bpe_tokenize_docs",
         "q194_quality_model_hashed",
+        "q195_dsir_selection",
+        "q196_stream_indexed_retrieval",
+        "q197_containment_dedup",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

@@ -823,3 +823,126 @@ def quality_model_score(
         )
         .withColumn("keep", (F.col("score") >= threshold).cast("boolean"))
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target,
+    n: int = 3,
+    n_buckets: int = 4096,
+    scale: int = 10**9,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-bucket importance weights for DSIR — Data Selection via
+    Importance Resampling (Xie et al., NeurIPS 2023): estimate a
+    bag-of-hashed-n-grams unigram model for the TARGET distribution
+    (the reference corpus the pretraining mix should look like) and for
+    the RAW pool, and weight each feature by how much likelier it is
+    under the target. ``target`` is a boolean Column marking the
+    reference rows (e.g. ``F.col("lang") == "en"``).
+
+    Determinism contract (the q169 fixed-point precedent): instead of
+    ``log p_t(b) − log p_r(b)`` (libm drift), the weight is the
+    FIXED-POINT RATE DIFFERENCE ``w(b) = (n_t(b)·scale) div T_t −
+    (n_r(b)·scale) div T_r`` with +1 smoothing on every present bucket
+    — exact BIGINT arithmetic both engines replay bit-for-bit, same
+    sign as the log-ratio, and magnitude bounded by ``scale`` per
+    bucket REGARDLESS of corpus size (no cross-multiplied count
+    products to overflow at 100 TB).
+
+    Scale: ONE corpus scan; occurrence counts (not document
+    frequencies — this is the unigram LM, so repeats count) are
+    map-side-combinable into ≤ ``n_buckets`` rows; the totals are a
+    1-row broadcast scalar attach. Returns ``(b, w)``, ≤ n_buckets
+    rows — broadcastable at any corpus."""
+    from hive_cassandra_spark.operators.text import normalize
+
+    occ = df.select(
+        target.alias("__tgt"), normalize(F.col(text_col)).alias("__t")
+    ).select(
+        "__tgt",
+        F.explode(_char_ngrams(F.col("__t"), n)).alias("g"),
+    ).select(
+        "__tgt",
+        F.expr(
+            "cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) "
+            f"% {int(n_buckets)}"
+        ).alias("b"),
+    )
+    cnt = occ.groupBy("b").agg(
+        (F.sum(F.when(F.col("__tgt"), 1).otherwise(0)) + 1)
+        .cast("long").alias("nt"),
+        (F.sum(F.when(F.col("__tgt"), 0).otherwise(1)) + 1)
+        .cast("long").alias("nr"),
+    )
+    tot = cnt.agg(
+        F.sum("nt").cast("long").alias("tt"),
+        F.sum("nr").cast("long").alias("tr"),
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(f"cast(nt * {int(scale)} div tt as bigint) - "
+               f"cast(nr * {int(scale)} div tr as bigint)")
+        .cast("long").alias("w"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    weights: DataFrame,
+    budget: int,
+    target,
+    n: int = 3,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Select ``budget`` documents from the RAW pool (rows where
+    ``target`` is false) whose hashed-n-gram profile scores highest
+    under a ``dsir_weights`` table — the DSIR selection step, with the
+    paper's Gumbel-noise resampling replaced by deterministic top-k by
+    importance score (the paper's own ablation; noise would break the
+    cross-engine replay). ``score(d) = Σ_occurrences w(bucket)`` — the
+    linearized importance log-ratio of the doc under target vs raw.
+
+    Scale: the ≤ ``n_buckets``-row weight table broadcast-joins the
+    exploded occurrences BEFORE the only shuffle (per-doc sum); the
+    top-``budget`` cut is TakeOrderedAndProject (per-partition partial
+    top-k, never a global sort) and membership flows back as a
+    budget-sized broadcast semi-probe. For FRACTIONAL budgets at scale
+    (keep the top p%), swap the cut for the q145 two-phase global-rank;
+    the score column is unchanged. Returns every pool doc:
+    ``(doc_id, score, selected)``."""
+    from hive_cassandra_spark.operators.text import normalize
+
+    pool = df.filter(~target).select(
+        F.col(id_col), normalize(F.col(text_col)).alias("__t")
+    )
+    occ = pool.select(
+        id_col, F.explode(_char_ngrams(F.col("__t"), n)).alias("g")
+    ).select(
+        id_col,
+        F.expr(
+            "cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) "
+            f"% {int(n_buckets)}"
+        ).alias("b"),
+    )
+    scores = (
+        occ.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("__s"))
+    )
+    scored = pool.join(scores, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("score"),
+    )
+    chosen = (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(budget))
+        .select(F.col(id_col), F.lit(1).alias("__sel"))
+    )
+    return scored.join(F.broadcast(chosen), id_col, "left").select(
+        id_col,
+        "score",
+        F.coalesce(F.col("__sel"), F.lit(0)).cast("long").alias("selected"),
+    )

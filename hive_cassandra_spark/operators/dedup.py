@@ -1567,3 +1567,93 @@ def prefix_filter_jaccard_pairs(
             F.round(inter / union, 4).alias("jaccard"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    t_num: int = 4,
+    t_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT asymmetric-containment join: every ordered pair
+    ``(doc_a, doc_b)`` with ``|S_A ∩ S_B| ≥ t·|S_A|`` over distinct
+    word-``n``-gram shingle sets — the inclusion detector Jaccard dedup
+    is blind to: a quote, a syndicated article, or a benchmark item
+    EMBEDDED in a much larger page has tiny Jaccard (the union is
+    dominated by the host) but containment ≈ 1. This is the graded
+    companion to ``curation.contamination``'s binary n-gram collision
+    test and the boilerplate-inclusion audit of a crawl corpus.
+
+    Exactness via the asymmetric prefix principle (Bayardo WWW'07 §3.2
+    adapted to containment): only A's side thresholds, so A probes with
+    its first ``p_A = |A| − ⌈t·|A|⌉ + 1`` shingles in the global
+    rare-first (document frequency, shingle) order — if all of A∩B sat
+    past A's prefix, the overlap would be ≤ ⌈t·|A|⌉ − 1 < t·|A| — while
+    the candidate side B must be FULLY indexed (nothing bounds which of
+    B's shingles A hits). The full index is the same postings relation
+    the retrieval tier already maintains (retrieval.postings); the
+    probe side shrinks by the (1−t) prefix factor, and because prefixes
+    take the RAREST shingles first, stop-shingle hot buckets almost
+    never enter the probe side — the hot-bucket quadratic lives only on
+    the indexed side, linearly. The length filter ``t_den·|B| ≥
+    t_num·|A|`` (integer-exact ⌈t·|A|⌉ ≤ |B|) drops pairs whose target
+    is too small to contain the probe. Verify recomputes the TRUE
+    overlap from the full shingle arrays, so the output equals the
+    exhaustive self-join bit-for-bit — the oracle runs the exhaustive
+    join; equality IS the no-recall-loss proof.
+
+    Returns ``(doc_a, doc_b, inter, n_a, containment)`` — doc_a's set
+    ``containment``-contained in doc_b; both directions emitted when
+    both hold (reference's closest surface: the reference has no
+    similarity machinery at all — this extends SURVEY.md §2.C's dedup
+    tier)."""
+    from pyspark.sql import Window
+
+    sh_tbl = shingle_table(df, text_col, id_col, n).persist()
+    sh = sh_tbl.select("doc", F.explode_outer("shs").alias("sh"))
+    vocab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
+    sh_n = sh_tbl.select(
+        "doc", F.size("shs").alias("__n"), F.explode_outer("shs").alias("sh")
+    )
+    wo = Window.partitionBy("doc").orderBy("df_cnt", "sh")
+    prefix = (
+        sh_n.join(vocab, "sh")
+        .withColumn("__rn", F.row_number().over(wo))
+        .filter(
+            F.col("__rn")
+            <= F.col("__n")
+            - F.expr(f"({t_num} * __n + {t_den} - 1) div {t_den}")
+            + 1
+        )
+        .select(F.col("doc").alias("doc_a"), "sh", F.col("__n").alias("n_a"))
+    )
+    full = sh_n.select(
+        F.col("doc").alias("doc_b"), "sh", F.col("__n").alias("n_b")
+    )
+    cand = (
+        prefix.join(
+            full,
+            (prefix["sh"] == full["sh"])
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("n_b") * t_den >= F.col("n_a") * t_num),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh_tbl.select(F.col("doc").alias("doc_a"), F.col("shs").alias("sh_a"))
+    sb = sh_tbl.select(F.col("doc").alias("doc_b"), F.col("shs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(inter * t_den >= F.size("sh_a") * t_num)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("inter"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.round(inter / F.size("sh_a"), 4).alias("containment"),
+        )
+    )

@@ -586,3 +586,53 @@ def eval_ranking(
             F.expr("1000000 div __first_rel"),
         ).otherwise(F.lit(0)).cast("long").alias("rr_ppm"),
     )
+
+
+def stream_update_postings_index(
+    spark,
+    stream_docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """CONTINUOUS index maintenance: every micro-batch of newly crawled
+    documents lands in the OCC-versioned postings artifact through
+    ``update_postings_index_occ`` — the streaming face of q188/q191
+    (the q167 ingest / sink.stream_to_cells precedent), closing the
+    retrieval lifecycle: build once, serve from the artifact, maintain
+    from the stream, measure (q172).
+
+    Exactly-once composition, two independent layers:
+    - the checkpoint replays unfinished batches after a crash
+      (at-least-once delivery from Structured Streaming);
+    - each batch commits under ``batch_id = stream-<n>`` — a replayed
+      batch finds its marker tag already published and NO-OPS, so
+      at-least-once upgrades to exactly-once index content (the same
+      tag discipline q191 proves batch-side).
+
+    The artifact stays serveable throughout: every micro-batch's delta
+    postings + merged corpus stats publish under ONE version marker, so
+    a concurrent reader sees each version atomically; a concurrent
+    nightly REBUILD that raced a micro-batch fails closed and
+    refreshes (OCC), never clobbering streamed deltas. foreachBatch
+    runs driver-side; the per-batch work is the same two
+    map-side-combinable aggregations as the batch path. Bootstrap the
+    artifact with ``build_postings_index_occ`` (possibly on an empty
+    corpus) before starting the stream. Returns the StreamingQuery;
+    callers own awaitTermination/stop."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_postings_index_occ(
+            spark, path, batch_df, id_col, text_col,
+            batch_id=f"stream-{int(batch_id)}",
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -10292,6 +10292,204 @@ def q194_quality_model_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q195_dsir_selection",
+    # Exact replay of the whole selection pipeline: the +1-smoothed
+    # per-bucket occurrence counts over ALL docs, the fixed-point rate
+    # difference weights ((nt*1e9)//tt − (nr*1e9)//tr — the q169
+    # floor-division precedent, bounded by the scale constant at any
+    # corpus), every pool doc's occurrence-weighted integer score, and
+    # the deterministic top-100 cut (score DESC, doc_id) — a drift in
+    # smoothing, totals, floor division, or tie order flips `selected`
+    # bits and breaks the hash.
+    oracle="""
+    WITH s AS (SELECT doc_id, lang,
+                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+               FROM documents),
+    occ AS (SELECT doc_id, (lang = 'en') AS tgt,
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+            FROM (SELECT doc_id, lang,
+                         unnest(list_transform(range(1, len(t) - 1),
+                                               i -> substr(t, i, 3))) AS g
+                  FROM s WHERE len(t) >= 3)),
+    cnt AS (SELECT b,
+                   CAST(count(*) FILTER (WHERE tgt) + 1 AS BIGINT) AS nt,
+                   CAST(count(*) FILTER (WHERE NOT tgt) + 1 AS BIGINT) AS nr
+            FROM occ GROUP BY b),
+    tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt,
+                   CAST(sum(nr) AS BIGINT) AS tr FROM cnt),
+    w AS (SELECT b, CAST((nt * 1000000000) // tt
+                         - (nr * 1000000000) // tr AS BIGINT) AS w
+          FROM cnt CROSS JOIN tot),
+    sc AS (SELECT o.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+           FROM occ o JOIN w USING (b) WHERE NOT o.tgt GROUP BY 1),
+    scored AS (SELECT s.doc_id,
+                      CAST(coalesce(sc.score, 0) AS BIGINT) AS score
+               FROM s LEFT JOIN sc USING (doc_id) WHERE s.lang <> 'en'),
+    sel AS (SELECT doc_id FROM scored
+            ORDER BY score DESC, doc_id LIMIT 100)
+    SELECT scored.doc_id, scored.score,
+           CAST(scored.doc_id IN (SELECT doc_id FROM sel) AS BIGINT)
+             AS selected
+    FROM scored
+    """,
+    doc="DSIR data selection (curation.dsir_weights/dsir_select — Data "
+    "Selection via Importance Resampling, Xie et al. NeurIPS 2023): "
+    "pick the raw-pool documents whose hashed-char-trigram profile "
+    "looks most like a TARGET reference corpus (here lang='en'), the "
+    "distribution-matching selector production pretraining mixes are "
+    "built with — where the q186/q194 quality models DISCRIMINATE on "
+    "labels, DSIR matches DISTRIBUTIONS via per-bucket occurrence "
+    "rates. Weights are fixed-point rate differences ((n_t·1e9) div "
+    "T_t − (n_r·1e9) div T_r, +1 smoothing) — same sign as the "
+    "log-ratio, exact BIGINT, bucket-bounded at any corpus; scoring "
+    "broadcast-joins the ≤4096-row weight table before its only "
+    "shuffle; the Gumbel resampling step is replaced by the paper's "
+    "deterministic top-k ablation (TakeOrderedAndProject + budget-"
+    "sized broadcast membership probe). NEW capability "
+    "(importance_sampling): in-window from birth (q175-q177 precedent)",
+)
+def q195_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tgt = F.col("lang") == "en"
+    weights = curation.dsir_weights(docs, tgt, n=3, n_buckets=4096)
+    return curation.dsir_select(docs, weights, budget=100, target=tgt)
+
+
+@register(
+    "q196_stream_indexed_retrieval",
+    # q135's full-corpus BM25 oracle with the protocol outcomes as
+    # constant columns (the q191 shape): the served ranking hash-matches
+    # the full corpus ONLY if the v1 bootstrap snapshot + four streamed
+    # delta versions compose to exactly-once coverage — a dropped
+    # micro-batch, a double-applied replay, or stale stats all break
+    # the hash; the replayed-batch no-op is asserted explicitly.
+    oracle=QUERIES["q135_bm25_retrieval"].oracle.replace(
+        "SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10",
+        """SELECT query_id, rank, doc_id, score,
+           CAST(5 AS BIGINT) AS final_version,
+           CAST(1 AS BIGINT) AS replayed_batch_noops
+    FROM ranked WHERE rank <= 10""",
+    ),
+    doc="STREAM-MAINTAINED retrieval index (retrieval."
+    "stream_update_postings_index over update_postings_index_occ — the "
+    "streaming face of q188/q191, the q167/q116 precedent): a crawler "
+    "drops newly ingested documents as files, each micro-batch commits "
+    "its delta postings + merged corpus stats under ONE OCC version "
+    "marker, and the artifact stays atomically serveable throughout. "
+    "Exactly-once index content from two independent layers: the "
+    "checkpoint replays unfinished batches, and a replayed batch finds "
+    "its marker tag and NO-OPS (asserted post-stream by re-applying "
+    "batch 0's tag). Serving reads ONLY the artifact — the nightly "
+    "bootstrap (v1 snapshot on the even half) plus four streamed delta "
+    "versions must equal the batch-built full-corpus BM25 ranking "
+    "bit-for-bit. Ordinary overflow of the retrieval "
+    "(q176/q188/q191) + stream_stateful (q138) families",
+)
+def q196_stream_indexed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import sink
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q196_{tok}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    idx = os.path.join(base, "index")
+    src = os.path.join(base, "incoming")
+    ckpt = os.path.join(base, "ckpt")
+    # v1: nightly bootstrap snapshot on the even half
+    r1 = retrieval.build_postings_index_occ(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), idx
+    )
+    assert r1["committed"] and r1["version"] == 1, r1
+    # the crawler drops the odd half as four part files...
+    docs.filter(F.col("doc_id") % 2 == 1).repartition(4).write.parquet(src)
+    # ...and the maintenance stream applies one OCC-committed delta per
+    # micro-batch (maxFilesPerTrigger=1 -> four batches)
+    stream_docs = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = retrieval.stream_update_postings_index(spark, stream_docs, idx, ckpt)
+    q.awaitTermination()
+    # a crashed maintainer REPLAYS batch 0: the marker tag says it
+    # already published — no-op instead of double-appended postings
+    r2 = retrieval.update_postings_index_occ(
+        spark, idx, docs.filter(F.col("doc_id") % 2 == 1),
+        batch_id="stream-0",
+    )
+    replayed_noops = int(r2["already_applied"])
+    post, corpus = retrieval.read_postings_index_occ(spark, idx)
+    qset = spark.createDataFrame(
+        [
+            ("rare_common", "dup"),
+            ("rare_common", "hash"),
+            ("ops", "join"),
+            ("ops", "merge"),
+            ("ops", "sort"),
+            ("vec", "vector"),
+            ("vec", "query"),
+        ],
+        "query_id string, term string",
+    )
+    return (
+        retrieval.bm25_topk(None, qset, k=10, post=post, corpus=corpus)
+        .withColumn(
+            "final_version", F.lit(sink.store_version(idx)).cast("long")
+        )
+        .withColumn(
+            "replayed_batch_noops", F.lit(replayed_noops).cast("long")
+        )
+    )
+
+
+@register(
+    "q197_containment_dedup",
+    # The oracle is the EXHAUSTIVE containment self-join — equality is
+    # the proof that the asymmetric prefix filter (probe A's rare-first
+    # prefix against B's full postings + the integer length filter)
+    # loses no pair; inter/n_a/containment values pin the verify
+    # arithmetic.
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM sh GROUP BY 1),
+    ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS inter
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+    SELECT ov.doc_a, ov.doc_b, ov.inter, sa.n AS n_a,
+           round(ov.inter / sa.n, 4) AS containment
+    FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a
+    WHERE ov.inter * 5 >= 4 * sa.n
+    """,
+    doc="EXACT asymmetric-containment dedup (dedup.containment_pairs): "
+    "every ordered pair with |S_A ∩ S_B| ≥ 0.8·|S_A| over distinct "
+    "word-trigram shingles — the inclusion detector Jaccard is blind "
+    "to (a quote, a syndicated article, or a benchmark item EMBEDDED "
+    "in a larger page has tiny Jaccard but containment ≈ 1); the "
+    "graded companion to q72's binary contamination test. Asymmetric "
+    "prefix principle (Bayardo WWW'07 adapted): only A thresholds, so "
+    "A probes with its (1−t)-fraction rare-first prefix against B's "
+    "FULL postings (the same relation the retrieval tier maintains), "
+    "with the integer length filter t_den·|B| ≥ t_num·|A|; verify "
+    "recomputes true overlap from the full shingle arrays — NO recall "
+    "loss, the exhaustive oracle IS the proof. NEW capability "
+    "(dedup_containment): in-window from birth (q175-q177 precedent)",
+)
+def q197_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), t_num=4, t_den=5
+    )
+
+
 
 # =====================================================================
 # Registration-order contract
@@ -10457,8 +10655,17 @@ _WINDOW_ORDER = [
     # PENDING_ROTATION payoff: the 17 new-family bearers introduced after
     # the round-7 window froze — every family tag that had NO in-window
     # bearer gets one now (the q87/q89 two-round contract, honored)
-    "q129_cdc_apply",
     "q138_stream_funnel",
+    # round-10 third rotation: the three post-freeze round-10 additions
+    # take slots from birth (q175-q177 precedent) — DSIR selection,
+    # stream-maintained OCC retrieval index, asymmetric containment.
+    # Funding: q129 and q134 stand down as ordinary overflow (cdc_upsert
+    # keeps q162/q165/q170/q173 in-window; agg/sketch_distinct keep
+    # q01/q130/q145); q153 is the sole data_expectations bearer and
+    # GRADUATES on its cited r08+r09 driver-green history.
+    "q195_dsir_selection",            # importance_sampling (DSIR)
+    "q196_stream_indexed_retrieval",  # retrieval + stream (OCC deltas)
+    "q197_containment_dedup",         # dedup_containment (asymmetric)
     # round-10 new capabilities (immediate slots, q175-q177 precedent)
     "q191_occ_indexed_retrieval",     # retrieval + connector (OCC index)
     "q192_ann_tune_nprobe",           # similarity_ann (recall tuning)
@@ -10476,7 +10683,6 @@ _WINDOW_ORDER = [
     "q189_image_dedup_canonical",     # image_dedup + dedup_components
     "q190_ann_recall",                # similarity_ann (recall@k eval)
     "q150_anomaly_zscore",
-    "q153_expectations",
     "q160_jsonl_ingest",
     "q169_association_rules",
     # coverage-required rotations: these carry tags the departing bearers
@@ -10484,7 +10690,6 @@ _WINDOW_ORDER = [
     # quality_cascade, time_rollup, multimodal x2, zorder_layout)
     "q131_gc_grace_compaction",
     "q132_temperature_mixture",
-    "q134_incremental_analyze",
     "q151_gopher_quality",
     "q156_time_gapfill",
     "q166_multimodal_jpeg_color",
@@ -10906,6 +11111,9 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # round-10: the hashing-trick variant of the learned quality filter
     # (q186 bears quality_model in-window since round 10)
     "q194_quality_model_hashed": {"quality_model"},
+    "q195_dsir_selection": {"importance_sampling"},
+    "q196_stream_indexed_retrieval": {"retrieval", "stream_stateful"},
+    "q197_containment_dedup": {"dedup_containment"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
@@ -11086,6 +11294,11 @@ GRADUATED = {
     "q144_collocations",         # collocations (sole): green r08+r09
     "q149_document_chunks",      # chunking (sole): green r08+r09
     "q152_pagerank",             # graph_pagerank (sole): green r08+r09
+    # round-10 third rotation: one more sole bearer funds the three
+    # post-freeze round-10 additions q195/q196/q197 (q129 and q134 leave
+    # as ordinary overflow — q162/q165/q170/q173 bear cdc_upsert and
+    # q01/q130/q145 bear agg + sketch_distinct in-window):
+    "q153_expectations",         # data_expectations (sole): green r08+r09
 }
 
 

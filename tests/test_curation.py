@@ -525,3 +525,98 @@ def test_quality_model_hashed_bounded_and_deterministic(spark, sf_dir):
     # every document is scored exactly once (left join keeps no-feature docs)
     assert scored1.count() == docs.count()
     assert scored1.select("doc_id").distinct().count() == docs.count()
+
+
+def test_dsir_weights_and_select_vs_python(spark):
+    """dsir_weights/dsir_select vs a from-scratch Python replay: hashed
+    trigram occurrence counts (+1 smoothing on present buckets),
+    fixed-point rate-difference weights, occurrence-weighted pool doc
+    scores, and the deterministic top-budget cut — exact equality on a
+    corpus with overlapping target/raw trigrams, a no-gram short doc,
+    and a score tie at the budget boundary."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import curation as cur
+
+    corpus = [
+        (0, "alpha beta gamma delta", "en"),
+        (1, "alpha beta gamma", "en"),
+        (2, "zeta eta theta", "en"),
+        (3, "alpha beta gamma delta epsilon", "de"),
+        (4, "zeta eta theta iota", "de"),
+        (5, "completely different words here", "fr"),
+        (6, "xy", "fr"),                      # shorter than n=3 after norm
+        (7, "alpha beta gamma", "es"),        # near-exact target text
+    ]
+    n_buckets, scale, budget = 64, 10**9, 2
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    def grams(t):
+        t = norm(t)
+        return [t[i:i + 3] for i in range(len(t) - 2)] if len(t) >= 3 else []
+
+    nt, nr = {}, {}
+    for _, t, lang in corpus:
+        for g in grams(t):
+            b = bucket(g)
+            (nt if lang == "en" else nr).setdefault(b, 0)
+            nt.setdefault(b, 0)
+            nr.setdefault(b, 0)
+            (nt if lang == "en" else nr)[b] += 1
+    tt = sum(v + 1 for v in nt.values())
+    tr = sum(v + 1 for v in nr.values())
+    w = {
+        b: ((nt[b] + 1) * scale) // tt - ((nr[b] + 1) * scale) // tr
+        for b in nt
+    }
+    exp_scores = {}
+    for d, t, lang in corpus:
+        if lang == "en":
+            continue
+        exp_scores[d] = sum(w[bucket(g)] for g in grams(t))
+    order = sorted(exp_scores, key=lambda d: (-exp_scores[d], d))
+    exp_sel = set(order[:budget])
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    tgt = F2.col("lang") == "en"
+    weights = cur.dsir_weights(df, tgt, n=3, n_buckets=n_buckets)
+    got_w = {r.b: r.w for r in weights.collect()}
+    assert got_w == {b: v for b, v in w.items()}, "weight table drift"
+    out = {
+        r.doc_id: (r.score, r.selected)
+        for r in cur.dsir_select(
+            df, weights, budget=budget, target=tgt, n=3, n_buckets=n_buckets
+        ).collect()
+    }
+    assert set(out) == set(exp_scores)
+    for d, s in exp_scores.items():
+        assert out[d] == (s, int(d in exp_sel)), d
+    # the short no-gram doc is in the pool with score exactly 0
+    assert out[6][0] == 0
+
+
+def test_dsir_weight_table_bounded_and_budget_exhaustive(spark, sf_dir):
+    """The weight table never exceeds n_buckets at any corpus (the hard
+    DSIR parameter), and a budget >= pool size selects everything."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import curation as cur
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = F2.col("lang") == "en"
+    w = cur.dsir_weights(docs, tgt, n=3, n_buckets=32)
+    assert w.count() <= 32
+    assert w.select("b").distinct().count() == w.count()
+    pool_n = docs.filter(~tgt).count()
+    out = cur.dsir_select(docs, w, budget=pool_n + 10, target=tgt,
+                          n=3, n_buckets=32)
+    assert out.count() == pool_n
+    assert out.filter("selected = 0").count() == 0

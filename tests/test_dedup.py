@@ -860,3 +860,61 @@ def test_image_dedup_canonical_matches_union_find(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_containment_pairs_vs_bruteforce(spark, sf_dir):
+    """containment_pairs vs the exhaustive driver-side join on a fixture
+    subset: every ordered pair with |S_A ∩ S_B| >= t*|S_A| appears with
+    the exact overlap, probe size, and rounded containment — the
+    asymmetric prefix filter + length filter lose nothing."""
+    from hive_cassandra_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    sh = {
+        r.doc: set(r.shs)
+        for r in dd.shingle_table(docs).collect()
+    }
+    t_num, t_den = 4, 5
+    exp = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter * t_den >= t_num * len(sa):
+                exp[(a, b)] = (inter, len(sa), round(inter / len(sa), 4))
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.n_a, r.containment)
+        for r in dd.containment_pairs(docs, t_num, t_den).collect()
+    }
+    assert got == exp
+
+
+def test_containment_catches_embedded_snippet_jaccard_misses(spark):
+    """The asymmetry containment exists for: a small doc EMBEDDED in a
+    much larger one has containment 1.0 (A->B) but Jaccard far below
+    any dedup threshold, and the reverse direction does not fire."""
+    from hive_cassandra_spark.operators import dedup as dd
+
+    snippet = "the quick brown fox jumps over the lazy dog"
+    host = (
+        "completely unrelated opening paragraph about database engines "
+        "and distributed query planning with many extra words. "
+        + snippet
+        + " trailing discussion of shuffle partitioning and broadcast "
+        "joins continues for a while longer with more filler tokens."
+    )
+    df = spark.createDataFrame(
+        [(1, snippet), (2, host)], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dd.containment_pairs(df, 4, 5).collect()
+    }
+    assert rows == {(1, 2): 1.0}
+    # Jaccard on the same pair is way below 0.8 — the symmetric engine
+    # cannot see this inclusion at any usable threshold
+    j = dd.prefix_filter_jaccard_pairs(df, 4, 5)
+    assert j.count() == 0

@@ -69,16 +69,21 @@ def test_registration_window_covers_every_family():
         # precedent)
         "q191_occ_indexed_retrieval", "q192_ann_tune_nprobe",
         "q193_bpe_tokenize_docs", "q194_quality_model_hashed",
+        # the round-10 post-freeze additions (immediate slots — funded by
+        # the q153 sole-bearer graduation + q129/q134 standing down)
+        "q195_dsir_selection", "q196_stream_indexed_retrieval",
+        "q197_containment_dedup",
         # the round-8 new-family bearers still funding their families
         # in-window (q133/q135/q136/q137/q141/q142/q143/q144/q146/q149/
         # q152 rotated out across round 10 — four as ordinary overflow,
-        # seven GRADUATED)
-        "q129_cdc_apply", "q138_stream_funnel",
-        "q150_anomaly_zscore", "q153_expectations",
+        # seven GRADUATED; q129/q153 graduated and q134 stood down in the
+        # third rotation)
+        "q138_stream_funnel",
+        "q150_anomaly_zscore",
         "q160_jsonl_ingest", "q169_association_rules",
         # coverage-required rotations (tags the departing bearers vacate)
         "q131_gc_grace_compaction", "q132_temperature_mixture",
-        "q134_incremental_analyze", "q151_gopher_quality",
+        "q151_gopher_quality",
         "q156_time_gapfill", "q166_multimodal_jpeg_color",
         "q168_multimodal_jpeg_420", "q174_zorder_3d",
         # priority never-hashed rotations (r07 verdict's named list)

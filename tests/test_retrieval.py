@@ -457,3 +457,51 @@ def test_occ_index_torn_update_invisible_and_recovered(spark, sf_dir, tmp_path):
             path, "postings", "part-occ-v000000002-00000-deadc0de.parquet"
         )
     )
+
+
+def test_stream_update_postings_index_equals_batch_build(spark, sf_dir, tmp_path):
+    """The streaming maintenance face: bootstrap snapshot + one OCC
+    delta per micro-batch must serve the exact same BM25 ranking as a
+    single batch build over the full corpus, a replayed batch no-ops on
+    its marker tag, and the version count equals bootstrap + batches."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark import sink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F2.col("doc_id") < 200
+    )
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    r1 = retrieval.build_postings_index_occ(
+        spark, docs.filter(F2.col("doc_id") % 2 == 0), idx
+    )
+    assert r1["committed"] and r1["version"] == 1
+    docs.filter(F2.col("doc_id") % 2 == 1).repartition(3).write.parquet(src)
+    stream_docs = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = retrieval.stream_update_postings_index(spark, stream_docs, idx, ckpt)
+    q.awaitTermination()
+    assert sink.store_version(idx) == 4  # 1 bootstrap + 3 micro-batches
+    tags = set(sink.store_tags(idx).values())
+    assert {"stream-0", "stream-1", "stream-2"} <= tags
+    # a replayed batch no-ops on the marker tag — content untouched
+    r = retrieval.update_postings_index_occ(
+        spark, idx, docs.filter(F2.col("doc_id") % 2 == 1),
+        batch_id="stream-1",
+    )
+    assert r["already_applied"] and sink.store_version(idx) == 4
+    qset = spark.createDataFrame(
+        [("qa", "dup"), ("qa", "hash"), ("qb", "join")],
+        "query_id string, term string",
+    )
+    post, corpus = retrieval.read_postings_index_occ(spark, idx)
+    streamed = sorted(map(tuple, retrieval.bm25_topk(
+        None, qset, k=10, post=post, corpus=corpus).collect()))
+    batch = sorted(map(tuple, retrieval.bm25_topk(
+        docs, qset, k=10).collect()))
+    assert streamed == batch
