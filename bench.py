@@ -237,6 +237,10 @@ HEADLINE = [
     "q196_stream_indexed_retrieval",
     # asymmetric containment: rare-first prefix probe vs full postings
     "q197_containment_dedup",
+    # k-center diversity: k map-only scans + per-round 1-row argmax
+    "q198_kcenter_diversity",
+    # MP4 container probe: mux + box-walk metadata, payload never shuffles
+    "q199_mp4_probe",
 ]
 
 
@@ -360,6 +364,8 @@ def main() -> None:
         "q195_dsir_selection",
         "q196_stream_indexed_retrieval",
         "q197_containment_dedup",
+        "q198_kcenter_diversity",
+        "q199_mp4_probe",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

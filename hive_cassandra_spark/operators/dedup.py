@@ -1569,6 +1569,50 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def containment_candidates(
+    sh_tbl: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """The candidate stage of ``containment_pairs`` — distinct
+    (doc_a, doc_b) pairs whose probe prefix collides with the full
+    postings under the length filter. Split out (the
+    ``prefix_filter_candidates`` pattern) so tools/scaling_check.py can
+    record this cardinality per scale point: it is where the engine's
+    quadratic would live, and it must track co-colliding prefix
+    postings, never documents²."""
+    from pyspark.sql import Window
+
+    sh = sh_tbl.select("doc", F.explode_outer("shs").alias("sh"))
+    vocab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
+    sh_n = sh_tbl.select(
+        "doc", F.size("shs").alias("__n"), F.explode_outer("shs").alias("sh")
+    )
+    wo = Window.partitionBy("doc").orderBy("df_cnt", "sh")
+    prefix = (
+        sh_n.join(vocab, "sh")
+        .withColumn("__rn", F.row_number().over(wo))
+        .filter(
+            F.col("__rn")
+            <= F.col("__n")
+            - F.expr(f"({t_num} * __n + {t_den} - 1) div {t_den}")
+            + 1
+        )
+        .select(F.col("doc").alias("doc_a"), "sh", F.col("__n").alias("n_a"))
+    )
+    full = sh_n.select(
+        F.col("doc").alias("doc_b"), "sh", F.col("__n").alias("n_b")
+    )
+    return (
+        prefix.join(
+            full,
+            (prefix["sh"] == full["sh"])
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("n_b") * t_den >= F.col("n_a") * t_num),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     t_num: int = 4,
@@ -1609,39 +1653,8 @@ def containment_pairs(
     both hold (reference's closest surface: the reference has no
     similarity machinery at all — this extends SURVEY.md §2.C's dedup
     tier)."""
-    from pyspark.sql import Window
-
     sh_tbl = shingle_table(df, text_col, id_col, n).persist()
-    sh = sh_tbl.select("doc", F.explode_outer("shs").alias("sh"))
-    vocab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
-    sh_n = sh_tbl.select(
-        "doc", F.size("shs").alias("__n"), F.explode_outer("shs").alias("sh")
-    )
-    wo = Window.partitionBy("doc").orderBy("df_cnt", "sh")
-    prefix = (
-        sh_n.join(vocab, "sh")
-        .withColumn("__rn", F.row_number().over(wo))
-        .filter(
-            F.col("__rn")
-            <= F.col("__n")
-            - F.expr(f"({t_num} * __n + {t_den} - 1) div {t_den}")
-            + 1
-        )
-        .select(F.col("doc").alias("doc_a"), "sh", F.col("__n").alias("n_a"))
-    )
-    full = sh_n.select(
-        F.col("doc").alias("doc_b"), "sh", F.col("__n").alias("n_b")
-    )
-    cand = (
-        prefix.join(
-            full,
-            (prefix["sh"] == full["sh"])
-            & (F.col("doc_a") != F.col("doc_b"))
-            & (F.col("n_b") * t_den >= F.col("n_a") * t_num),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = containment_candidates(sh_tbl, t_num, t_den)
     sa = sh_tbl.select(F.col("doc").alias("doc_a"), F.col("shs").alias("sh_a"))
     sb = sh_tbl.select(F.col("doc").alias("doc_b"), F.col("shs").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

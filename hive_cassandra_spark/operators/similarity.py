@@ -1286,3 +1286,85 @@ def ivfpq_topk_indexed(
         .localCheckpoint(eager=False)
     )
     return _ivfpq_serve(ix, qpos, qcd, nprobe, m, topk)
+
+
+def kcenter_select(
+    items: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) selection over an embedding
+    column — Gonzalez's 2-approximation (1985), the coreset / diversity
+    sampler LLM data pipelines run AFTER dedup: where SemDeDup (q92)
+    removes redundancy, k-center picks the maximally SPREAD exemplar
+    set (facility-location surrogate for "cover the distribution with
+    k prototypes").
+
+    Algorithm: seed with the minimum id (deterministic), then k−1
+    rounds of "pick the point farthest from the chosen set". The
+    min-distance column is maintained INCREMENTALLY — each round
+    computes d² against ONLY the newly chosen center (a literal array
+    in the plan, the BPE per-round-argmax precedent q179) and folds it
+    in with least(), so round r costs ONE map-only corpus scan plus a
+    TakeOrdered(1) — never |corpus|×|chosen| work, no all-pairs
+    materialization, nothing driver-side beyond k single-row argmaxes.
+    localCheckpoint per round truncates the k-deep lineage.
+
+    Determinism contract: d² uses l2_topk's sum-of-squares algebra
+    rounded to 6 BEFORE the least()/argmax decisions, ties break
+    (dmin DESC, id ASC) — the q148 float contract, engine-replayable.
+
+    Returns k rows ``(round, vec_id, dmin)`` — dmin is the point's
+    distance² to the previously chosen set at selection time (the
+    classic non-increasing Gonzalez trace; the seed reports 0.0). At
+    100 TB the k scans are the whole cost and each is embarrassingly
+    parallel; for k beyond ~100s, batch variants (over-sample then
+    prune) trade approximation for fewer rounds — documented, not
+    needed for prototype-set sizes."""
+    it = items.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    seed = it.orderBy(F.col("vec_id").asc()).limit(1).head()
+    if seed is None:
+        return items.sparkSession.createDataFrame(
+            [], "round long, vec_id long, dmin double"
+        )
+    chosen = [(1, int(seed["vec_id"]), 0.0)]
+
+    def _d2_to(lit_vec):
+        arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+        return F.round(
+            dot(F.col("v"), F.col("v"))
+            + F.lit(float(sum(x * x for x in lit_vec)))
+            - 2 * dot(F.col("v"), arr),
+            6,
+        )
+
+    cur = (
+        it.filter(F.col("vec_id") != int(seed["vec_id"]))
+        .withColumn("dmin", _d2_to(seed["v"]))
+        .localCheckpoint()
+    )
+    for r in range(2, int(k) + 1):
+        top = (
+            cur.orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .head()
+        )
+        if top is None:
+            break
+        chosen.append((r, int(top["vec_id"]), float(top["dmin"])))
+        if r == int(k):
+            break
+        cur = (
+            cur.filter(F.col("vec_id") != int(top["vec_id"]))
+            .withColumn(
+                "dmin", F.least(F.col("dmin"), _d2_to(top["v"]))
+            )
+            .localCheckpoint()
+        )
+    return items.sparkSession.createDataFrame(
+        chosen, "round long, vec_id long, dmin double"
+    )

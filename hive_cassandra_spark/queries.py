@@ -10490,6 +10490,126 @@ def q197_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcenter_oracle_sql(k: int) -> str:
+    """The greedy farthest-point trace unrolled round by round: seed =
+    min id, each c_r is the (dmin DESC, vec_id ASC) argmax over the
+    incrementally maintained min-distance table, and each d_r folds in
+    ONLY the new center's distances with least() — the exact driver-side
+    recurrence ``kcenter_select`` runs, per-pair d² in the shared
+    sum-of-squares-rounded-to-6 float contract."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),",
+        "pos AS (SELECT vec_id, generate_subscripts(v, 1) AS i,"
+        " unnest(v) AS x FROM e),",
+        "nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM pos GROUP BY 1),",
+        "c1 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),",
+        "x1 AS (SELECT p.vec_id, sum(p.x * q.x) AS xy, sum(q.x * q.x) AS qn"
+        " FROM pos p JOIN pos q ON q.i = p.i"
+        " AND q.vec_id = (SELECT vec_id FROM c1) GROUP BY 1),",
+        "d1 AS (SELECT n.vec_id,"
+        " round(n.n2 + x.qn - 2 * x.xy, 6) AS dmin"
+        " FROM nrm n JOIN x1 x USING (vec_id)"
+        " WHERE n.vec_id <> (SELECT vec_id FROM c1)),",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"c{r} AS (SELECT vec_id, dmin FROM d{r-1}"
+            f" ORDER BY dmin DESC, vec_id LIMIT 1),"
+        )
+        if r == k:
+            break
+        parts.append(
+            f"x{r} AS (SELECT p.vec_id, sum(p.x * q.x) AS xy,"
+            f" sum(q.x * q.x) AS qn"
+            f" FROM pos p JOIN pos q ON q.i = p.i"
+            f" AND q.vec_id = (SELECT vec_id FROM c{r}) GROUP BY 1),"
+        )
+        parts.append(
+            f"d{r} AS (SELECT d.vec_id,"
+            f" least(d.dmin, round(n.n2 + x.qn - 2 * x.xy, 6)) AS dmin"
+            f" FROM d{r-1} d JOIN nrm n USING (vec_id)"
+            f" JOIN x{r} x USING (vec_id)"
+            f" WHERE d.vec_id <> (SELECT vec_id FROM c{r})),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    sels = [
+        "SELECT CAST(1 AS BIGINT) AS round, vec_id,"
+        " CAST(0.0 AS DOUBLE) AS dmin FROM c1"
+    ]
+    for r in range(2, k + 1):
+        sels.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, vec_id, dmin FROM c{r}"
+        )
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
+@register(
+    "q198_kcenter_diversity",
+    # The full greedy trace in one hash: every round's argmax identity
+    # AND its distance-to-set at selection time — a drift in any d²
+    # rounding, least() fold, or (dmin DESC, id ASC) tie collapses a
+    # later round's choice and breaks the hash (the selection is a
+    # chain: round r's error propagates to every subsequent row).
+    oracle=_kcenter_oracle_sql(6),
+    doc="greedy k-center / farthest-point diversity selection "
+    "(similarity.kcenter_select — Gonzalez 1985's 2-approximation, the "
+    "coreset sampler LLM pipelines run AFTER dedup: SemDeDup q92 "
+    "removes redundancy, k-center picks the maximally SPREAD k-"
+    "prototype set). The min-distance column is maintained "
+    "INCREMENTALLY: round r computes d² against ONLY the newly chosen "
+    "center (literal array in the plan, the q179 per-round-argmax "
+    "precedent) and folds it with least(), so each round is ONE "
+    "map-only corpus scan + a TakeOrdered(1) — no all-pairs "
+    "materialization, no |corpus|x|chosen| work, k bounded driver "
+    "rows. d² rounds to 6 before every decision (the q148 float "
+    "contract). NEW capability (diversity_sampling): in-window from "
+    "birth (q175-q177 precedent)",
+)
+def q198_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kcenter_select(_t(spark, sf_dir, "embeddings"), k=6)
+
+
+@register(
+    "q199_mp4_probe",
+    # The hash adjudicates REAL box parsing: every metadata field is
+    # read back out of the encoded ISO BMFF bytes (mvhd timescale/
+    # duration, trak count, hdlr type, stsd fourcc, tkhd 16.16 dims,
+    # stsz stats) and must equal the oracle's arithmetic replay of the
+    # fixture's mux parameters — a drift in any box offset, version
+    # field, or sample-size sum breaks it.
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_tracks,
+           'vide' AS handler,
+           'mp4v' AS codec,
+           CAST(1000 AS BIGINT) AS timescale,
+           CAST((doc_id % 3 + 2) * 40 AS BIGINT) AS duration,
+           CAST(doc_id % 3 + 2 AS BIGINT) AS n_samples,
+           CAST(octet_length(encode(text)) AS BIGINT) AS sample_bytes,
+           CAST((octet_length(encode(text)) + doc_id % 3 + 1)
+                // (doc_id % 3 + 2) AS BIGINT) AS max_sample_bytes,
+           CAST(doc_id % 4 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 3 + 1 AS BIGINT) AS height
+    FROM documents
+    """,
+    doc="REAL ISO BMFF (MP4) container probe (multimodal."
+    "encode_mp4_video / mp4_metadata — cleanroom ISO/IEC 14496-12 box "
+    "codec): the pre-decode filter pass of a video training pipeline — "
+    "duration, track count, handler, codec fourcc, dimensions, and "
+    "sample-table stats read by pure box walking, NO codec library; "
+    "sample bytes are located (stsc x stco x stsz join) and sliceable "
+    "out of mdat for the decoder fleet (frame_sample's video/mp4 "
+    "branch is now real — only the CODEC decode of the samples still "
+    "needs ffmpeg, the one honestly stubbed branch left). Metadata is "
+    "hundreds of bytes/doc: payload bytes never shuffle. Extends the "
+    "multimodal tier (q166/q178 in-window)",
+)
+def q199_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.mp4_metadata(multimodal.attach_mp4_payload(docs))
+
+
 
 # =====================================================================
 # Registration-order contract
@@ -10666,6 +10786,12 @@ _WINDOW_ORDER = [
     "q195_dsir_selection",            # importance_sampling (DSIR)
     "q196_stream_indexed_retrieval",  # retrieval + stream (OCC deltas)
     "q197_containment_dedup",         # dedup_containment (asymmetric)
+    # round-10 fourth rotation: k-center diversity selection and the
+    # ISO BMFF container probe take slots from birth; funded by q173
+    # and q168 standing down as ordinary overflow (cdc_upsert keeps
+    # q162/q165/q170; multimodal keeps q166/q178)
+    "q198_kcenter_diversity",         # diversity_sampling (coreset)
+    "q199_mp4_probe",                 # multimodal (ISO BMFF container)
     # round-10 new capabilities (immediate slots, q175-q177 precedent)
     "q191_occ_indexed_retrieval",     # retrieval + connector (OCC index)
     "q192_ann_tune_nprobe",           # similarity_ann (recall tuning)
@@ -10693,7 +10819,6 @@ _WINDOW_ORDER = [
     "q151_gopher_quality",
     "q156_time_gapfill",
     "q166_multimodal_jpeg_color",
-    "q168_multimodal_jpeg_420",
     "q174_zorder_3d",
     # priority never-hashed rotations (r07 verdict's named list): the
     # ANN quantization tier, retrieval variants, the CDC/warehouse tier,
@@ -10707,7 +10832,6 @@ _WINDOW_ORDER = [
     "q170_table_diff",
     "q171_commit_log_vacuum",
     "q172_retrieval_eval",
-    "q173_state_durations",
     # round-8 new capabilities (immediate slots, q71-q74 precedent):
     # the sub-quadratic LSH-prefilter split default (verdict item 2),
     # the materialized-postings retrieval path (item 3), and the
@@ -11114,6 +11238,8 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q195_dsir_selection": {"importance_sampling"},
     "q196_stream_indexed_retrieval": {"retrieval", "stream_stateful"},
     "q197_containment_dedup": {"dedup_containment"},
+    "q198_kcenter_diversity": {"diversity_sampling"},
+    "q199_mp4_probe": {"multimodal"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -895,3 +895,123 @@ def test_image_dhash_survives_jpeg_quality_shift(spark):
         )[2]
         diffs += int(not np.array_equal(a, b))
     assert diffs > 0
+
+
+def test_mp4_container_roundtrip_metadata_and_samples():
+    """encode_mp4_video → mp4_metadata_bytes / mp4_sample_table /
+    mp4_extract_samples: every probed field equals the mux parameters
+    and every sliced sample equals its source bytes — including empty
+    samples and a >64KB sample (4-byte size paths)."""
+    from hive_cassandra_spark.operators import multimodal as mm
+
+    frames = [b"alpha", b"", b"x" * 70_000, b"tail"]
+    data = mm.encode_mp4_video(frames, width=640, height=360,
+                               timescale=600, sample_delta=25)
+    meta = mm.mp4_metadata_bytes(data)
+    assert meta == {
+        "n_tracks": 1, "timescale": 600, "duration": 100,
+        "width": 640, "height": 360, "handler": "vide", "codec": "mp4v",
+        "n_samples": 4, "sample_bytes": 5 + 0 + 70_000 + 4,
+        "max_sample_bytes": 70_000,
+    }
+    assert mm.mp4_extract_samples(data, [0, 1, 2, 3]) == frames
+    assert mm.mp4_extract_samples(data, [3, 0]) == [b"tail", b"alpha"]
+
+
+def test_mp4_sample_table_multi_chunk_stsc():
+    """The sample-table resolution is GENERAL (stsc runs x stco
+    offsets), not just this muxer's one-chunk layout: a hand-built
+    two-run stsc (chunk 1 holds 2 samples, chunks 2-3 hold 1 each)
+    must resolve every sample's absolute offset."""
+    import struct
+
+    from hive_cassandra_spark.operators import multimodal as mm
+
+    sizes = [3, 4, 5, 6]
+    mdat_payload = b"aaabbbbcccccdddddd"
+    full = lambda t, p: mm._mp4_full(t, 0, 0, p)  # noqa: E731
+    stsd = full(b"stsd", struct.pack(">I", 1) + mm._mp4_box(b"mp4v", b"\x00" * 78))
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, 4)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stsc = full(
+        b"stsc",
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1)   # chunk 1: 2 samples
+        + struct.pack(">III", 2, 1, 1),  # chunks 2..: 1 sample each
+    )
+
+    def build(offsets):
+        stco = full(
+            b"stco",
+            struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">I", o) for o in offsets),
+        )
+        stbl = mm._mp4_box(b"stbl", stsd + stsz + stsc + stco)
+        minf = mm._mp4_box(b"minf", stbl)
+        mdia = mm._mp4_box(b"mdia", minf)
+        trak = mm._mp4_box(b"trak", mdia)
+        moov = mm._mp4_box(b"moov", trak)
+        return moov
+
+    moov_len = len(build([0, 0, 0]))
+    base = moov_len + 8  # mdat payload offset
+    # chunk 1 at base (samples 0,1), chunk 2 at base+7 (sample 2),
+    # chunk 3 at base+12 (sample 3)
+    data = build([base, base + 7, base + 12]) + mm._mp4_box(b"mdat", mdat_payload)
+    assert mm.mp4_sample_table(data) == [
+        (base, 3), (base + 3, 4), (base + 7, 5), (base + 12, 6),
+    ]
+    assert mm.mp4_extract_samples(data, [0, 1, 2, 3]) == [
+        b"aaa", b"bbbb", b"ccccc", b"dddddd",
+    ]
+
+
+def test_mp4_guards_fail_closed():
+    """Truncated boxes, missing moov, and v1 (64-bit) tables raise
+    instead of mis-parsing."""
+    import struct
+
+    import pytest as _pytest
+
+    from hive_cassandra_spark.operators import multimodal as mm
+
+    data = mm.encode_mp4_video([b"x"], 1, 1)
+    with _pytest.raises(ValueError):
+        mm.mp4_metadata_bytes(b"\x00\x00\x00\x10free" + b"\x00" * 8)
+    with _pytest.raises(ValueError):
+        list(mm.mp4_boxes(data[:5]))
+    # flip mvhd to version 1: find it and bump the version byte
+    i = data.index(b"mvhd")
+    v1 = data[: i + 4] + b"\x01" + data[i + 5 :]
+    with _pytest.raises(NotImplementedError):
+        mm.mp4_metadata_bytes(v1)
+
+
+def test_mp4_frame_sample_slices_real_samples(spark, sf_dir):
+    """frame_sample's video/mp4 branch slices ENCODED samples straight
+    out of mdat via the sample table — recovered bytes equal the strided
+    source frames the fixture muxed."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F2.col("doc_id") < 20
+    )
+    vids = mm.attach_mp4_payload(docs).withColumn(
+        "meta",
+        F2.create_map(F2.lit("format"), F2.lit("video/mp4")),
+    )
+    out = mm.frame_sample(vids, n_frames=2, fake=False)
+    got = {
+        (r.doc_id, r.frame_idx): bytes(r.frame) for r in out.collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        raw = r.text.encode("utf-8")
+        n = r.doc_id % 3 + 2
+        src_frames = [raw[k::n] for k in range(n)]
+        for i in range(2):
+            assert got[(r.doc_id, i)] == src_frames[i * n // 2], (r.doc_id, i)

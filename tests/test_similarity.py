@@ -495,3 +495,60 @@ def test_ivfpq_occ_index_matches_plain_artifact(spark, sf_dir, tmp_path):
         spark, emb, occ_path, n_cells=8, m=4, k_codes=8, expected_version=0
     )
     assert stale["conflict"] and not stale["committed"]
+
+
+def test_kcenter_select_matches_python_greedy(spark, sf_dir):
+    """kcenter_select vs a from-scratch Python farthest-point replay on
+    the embeddings fixture: same seed, same rounded-d2 decisions, same
+    (dmin DESC, id ASC) ties — the full trace must match row for row."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 80
+    )
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.collect()
+    }
+    k = 5
+    seed = min(vecs)
+    chosen = [(1, seed, 0.0)]
+
+    def d2(a, b):
+        return round(
+            sum(x * x for x in a) + sum(y * y for y in b)
+            - 2 * sum(x * y for x, y in zip(a, b)),
+            6,
+        )
+
+    dmin = {i: d2(vecs[i], vecs[seed]) for i in vecs if i != seed}
+    for r in range(2, k + 1):
+        pick = max(dmin, key=lambda i: (dmin[i], -i))
+        chosen.append((r, pick, dmin[pick]))
+        pv = vecs[pick]
+        del dmin[pick]
+        for i in dmin:
+            dmin[i] = min(dmin[i], d2(vecs[i], pv))
+    got = [
+        (r.round, r.vec_id, r.dmin)
+        for r in similarity.kcenter_select(emb, k=k)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == chosen
+    # Gonzalez trace is non-increasing after the seed
+    ds = [d for _, _, d in chosen[1:]]
+    assert ds == sorted(ds, reverse=True)
+
+
+def test_kcenter_select_small_corpus_and_empty(spark):
+    """Corpus smaller than k returns every point exactly once; an empty
+    corpus returns an empty frame with the pinned schema."""
+    df = spark.createDataFrame(
+        [(7, [0.0, 0.0]), (3, [1.0, 0.0]), (5, [0.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.kcenter_select(df, k=10).orderBy("round").collect()
+    assert [r.vec_id for r in out] == [3, 5, 7]  # seed=min id, then farthest
+    assert [r.round for r in out] == [1, 2, 3]
+    empty = df.filter("vec_id < 0")
+    res = similarity.kcenter_select(empty, k=4)
+    assert res.columns == ["round", "vec_id", "dmin"] and res.count() == 0

@@ -43,6 +43,48 @@ INTERESTING = [
 
 # Measured facts worth pinning next to the mechanical counts.
 NOTES = {
+    "q195_dsir_selection": (
+        "DSIR selection: ONE featurize scan per side (weights over the "
+        "full corpus, scores over the pool), the ≤4096-row weight table "
+        "broadcast-joins the exploded trigram occurrences BEFORE the "
+        "only per-doc shuffle, totals are a 1-row broadcast attach, and "
+        "the budget cut is TakeOrderedAndProject + a budget-sized "
+        "broadcast membership probe — per-doc-linear at any corpus; "
+        "fractional budgets would swap the cut for the q145 two-phase "
+        "global rank."
+    ),
+    "q196_stream_indexed_retrieval": (
+        "the wall is 1 bootstrap snapshot + 4 streamed OCC delta "
+        "commits (each: delta postings + merged stats under one "
+        "marker) + artifact-only BM25 serving — 5 parquet commit "
+        "cycles of amortized maintenance work; the recurring 100 TB "
+        "cost is one delta per micro-batch, scanning ONLY that batch's "
+        "docs. Exactly-once content = checkpoint replay x marker-tag "
+        "no-ops."
+    ),
+    "q197_containment_dedup": (
+        "asymmetric prefix engine: the probe side indexes only its "
+        "rare-first (1-t)-prefix (hot stop-shingles almost never enter "
+        "it), the candidate side is the full postings relation, and the "
+        "integer length filter prunes undersized targets before the "
+        "verify join recomputes true overlap from the persisted shingle "
+        "arrays. cand_pairs on the scaling curve records the collision "
+        "space — it must track co-colliding postings, never documents^2."
+    ),
+    "q198_kcenter_diversity": (
+        "k driver-coordinated rounds, each ONE map-only corpus scan "
+        "(d2 against the single new center as a literal array) + a "
+        "TakeOrdered(1) argmax; least() folds the running min-distance "
+        "column and localCheckpoint truncates the k-deep lineage. No "
+        "all-pairs stage exists anywhere in the plan."
+    ),
+    "q199_mp4_probe": (
+        "container probe: the mux and the box walk are one Arrow "
+        "mapInPandas kernel each; metadata out is ~100 bytes/doc and "
+        "payload bytes never shuffle. At 100 TB this is the pre-decode "
+        "filter pass — sample slicing routes ENCODED bytes to a "
+        "decoder fleet without any codec library in the scan path."
+    ),
     "q190_ann_recall": (
         "the eval tier: the exact ground truth is one corpus scan "
         "joined to the 3 broadcast queries (corpus never shuffles; "

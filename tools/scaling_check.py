@@ -168,6 +168,16 @@ QUERIES_UNDER_TEST = [
     # linear star/rep edge set instead.
     "q180_image_dedup_dhash",
     "q189_image_dedup_canonical",
+    # round-10 additions. q195: one featurize scan + ≤n_buckets broadcast
+    # weights + per-doc sum + TakeOrdered(budget) — wall must track the
+    # scan, shuffle stays per-doc-linear. q197: the asymmetric prefix
+    # engine — cand_pairs records the prefix×full collision space, which
+    # must track co-colliding postings (Caesar replicas keep shingle
+    # spaces disjoint → ~linear), never documents². q198: k map-only
+    # scans + per-round 1-row argmax — fixed 6-row output, wall ~flat.
+    "q195_dsir_selection",
+    "q197_containment_dedup",
+    "q198_kcenter_diversity",
 ]
 
 # r07 verdict item 5: for the pair-join queries the scaling table must
@@ -214,12 +224,24 @@ def _dhash_cand_count(spark, sf_dir: str) -> int:
     return dedup.signature_band_pairs(sig, max_hamming=128).count()
 
 
+def _containment_cand_count(tn: int, td: int):
+    def fn(spark, sf_dir: str) -> int:
+        from hive_cassandra_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sh_tbl = dedup.shingle_table(docs)
+        return dedup.containment_candidates(sh_tbl, tn, td).count()
+
+    return fn
+
+
 CANDIDATE_COUNT = {
     "q146_prefix_filter_jaccard": _prefix_cand_count(3, 10),
     "q163_leakage_safe_split": _prefix_cand_count(1, 5),
     "q175_lsh_leakage_split": _lsh_cand_count,
     "q180_image_dedup_dhash": _dhash_cand_count,
     "q189_image_dedup_canonical": _dhash_cand_count,
+    "q197_containment_dedup": _containment_cand_count(4, 5),
 }
 # Expected row behavior across scale points — the result check (r06
 # verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
@@ -265,6 +287,11 @@ EXPECT_ROWS = {
     "postings_build": "grows",
     "ivfpq_build": "grows",
     "wide_row_stress": "grows",
+    # pool docs scale with volume; containment pairs scale with the
+    # per-replica near-dup structure; k-center always returns k rows
+    "q195_dsir_selection": "grows",
+    "q197_containment_dedup": "grows",
+    "q198_kcenter_diversity": "fixed",
 }
 # q98 reads the frequency-preserving documents replica: token counts must
 # scale WITH the corpus for the MG threshold to keep the same survivors
