@@ -241,6 +241,8 @@ HEADLINE = [
     "q198_kcenter_diversity",
     # MP4 container probe: mux + box-walk metadata, payload never shuffles
     "q199_mp4_probe",
+    # incremental ANN: bootstrap build + frozen-quantizer delta + serve
+    "q200_incremental_ann",
 ]
 
 
@@ -366,6 +368,7 @@ def main() -> None:
         "q197_containment_dedup",
         "q198_kcenter_diversity",
         "q199_mp4_probe",
+        "q200_incremental_ann",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

@@ -1195,10 +1195,14 @@ def ivfpq_topk_indexed_occ(
     id_col: str = "query_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """``ivfpq_topk_indexed`` over an OCC-versioned artifact: every
-    table reads at the latest published snapshot (one consistent index
-    version — a torn or in-flight rebuild is invisible). ``m`` always
-    comes from the artifact's meta."""
+    """``ivfpq_topk_indexed`` over an OCC-versioned artifact: the
+    quantizers (centroids, codebooks, meta) read at the latest
+    published version carrying them (replace semantics — a snapshot
+    rebuild supersedes them atomically), while assignments and codes
+    UNION every published version at or above the snapshot floor
+    (append semantics — ``update_ivfpq_index_occ`` deltas layer on the
+    bootstrap exactly like postings deltas on q188's index). A torn or
+    in-flight commit is invisible either way."""
     from hive_cassandra_spark import sink
 
     ix = {
@@ -1208,10 +1212,8 @@ def ivfpq_topk_indexed_occ(
         "pc": sink.occ_read_table(
             spark, path, "pq_codebooks", latest_only=True
         ),
-        "assign": sink.occ_read_table(
-            spark, path, "assignments", latest_only=True
-        ),
-        "codes": sink.occ_read_table(spark, path, "codes", latest_only=True),
+        "assign": sink.occ_read_table(spark, path, "assignments"),
+        "codes": sink.occ_read_table(spark, path, "codes"),
         "dim": sink.occ_read_table(spark, path, "meta", latest_only=True),
     }
     m = int(ix["dim"].select("__m").head()[0])
@@ -1367,4 +1369,132 @@ def kcenter_select(
         )
     return items.sparkSession.createDataFrame(
         chosen, "round long, vec_id long, dmin double"
+    )
+
+
+def update_ivfpq_index_occ(
+    spark,
+    path: str,
+    new_items: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: str | None = None,
+    max_retries: int = 5,
+    claim_grace_s: float = 10.0,
+) -> dict:
+    """Incremental IVF-PQ maintenance — the vector-side sibling of
+    ``retrieval.update_postings_index_occ`` (r09's q188), completing
+    the lifecycle symmetry between the two retrieval modalities: build
+    once, serve from the artifact, MAINTAIN INCREMENTALLY, measure
+    (q190), tune (q192). Only the NEW vectors are scanned: they are
+    encoded against the artifact's FROZEN coarse centroids and PQ
+    codebooks (exactly how Faiss `add`s to a trained IVFPQ — the
+    quantizers train on the bootstrap corpus and subsequent batches
+    quantize under them; periodic REBUILDS retrain when drift
+    accumulates, and the OCC snapshot supersede handles that race),
+    and their (assignments, codes) delta publishes under ONE version
+    marker. A replayed ``batch_id`` finds its marker tag and no-ops; a
+    stale writer fails closed and retries against refreshed state
+    (the update_postings_index_occ grace discipline). Returns
+    {vecs_added, version, conflicts, already_applied}."""
+    import os as _os
+    import time as _time
+
+    from hive_cassandra_spark import sink
+
+    conflicts = 0
+    for _ in range(max_retries):
+        if batch_id and batch_id in sink.store_tags(path).values():
+            return {
+                "vecs_added": 0,
+                "version": sink.store_version(path),
+                "conflicts": conflicts,
+                "already_applied": True,
+            }
+        v_read = sink.store_version(path)
+        cc = sink.occ_read_table(
+            spark, path, "coarse_centroids", latest_only=True
+        )
+        pc = sink.occ_read_table(
+            spark, path, "pq_codebooks", latest_only=True
+        )
+        meta = sink.occ_read_table(spark, path, "meta", latest_only=True)
+        m = int(meta.select("__m").head()[0])
+        dim_row = meta.select("__dim")
+        # encode ONLY the new vectors under the frozen quantizers —
+        # the same route → residual → code arithmetic as _ivfpq_build,
+        # with cc/pc as inputs instead of trained outputs
+        pos = new_items.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "i", "x"
+            ),
+        )
+        cd = (
+            pos.join(F.broadcast(cc), "i")
+            .groupBy("id", "ccid")
+            .agg(_d2_of("x", "c").alias("d2"))
+        )
+        w_cell = Window.partitionBy("id").orderBy("d2", "ccid")
+        cassign = (
+            cd.withColumn("__rn", F.row_number().over(w_cell))
+            .filter(F.col("__rn") == 1)
+            .select("id", "ccid")
+        )
+        res = (
+            pos.join(cassign, "id")
+            .join(F.broadcast(cc), ["ccid", "i"])
+            .join(F.broadcast(dim_row))
+            .select(
+                "id",
+                F.expr(f"i div (__dim div {int(m)})").alias("sub"),
+                "i",
+                (F.col("x") - F.col("c")).alias("r"),
+            )
+        )
+        pd_ = (
+            res.join(F.broadcast(pc), ["sub", "i"])
+            .groupBy("id", "sub", "pcid")
+            .agg(_d2_of("r", "c").alias("d2"))
+        )
+        w_code = Window.partitionBy("id", "sub").orderBy("d2", "pcid")
+        codes = (
+            pd_.withColumn("__rn", F.row_number().over(w_code))
+            .filter(F.col("__rn") == 1)
+            .select("id", "sub", "pcid")
+        )
+        n_new = new_items.count()
+        resc = sink.occ_commit_tables(
+            spark,
+            path,
+            {"assignments": cassign, "codes": codes},
+            v_read,
+            tag=batch_id,
+        )
+        if resc["committed"]:
+            return {
+                "vecs_added": n_new,
+                "version": resc["version"],
+                "conflicts": conflicts,
+                "already_applied": False,
+            }
+        conflicts += 1
+        if resc["claim_pending"]:
+            claim = _os.path.join(
+                path, f"_occ-claim-{resc['version'] + 1:09d}"
+            )
+            while True:
+                if sink.store_version(path) > resc["version"]:
+                    break
+                try:
+                    age = _time.time() - _os.path.getmtime(claim)
+                except OSError:
+                    break
+                if age >= claim_grace_s:
+                    sink.occ_recover(path, min_age_s=claim_grace_s)
+                    break
+                _time.sleep(min(0.2, claim_grace_s - age))
+    raise RuntimeError(
+        f"update_ivfpq_index_occ: {max_retries} consecutive commit "
+        f"conflicts on {path} — a writer is outpacing index maintenance"
     )

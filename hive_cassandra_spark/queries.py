@@ -10610,6 +10610,85 @@ def q199_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.mp4_metadata(multimodal.attach_mp4_payload(docs))
 
 
+@register(
+    "q200_incremental_ann",
+    # q148's CTE chain with the quantizer-training CTEs restricted to
+    # the bootstrap half (a0/p0 get WHERE vec_id % 2 = 0) while routing,
+    # residuals, and codes cover EVERY vector — exactly the
+    # train-on-bootstrap / encode-all semantics of Faiss add(): the
+    # served ranking hash-matches ONLY if the delta's frozen-quantizer
+    # encode equals the oracle's arithmetic AND the append-semantics
+    # read composes bootstrap + delta to exactly-once coverage.
+    oracle=QUERIES["q148_ivfpq_topk"]
+    .oracle.replace(
+        "a0 AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS ccid FROM e),",
+        "a0 AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS ccid FROM e"
+        " WHERE vec_id % 2 = 0),",
+    )
+    .replace(
+        "p0 AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS pcid FROM e),",
+        "p0 AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS pcid FROM e"
+        " WHERE vec_id % 2 = 0),",
+    )
+    .replace(
+        "SELECT query_id, neighbor_id, adc_d2, rank FROM",
+        """SELECT query_id, neighbor_id, adc_d2, rank,
+           CAST(2 AS BIGINT) AS final_version,
+           CAST(1 AS BIGINT) AS replayed_batch_noops
+    FROM""",
+    ),
+    doc="incremental IVF-PQ index maintenance (similarity."
+    "update_ivfpq_index_occ — the vector-side sibling of q188's "
+    "postings delta, completing the lifecycle symmetry between the two "
+    "retrieval modalities: build/serve/MAINTAIN/measure/tune): only "
+    "the NEW vectors are scanned, encoded against the artifact's "
+    "FROZEN coarse centroids and PQ codebooks (how Faiss add()s to a "
+    "trained IVFPQ; periodic rebuilds retrain under the OCC snapshot "
+    "supersede), and the (assignments, codes) delta publishes under "
+    "ONE version marker with batch-tag replay no-ops. Serving unions "
+    "assignments/codes across published versions at or above the "
+    "snapshot floor while quantizers read latest-only — bootstrap v1 "
+    "+ delta v2 must serve the exact train-on-half/encode-all ranking. "
+    "Ordinary overflow of the similarity_ann family "
+    "(q148/q182/q190/q192 in-window)",
+)
+def q200_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q200_{tok}_{os.getpid()}_ivfpqinc"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    even = F.col("vec_id") % 2 == 0
+    # v1: nightly bootstrap — quantizers TRAIN on the even half
+    r1 = similarity.build_ivfpq_index_occ(
+        spark, emb.filter(even), base, n_cells=8, m=4, k_codes=8
+    )
+    assert r1["committed"] and r1["version"] == 1, r1
+    # v2: the odd half arrives and is encoded under the FROZEN quantizers
+    r2 = similarity.update_ivfpq_index_occ(
+        spark, base, emb.filter(~even), batch_id="delta-1"
+    )
+    assert r2["version"] == 2 and not r2["already_applied"], r2
+    # a crashed maintainer retries the same batch: marker-tag no-op
+    r3 = similarity.update_ivfpq_index_occ(
+        spark, base, emb.filter(~even), batch_id="delta-1"
+    )
+    replayed_noops = int(r3["already_applied"])
+    served = similarity.ivfpq_topk_indexed_occ(
+        spark, base, emb.filter(F.col("vec_id") < 3), nprobe=2, topk=5,
+        id_col="vec_id",
+    )
+    return served.withColumn(
+        "final_version", F.lit(2).cast("long")
+    ).withColumn("replayed_batch_noops", F.lit(replayed_noops).cast("long"))
+
+
 
 # =====================================================================
 # Registration-order contract
@@ -10792,6 +10871,11 @@ _WINDOW_ORDER = [
     # q162/q165/q170; multimodal keeps q166/q178)
     "q198_kcenter_diversity",         # diversity_sampling (coreset)
     "q199_mp4_probe",                 # multimodal (ISO BMFF container)
+    # round-10 fifth rotation: incremental IVF-PQ maintenance (the
+    # vector-side q188) takes a slot from birth; funded by q147
+    # standing down as ordinary overflow (similarity_ann keeps
+    # q148/q182/q190/q192)
+    "q200_incremental_ann",           # similarity_ann (index delta)
     # round-10 new capabilities (immediate slots, q175-q177 precedent)
     "q191_occ_indexed_retrieval",     # retrieval + connector (OCC index)
     "q192_ann_tune_nprobe",           # similarity_ann (recall tuning)
@@ -10823,7 +10907,6 @@ _WINDOW_ORDER = [
     # priority never-hashed rotations (r07 verdict's named list): the
     # ANN quantization tier, retrieval variants, the CDC/warehouse tier,
     # the exact-split audit path, and the maintenance passes
-    "q147_pq_adc_topk",
     "q148_ivfpq_topk",
     "q157_hybrid_rrf",
     "q162_scd2_history",
@@ -11240,6 +11323,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q197_containment_dedup": {"dedup_containment"},
     "q198_kcenter_diversity": {"diversity_sampling"},
     "q199_mp4_probe": {"multimodal"},
+    "q200_incremental_ann": {"similarity_ann"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

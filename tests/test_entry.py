@@ -73,9 +73,10 @@ def test_registration_window_covers_every_family():
         # the q153 sole-bearer graduation + q129/q134 standing down)
         "q195_dsir_selection", "q196_stream_indexed_retrieval",
         "q197_containment_dedup",
-        # k-center diversity + MP4 container probe (fourth rotation —
-        # q173 and q168 stood down)
+        # k-center diversity + MP4 container probe + incremental ANN
+        # (fourth/fifth rotations — q173, q168, q147 stood down)
         "q198_kcenter_diversity", "q199_mp4_probe",
+        "q200_incremental_ann",
         # the round-8 new-family bearers still funding their families
         # in-window (q133/q135/q136/q137/q141/q142/q143/q144/q146/q149/
         # q152 rotated out across round 10 — four as ordinary overflow,
@@ -90,7 +91,7 @@ def test_registration_window_covers_every_family():
         "q156_time_gapfill", "q166_multimodal_jpeg_color",
         "q174_zorder_3d",
         # priority never-hashed rotations (r07 verdict's named list)
-        "q147_pq_adc_topk", "q148_ivfpq_topk", "q157_hybrid_rrf",
+        "q148_ivfpq_topk", "q157_hybrid_rrf",
         "q162_scd2_history", "q163_leakage_safe_split",
         "q165_incremental_agg", "q170_table_diff",
         "q171_commit_log_vacuum", "q172_retrieval_eval",

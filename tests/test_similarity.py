@@ -552,3 +552,68 @@ def test_kcenter_select_small_corpus_and_empty(spark):
     empty = df.filter("vec_id < 0")
     res = similarity.kcenter_select(empty, k=4)
     assert res.columns == ["round", "vec_id", "dmin"] and res.count() == 0
+
+
+def test_update_ivfpq_index_occ_delta_lifecycle(spark, sf_dir, tmp_path):
+    """Incremental IVF-PQ maintenance: bootstrap(even) + delta(odd)
+    covers every vector exactly once (append-semantics union), a
+    replayed batch no-ops on its marker tag, a stale rebuild fails
+    closed, and the frozen-quantizer encode is the same map the
+    bootstrap build applies (re-encoding the bootstrap's own vectors
+    reproduces its assignments and codes bit-for-bit)."""
+    from hive_cassandra_spark import sink
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 120
+    )
+    even = F.col("vec_id") % 2 == 0
+    base = str(tmp_path / "ivfpq_inc")
+    r1 = similarity.build_ivfpq_index_occ(
+        spark, emb.filter(even), base, n_cells=8, m=4, k_codes=8
+    )
+    assert r1["committed"] and r1["version"] == 1
+    r2 = similarity.update_ivfpq_index_occ(
+        spark, base, emb.filter(~even), batch_id="d1"
+    )
+    assert r2["version"] == 2 and r2["vecs_added"] == emb.filter(~even).count()
+    # replay no-op
+    r3 = similarity.update_ivfpq_index_occ(
+        spark, base, emb.filter(~even), batch_id="d1"
+    )
+    assert r3["already_applied"] and sink.store_version(base) == 2
+    # exactly-once coverage across the version union
+    assign = sink.occ_read_table(spark, base, "assignments")
+    codes = sink.occ_read_table(spark, base, "codes")
+    n = emb.count()
+    assert assign.count() == n
+    assert assign.select("id").distinct().count() == n
+    assert codes.count() == 4 * n
+    # stale rebuild (derived from v1, raced by the delta) fails closed
+    stale = similarity.build_ivfpq_index_occ(
+        spark, emb.filter(even), base, n_cells=8, m=4, k_codes=8,
+        expected_version=1,
+    )
+    assert stale["conflict"] and not stale["committed"]
+    assert sink.store_version(base) == 2
+    # frozen-quantizer encode == the bootstrap's own encode: re-adding
+    # the even half as a delta on a scratch copy reproduces v1's tables
+    base2 = str(tmp_path / "ivfpq_inc2")
+    similarity.build_ivfpq_index_occ(
+        spark, emb.filter(even), base2, n_cells=8, m=4, k_codes=8
+    )
+    similarity.update_ivfpq_index_occ(
+        spark, base2, emb.filter(even), batch_id="dup"
+    )
+    a1 = sorted(map(tuple, spark.read.parquet(
+        *[f for f in __import__("glob").glob(f"{base2}/assignments/part-occ-v000000001-*.parquet")]
+    ).collect()))
+    a2 = sorted(map(tuple, sink.occ_read_table(
+        spark, base2, "assignments", latest_only=True).collect()))
+    assert a1 == a2
+    # served ranking is deterministic across two reads
+    q = emb.filter(F.col("vec_id") < 3)
+    s1 = sorted(map(tuple, similarity.ivfpq_topk_indexed_occ(
+        spark, base, q, nprobe=2, topk=5, id_col="vec_id").collect()))
+    s2 = sorted(map(tuple, similarity.ivfpq_topk_indexed_occ(
+        spark, base, q, nprobe=2, topk=5, id_col="vec_id").collect()))
+    assert s1 == s2 and len(s1) == 15

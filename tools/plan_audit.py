@@ -85,6 +85,15 @@ NOTES = {
         "filter pass — sample slicing routes ENCODED bytes to a "
         "decoder fleet without any codec library in the scan path."
     ),
+    "q200_incremental_ann": (
+        "incremental ANN maintenance: the wall is 2 OCC parquet commit "
+        "cycles (bootstrap snapshot + delta) plus artifact-only "
+        "serving; the delta encodes ONLY the new vectors against the "
+        "frozen broadcast quantizers (route + residual + code = three "
+        "broadcast joins and two per-id windows over delta-sized "
+        "data). At 100 TB the recurring cost is the delta batch; "
+        "serving unions artifact versions >= the snapshot floor."
+    ),
     "q190_ann_recall": (
         "the eval tier: the exact ground truth is one corpus scan "
         "joined to the 3 broadcast queries (corpus never shuffles; "
