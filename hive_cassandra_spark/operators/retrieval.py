@@ -285,6 +285,7 @@ def update_postings_index_occ(
     batch_id: str | None = None,
     max_retries: int = 5,
     claim_grace_s: float = 10.0,
+    delta_files: int = 8,
 ) -> dict:
     """``update_postings_index`` with the crash-atomicity and race
     safety the r09 advisor asked for: the delta postings AND the merged
@@ -319,7 +320,13 @@ def update_postings_index_occ(
                 "with build_postings_index_occ (a floor-rounded average "
                 "alone cannot be merged exactly)"
             )
-        delta_post = postings(new_docs, id_col, text_col)
+        # a micro-batch delta is small by definition: bound its file
+        # count so each commit cycle (and every future reader's union)
+        # pays a handful of parts, not the session's 32 shuffle
+        # partitions of near-empty files
+        delta_post = postings(new_docs, id_col, text_col).coalesce(
+            delta_files
+        )
         delta_stats = corpus_stats(new_docs, delta_post, id_col)
         old, dlt = meta.head(), delta_stats.head()
         n = int(old["n"]) + int(dlt["n"])

@@ -1381,6 +1381,7 @@ def update_ivfpq_index_occ(
     batch_id: str | None = None,
     max_retries: int = 5,
     claim_grace_s: float = 10.0,
+    delta_files: int = 8,
 ) -> dict:
     """Incremental IVF-PQ maintenance — the vector-side sibling of
     ``retrieval.update_postings_index_occ`` (r09's q188), completing
@@ -1464,10 +1465,15 @@ def update_ivfpq_index_occ(
             .select("id", "sub", "pcid")
         )
         n_new = new_items.count()
+        # bound delta file counts (the update_postings_index_occ
+        # discipline): a delta batch is small by definition
         resc = sink.occ_commit_tables(
             spark,
             path,
-            {"assignments": cassign, "codes": codes},
+            {
+                "assignments": cassign.coalesce(delta_files),
+                "codes": codes.coalesce(delta_files),
+            },
             v_read,
             tag=batch_id,
         )
