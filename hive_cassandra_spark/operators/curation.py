@@ -946,3 +946,47 @@ def dsir_select(
         "score",
         F.coalesce(F.col("__sel"), F.lit(0)).cast("long").alias("selected"),
     )
+
+
+def quality_score_col(
+    weights_rows,
+    n: int = 3,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+):
+    """The hashed quality score as ONE STATELESS column expression —
+    the streaming-ingest face of ``quality_model_score_hashed``: the
+    ≤ ``n_buckets``-row weight table folds into a literal map (the
+    ≤k-centroid-LUT precedent — bounded by the bucket parameter, never
+    the corpus), and the score is an ``aggregate(transform(grams, …))``
+    fold entirely inside codegen. No explode, no join, no groupBy — so
+    a stream can score-and-filter documents as a pure projection with
+    ZERO state (where the batch formulation's per-doc aggregation
+    would grow streaming state with every doc ever seen).
+
+    ``weights_rows`` is the collected list of (b, w) Rows from
+    ``quality_model_train_hashed`` (collect is bounded by n_buckets).
+    Returns a long Column; identical arithmetic to the batch scorer,
+    so verdicts hash-match it."""
+    from hive_cassandra_spark.operators.text import normalize
+
+    pairs = ",".join(
+        f"{int(r['b'])}L,{int(r['w'])}L" for r in weights_rows
+    )
+    lut = F.expr(
+        f"map({pairs})" if pairs else "cast(map() as map<bigint,bigint>)"
+    )
+    grams = _char_ngrams(normalize(F.col(text_col)), n)
+
+    def contrib(g):
+        b = (
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+            % F.lit(int(n_buckets))
+        )
+        return F.coalesce(F.element_at(lut, b), F.lit(0).cast("long"))
+
+    return F.aggregate(
+        F.transform(grams, contrib),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )

@@ -10689,6 +10689,53 @@ def q200_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("replayed_batch_noops", F.lit(replayed_noops).cast("long"))
 
 
+@register(
+    "q201_stream_quality_filter",
+    # q194's oracle verbatim: the streamed stateless-projection scores
+    # must equal the batch join/groupBy formulation row-for-row — the
+    # hash adjudicates that the literal-LUT fold, the md5 bucketing,
+    # and the bounded streaming replay all reproduce the same integer
+    # logits and keep verdicts.
+    oracle=QUERIES["q194_quality_model_hashed"].oracle,
+    doc="STREAMING quality filtering at ingest (curation."
+    "quality_score_col over a file stream — the streaming face of "
+    "q194, the q167 precedent): the learned hashed-feature scorer "
+    "folds into a literal ≤4096-entry weight map and the score is ONE "
+    "stateless codegen projection — no explode, no join, no per-doc "
+    "aggregation — so the ingest stream scores and filters documents "
+    "with ZERO streaming state at any corpus (the batch formulation's "
+    "per-doc groupBy would grow state with every doc ever seen). "
+    "Append-mode bounded replay must hash-equal the batch q194 "
+    "scoring exactly. Ordinary overflow of the quality_model "
+    "(q186/q194) + ingest_text (q160) families",
+)
+def q201_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = curation.quality_model_train_hashed(
+        docs, n=3, n_buckets=4096, good_min_tokens=50
+    ).collect()
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q201_{tok}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs.repartition(4).write.parquet(base)
+    stream = spark.readStream.schema(docs.schema).parquet(base)
+    scored = stream.select(
+        "doc_id",
+        curation.quality_score_col(weights, n=3, n_buckets=4096)
+        .alias("score"),
+    ).withColumn("keep", (F.col("score") >= 0).cast("long"))
+    return streaming_events.run_bounded(
+        scored, spark, output_mode="append", state_partitions=8
+    ).select("doc_id", "score", "keep")
+
+
 
 # =====================================================================
 # Registration-order contract
@@ -11324,6 +11371,7 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q198_kcenter_diversity": {"diversity_sampling"},
     "q199_mp4_probe": {"multimodal"},
     "q200_incremental_ann": {"similarity_ann"},
+    "q201_stream_quality_filter": {"quality_model", "ingest_text"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

@@ -620,3 +620,40 @@ def test_dsir_weight_table_bounded_and_budget_exhaustive(spark, sf_dir):
                           n=3, n_buckets=32)
     assert out.count() == pool_n
     assert out.filter("selected = 0").count() == 0
+
+
+def test_stream_quality_filter_stateless_and_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming-ingest face of the hashed quality model: the
+    literal-LUT projection must equal the batch join/groupBy scorer
+    row-for-row, and the streaming query must run with ZERO stateful
+    operators (pure projection — state cannot grow with the corpus)."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import curation as cur
+    from hive_cassandra_spark.streaming import events as se
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F2.col("doc_id") < 150
+    )
+    wdf = cur.quality_model_train_hashed(docs, n=3, n_buckets=256)
+    batch = {
+        (r.doc_id): (r.score, bool(r.keep))
+        for r in cur.quality_model_score_hashed(
+            docs, wdf, n=3, n_buckets=256, threshold=0
+        ).collect()
+    }
+    src = str(tmp_path / "qsrc")
+    docs.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    scored = stream.select(
+        "doc_id",
+        cur.quality_score_col(wdf.collect(), n=3, n_buckets=256)
+        .alias("score"),
+    ).withColumn("keep", F2.col("score") >= 0)
+    out = se.run_bounded(scored, spark, output_mode="append")
+    got = {r.doc_id: (r.score, r.keep) for r in out.collect()}
+    assert got == batch
+    # stateless: the final progress reports no state operators with rows
+    prog = se.LAST_BOUNDED_RUN.get("progress")
+    ops = (prog or {}).get("stateOperators") or []
+    assert all(int(o.get("numRowsTotal", 0)) == 0 for o in ops), ops
