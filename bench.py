@@ -246,9 +246,39 @@ HEADLINE = [
 ]
 
 
+def _idle_gate() -> dict:
+    """Idle-gate the measurement (r10 verdict item 7: a concurrent load
+    inflated an unchanged query to a false 2.42x and the official
+    artifact needed judge adjudication). If the 1-minute loadavg says the
+    box is busy, WAIT for it to drain (up to $SPARK_GRAFT_BENCH_MAX_WAIT
+    seconds, default 600) before timing anything, and stamp both the
+    initial and at-start load into the artifact so a hot reading is
+    self-explaining instead of silently untrustworthy."""
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
+    initial = os.getloadavg()[0]
+    waited = 0.0
+    load = initial
+    while load > threshold and waited < max_wait:
+        print(
+            f"# idle-gate: load1={load:.2f} > {threshold} — waiting",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+        load = os.getloadavg()[0]
+    return {
+        "load1_initial": round(initial, 2),
+        "load1_at_start": round(load, 2),
+        "idle_waited_s": round(waited, 1),
+        "idle_threshold": threshold,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    load_gate = _idle_gate()
     # 8g driver heap (fresh process → effective): the default 1g JVM died
     # with OOM around headline query ~70 in round 8 — the queries persist
     # intermediate tables (shingle/prefix/candidate) that only the
@@ -390,6 +420,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    load_gate["load1_at_end"] = round(os.getloadavg()[0], 2)
     payload = json.dumps(
         {
             "metric": "headline_queries_total_wallclock",
@@ -397,6 +428,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "load": load_gate,
         }
     )
     # Durability (two rounds of evidence): the driver keeps only the LAST
@@ -416,6 +448,7 @@ def main() -> None:
                 for name, t in timings.items()
             },
             "sf": sf,
+            "load1": load_gate["load1_at_start"],
             "full": "bench_out.json",
         },
         separators=(",", ":"),

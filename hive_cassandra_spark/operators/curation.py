@@ -845,10 +845,13 @@ def dsir_weights(
     ``log p_t(b) − log p_r(b)`` (libm drift), the weight is the
     FIXED-POINT RATE DIFFERENCE ``w(b) = (n_t(b)·scale) div T_t −
     (n_r(b)·scale) div T_r`` with +1 smoothing on every present bucket
-    — exact BIGINT arithmetic both engines replay bit-for-bit, same
+    — exact integer arithmetic both engines replay bit-for-bit, same
     sign as the log-ratio, and magnitude bounded by ``scale`` per
-    bucket REGARDLESS of corpus size (no cross-multiplied count
-    products to overflow at 100 TB).
+    bucket REGARDLESS of corpus size. The count-times-scale products
+    are widened through decimal(38,0) (Spark) / HUGEINT (oracle)
+    before the floor division, so they cannot wrap int64 even when a
+    bucket holds ~1e10+ occurrences (the 100 TB regime); only the
+    bounded quotient returns to BIGINT.
 
     Scale: ONE corpus scan; occurrence counts (not document
     frequencies — this is the unigram LM, so repeats count) are
@@ -857,8 +860,14 @@ def dsir_weights(
     rows — broadcastable at any corpus."""
     from hive_cassandra_spark.operators.text import normalize
 
+    # NULL target predicate means "not in the reference corpus": coalesce
+    # to false so NULL rows count as raw-pool occurrences in BOTH the
+    # engine and the oracle (a bare WHEN would also map NULL->raw here,
+    # but dsir_select's ~target filter would DROP the same rows — the
+    # coalesce pins one semantics across both halves).
+    tgt = F.coalesce(target.cast("boolean"), F.lit(False))
     occ = df.select(
-        target.alias("__tgt"), normalize(F.col(text_col)).alias("__t")
+        tgt.alias("__tgt"), normalize(F.col(text_col)).alias("__t")
     ).select(
         "__tgt",
         F.explode(_char_ngrams(F.col("__t"), n)).alias("g"),
@@ -879,11 +888,21 @@ def dsir_weights(
         F.sum("nt").cast("long").alias("tt"),
         F.sum("nr").cast("long").alias("tr"),
     )
+    # The rate products run through decimal(38,0): a bucket's occurrence
+    # count times scale=1e9 leaves int64 once the count passes ~9.2e9
+    # (a 100 TB corpus puts ~1e10 occurrences in each of 4096 buckets),
+    # and with ANSI off the overflow would WRAP silently, flipping weight
+    # signs. decimal(38,0) holds count*scale up to 1e29; `div` on
+    # decimals returns BIGINT, and the quotient is rate*scale <= scale,
+    # so the OUTPUT stays long. The oracle mirrors with HUGEINT.
     return cnt.crossJoin(F.broadcast(tot)).select(
         "b",
-        F.expr(f"cast(nt * {int(scale)} div tt as bigint) - "
-               f"cast(nr * {int(scale)} div tr as bigint)")
-        .cast("long").alias("w"),
+        F.expr(
+            f"cast((cast(nt as decimal(38,0)) * {int(scale)}) div tt "
+            f"as bigint) - "
+            f"cast((cast(nr as decimal(38,0)) * {int(scale)}) div tr "
+            f"as bigint)"
+        ).cast("long").alias("w"),
     )
 
 
@@ -915,7 +934,10 @@ def dsir_select(
     ``(doc_id, score, selected)``."""
     from hive_cassandra_spark.operators.text import normalize
 
-    pool = df.filter(~target).select(
+    # Same NULL semantics as dsir_weights: NULL target = raw pool.
+    pool = df.filter(
+        ~F.coalesce(target.cast("boolean"), F.lit(False))
+    ).select(
         F.col(id_col), normalize(F.col(text_col)).alias("__t")
     )
     occ = pool.select(

@@ -1810,7 +1810,12 @@ def frame_sample(df: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFra
                         # DECODING those samples still needs ffmpeg
                         raw = bytes(buf)
                         table = mp4_sample_table(raw)
-                        total = max(len(table), 1)
+                        if not table:
+                            raise ValueError(
+                                f"mp4 payload for doc {doc_id} has no "
+                                "samples (empty stsz) — nothing to sample"
+                            )
+                        total = len(table)
                         picks = [i * total // n_frames for i in range(n_frames)]
                         for i, sample in zip(
                             range(n_frames), mp4_extract_samples(raw, picks)
@@ -2594,6 +2599,12 @@ def mp4_metadata_bytes(data: bytes) -> dict:
         raise ValueError("not an MP4: no moov box")
     ms, me = span
     out: dict = {"n_tracks": 0}
+    # Prefer the first track whose hdlr handler is 'vide' (the docstring's
+    # "first video track" — an audio-first multi-track file must not
+    # report its audio codec as the video metadata); fall back to the
+    # first track carrying any info when no video track exists.
+    first_info: dict | None = None
+    vide_info: dict | None = None
     for btype, b, e in mp4_boxes(data, ms, me):
         if btype == b"mvhd":
             ver = data[b]
@@ -2602,11 +2613,15 @@ def mp4_metadata_bytes(data: bytes) -> dict:
             out["timescale"], out["duration"] = struct.unpack_from(">II", data, b + 12)
         elif btype == b"trak":
             out["n_tracks"] += 1
-            if "handler" in out:
-                continue
             t = _mp4_track_info(data, b, e)
-            if t is not None:
-                out.update(t)
+            if t is None:
+                continue
+            if first_info is None:
+                first_info = t
+            if vide_info is None and t.get("handler") == "vide":
+                vide_info = t
+    if vide_info is not None or first_info is not None:
+        out.update(vide_info if vide_info is not None else first_info)
     return out
 
 

@@ -102,7 +102,7 @@ def corpus_stats(df: DataFrame, post: DataFrame, id_col: str = "doc_id") -> Data
     and integer average document length ``A = floor(s / N)``. N counts
     every document (token-less docs simply never enter the postings).
     ``s`` rides along because ``a`` alone is floor-lossy: incremental
-    index maintenance (``update_postings_index``) re-derives the merged
+    index maintenance (``update_postings_index_occ``) re-derives the merged
     average from exact ``(n, s)`` sums, never from a stale floor."""
     n = df.groupBy().agg(F.count(F.lit(1)).alias("n"))
     # total tokens = Σ tf over all postings (each posting row carries its
@@ -150,6 +150,15 @@ def build_postings_index(
     the artifact, which is orders of magnitude smaller than the corpus.
     At 100 TB the index build is the amortized nightly job; queries are
     interactive against the parquet postings with min/max term pruning.
+
+    This is the build-once / serve-many artifact (q176). Incremental
+    maintenance deliberately has NO plain-layout variant: the old
+    ``update_postings_index`` appended delta postings BEFORE its meta
+    rename swap, so a crash between the two left postings counting docs
+    the stats didn't (r10 verdict item 4 — two maintenance paths with
+    different crash semantics). Index maintenance is
+    ``update_postings_index_occ`` only: one version marker, one crash
+    semantics.
     """
     post = postings(df, id_col, text_col)
     post.write.mode("overwrite").parquet(f"{path.rstrip('/')}/postings")
@@ -165,67 +174,6 @@ def read_postings_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{base}/postings"),
         spark.read.parquet(f"{base}/meta"),
     )
-
-
-def update_postings_index(
-    spark,
-    path: str,
-    new_docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> dict:
-    """Incremental maintenance of a ``build_postings_index`` artifact —
-    the nightly rebuild becomes a delta job (the q165 incremental-view
-    shape applied to the retrieval index): ONLY the new documents are
-    scanned; their postings APPEND to the postings table (per-doc
-    postings are independent, so append ≡ rebuild exactly), and the
-    one-row corpus stats merge additively from exact ``(n, s)`` sums —
-    never from the floor-lossy average — so the refreshed ``a`` equals
-    a from-scratch rebuild's bit-for-bit, which is what q188's
-    full-corpus oracle gates.
-
-    Contract: ``new_docs`` ids must be unseen (CDC upsert/delete is
-    q129/q165's territory; an id re-fed here would double-count).
-    Single maintainer per artifact at a time, same as ``compact_store``
-    — route commits through ``sink.occ_commit`` when ingest races
-    maintenance. Returns {docs_added, tokens_added, n, a}.
-    """
-    base = path.rstrip("/")
-    meta = spark.read.parquet(f"{base}/meta")
-    if "s" not in meta.columns:
-        raise ValueError(
-            "index meta has no total-token column 's' — rebuilt it with "
-            "build_postings_index (a floor-rounded average alone cannot "
-            "be merged exactly)"
-        )
-    delta_post = postings(new_docs, id_col, text_col)
-    delta_post.write.mode("append").parquet(f"{base}/postings")
-    delta_stats = corpus_stats(new_docs, delta_post, id_col)
-    old = meta.head()
-    dlt = delta_stats.head()
-    n, s = int(old["n"]) + int(dlt["n"]), int(old["s"]) + int(dlt["s"])
-    merged = spark.createDataFrame(
-        [(n, s, s // max(n, 1))], "n long, s long, a long"
-    )
-    # two-file swap discipline: land the merged row beside the live meta,
-    # then rename over it — a reader never sees a half-written meta dir
-    import os
-    import shutil
-
-    tmp = f"{base}/meta.updating"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    live = f"{base}/meta"
-    old_dir = f"{base}/meta.old"
-    shutil.rmtree(old_dir, ignore_errors=True)
-    os.rename(live, old_dir)
-    os.rename(tmp, live)
-    shutil.rmtree(old_dir)
-    return {
-        "docs_added": int(dlt["n"]),
-        "tokens_added": int(dlt["s"]),
-        "n": n,
-        "a": s // max(n, 1),
-    }
 
 
 def build_postings_index_occ(
@@ -287,8 +235,13 @@ def update_postings_index_occ(
     claim_grace_s: float = 10.0,
     delta_files: int = 8,
 ) -> dict:
-    """``update_postings_index`` with the crash-atomicity and race
-    safety the r09 advisor asked for: the delta postings AND the merged
+    """THE incremental index-maintenance path (the delta job that keeps
+    ``build_postings_index``'s nightly corpus pass amortized — only the
+    new documents are scanned, per-doc postings append exactly, corpus
+    stats merge from exact (n, s) sums, never the floor-lossy average),
+    with the crash-atomicity and race safety the r09 advisor asked for
+    — its legacy non-OCC predecessor appended postings before a meta
+    rename swap and was deleted (r10 verdict item 4): the delta postings AND the merged
     corpus meta publish under ONE version marker (all-or-nothing — no
     window where postings carry the delta but stats are stale), and the
     commit declares the version its meta read came from, so a racing

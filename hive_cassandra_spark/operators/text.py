@@ -574,10 +574,11 @@ def bpe_apply(
     vocabulary: the corpus is scanned once into the vocabulary and
     never re-entered, applying K merges costs K string passes over
     vocab-sized data, and per-document token ids (when a consumer needs
-    them) are a broadcast join of this encoded vocabulary back to the
-    corpus words — the corpus text itself is never re-parsed. The final
-    token_id ranking is a single-partition window over the VOCABULARY
-    only (corpus-independent size, documented)."""
+    them) are a join of this encoded vocabulary back to the corpus
+    words — the corpus text itself is never re-parsed. The final
+    token_id ranking is the two-phase distributed global rank
+    (``_rank_token_ids``) — the vocabulary grows with the corpus, so it
+    never funnels through one task."""
     pairs = [
         r["pair"]
         for r in merges.select("step", "pair").orderBy("step").collect()
@@ -606,10 +607,7 @@ def bpe_apply(
         F.sum("n").cast("long").alias("n_occ"),
         F.count(F.lit(1)).cast("long").alias("vocab_occ"),
     )
-    w_id = Window.orderBy(F.desc("n_occ"), F.asc("token"))
-    return hist.withColumn(
-        "token_id", F.row_number().over(w_id).cast("long")
-    )
+    return _rank_token_ids(hist)
 
 
 def bpe_tokenize_docs(
@@ -630,11 +628,16 @@ def bpe_tokenize_docs(
     through the merge chain: the distinct (word, count) vocabulary is
     encoded through the literal merge-replace chain (vocab-sized work,
     exactly ``bpe_apply``'s projection), token ids come from the same
-    (n_occ DESC, token ASC) histogram ranking ``bpe_apply`` assigns (a
-    vocabulary-sized single-partition window — corpus-independent,
-    documented), and per-document ids are the exploded corpus words
-    BROADCAST-joined to the encoded vocabulary. The only corpus-sized
-    shuffles are the (doc, word) and (doc, token) aggregations."""
+    (n_occ DESC, token ASC) histogram ranking ``bpe_apply`` assigns
+    (two-phase distributed global rank — the vocabulary is NOT
+    corpus-independent under Heaps' law, so neither a single-partition
+    window nor a forced broadcast is safe), and per-document ids are
+    the exploded corpus words joined to the encoded vocabulary with NO
+    broadcast hint — AQE broadcasts while the vocabulary fits the
+    threshold and falls back to a shuffle join on ``w`` when it
+    doesn't. The corpus-sized shuffles are the (doc, word) and (doc,
+    token) aggregations plus (beyond the threshold) those vocab
+    joins."""
     pairs = [
         r["pair"]
         for r in merges.select("step", "pair").orderBy("step").collect()
@@ -671,19 +674,41 @@ def bpe_tokenize_docs(
         .groupBy("token")
         .agg(F.sum("n").cast("long").alias("n_occ"))
     )
-    w_id = Window.orderBy(F.desc("n_occ"), F.asc("token"))
-    ids = hist.withColumn(
-        "token_id", F.row_number().over(w_id).cast("long")
-    ).select("token", "token_id")
+    ids = _rank_token_ids(hist).select("token", "token_id")
+    # NO broadcast hint on either join: the vocabulary is NOT
+    # corpus-independent (Heaps' law — a 100 TB crawl's distinct-word
+    # table reaches billions of rows: typos, URLs, code identifiers),
+    # and a forced hint overrides the autoBroadcastJoinThreshold and
+    # OOMs the driver at exactly that scale. Unhinted, Catalyst/AQE
+    # broadcasts while the vocabulary fits the threshold and degrades
+    # to a shuffle join on `w`/`token` when it doesn't (r10 verdict
+    # item 1; plan-asserted in test_text).
     per_doc = (
-        doc_words.join(F.broadcast(word_toks.select("w", "toks")), "w")
+        doc_words.join(word_toks.select("w", "toks"), "w")
         .select("doc_id", F.explode("toks").alias("token"), "n_w")
         .groupBy("doc_id", "token")
         .agg(F.sum("n_w").cast("long").alias("n"))
     )
-    return per_doc.join(F.broadcast(ids), "token").select(
+    return per_doc.join(ids, "token").select(
         "doc_id", "token", "token_id", "n"
     )
+
+
+def _rank_token_ids(hist: DataFrame) -> DataFrame:
+    """Dense 1-based token ids over a ``(token, n_occ, ...)`` histogram in
+    (n_occ DESC, token ASC) order — via ``relational.global_row_number``'s
+    two-phase distributed prefix sum, never a single-partition global
+    window: the token vocabulary grows with the corpus (Heaps' law), so
+    a bare ``Window.orderBy`` would funnel it through ONE reducer at
+    exactly the scale the tokenizer exists for (r10 verdict item 1;
+    the q145 two-phase-rank precedent)."""
+    from hive_cassandra_spark.operators.relational import global_row_number
+
+    return global_row_number(
+        hist, [("n_occ", "desc"), "token"], out_col="__rn"
+    ).withColumn(
+        "token_id", (F.col("__rn") + 1).cast("long")
+    ).drop("__rn")
 
 
 def _bpe_merge_rounds(cur: DataFrame, n_merges: int) -> DataFrame:

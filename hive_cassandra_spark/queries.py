@@ -9222,14 +9222,17 @@ def q187_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the floor-lossy average — a stale `a` would shift every score).
     oracle=QUERIES["q135_bm25_retrieval"].oracle,
     doc="incremental postings-index maintenance (retrieval."
-    "update_postings_index — the q165 incremental-view shape applied "
-    "to q176's materialized index): the nightly corpus pass becomes a "
-    "delta job that scans ONLY the new documents, appends their "
-    "postings (per-doc postings are independent, so append = rebuild), "
-    "and merges the one-row corpus stats additively from exact (n, s) "
-    "totals. Serving reads only the refreshed artifact — zero document "
-    "scans, zero old-corpus rescans. Ordinary overflow of the "
-    "retrieval family (q135/q176 in-window)",
+    "update_postings_index_occ — the q165 incremental-view shape "
+    "applied to q176's materialized index): the nightly corpus pass "
+    "becomes a delta job that scans ONLY the new documents, appends "
+    "their postings (per-doc postings are independent, so append = "
+    "rebuild), and merges the one-row corpus stats additively from "
+    "exact (n, s) totals — published with the delta under ONE OCC "
+    "version marker (the legacy append-then-rename-swap path was "
+    "deleted, r10 verdict item 4: one maintenance path, one crash "
+    "semantics). Serving reads only the refreshed artifact — zero "
+    "document scans, zero old-corpus rescans. Ordinary overflow of "
+    "the retrieval family (q176/q191/q196 in-window)",
 )
 def q188_incremental_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
@@ -9244,12 +9247,16 @@ def q188_incremental_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     # nightly build on the even half, delta update with the odd half
-    retrieval.build_postings_index(docs.filter(F.col("doc_id") % 2 == 0), base)
-    upd = retrieval.update_postings_index(
-        spark, base, docs.filter(F.col("doc_id") % 2 == 1)
+    r1 = retrieval.build_postings_index_occ(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), base
+    )
+    assert r1["committed"], r1
+    upd = retrieval.update_postings_index_occ(
+        spark, base, docs.filter(F.col("doc_id") % 2 == 1),
+        batch_id="q188-odd-half",
     )
     assert upd["docs_added"] > 0, upd
-    post, corpus = retrieval.read_postings_index(spark, base)
+    post, corpus = retrieval.read_postings_index_occ(spark, base)
     qset = spark.createDataFrame(
         [
             ("rare_common", "dup"),
@@ -10306,7 +10313,7 @@ def q194_quality_model_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (SELECT doc_id, lang,
                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
                FROM documents),
-    occ AS (SELECT doc_id, (lang = 'en') AS tgt,
+    occ AS (SELECT doc_id, coalesce(lang = 'en', false) AS tgt,
                    ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
             FROM (SELECT doc_id, lang,
                          unnest(list_transform(range(1, len(t) - 1),
@@ -10318,14 +10325,15 @@ def q194_quality_model_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM occ GROUP BY b),
     tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt,
                    CAST(sum(nr) AS BIGINT) AS tr FROM cnt),
-    w AS (SELECT b, CAST((nt * 1000000000) // tt
-                         - (nr * 1000000000) // tr AS BIGINT) AS w
+    w AS (SELECT b, CAST((nt::HUGEINT * 1000000000) // tt
+                         - (nr::HUGEINT * 1000000000) // tr AS BIGINT) AS w
           FROM cnt CROSS JOIN tot),
     sc AS (SELECT o.doc_id, CAST(sum(w.w) AS BIGINT) AS score
            FROM occ o JOIN w USING (b) WHERE NOT o.tgt GROUP BY 1),
     scored AS (SELECT s.doc_id,
                       CAST(coalesce(sc.score, 0) AS BIGINT) AS score
-               FROM s LEFT JOIN sc USING (doc_id) WHERE s.lang <> 'en'),
+               FROM s LEFT JOIN sc USING (doc_id)
+               WHERE NOT coalesce(s.lang = 'en', false)),
     sel AS (SELECT doc_id FROM scored
             ORDER BY score DESC, doc_id LIMIT 100)
     SELECT scored.doc_id, scored.score,

@@ -561,6 +561,105 @@ def store_version(path: str) -> int:
     return max(int(os.path.basename(m)[6:]) for m in marks)
 
 
+class LocalFSClaimBackend:
+    """Claim/publish atomics for the OCC commit protocol on a POSIX
+    filesystem — the default backend, and the CONTRACT any object-store
+    backend must honor (r10 verdict item 6: ``os.mkdir`` atomicity is a
+    local stand-in; an S3/GCS deployment plugs in conditional-PUT here
+    without touching the protocol above it):
+
+    - ``claim(path, version, token)`` must atomically acquire EXCLUSIVE
+      ownership of ``version`` for this store, recording ``token`` so
+      recovery can match the claimant's part files: at most one caller
+      ever returns True per (path, version), across processes and
+      machines, and the claim persists until ``abandon``. Local:
+      ``os.mkdir`` (atomic exactly-one-winner) + a token file. S3/GCS:
+      conditional PUT (``If-None-Match: *`` / ``x-goog-if-generation-
+      match: 0``) of ``_occ-claim-<v>`` with the token as body; a
+      DynamoDB ``attribute_not_exists`` put works the same.
+    - ``publish(path, version, content)`` makes the version marker
+      visible atomically (readers either see the whole marker or no
+      marker). Only the claim winner may call it. Local: write
+      ``_occ-v%09d``. S3: plain PUT (single-object PUTs are atomic).
+    - ``claim_token / pending_claims / claim_age_s / abandon`` serve
+      ``occ_recover``: enumerate claims with no published marker, age
+      them (a conditional-PUT backend uses the object's Last-Modified),
+      and release a dead claimant's version for re-claim.
+
+    Versions, markers, snapshot floors, and part-file naming stay in
+    the protocol layer (``occ_commit*`` / ``occ_read*``) — a backend
+    only supplies the two atomics and claim bookkeeping."""
+
+    def claim(self, path: str, version: int, token: str) -> bool:
+        import os
+
+        claim = os.path.join(path, f"_occ-claim-{version:09d}")
+        try:
+            os.mkdir(claim)  # the atom: exactly one winner per version
+        except FileExistsError:
+            return False
+        with open(os.path.join(claim, "token"), "w") as fh:
+            fh.write(token)
+        return True
+
+    def publish(self, path: str, version: int, content: str) -> None:
+        import os
+
+        with open(os.path.join(path, f"_occ-v{version:09d}"), "w") as fh:
+            fh.write(content)
+
+    def claim_token(self, path: str, version: int) -> str:
+        import os
+
+        tok_file = os.path.join(
+            path, f"_occ-claim-{version:09d}", "token"
+        )
+        if os.path.exists(tok_file):
+            return open(tok_file).read().strip()
+        return ""
+
+    def pending_claims(self, path: str) -> list[int]:
+        import glob as _glob
+        import os
+
+        return sorted(
+            int(os.path.basename(c)[11:])
+            for c in _glob.glob(os.path.join(path, "_occ-claim-*"))
+        )
+
+    def claim_age_s(self, path: str, version: int) -> float:
+        import os
+        import time as _time
+
+        try:
+            return _time.time() - os.path.getmtime(
+                os.path.join(path, f"_occ-claim-{version:09d}")
+            )
+        except OSError:
+            return float("inf")  # claim vanished: nothing to protect
+
+    def abandon(self, path: str, version: int) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(path, f"_occ-claim-{version:09d}"),
+            ignore_errors=True,
+        )
+
+
+OCC_CLAIM_BACKEND: LocalFSClaimBackend = LocalFSClaimBackend()
+
+
+def set_occ_claim_backend(backend) -> object:
+    """Install a custom claim backend (see ``LocalFSClaimBackend`` for
+    the contract) and return the previous one — the deployment seam for
+    object stores, where mkdir atomicity doesn't exist."""
+    global OCC_CLAIM_BACKEND
+    prev, OCC_CLAIM_BACKEND = OCC_CLAIM_BACKEND, backend
+    return prev
+
+
 def occ_commit(
     spark, path: str, cells, expected_version: int, snapshot: bool = False,
 ) -> dict:
@@ -573,10 +672,13 @@ def occ_commit(
     prevention — the transactional layer the reference's thrift
     batch_mutate, AbstractColumnSerDe.java:47,75, never had).
 
-    Protocol (single-filesystem atomics, the q94/q177 swap discipline):
+    Protocol (claim/publish atomics via the pluggable
+    ``OCC_CLAIM_BACKEND`` seam — ``LocalFSClaimBackend`` is the default
+    and documents the contract an S3/GCS conditional-PUT or lock-table
+    backend must honor):
     1. stage the data files under a hidden ``.occ-staging-*`` dir;
-    2. CLAIM the version: ``os.mkdir(_occ-claim-v)`` — atomic, exactly
-       one winner per version, the claim dir is permanent; a loser
+    2. CLAIM the version: ``backend.claim(path, v, token)`` — atomic,
+       exactly one winner per version, the claim is permanent; a loser
        cleans its staging and reports the conflict with the fresh
        version so the caller can re-derive and retry;
     3. move the staged files in under version-stamped names
@@ -628,10 +730,9 @@ def occ_commit(
     token = uuid.uuid4().hex[:8]
     staging = os.path.join(path, f".occ-staging-{v:09d}-{token}")
     cells.write.mode("overwrite").parquet(staging)
-    claim = os.path.join(path, f"_occ-claim-{v:09d}")
-    try:
-        os.mkdir(claim)  # the atom: exactly one writer owns version v
-    except FileExistsError:
+    # the claim/publish atomics ride the pluggable backend (the
+    # deployment seam — LocalFSClaimBackend documents the contract)
+    if not OCC_CLAIM_BACKEND.claim(path, v, token):
         shutil.rmtree(staging, ignore_errors=True)
         # distinguish a live racing writer (its marker will appear and
         # store_version will advance) from a DEAD claim (no marker ever):
@@ -646,10 +747,6 @@ def occ_commit(
             ),
             "files": 0,
         }
-    # record the winner's token inside the claim so recovery can match
-    # this commit's part files if we crash before publishing
-    with open(os.path.join(claim, "token"), "w") as fh:
-        fh.write(token)
     n = 0
     for f in sorted(_glob.glob(os.path.join(staging, "*.parquet"))):
         os.rename(
@@ -660,8 +757,9 @@ def occ_commit(
         )
         n += 1
     shutil.rmtree(staging, ignore_errors=True)
-    with open(os.path.join(path, f"_occ-v{v:09d}"), "w") as fh:
-        fh.write(token + ("\nsnapshot" if snapshot else ""))
+    OCC_CLAIM_BACKEND.publish(
+        path, v, token + ("\nsnapshot" if snapshot else "")
+    )
     return {
         "committed": True, "version": v, "conflict": False,
         "claim_pending": False, "files": n,
@@ -711,10 +809,7 @@ def occ_commit_tables(
     staging = os.path.join(path, f".occ-staging-{v:09d}-{token}")
     for tname, df in tables.items():
         df.write.mode("overwrite").parquet(os.path.join(staging, tname))
-    claim = os.path.join(path, f"_occ-claim-{v:09d}")
-    try:
-        os.mkdir(claim)
-    except FileExistsError:
+    if not OCC_CLAIM_BACKEND.claim(path, v, token):
         shutil.rmtree(staging, ignore_errors=True)
         return {
             "committed": False,
@@ -725,8 +820,6 @@ def occ_commit_tables(
             ),
             "files": 0,
         }
-    with open(os.path.join(claim, "token"), "w") as fh:
-        fh.write(token)
     n = 0
     for tname in tables:
         os.makedirs(os.path.join(path, tname), exist_ok=True)
@@ -749,8 +842,7 @@ def occ_commit_tables(
         lines.append("snapshot")
     if tag:
         lines.append(f"tag:{tag}")
-    with open(os.path.join(path, f"_occ-v{v:09d}"), "w") as fh:
-        fh.write("\n".join(lines))
+    OCC_CLAIM_BACKEND.publish(path, v, "\n".join(lines))
     return {
         "committed": True, "version": v, "conflict": False,
         "claim_pending": False, "files": n,
@@ -911,29 +1003,19 @@ def occ_recover(path: str, min_age_s: float = 0.0) -> dict:
     import glob as _glob
     import os
     import shutil
-    import time as _time
 
     dropped_claims = dropped_parts = dropped_staging = 0
     skipped_young = 0
-    now = _time.time()
     for stg in _glob.glob(os.path.join(path, ".occ-staging-*")):
         shutil.rmtree(stg, ignore_errors=True)
         dropped_staging += 1
-    for claim in _glob.glob(os.path.join(path, "_occ-claim-*")):
-        v = int(os.path.basename(claim)[11:])
+    for v in OCC_CLAIM_BACKEND.pending_claims(path):
         if os.path.exists(os.path.join(path, f"_occ-v{v:09d}")):
             continue  # published — the claim is the permanent winner record
-        try:
-            age = now - os.path.getmtime(claim)
-        except OSError:
-            age = float("inf")  # claim vanished mid-sweep: nothing to skip
-        if age < min_age_s:
+        if OCC_CLAIM_BACKEND.claim_age_s(path, v) < min_age_s:
             skipped_young += 1
             continue  # possibly a live writer between claim and publish
-        token = ""
-        tok_file = os.path.join(claim, "token")
-        if os.path.exists(tok_file):
-            token = open(tok_file).read().strip()
+        token = OCC_CLAIM_BACKEND.claim_token(path, v)
         if token:
             # root-level cell parts AND one-level table subdirs (the
             # occ_commit_tables layout) carry the claimant's token
@@ -946,7 +1028,7 @@ def occ_recover(path: str, min_age_s: float = 0.0) -> dict:
                 for f in _glob.glob(pattern):
                     os.remove(f)
                     dropped_parts += 1
-        shutil.rmtree(claim, ignore_errors=True)
+        OCC_CLAIM_BACKEND.abandon(path, v)
         dropped_claims += 1
     return {
         "dropped_claims": dropped_claims,

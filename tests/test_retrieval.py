@@ -317,20 +317,26 @@ def test_postings_index_serving_scans_zero_document_bytes(spark, sf_dir, tmp_pat
     assert plan.count("documents.parquet") == 0
 
 
-def test_update_postings_index_equals_rebuild(spark, docs, tmp_path):
-    """Incremental maintenance == from-scratch rebuild, exactly: build on
-    a prefix, update with the rest, and both the artifact contents
-    (postings + merged (n, s, a) stats) and the served BM25 ranking must
-    equal the full rebuild's. Also: the guard against an s-less meta."""
+def test_occ_update_postings_index_equals_rebuild(spark, docs, tmp_path):
+    """Incremental OCC maintenance == from-scratch rebuild, exactly:
+    build on a prefix, delta-update with the rest, and both the artifact
+    contents (postings + merged (n, s, a) stats) and the served BM25
+    ranking must equal a full plain rebuild's. Also: the guard against
+    an s-less meta fails closed, and the legacy non-OCC update path (the
+    append-before-rename-swap crash hazard, r10 verdict item 4) is GONE
+    — one maintenance path, one crash semantics."""
+    from hive_cassandra_spark import sink
+
+    assert not hasattr(retrieval, "update_postings_index")
     inc = str(tmp_path / "inc_idx")
     full = str(tmp_path / "full_idx")
     old_docs = docs.filter(F.col("doc_id") <= 3)
     new_docs = docs.filter(F.col("doc_id") > 3)
-    retrieval.build_postings_index(old_docs, inc)
-    res = retrieval.update_postings_index(spark, inc, new_docs)
+    retrieval.build_postings_index_occ(spark, old_docs, inc)
+    res = retrieval.update_postings_index_occ(spark, inc, new_docs)
     assert res["docs_added"] == 2 and res["tokens_added"] == 10
     retrieval.build_postings_index(docs, full)
-    post_i, meta_i = retrieval.read_postings_index(spark, inc)
+    post_i, meta_i = retrieval.read_postings_index_occ(spark, inc)
     post_f, meta_f = retrieval.read_postings_index(spark, full)
     assert sorted(map(tuple, post_i.collect())) == sorted(
         map(tuple, post_f.collect())
@@ -345,16 +351,18 @@ def test_update_postings_index_equals_rebuild(spark, docs, tmp_path):
     served_f = sorted(map(tuple, retrieval.bm25_topk(
         docs, q, k=5).collect()))
     assert served_i == served_f
-    # meta without the exact total-token column cannot merge — fail closed
-    meta_i.select("n", "a").write.mode("overwrite").parquet(
-        str(tmp_path / "lossy_meta")
+    # meta without the exact total-token column cannot merge — fail
+    # closed (commit a lossy meta as the newest version, then update)
+    lossy = str(tmp_path / "lossy_idx")
+    post0 = retrieval.postings(old_docs)
+    meta0 = retrieval.corpus_stats(old_docs, post0)
+    sink.occ_commit_tables(
+        spark, lossy,
+        {"postings": post0, "meta": meta0.select("n", "a").coalesce(1)},
+        0, snapshot=True,
     )
-    import shutil
-
-    shutil.rmtree(f"{inc}/meta")
-    shutil.copytree(str(tmp_path / "lossy_meta"), f"{inc}/meta")
     with pytest.raises(ValueError, match="total-token"):
-        retrieval.update_postings_index(spark, inc, new_docs)
+        retrieval.update_postings_index_occ(spark, lossy, new_docs)
 
 
 def test_occ_index_lifecycle_matches_plain_build(spark, sf_dir, tmp_path):

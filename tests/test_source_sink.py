@@ -757,3 +757,96 @@ def test_occ_read_empty_store_preserves_cell_schema(spark, tmp_path):
                         T.StructField("ts", T.LongType())])
     never = sink.occ_read(spark, str(tmp_path / "never"), empty_schema=sch)
     assert never.columns == ["row_key", "ts"]
+
+
+def test_occ_custom_claim_backend(spark, tmp_path):
+    """The object-store deployment seam (r10 verdict item 6): the whole
+    OCC protocol — win/lose/conflict, torn-commit recovery, multi-table
+    commits — must run unchanged on a custom claim backend (here a
+    lock-table simulation of S3 conditional-PUT / DynamoDB
+    attribute_not_exists, where mkdir atomicity does not exist), with
+    identical committed content to the default local backend."""
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark import sink
+
+    class LockTableClaimBackend(sink.LocalFSClaimBackend):
+        """Claim = conditional put into an external lock table; publish
+        inherits the local single-object marker write (atomic PUT)."""
+
+        def __init__(self):
+            self.table = {}
+            self.claim_calls = 0
+
+        def claim(self, path, version, token):
+            self.claim_calls += 1
+            key = (path, version)
+            if key in self.table:
+                return False  # attribute_not_exists failed
+            self.table[key] = (token, time.time())
+            return True
+
+        def claim_token(self, path, version):
+            return self.table.get((path, version), ("",))[0]
+
+        def pending_claims(self, path):
+            return sorted(v for p, v in self.table if p == path)
+
+        def claim_age_s(self, path, version):
+            if (path, version) not in self.table:
+                return float("inf")
+            return time.time() - self.table[(path, version)][1]
+
+        def abandon(self, path, version):
+            self.table.pop((path, version), None)
+
+    def gen(tag, n):
+        return spark.range(n).select(
+            F2.encode(F2.concat(F2.lit(tag), F2.col("id").cast("string")),
+                      "utf-8").alias("row_key"),
+            F2.encode(F2.lit(tag), "utf-8").alias("column_name"),
+            F2.encode(F2.col("id").cast("string"), "utf-8").alias("value"),
+            F2.lit(1).cast("long").alias("ts"),
+        )
+
+    backend = LockTableClaimBackend()
+    prev = sink.set_occ_claim_backend(backend)
+    try:
+        store = str(tmp_path / "locktable_store")
+        r1 = sink.occ_commit(spark, store, gen("a", 10), 0)
+        assert r1["committed"] and r1["version"] == 1
+        assert backend.claim_calls == 1 and (store, 1) in backend.table
+        # stale writer fails closed through the external lock table
+        r2 = sink.occ_commit(spark, store, gen("b", 5), 0)
+        assert not r2["committed"] and r2["version"] == 1
+        assert sink.occ_read(spark, store).count() == 10
+        # a racing writer that LOST the conditional put: simulate by
+        # pre-claiming v2 externally (dead claimant, no marker)
+        backend.table[(store, 2)] = ("deadbeef", time.time() - 100)
+        blocked = sink.occ_commit(spark, store, gen("b", 5), 1)
+        assert not blocked["committed"] and blocked["claim_pending"]
+        rec = sink.occ_recover(store, min_age_s=10)
+        assert rec["dropped_claims"] == 1
+        assert (store, 2) not in backend.table  # abandoned via backend
+        r3 = sink.occ_commit(spark, store, gen("b", 5), 1)
+        assert r3["committed"] and r3["version"] == 2
+        assert sink.occ_read(spark, store).count() == 15
+        # multi-table commits ride the same seam
+        idx = str(tmp_path / "locktable_idx")
+        t = spark.range(3).select(F2.col("id").alias("k"))
+        rt1 = sink.occ_commit_tables(spark, idx, {"t": t}, 0, tag="b0")
+        assert rt1["committed"] and rt1["version"] == 1
+        rt2 = sink.occ_commit_tables(spark, idx, {"t": t}, 0, tag="b1")
+        assert not rt2["committed"] and rt2["conflict"]
+        assert sink.occ_read_table(spark, idx, "t").count() == 3
+        assert sink.store_tags(idx) == {1: "b0"}
+    finally:
+        sink.set_occ_claim_backend(prev)
+    # the default backend is back: local mkdir claims work again
+    store2 = str(tmp_path / "local_again")
+    assert sink.occ_commit(spark, store2, gen("z", 2), 0)["committed"]
+    import os
+
+    assert os.path.isdir(os.path.join(store2, "_occ-claim-000000001"))
