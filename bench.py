@@ -243,6 +243,12 @@ HEADLINE = [
     "q199_mp4_probe",
     # incremental ANN: bootstrap build + frozen-quantizer delta + serve
     "q200_incremental_ann",
+    # round-11 additions: stateless streaming quality scorer, end-to-end
+    # MJPEG-in-MP4 decode (container demux + T.81 codec, both cleanroom),
+    # and the stream-maintained vector index (bootstrap + 3 OCC deltas)
+    "q201_stream_quality_filter",
+    "q202_mjpeg_mp4_decode",
+    "q203_stream_indexed_ann",
 ]
 
 
@@ -399,6 +405,9 @@ def main() -> None:
         "q198_kcenter_diversity",
         "q199_mp4_probe",
         "q200_incremental_ann",
+        "q201_stream_quality_filter",
+        "q202_mjpeg_mp4_decode",
+        "q203_stream_indexed_ann",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

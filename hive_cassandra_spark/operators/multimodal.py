@@ -1805,9 +1805,14 @@ def frame_sample(df: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFra
                         continue
                     if fmt == "video/mp4":
                         # REAL ISO BMFF path: resolve the sample table
-                        # (stsc x stco x stsz) and slice ENCODED samples
-                        # straight out of mdat — no codec involved; only
-                        # DECODING those samples still needs ffmpeg
+                        # (stsc x stco x stsz) and slice samples straight
+                        # out of mdat. When stsd declares codec 'jpeg'
+                        # (MJPEG-in-MP4 — QuickTime's motion-JPEG track
+                        # layout), each sample IS a baseline JPEG and the
+                        # repo's own T.81 decoder takes it the rest of
+                        # the way to pixels: container + codec are both
+                        # library-free. Other codec fourccs yield the
+                        # ENCODED samples (their decode is ffmpeg's).
                         raw = bytes(buf)
                         table = mp4_sample_table(raw)
                         if not table:
@@ -1817,12 +1822,19 @@ def frame_sample(df: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFra
                             )
                         total = len(table)
                         picks = [i * total // n_frames for i in range(n_frames)]
+                        mjpeg = (
+                            mp4_metadata_bytes(raw).get("codec") == "jpeg"
+                        )
                         for i, sample in zip(
                             range(n_frames), mp4_extract_samples(raw, picks)
                         ):
                             ids.append(doc_id)
                             idxs.append(i)
-                            frames.append(sample)
+                            frames.append(
+                                decode_jpeg_gray8(sample)[2].tobytes()
+                                if mjpeg
+                                else sample
+                            )
                         continue
                     if not fmt.endswith("raw"):
                         raise NotImplementedError(
@@ -2758,6 +2770,99 @@ def attach_mp4_payload(
     return df.repartition(
         df.sparkSession.sparkContext.defaultParallelism
     ).mapInPandas(kernel, schema="doc_id long, payload binary")
+
+
+def attach_mjpeg_mp4_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize REAL MJPEG-in-MP4 payloads from the documents fixture:
+    ``doc_id % 3 + 2`` frames, each a genuine baseline JPEG from
+    ``encode_jpeg_gray8``, muxed by ``encode_mp4_video`` with codec
+    fourcc ``jpeg`` in stsd (QuickTime's motion-JPEG track layout) — the
+    end-to-end-decodable video fixture: container demux AND codec decode
+    both run on this repo's own cleanroom code, zero media libraries.
+
+    Frame ``k``'s pixel plane follows the q127 exactness shape — one
+    constant 8x8 block per text byte (bw = id%8+2 x bh = id%6+2 blocks),
+    frame k reading bytes ``text[k*bw*bh : (k+1)*bw*bh]`` zero-padded —
+    so the lossy codec roundtrips EXACTLY (a constant block carries only
+    a DC coefficient and the DC quant step is 1) and a SQL oracle can
+    replay the decoded pixels byte-for-byte."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                bw = int(doc_id) % 8 + 2
+                bh = int(doc_id) % 6 + 2
+                n = int(doc_id) % 3 + 2
+                frames = []
+                for k in range(n):
+                    sl = raw[k * bw * bh : (k + 1) * bw * bh].ljust(
+                        bw * bh, b"\x00"
+                    )
+                    blocks = np.frombuffer(sl, dtype=np.uint8).reshape(bh, bw)
+                    pixels = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                    frames.append(encode_jpeg_gray8(pixels))
+                payloads.append(
+                    encode_mp4_video(
+                        frames, width=bw * 8, height=bh * 8, codec=b"jpeg"
+                    )
+                )
+                metas.append(
+                    {
+                        "format": "video/mp4",
+                        "width": bw * 8,
+                        "height": bh * 8,
+                        "n_frames": n,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "meta": metas}
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        kernel, schema=f"doc_id long, payload binary, meta {META_SCHEMA}"
+    )
+
+
+def frame_pixel_stats(df: DataFrame) -> DataFrame:
+    """Integer pixel statistics per decoded frame — the post-decode
+    screen of a video curation pass (brightness / clipping / dead-frame
+    filters), and the oracle-comparable face of ``frame_sample``'s
+    decoded output: (doc_id, frame_idx, n_px, sum_px, min_px, max_px)
+    over the frame's raw gray8 bytes. Arrow-batched ``mapInPandas``;
+    stats are a few dozen bytes per frame, so the pixel planes never
+    shuffle past this kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, sums, mins, maxs = [], [], [], []
+            for buf in pdf["frame"]:
+                px = np.frombuffer(bytes(buf), dtype=np.uint8)
+                ns.append(len(px))
+                sums.append(int(px.sum(dtype=np.int64)) if len(px) else 0)
+                mins.append(int(px.min()) if len(px) else 0)
+                maxs.append(int(px.max()) if len(px) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "n_px": ns,
+                    "sum_px": sums,
+                    "min_px": mins,
+                    "max_px": maxs,
+                }
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema="doc_id long, frame_idx int, n_px long, sum_px long, "
+        "min_px long, max_px long",
+    )
 
 
 def mp4_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -10744,6 +10744,149 @@ def q201_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "score", "keep")
 
 
+@register(
+    "q202_mjpeg_mp4_decode",
+    # END-TO-END video decode adjudicated by pixel arithmetic: the Spark
+    # side muxes real baseline JPEGs into an ISO BMFF container (stsd
+    # codec 'jpeg'), demuxes samples back out via the stsc x stco x stsz
+    # join, entropy-decodes + dequantizes + IDCTs each sampled frame,
+    # and reports integer pixel stats; the oracle replays the q127
+    # constant-block exactness argument byte-for-byte — frame pick
+    # i*total//3, frame k's plane = text bytes [src*bw*bh,(src+1)*bw*bh)
+    # zero-padded, each byte a constant 8x8 block, so sum_px = 64*byte
+    # sum and min/max equal the byte extrema. Any drift in the box
+    # offsets, the sample slicing, the Huffman/DCT path, or the pick
+    # arithmetic breaks the hash.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len,
+                      CAST(doc_id % 8 + 2 AS BIGINT) AS bw,
+                      CAST(doc_id % 6 + 2 AS BIGINT) AS bh,
+                      CAST(doc_id % 3 + 2 AS BIGINT) AS total
+               FROM documents),
+         fr AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                       (i * total) // 3 AS src, bw, bh, hx, len
+                FROM d CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+         px AS (SELECT doc_id, frame_idx, bw, bh,
+                       unnest(list_transform(
+                         range(src * bw * bh, (src + 1) * bw * bh),
+                         p -> CASE WHEN p < len THEN
+                           (strpos('0123456789ABCDEF',
+                                   substr(hx, CAST(2*p+1 AS INT), 1)) - 1) * 16
+                           + (strpos('0123456789ABCDEF',
+                                     substr(hx, CAST(2*p+2 AS INT), 1)) - 1)
+                         ELSE 0 END)) AS b
+                FROM fr)
+    SELECT doc_id, frame_idx,
+           CAST(any_value(bw * bh) * 64 AS BIGINT) AS n_px,
+           CAST(sum(b) * 64 AS BIGINT) AS sum_px,
+           CAST(min(b) AS BIGINT) AS min_px,
+           CAST(max(b) AS BIGINT) AS max_px
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+    doc="END-TO-END MJPEG-in-MP4 video decode (multimodal."
+    "attach_mjpeg_mp4_payload / frame_sample(fake=False) / "
+    "frame_pixel_stats — r10 verdict item 4): real baseline JPEGs "
+    "(encode_jpeg_gray8, ITU-T T.81) muxed into a real ISO BMFF "
+    "container with codec 'jpeg' in stsd (QuickTime's motion-JPEG "
+    "layout), then container demux (stsc x stco x stsz sample "
+    "resolution) AND codec decode (Huffman + dequant + IDCT) both run "
+    "on this repo's cleanroom code — the frame_sample video branch "
+    "decodes REAL frames with zero media libraries, closing the last "
+    "absent-library stub for this codec path. Pixel planes stay inside "
+    "the Arrow kernels (stats are ~50 bytes/frame); the decoded output "
+    "is pixel-identical to the source planes (constant-block DC "
+    "exactness, the q127 argument). Ordinary overflow of the "
+    "multimodal family (q166/q178/q199 in-window)",
+)
+def q202_mjpeg_mp4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CPU-bound codec kernels over one small parquet file: spread rows
+    # across executor cores first (the q127 lesson)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    vids = multimodal.attach_mjpeg_mp4_payload(docs)
+    frames = multimodal.frame_sample(vids, n_frames=3, fake=False)
+    return multimodal.frame_pixel_stats(frames)
+
+
+@register(
+    "q203_stream_indexed_ann",
+    # q200's train-on-bootstrap / encode-all oracle with the streaming
+    # protocol outcome: the served ranking hash-matches the arithmetic
+    # replay ONLY if the v1 bootstrap snapshot + three streamed delta
+    # versions compose to exactly-once coverage of every vector under
+    # the FROZEN quantizers — a dropped micro-batch, a double-applied
+    # replay, or a re-trained quantizer all break the hash; the
+    # replayed-batch no-op is asserted explicitly (final_version 4 = 1
+    # bootstrap + 3 micro-batches).
+    oracle=QUERIES["q200_incremental_ann"].oracle.replace(
+        "CAST(2 AS BIGINT) AS final_version",
+        "CAST(4 AS BIGINT) AS final_version",
+    ),
+    doc="STREAM-MAINTAINED vector index (similarity."
+    "stream_update_ivfpq_index over update_ivfpq_index_occ — the "
+    "vector-side q196, r10 verdict item 8): an embedding pipeline "
+    "drops newly encoded vectors as files, each micro-batch encodes "
+    "them under the artifact's FROZEN coarse/PQ quantizers (Faiss "
+    "add() semantics) and commits its (assignments, codes) delta + "
+    "marker tag under ONE OCC version, and the artifact stays "
+    "atomically serveable throughout. Checkpoint replay x marker tags "
+    "= exactly-once index content; serving (ivfpq_topk_indexed_occ) "
+    "reads ONLY the artifact and must hash-equal the train-on-half/"
+    "encode-all arithmetic. Completes the streaming lifecycle "
+    "symmetry across both retrieval modalities. Ordinary overflow of "
+    "the similarity_ann (q148/q182/q190/q192/q200) + stream_stateful "
+    "(q138) families",
+)
+def q203_stream_indexed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import sink
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q203_{tok}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    idx = os.path.join(base, "index")
+    src = os.path.join(base, "incoming")
+    ckpt = os.path.join(base, "ckpt")
+    even = F.col("vec_id") % 2 == 0
+    # v1: nightly bootstrap — quantizers TRAIN on the even half
+    r1 = similarity.build_ivfpq_index_occ(
+        spark, emb.filter(even), idx, n_cells=8, m=4, k_codes=8
+    )
+    assert r1["committed"] and r1["version"] == 1, r1
+    # the embedding pipeline drops the odd half as three part files...
+    emb.filter(~even).repartition(3).write.parquet(src)
+    # ...and the maintenance stream encodes one OCC delta per
+    # micro-batch under the frozen quantizers (3 batches -> v2..v4)
+    stream_emb = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = similarity.stream_update_ivfpq_index(spark, stream_emb, idx, ckpt)
+    q.awaitTermination()
+    assert sink.store_version(idx) == 4, sink.store_version(idx)
+    # a crashed maintainer REPLAYS batch 0: marker-tag no-op
+    r2 = similarity.update_ivfpq_index_occ(
+        spark, idx, emb.filter(~even), batch_id="stream-0"
+    )
+    replayed_noops = int(r2["already_applied"])
+    served = similarity.ivfpq_topk_indexed_occ(
+        spark, idx, emb.filter(F.col("vec_id") < 3), nprobe=2, topk=5,
+        id_col="vec_id",
+    )
+    return served.withColumn(
+        "final_version", F.lit(sink.store_version(idx)).cast("long")
+    ).withColumn("replayed_batch_noops", F.lit(replayed_noops).cast("long"))
+
 
 # =====================================================================
 # Registration-order contract
@@ -10939,14 +11082,22 @@ _WINDOW_ORDER = [
     # round-10 rotations: the PENDING_ROTATION round-9 capability takes
     # its contractual slot (the q87/q89 two-round contract)...
     "q186_quality_model",             # quality_model (learned filter)
-    # ...and the six round-9 post-freeze additions earn their first
-    # driver rows (r09 verdict item 1 named them ahead of old variants)
-    "q184_bpe_merges_bytes",          # tokenizer_training (byte alphabet)
-    "q185_occ_compaction",            # lww + connector (OCC consumer)
-    "q187_bpe_apply",                 # tokenizer_training (encode)
+    # ...and the round-9 post-freeze additions that still need a second
+    # green keep their slots (r10 verdict item 2: the q191-q200 cohort
+    # second-greens this round)
     "q188_incremental_retrieval",     # retrieval (index maintenance)
     "q189_image_dedup_canonical",     # image_dedup + dedup_components
     "q190_ann_recall",                # similarity_ann (recall@k eval)
+    # round-11 rotation (r10 verdict item 2): q201 takes its named
+    # rotation slot, and the two round-11 additions — end-to-end MJPEG
+    # video decode (verdict item 4) and the stream-maintained vector
+    # index (verdict item 8) — take slots from birth (q175-q177
+    # precedent). Funded by q184/q185/q187 leaving as ORDINARY OVERFLOW
+    # after their r10 driver green: tokenizer_training keeps q179/q193
+    # in-window, lww keeps q131, connector keeps q177/q183/q191.
+    "q201_stream_quality_filter",     # quality_model + ingest (stream)
+    "q202_mjpeg_mp4_decode",          # multimodal (container + codec e2e)
+    "q203_stream_indexed_ann",        # similarity_ann + stream (OCC deltas)
     "q150_anomaly_zscore",
     "q160_jsonl_ingest",
     "q169_association_rules",
@@ -11380,6 +11531,8 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q199_mp4_probe": {"multimodal"},
     "q200_incremental_ann": {"similarity_ann"},
     "q201_stream_quality_filter": {"quality_model", "ingest_text"},
+    "q202_mjpeg_mp4_decode": {"multimodal"},
+    "q203_stream_indexed_ann": {"similarity_ann", "stream_stateful"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

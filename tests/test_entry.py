@@ -59,12 +59,16 @@ def test_registration_window_covers_every_family():
         "q183_occ_commit", "q139_dynamic_partition_pruning",
         "q164_optimize_compaction", "q130_hll_distinct",
         "q145_equidepth_histogram",
-        # the round-10 contract slot + the six round-9 post-freeze
-        # additions (r09 verdict item 1)
-        "q186_quality_model", "q184_bpe_merges_bytes",
-        "q185_occ_compaction", "q187_bpe_apply",
+        # the round-10 contract slot + the round-9 post-freeze additions
+        # still second-greening (q184/q185/q187 left as ordinary
+        # overflow in round 11 after their r10 green)
+        "q186_quality_model",
         "q188_incremental_retrieval", "q189_image_dedup_canonical",
         "q190_ann_recall",
+        # round-11 rotation: q201's named slot + the two round-11
+        # additions in-window from birth (r10 verdict items 2, 4, 8)
+        "q201_stream_quality_filter", "q202_mjpeg_mp4_decode",
+        "q203_stream_indexed_ann",
         # the round-10 new capabilities (immediate slots, q175-q177
         # precedent)
         "q191_occ_indexed_retrieval", "q192_ann_tune_nprobe",

@@ -1015,3 +1015,65 @@ def test_mp4_frame_sample_slices_real_samples(spark, sf_dir):
         src_frames = [raw[k::n] for k in range(n)]
         for i in range(2):
             assert got[(r.doc_id, i)] == src_frames[i * n // 2], (r.doc_id, i)
+
+
+def test_mjpeg_mp4_end_to_end_pixel_identical(spark, sf_dir):
+    """r10 verdict item 4: frames decoded OUT of a muxed MJPEG MP4 must
+    be pixel-identical to the source planes — container demux (stsc x
+    stco x stsz) and codec decode (T.81 Huffman/DCT) composing with
+    zero media libraries. Constant-block planes make the lossy codec
+    exact (the q127 argument)."""
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(12)
+    vids = multimodal.attach_mjpeg_mp4_payload(docs)
+    # n_frames == max total (4) so every stored frame is sampled at
+    # least once; picks i*total//4 for total in (2..4) stay in range
+    frames = {
+        (r.doc_id, r.frame_idx): bytes(r.frame)
+        for r in multimodal.frame_sample(vids, n_frames=4, fake=False)
+        .collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        bw, bh = r.doc_id % 8 + 2, r.doc_id % 6 + 2
+        total = r.doc_id % 3 + 2
+        raw = r.text.encode("utf-8")
+        for i in range(4):
+            src = i * total // 4
+            sl = raw[src * bw * bh : (src + 1) * bw * bh].ljust(
+                bw * bh, b"\x00"
+            )
+            blocks = np.frombuffer(sl, dtype=np.uint8).reshape(bh, bw)
+            want = np.repeat(np.repeat(blocks, 8, 0), 8, 1).tobytes()
+            assert frames[(r.doc_id, i)] == want, (r.doc_id, i)
+    # non-jpeg codecs still yield ENCODED samples (decode is ffmpeg's)
+    plain = multimodal.attach_mp4_payload(docs.limit(2))
+    with_meta = plain.withColumn(
+        "meta",
+        F.struct(
+            F.lit("video/mp4").alias("format"),
+            F.lit(1).alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(2).alias("n_frames"),
+        ),
+    )
+    out = multimodal.frame_sample(with_meta, n_frames=2, fake=False).collect()
+    assert len(out) == 4 and all(len(bytes(r.frame)) > 0 for r in out)
+
+
+def test_frame_pixel_stats_matches_numpy(spark):
+    """frame_pixel_stats integer stats == numpy ground truth, empty
+    frames survive with zeros."""
+    df = spark.createDataFrame(
+        [(1, 0, bytes([0, 1, 2, 255])), (1, 1, b""), (2, 0, bytes([7]))],
+        "doc_id long, frame_idx int, frame binary",
+    )
+    out = {
+        (r.doc_id, r.frame_idx): (r.n_px, r.sum_px, r.min_px, r.max_px)
+        for r in multimodal.frame_pixel_stats(df).collect()
+    }
+    assert out == {
+        (1, 0): (4, 258, 0, 255),
+        (1, 1): (0, 0, 0, 0),
+        (2, 0): (1, 7, 7, 7),
+    }

@@ -617,3 +617,61 @@ def test_update_ivfpq_index_occ_delta_lifecycle(spark, sf_dir, tmp_path):
     s2 = sorted(map(tuple, similarity.ivfpq_topk_indexed_occ(
         spark, base, q, nprobe=2, topk=5, id_col="vec_id").collect()))
     assert s1 == s2 and len(s1) == 15
+
+
+def test_stream_update_ivfpq_index_equals_batch_delta(spark, sf_dir, tmp_path):
+    """The streaming maintenance face for vectors (r10 verdict item 8):
+    bootstrap snapshot + one OCC delta per micro-batch must serve the
+    exact same IVF-PQ ranking as the single-batch delta path, a
+    replayed batch no-ops on its marker tag, and the version count
+    equals bootstrap + batches."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark import sink
+    from hive_cassandra_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F2.col("vec_id") < 120
+    )
+    even = F2.col("vec_id") % 2 == 0
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    r1 = sim.build_ivfpq_index_occ(
+        spark, emb.filter(even), idx, n_cells=8, m=4, k_codes=8
+    )
+    assert r1["committed"] and r1["version"] == 1
+    emb.filter(~even).repartition(3).write.parquet(src)
+    stream_emb = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = sim.stream_update_ivfpq_index(spark, stream_emb, idx, ckpt)
+    q.awaitTermination()
+    assert sink.store_version(idx) == 4  # 1 bootstrap + 3 micro-batches
+    tags = set(sink.store_tags(idx).values())
+    assert {"stream-0", "stream-1", "stream-2"} <= tags
+    # replayed batch no-ops on the marker tag — content untouched
+    n_assign = sink.occ_read_table(spark, idx, "assignments").count()
+    r = sim.update_ivfpq_index_occ(
+        spark, idx, emb.filter(~even), batch_id="stream-1"
+    )
+    assert r["already_applied"] and sink.store_version(idx) == 4
+    assert sink.occ_read_table(spark, idx, "assignments").count() == n_assign
+    # exactly-once coverage: every vector assigned exactly once
+    assert n_assign == emb.count()
+    # served ranking == the single-delta batch path's
+    batch_idx = str(tmp_path / "batch_idx")
+    sim.build_ivfpq_index_occ(
+        spark, emb.filter(even), batch_idx, n_cells=8, m=4, k_codes=8
+    )
+    sim.update_ivfpq_index_occ(
+        spark, batch_idx, emb.filter(~even), batch_id="d1"
+    )
+    qv = emb.filter(F2.col("vec_id") < 3)
+    streamed = sorted(map(tuple, sim.ivfpq_topk_indexed_occ(
+        spark, idx, qv, nprobe=2, topk=5, id_col="vec_id").collect()))
+    batch = sorted(map(tuple, sim.ivfpq_topk_indexed_occ(
+        spark, batch_idx, qv, nprobe=2, topk=5, id_col="vec_id").collect()))
+    assert streamed == batch and len(streamed) == 15
