@@ -104,32 +104,81 @@ NOTES = {
         "rankings being evaluated, which is the point of the report."
     ),
     "q189_image_dedup_canonical": (
-        "the production image-dedup output: q180's dhash pairs feed the "
-        "min-label component rounds (hash-partitioned join + min agg per "
-        "round, localCheckpoint truncation, convergence by scalar sum) "
-        "and one max_by per component picks the keeper. Pair space is "
-        "quadratic in dense-duplicate regimes (SCALING_r09 cand_pairs); "
-        "the cluster output is LINEAR in docs, and the quality join "
-        "touches only clustered ids — O(duplicates), never O(corpus)."
+        "the production image-dedup output: q180's banded engine feeds a "
+        "connectivity-sufficient star/rep edge set (exact duplicates "
+        "hang off their signature's representative; near-dup edges join "
+        "representatives only — LINEAR in docs, never the full pair "
+        "expansion), Shiloach-Vishkin pointer jumping labels components "
+        "in O(log n) rounds (localCheckpoint truncation, convergence by "
+        "scalar sum), and one max_by per component picks the keeper. "
+        "Candidate generation is quadratic only in DISTINCT near-dup "
+        "signatures after the exact-signature pre-collapse (SCALING_r10: "
+        "10x wall 47.8->6.1 s vs r09, monotone cand_pairs at 20x with no "
+        "cap firing); the quality join touches only clustered ids — "
+        "O(duplicates), never O(corpus)."
     ),
     "q187_bpe_apply": (
         "the serving half of the tokenizer pair: the learned merge "
         "table (parameter-bounded) collects as a literal LUT and the "
         "encode is ONE projection — a chain of literal replaces — over "
         "the (word, count) vocabulary; the token histogram is one "
-        "map-side-combined aggregate and the dense-id window ranks the "
-        "VOCABULARY only. Timed cost is dominated by re-learning the "
-        "merges (q184's chain); the encode itself adds a vocab-sized "
-        "projection."
+        "map-side-combined aggregate and the dense ids come from the "
+        "two-phase distributed global rank (since round 11 — the "
+        "vocabulary grows with the corpus under Heaps' law, so it "
+        "never funnels through one task). Timed cost is dominated by "
+        "re-learning the merges (q184's chain); the encode itself adds "
+        "a vocab-sized projection."
+    ),
+    "q193_bpe_tokenize_docs": (
+        "the production tokenize-to-ids path after r10 verdict item 1: "
+        "the corpus parses ONCE into the distinct (word, count) "
+        "vocabulary, the merge chain runs on the vocabulary, token ids "
+        "ride the two-phase distributed rank, and the vocab joins back "
+        "to corpus words carry NO broadcast hint — AQE broadcasts "
+        "while the vocabulary fits the threshold and degrades to a "
+        "shuffle join on w/token when it doesn't (plan-asserted in "
+        "test_text), so a billion-row crawl vocabulary can no longer "
+        "OOM the driver. Per-doc shuffles track volume linearly "
+        "(SCALING_r11)."
     ),
     "q188_incremental_retrieval": (
-        "the index delta job: only the odd-half documents are scanned "
-        "(postings explode + stats), their postings APPEND to the "
-        "artifact, and the one-row stats merge from exact (n, s) sums "
-        "— the even half is never rescanned. Serving reads only the "
+        "the index delta job, OCC-routed since round 11 (the legacy "
+        "append-then-rename-swap path was deleted — one maintenance "
+        "path, one crash semantics): only the odd-half documents are "
+        "scanned (postings explode + stats), the delta postings + "
+        "merged (n, s) stats publish under ONE version marker, and the "
+        "even half is never rescanned. Serving reads only the "
         "refreshed artifact (q176's zero-document-scan contract); the "
         "oracle is q135's full-corpus BM25, so the hash is the "
         "merge-equals-rebuild proof."
+    ),
+    "q201_stream_quality_filter": (
+        "the stateless streaming face of q194: the trained ≤2^k-row "
+        "hashed weight table folds into ONE literal-map projection "
+        "(aggregate/transform over the exploded trigram buckets — zero "
+        "joins, zero state, zero shuffle per micro-batch), so ingest "
+        "filtering runs at file-stream speed; the oracle is q194's "
+        "batch formulation verbatim."
+    ),
+    "q202_mjpeg_mp4_decode": (
+        "end-to-end video decode with zero media libraries: mux real "
+        "baseline JPEGs into ISO BMFF (stsd codec 'jpeg'), demux via "
+        "the stsc x stco x stsz sample join, Huffman+dequant+IDCT each "
+        "sampled frame, and reduce to ~50-byte integer stats per frame "
+        "— all inside per-doc Arrow kernels: pixel planes and payload "
+        "bytes never shuffle, so the pipeline is embarrassingly "
+        "parallel and scales with docs; decode is pixel-exact "
+        "(constant-block DC argument), which the oracle replays "
+        "byte-for-byte."
+    ),
+    "q203_stream_indexed_ann": (
+        "the vector-side q196: bootstrap IVF-PQ snapshot (v1) + one OCC "
+        "delta per micro-batch (v2-v4), each encoding ONLY its batch "
+        "under the artifact's FROZEN quantizers (Faiss add() "
+        "semantics), + a replayed-batch no-op probe + artifact-only "
+        "serving. Expensive in the bench because it is 4 commit cycles "
+        "+ a serve in one query; the recurring 100 TB cost is one "
+        "delta per micro-batch scanning only that batch."
     ),
     "q184_bpe_merges_bytes": (
         "q179's merge machinery over the 256-symbol byte alphabet: the "
@@ -810,8 +859,11 @@ def _scaling_section() -> str:
     import json as _json
     import os as _os
 
-    path = "/root/repo/SCALING_r09.json"
-    for fallback in ("SCALING_r08.json", "SCALING_r07.json", "SCALING_r06.json"):
+    path = "/root/repo/SCALING_r11.json"
+    for fallback in (
+        "SCALING_r10.json", "SCALING_r09.json", "SCALING_r08.json",
+        "SCALING_r07.json", "SCALING_r06.json",
+    ):
         if _os.path.exists(path):
             break
         path = f"/root/repo/{fallback}"
@@ -821,10 +873,18 @@ def _scaling_section() -> str:
     if _os.path.exists("/root/repo/SCALING_r08_20x.json"):
         with open("/root/repo/SCALING_r08_20x.json") as f:
             extra20 = _json.load(f)
-    extra20_r09 = None
-    if _os.path.exists("/root/repo/SCALING_r09_20x.json"):
-        with open("/root/repo/SCALING_r09_20x.json") as f:
-            extra20_r09 = _json.load(f)
+    # later rounds' 20x files share one per-query {a, b} format — render
+    # the NEWEST one only (it supersedes the older measurement of the
+    # same tier; the files stay in git for history)
+    extra20_late = None
+    extra20_late_name = None
+    for rnd in ("r11", "r10", "r09"):
+        p = f"/root/repo/SCALING_{rnd}_20x.json"
+        if _os.path.exists(p):
+            with open(p) as f:
+                extra20_late = _json.load(f)
+            extra20_late_name = f"SCALING_{rnd}_20x.json"
+            break
     with open(path) as f:
         data = _json.load(f)
     pts = data["points"]
@@ -936,20 +996,21 @@ def _scaling_section() -> str:
             "join as the opt-in audit.",
             "",
         ]
-    if extra20_r09:
+    if extra20_late:
         lines += [
-            "### Round-9 additions at the 20× point (SCALING_r09_20x.json)",
+            f"### Pair-join tier + index builds at the 20× point "
+            f"({extra20_late_name})",
             "",
             "| query | sec | shuffle (MB) | candidate pairs | artifact (MB) |",
             "|---|---|---|---|---|",
         ]
-        for name, r in extra20_r09["queries"].items():
+        for name, r in extra20_late["queries"].items():
             b = r["b"]
             lines.append(
                 f"| {name} | {b['sec']} | {b['shuffle_mb']} | "
                 f"{b.get('cand_pairs', '—')} | {b.get('artifact_mb', '—')} |"
             )
-        lines += ["", extra20_r09.get("note", ""), ""]
+        lines += ["", extra20_late.get("note", ""), ""]
     return "\n".join(lines)
 
 

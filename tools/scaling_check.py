@@ -37,7 +37,7 @@ Round-9 additions (r08 verdict items 6 + 7):
   dense-duplicate regime the replicas create (letter bijections preserve
   pixel gradients, so replicas are perceptual near-dups of each other).
 
-Writes SCALING_r10.json at the repo root (rendered into PLANS.md by
+Writes SCALING_r11.json at the repo root (rendered into PLANS.md by
 tools/plan_audit.py) and prints it.
 
 Usage: python tools/scaling_check.py [--replicas N[,M...]] [--trials T]
@@ -178,6 +178,17 @@ QUERIES_UNDER_TEST = [
     "q195_dsir_selection",
     "q197_containment_dedup",
     "q198_kcenter_diversity",
+    # round-11 additions. q193 (r10 verdict item 1's done condition):
+    # corpus BPE tokenization AFTER the forced-vocab-broadcast removal
+    # and the two-phase token-id rank — per-doc (doc, word)/(doc, token)
+    # shuffles must track volume linearly and output rows (distinct
+    # (doc, token) pairs) must grow; the vocab joins carry NO hint, so
+    # the plan degrades to shuffle joins when the vocabulary outgrows
+    # the threshold instead of OOMing. q202: end-to-end MJPEG-in-MP4
+    # decode — pure per-doc codec kernels (mux + demux + T.81 decode),
+    # zero joins, wall must track docs with output = 3 rows/doc.
+    "q193_bpe_tokenize_docs",
+    "q202_mjpeg_mp4_decode",
 ]
 
 # r07 verdict item 5: for the pair-join queries the scaling table must
@@ -292,6 +303,8 @@ EXPECT_ROWS = {
     "q195_dsir_selection": "grows",
     "q197_containment_dedup": "grows",
     "q198_kcenter_diversity": "fixed",
+    "q193_bpe_tokenize_docs": "grows",
+    "q202_mjpeg_mp4_decode": "grows",
 }
 # q98 reads the frequency-preserving documents replica: token counts must
 # scale WITH the corpus for the MG threshold to keep the same survivors
@@ -630,15 +643,15 @@ def main() -> None:
             )
         out["queries"][name] = rec
         print(f"# {name}: {json.dumps(rec)}", file=sys.stderr)
-    if only is not None and os.path.exists("/root/repo/SCALING_r10.json"):
+    if only is not None and os.path.exists("/root/repo/SCALING_r11.json"):
         # --only refreshes a subset: merge into the existing rows rather
         # than discarding the un-rerun queries' measurements
-        with open("/root/repo/SCALING_r10.json") as f:
+        with open("/root/repo/SCALING_r11.json") as f:
             prev = json.load(f)
         merged = prev.get("queries", {})
         merged.update(out["queries"])
         out["queries"] = merged
-    with open("/root/repo/SCALING_r10.json", "w") as f:
+    with open("/root/repo/SCALING_r11.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     if failures:
