@@ -336,3 +336,16 @@ def test_dynamic_partition_pruning_query_plants_runtime_filter(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert df.count() > 0
+
+
+def test_mjpeg_mp4_pipeline_single_roundrobin_exchange(spark, sf_dir):
+    """q202's whole mux→demux→decode→stats pipeline is per-doc Arrow
+    kernels: the ONLY Exchange allowed is the initial round-robin spread
+    (the q127 small-file lesson) — pixel planes and payload bytes must
+    never shuffle, and there is no join anywhere."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q202_mjpeg_mp4_decode")
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+    assert "RoundRobin" in plan
+    assert "Join" not in plan, plan
