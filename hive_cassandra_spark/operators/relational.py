@@ -1185,9 +1185,14 @@ def association_rules(
     cb = item_supp.select(
         F.col("item").alias("item_b"), F.col("c_item").alias("c_b")
     )
+    # NO broadcast hint on the item-support joins: the item catalog is
+    # data-sized (a 100 TB event log's distinct items can reach billions),
+    # so a forced hint would override the threshold and OOM — AQE
+    # broadcasts while it fits and shuffle-joins on the item key when it
+    # doesn't (the r10-verdict q193 lesson). The 1-row n stays hinted.
     return (
-        pairs.join(F.broadcast(ca), "item_a")
-        .join(F.broadcast(cb), "item_b")
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
         .crossJoin(F.broadcast(n))
         .select(
             "item_a",

@@ -359,11 +359,20 @@ def bm25_topk(
     """
     if post is None:
         post = postings(df, id_col, text_col)
-    stats = term_stats(post)
     if corpus is None:
-        corpus = corpus_stats(df, post, id_col)
+        corpus = corpus_stats(df, post, id_col)  # needs the FULL postings
+    # Restrict postings to the query terms BEFORE deriving term stats:
+    # the full term vocabulary grows with the corpus (Heaps' law), so
+    # broadcasting term_stats(post) wholesale — the pre-r11 shape —
+    # would OOM at exactly the scale the index exists for. Restricted,
+    # the stats side is query-term-sized (bounded by the caller's query
+    # list), the broadcast hint is provably safe, and the df/tf values
+    # are identical (a term's stats depend only on its own postings).
+    qterms = queries.select("term").distinct()
+    post_q = post.join(F.broadcast(qterms), "term")
+    stats = term_stats(post_q)
     scored = with_bm25_term_score(
-        queries.join(post, "term")
+        queries.join(post_q, "term")
         .join(F.broadcast(stats), "term")
         .crossJoin(F.broadcast(corpus))
     ).groupBy("query_id", "id").agg(F.sum("term_score").alias("score"))

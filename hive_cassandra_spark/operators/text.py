@@ -355,9 +355,12 @@ def collocations(
     word2vec; 1000 ≈ independence for the scaled score.
 
     Scale shape: two map-side-combinable groupBys (bigram counts, unigram
-    counts) — the unigram table is vocabulary-sized, so the join that
-    attaches c_a/c_b broadcasts; nothing in the pipeline is row-quadratic
-    and no float enters the output.
+    counts). The unigram table is VOCABULARY-sized — corpus-dependent
+    under Heaps' law — so the joins that attach c_a/c_b carry NO
+    broadcast hint (the r10-verdict q193 lesson applied here too): AQE
+    broadcasts while the vocabulary fits the threshold and degrades to a
+    shuffle join on the token key when it doesn't. Nothing in the
+    pipeline is row-quadratic and no float enters the output.
 
     Output: (tok_a, tok_b, support, score_x1000), support ≥ min_support.
     """
@@ -384,8 +387,8 @@ def collocations(
     num = (F.lit(1000) * (F.col("support") - discount) * F.col("n")).cast("long")
     den = (F.col("cnt_a") * F.col("cnt_b")).cast("long")
     return (
-        bg.join(F.broadcast(ua), "tok_a")
-        .join(F.broadcast(ub), "tok_b")
+        bg.join(ua, "tok_a")
+        .join(ub, "tok_b")
         .join(F.broadcast(n_tokens))
         .select(
             "tok_a",
