@@ -555,6 +555,10 @@ def main() -> None:
         "metric": "multi_point_scaling",
         "points": points,
         "trials": trials,
+        # measurement-integrity stamp (the bench.py idle-gate discipline,
+        # r10 verdict item 7): a hot box inflates wall-clock rows, so the
+        # artifact records the load it was measured under
+        "load1_at_start": round(os.getloadavg()[0], 2),
         "queries": {},
     }
     mult = {"a": 1}
