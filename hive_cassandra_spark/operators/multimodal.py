@@ -1772,10 +1772,15 @@ def frame_sample(df: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFra
     (explode-shaped mapInPandas).
 
     ``fake=True``: frame = deterministic byte slice. ``fake=False``: REAL
-    kernel for the ``raw`` format — the payload is a sequence of
-    meta.width x meta.height byte frames; n_frames are sampled at evenly
-    spaced frame indices (requires the ``meta`` struct column). Container
-    formats (MP4 etc.) still need ffmpeg — stubbed at that branch."""
+    kernels — ``raw`` payloads are a sequence of meta.width x meta.height
+    byte frames sampled at evenly spaced indices; ``image/gif`` decodes
+    every LZW frame; ``video/mp4`` resolves the sample table and slices
+    samples out of mdat, and when the track's stsd codec is ``jpeg``
+    (MJPEG-in-MP4) each sampled frame is FULLY DECODED to its gray8
+    pixel plane by the repo's own T.81 decoder — container and codec
+    both library-free. Other MP4 codec fourccs yield the ENCODED sample
+    bytes (their decode is ffmpeg's — the honest boundary). Requires the
+    ``meta`` struct column."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1805,12 +1810,13 @@ def frame_sample(df: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFra
                         continue
                     if fmt == "video/mp4":
                         # REAL ISO BMFF path: resolve the sample table
-                        # (stsc x stco x stsz) and slice samples straight
-                        # out of mdat. When stsd declares codec 'jpeg'
-                        # (MJPEG-in-MP4 — QuickTime's motion-JPEG track
-                        # layout), each sample IS a baseline JPEG and the
-                        # repo's own T.81 decoder takes it the rest of
-                        # the way to pixels: container + codec are both
+                        # (stsc x stco x stsz) ONCE and slice samples
+                        # straight out of mdat. When the SAME track's
+                        # stsd declares codec 'jpeg' (MJPEG-in-MP4 —
+                        # QuickTime's motion-JPEG track layout), each
+                        # sample IS a baseline JPEG and the repo's own
+                        # T.81 decoder takes it the rest of the way to
+                        # pixels: container + codec are both
                         # library-free. Other codec fourccs yield the
                         # ENCODED samples (their decode is ffmpeg's).
                         raw = bytes(buf)
@@ -1821,13 +1827,10 @@ def frame_sample(df: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFra
                                 "samples (empty stsz) — nothing to sample"
                             )
                         total = len(table)
-                        picks = [i * total // n_frames for i in range(n_frames)]
-                        mjpeg = (
-                            mp4_metadata_bytes(raw).get("codec") == "jpeg"
-                        )
-                        for i, sample in zip(
-                            range(n_frames), mp4_extract_samples(raw, picks)
-                        ):
+                        mjpeg = mp4_sample_codec(raw) == "jpeg"
+                        for i in range(n_frames):
+                            off, size = table[i * total // n_frames]
+                            sample = raw[off : off + size]
                             ids.append(doc_id)
                             idxs.append(i)
                             frames.append(
@@ -2675,25 +2678,57 @@ def _mp4_track_info(data: bytes, ts: int, te: int) -> dict | None:
     return info
 
 
-def mp4_sample_table(data: bytes) -> list[tuple[int, int]]:
-    """(absolute_offset, size) of every sample of the first track, by
-    joining stsc chunk runs with stco offsets and stsz sizes — the
-    general multi-chunk resolution, not just this muxer's single-chunk
-    layout. This is how encoded samples are located WITHOUT any codec."""
+def _mp4_select_stbl(data: bytes) -> tuple[int, int]:
+    """The stbl span of the track every sample-level reader uses:
+    prefer the first track whose hdlr handler is 'vide' (matching
+    ``mp4_metadata_bytes``'s track preference — the codec decision and
+    the sample source must come from the SAME track, or an audio-first
+    file would be probed as video and sliced as audio), falling back to
+    the first track carrying an stbl when no video track exists."""
     span = _mp4_child(data, 0, len(data), b"moov")
     if span is None:
         raise ValueError("not an MP4: no moov box")
-    stbl = None
+    first = None
     for btype, b, e in mp4_boxes(data, span[0], span[1]):
-        if btype == b"trak":
-            mdia = _mp4_child(data, b, e, b"mdia")
-            minf = mdia and _mp4_child(data, mdia[0], mdia[1], b"minf")
-            stbl = minf and _mp4_child(data, minf[0], minf[1], b"stbl")
-            if stbl:
-                break
-    if not stbl:
+        if btype != b"trak":
+            continue
+        mdia = _mp4_child(data, b, e, b"mdia")
+        if not mdia:
+            continue
+        stbl_ = None
+        minf = _mp4_child(data, mdia[0], mdia[1], b"minf")
+        stbl_ = minf and _mp4_child(data, minf[0], minf[1], b"stbl")
+        if not stbl_:
+            continue
+        if first is None:
+            first = stbl_
+        hdlr = _mp4_child(data, mdia[0], mdia[1], b"hdlr")
+        if hdlr and data[hdlr[0] + 8 : hdlr[0] + 12] == b"vide":
+            return stbl_
+    if first is None:
         raise ValueError("no sample table")
-    sb, se = stbl
+    return first
+
+
+def mp4_sample_codec(data: bytes) -> str:
+    """stsd codec fourcc of the track ``mp4_sample_table`` reads — by
+    construction the SAME track selection, so a decode decision based on
+    this fourcc always matches the extracted sample bytes."""
+    sb, se = _mp4_select_stbl(data)
+    stsd = _mp4_child(data, sb, se, b"stsd")
+    if stsd:
+        for btype, b, e in mp4_boxes(data, stsd[0] + 8, stsd[1]):
+            return btype.decode("ascii")
+    return ""
+
+
+def mp4_sample_table(data: bytes) -> list[tuple[int, int]]:
+    """(absolute_offset, size) of every sample of the first VIDEO track
+    (first track with an stbl when none is video — ``_mp4_select_stbl``),
+    by joining stsc chunk runs with stco offsets and stsz sizes — the
+    general multi-chunk resolution, not just this muxer's single-chunk
+    layout. This is how encoded samples are located WITHOUT any codec."""
+    sb, se = _mp4_select_stbl(data)
 
     def full_payload(fourcc: bytes) -> tuple[int, int]:
         c = _mp4_child(data, sb, se, fourcc)

@@ -251,7 +251,6 @@ def update_postings_index_occ(
     no-ops — the double-append corruption mode is structurally gone.
     Returns {docs_added, tokens_added, n, a, version, conflicts,
     already_applied}."""
-    import os as _os
     import time as _time
 
     from hive_cassandra_spark import sink
@@ -305,16 +304,16 @@ def update_postings_index_occ(
         conflicts += 1
         if res["claim_pending"]:
             # the occ_compact_store grace discipline: wait out a possibly
-            # LIVE claimant, sweep only once the claim outlives the grace
-            claim = _os.path.join(
-                path, f"_occ-claim-{res['version'] + 1:09d}"
-            )
+            # LIVE claimant, sweep only once the claim outlives the
+            # grace. Claim age rides the pluggable backend (an
+            # object-store deployment has no local claim dir to stat).
             while True:
                 if sink.store_version(path) > res["version"]:
                     break
-                try:
-                    age = _time.time() - _os.path.getmtime(claim)
-                except OSError:
+                age = sink.OCC_CLAIM_BACKEND.claim_age_s(
+                    path, res["version"] + 1
+                )
+                if age == float("inf"):
                     break
                 if age >= claim_grace_s:
                     sink.occ_recover(path, min_age_s=claim_grace_s)

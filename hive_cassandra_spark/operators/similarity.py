@@ -1444,7 +1444,6 @@ def update_ivfpq_index_occ(
     stale writer fails closed and retries against refreshed state
     (the update_postings_index_occ grace discipline). Returns
     {vecs_added, version, conflicts, already_applied}."""
-    import os as _os
     import time as _time
 
     from hive_cassandra_spark import sink
@@ -1532,15 +1531,15 @@ def update_ivfpq_index_occ(
             }
         conflicts += 1
         if resc["claim_pending"]:
-            claim = _os.path.join(
-                path, f"_occ-claim-{resc['version'] + 1:09d}"
-            )
+            # claim age rides the pluggable backend (an object-store
+            # deployment has no local claim dir to stat)
             while True:
                 if sink.store_version(path) > resc["version"]:
                     break
-                try:
-                    age = _time.time() - _os.path.getmtime(claim)
-                except OSError:
+                age = sink.OCC_CLAIM_BACKEND.claim_age_s(
+                    path, resc["version"] + 1
+                )
+                if age == float("inf"):
                     break
                 if age >= claim_grace_s:
                     sink.occ_recover(path, min_age_s=claim_grace_s)

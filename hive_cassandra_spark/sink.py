@@ -579,8 +579,16 @@ class LocalFSClaimBackend:
       DynamoDB ``attribute_not_exists`` put works the same.
     - ``publish(path, version, content)`` makes the version marker
       visible atomically (readers either see the whole marker or no
-      marker). Only the claim winner may call it. Local: write
-      ``_occ-v%09d``. S3: plain PUT (single-object PUTs are atomic).
+      marker). Only the claim winner may call it. The marker MUST land
+      at ``<path>/_occ-v%09d`` on the same filesystem abstraction that
+      serves ``path``'s data files — ``store_version`` / ``occ_read*``
+      / ``store_tags`` list markers there directly, so a backend that
+      publishes markers elsewhere (e.g. only into a lock table) would
+      leave readers blind to committed versions and recovery would
+      sweep LIVE commits. On S3 that filesystem IS the bucket (an
+      s3fs/fsspec mount or the committer's S3 client — a single-object
+      PUT is atomic, which is all publish needs); the claim atomics are
+      what S3 LACKS, and they are the part a backend replaces.
     - ``claim_token / pending_claims / claim_age_s / abandon`` serve
       ``occ_recover``: enumerate claims with no published marker, age
       them (a conditional-PUT backend uses the object's Last-Modified),
@@ -1134,16 +1142,15 @@ def occ_compact_store(
         if res["claim_pending"]:
             # wait out the grace window (polling for the marker / version
             # advance — a LIVE claimant publishing turns this into a
-            # normal refresh), then sweep only claims older than it
-            claim = _os.path.join(
-                path, f"_occ-claim-{res['version'] + 1:09d}"
-            )
+            # normal refresh), then sweep only claims older than it.
+            # Claim age comes from the pluggable backend, never a local
+            # getmtime: under an object-store backend there IS no local
+            # claim dir, and bypassing the seam would break recovery.
             while True:
                 if store_version(path) > res["version"]:
                     break  # claimant published — ordinary conflict retry
-                try:
-                    age = _time.time() - _os.path.getmtime(claim)
-                except OSError:
+                age = OCC_CLAIM_BACKEND.claim_age_s(path, res["version"] + 1)
+                if age == float("inf"):
                     break  # claim gone (recovered elsewhere / published)
                 if age >= claim_grace_s:
                     occ_recover(path, min_age_s=claim_grace_s)

@@ -1077,3 +1077,59 @@ def test_frame_pixel_stats_matches_numpy(spark):
         (1, 1): (0, 0, 0, 0),
         (2, 0): (1, 7, 7, 7),
     }
+
+
+def test_mp4_audio_first_track_selection_consistent():
+    """Codec decision and sample source must come from the SAME track:
+    an MP4 whose FIRST stbl-bearing track is audio ('soun') followed by
+    a video track with jpeg samples must probe codec='jpeg', slice the
+    VIDEO track's samples, and frame_sample must decode them — not feed
+    audio bytes to the JPEG decoder."""
+    import struct
+
+    import numpy as np
+
+    from hive_cassandra_spark.operators import multimodal as mm
+
+    plane = np.full((8, 8), 7, dtype=np.uint8)
+    jpeg = mm.encode_jpeg_gray8(plane)
+    audio = b"\x01\x02\x03\x04"
+    full = lambda t, p: mm._mp4_full(t, 0, 0, p)  # noqa: E731
+
+    def trak(handler, codec, sample_len, offset):
+        stsd = full(
+            b"stsd", struct.pack(">I", 1) + mm._mp4_box(codec, b"\x00" * 78)
+        )
+        stsz = full(
+            b"stsz", struct.pack(">II", 0, 1) + struct.pack(">I", sample_len)
+        )
+        stsc = full(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, 1, 1))
+        stco = full(b"stco", struct.pack(">I", 1) + struct.pack(">I", offset))
+        stbl = mm._mp4_box(b"stbl", stsd + stsz + stsc + stco)
+        minf = mm._mp4_box(b"minf", stbl)
+        hdlr = full(
+            b"hdlr", struct.pack(">I", 0) + handler + b"\x00" * 12 + b"h\x00"
+        )
+        mdia = mm._mp4_box(b"mdia", hdlr + minf)
+        return mm._mp4_box(b"trak", mdia)
+
+    def build(audio_off, video_off):
+        moov = mm._mp4_box(
+            b"moov",
+            trak(b"soun", b"mp4a", len(audio), audio_off)
+            + trak(b"vide", b"jpeg", len(jpeg), video_off),
+        )
+        return moov
+
+    base = len(build(0, 0)) + 8
+    data = build(base, base + len(audio)) + mm._mp4_box(b"mdat", audio + jpeg)
+    # sample-level readers pick the VIDEO track
+    assert mm.mp4_sample_codec(data) == "jpeg"
+    assert mm.mp4_sample_table(data) == [(base + len(audio), len(jpeg))]
+    assert mm.mp4_extract_samples(data, [0]) == [jpeg]
+    # metadata probe agrees (vide-preferred since round 11)
+    meta = mm.mp4_metadata_bytes(data)
+    assert meta["codec"] == "jpeg" and meta["n_tracks"] == 2
+    # the decode routing composes: the sliced sample IS a decodable JPEG
+    w, h, px = mm.decode_jpeg_gray8(mm.mp4_extract_samples(data, [0])[0])
+    assert (w, h) == (8, 8) and np.array_equal(px, plane)
