@@ -1820,14 +1820,14 @@ def frame_sample(df: DataFrame, n_frames: int = 3, fake: bool = True) -> DataFra
                         # library-free. Other codec fourccs yield the
                         # ENCODED samples (their decode is ffmpeg's).
                         raw = bytes(buf)
-                        table = mp4_sample_table(raw)
+                        codec, table = mp4_codec_and_samples(raw)
                         if not table:
                             raise ValueError(
                                 f"mp4 payload for doc {doc_id} has no "
                                 "samples (empty stsz) — nothing to sample"
                             )
                         total = len(table)
-                        mjpeg = mp4_sample_codec(raw) == "jpeg"
+                        mjpeg = codec == "jpeg"
                         for i in range(n_frames):
                             off, size = table[i * total // n_frames]
                             sample = raw[off : off + size]
@@ -2603,24 +2603,42 @@ def _mp4_child(data: bytes, start: int, end: int, fourcc: bytes):
     return None
 
 
-def mp4_metadata_bytes(data: bytes) -> dict:
-    """Probe an MP4: movie timescale/duration, track count, and the
-    first video track's handler, codec fourcc, dimensions, and sample
-    stats — pure box walking per ISO/IEC 14496-12, version-0 tables
-    (version-1 64-bit variants raise NotImplementedError — a guard
-    branch, not a stub: every field this repo writes is v0)."""
+def _mp4_pick_track(
+    tracks: list[tuple[dict | None, tuple[int, int] | None]],
+) -> int | None:
+    """The ONE track-selection policy every MP4 reader in this module
+    shares (metadata probe, codec probe, sample slicing): prefer the
+    first track whose hdlr handler is 'vide' AND that carries a sample
+    table, else the first track carrying a sample table, else the first
+    track carrying any info at all (metadata-only — sample readers
+    raise on a table-less pick). One policy means the codec decision,
+    the probe output, and the sliced sample bytes always come from the
+    SAME track, even for malformed multi-track files whose first track
+    is stbl-less."""
+    first_stbl = first_info = None
+    for i, (info, stbl) in enumerate(tracks):
+        if stbl is not None:
+            if (info or {}).get("handler") == "vide":
+                return i
+            if first_stbl is None:
+                first_stbl = i
+        if info is not None and first_info is None:
+            first_info = i
+    return first_stbl if first_stbl is not None else first_info
+
+
+def _mp4_scan_moov(
+    data: bytes,
+) -> tuple[dict, list[tuple[dict | None, tuple[int, int] | None]]]:
+    """One moov walk: (movie header fields + track count, per-trak
+    (info, stbl span)). Shared by the probe and the sample readers so
+    track selection cannot diverge between them."""
     span = _mp4_child(data, 0, len(data), b"moov")
     if span is None:
         raise ValueError("not an MP4: no moov box")
-    ms, me = span
     out: dict = {"n_tracks": 0}
-    # Prefer the first track whose hdlr handler is 'vide' (the docstring's
-    # "first video track" — an audio-first multi-track file must not
-    # report its audio codec as the video metadata); fall back to the
-    # first track carrying any info when no video track exists.
-    first_info: dict | None = None
-    vide_info: dict | None = None
-    for btype, b, e in mp4_boxes(data, ms, me):
+    tracks: list[tuple[dict | None, tuple[int, int] | None]] = []
+    for btype, b, e in mp4_boxes(data, span[0], span[1]):
         if btype == b"mvhd":
             ver = data[b]
             if ver != 0:
@@ -2628,19 +2646,29 @@ def mp4_metadata_bytes(data: bytes) -> dict:
             out["timescale"], out["duration"] = struct.unpack_from(">II", data, b + 12)
         elif btype == b"trak":
             out["n_tracks"] += 1
-            t = _mp4_track_info(data, b, e)
-            if t is None:
-                continue
-            if first_info is None:
-                first_info = t
-            if vide_info is None and t.get("handler") == "vide":
-                vide_info = t
-    if vide_info is not None or first_info is not None:
-        out.update(vide_info if vide_info is not None else first_info)
+            tracks.append(_mp4_track_info(data, b, e))
+    return out, tracks
+
+
+def mp4_metadata_bytes(data: bytes) -> dict:
+    """Probe an MP4: movie timescale/duration, track count, and the
+    selected track's handler, codec fourcc, dimensions, and sample
+    stats — pure box walking per ISO/IEC 14496-12, version-0 tables
+    (version-1 64-bit variants raise NotImplementedError — a guard
+    branch, not a stub: every field this repo writes is v0). Track
+    selection is ``_mp4_pick_track`` — the same policy the sample
+    readers use, so the probe always describes the track that would be
+    sliced."""
+    out, tracks = _mp4_scan_moov(data)
+    pick = _mp4_pick_track(tracks)
+    if pick is not None and tracks[pick][0] is not None:
+        out.update(tracks[pick][0])
     return out
 
 
-def _mp4_track_info(data: bytes, ts: int, te: int) -> dict | None:
+def _mp4_track_info(
+    data: bytes, ts: int, te: int
+) -> tuple[dict | None, tuple[int, int] | None]:
     info: dict = {}
     tkhd = _mp4_child(data, ts, te, b"tkhd")
     if tkhd:
@@ -2651,14 +2679,14 @@ def _mp4_track_info(data: bytes, ts: int, te: int) -> dict | None:
         info["width"], info["height"] = w >> 16, h >> 16
     mdia = _mp4_child(data, ts, te, b"mdia")
     if not mdia:
-        return None
+        return (None, None)
     hdlr = _mp4_child(data, mdia[0], mdia[1], b"hdlr")
     if hdlr:
         info["handler"] = data[hdlr[0] + 8 : hdlr[0] + 12].decode("ascii")
     minf = _mp4_child(data, mdia[0], mdia[1], b"minf")
     stbl = minf and _mp4_child(data, minf[0], minf[1], b"stbl")
     if not stbl:
-        return info or None
+        return (info or None, None)
     stsd = _mp4_child(data, stbl[0], stbl[1], b"stsd")
     if stsd:
         for btype, b, e in mp4_boxes(data, stsd[0] + 8, stsd[1]):
@@ -2675,46 +2703,22 @@ def _mp4_track_info(data: bytes, ts: int, te: int) -> dict | None:
             sizes = struct.unpack_from(f">{n}I", data, stsz[0] + 12)
             info["sample_bytes"] = int(sum(sizes))
             info["max_sample_bytes"] = int(max(sizes)) if n else 0
-    return info
+    return (info, stbl)
 
 
 def _mp4_select_stbl(data: bytes) -> tuple[int, int]:
-    """The stbl span of the track every sample-level reader uses:
-    prefer the first track whose hdlr handler is 'vide' (matching
-    ``mp4_metadata_bytes``'s track preference — the codec decision and
-    the sample source must come from the SAME track, or an audio-first
-    file would be probed as video and sliced as audio), falling back to
-    the first track carrying an stbl when no video track exists."""
-    span = _mp4_child(data, 0, len(data), b"moov")
-    if span is None:
-        raise ValueError("not an MP4: no moov box")
-    first = None
-    for btype, b, e in mp4_boxes(data, span[0], span[1]):
-        if btype != b"trak":
-            continue
-        mdia = _mp4_child(data, b, e, b"mdia")
-        if not mdia:
-            continue
-        stbl_ = None
-        minf = _mp4_child(data, mdia[0], mdia[1], b"minf")
-        stbl_ = minf and _mp4_child(data, minf[0], minf[1], b"stbl")
-        if not stbl_:
-            continue
-        if first is None:
-            first = stbl_
-        hdlr = _mp4_child(data, mdia[0], mdia[1], b"hdlr")
-        if hdlr and data[hdlr[0] + 8 : hdlr[0] + 12] == b"vide":
-            return stbl_
-    if first is None:
+    """The stbl span of the track every sample-level reader uses —
+    ``_mp4_pick_track`` over one ``_mp4_scan_moov`` walk, the SAME
+    selection the metadata probe makes, so the codec decision, the
+    probe output, and the sample source always agree."""
+    _, tracks = _mp4_scan_moov(data)
+    pick = _mp4_pick_track(tracks)
+    if pick is None or tracks[pick][1] is None:
         raise ValueError("no sample table")
-    return first
+    return tracks[pick][1]
 
 
-def mp4_sample_codec(data: bytes) -> str:
-    """stsd codec fourcc of the track ``mp4_sample_table`` reads — by
-    construction the SAME track selection, so a decode decision based on
-    this fourcc always matches the extracted sample bytes."""
-    sb, se = _mp4_select_stbl(data)
+def _mp4_codec_from(data: bytes, sb: int, se: int) -> str:
     stsd = _mp4_child(data, sb, se, b"stsd")
     if stsd:
         for btype, b, e in mp4_boxes(data, stsd[0] + 8, stsd[1]):
@@ -2722,13 +2726,37 @@ def mp4_sample_codec(data: bytes) -> str:
     return ""
 
 
-def mp4_sample_table(data: bytes) -> list[tuple[int, int]]:
-    """(absolute_offset, size) of every sample of the first VIDEO track
-    (first track with an stbl when none is video — ``_mp4_select_stbl``),
-    by joining stsc chunk runs with stco offsets and stsz sizes — the
-    general multi-chunk resolution, not just this muxer's single-chunk
-    layout. This is how encoded samples are located WITHOUT any codec."""
+def mp4_sample_codec(data: bytes) -> str:
+    """stsd codec fourcc of the track ``mp4_sample_table`` reads — by
+    construction the SAME track selection, so a decode decision based on
+    this fourcc always matches the extracted sample bytes."""
     sb, se = _mp4_select_stbl(data)
+    return _mp4_codec_from(data, sb, se)
+
+
+def mp4_codec_and_samples(data: bytes) -> tuple[str, list[tuple[int, int]]]:
+    """(codec fourcc, sample table) of the selected track from ONE moov
+    walk — the per-payload hot-kernel entry (``frame_sample``'s video
+    branch needs both, and walking the box tree twice per doc doubles
+    container-parse work for nothing)."""
+    sb, se = _mp4_select_stbl(data)
+    return _mp4_codec_from(data, sb, se), _mp4_sample_table_from(data, sb, se)
+
+
+def mp4_sample_table(data: bytes) -> list[tuple[int, int]]:
+    """(absolute_offset, size) of every sample of the selected track
+    (``_mp4_pick_track``: first video track with a sample table, else
+    first track with one), by joining stsc chunk runs with stco offsets
+    and stsz sizes — the general multi-chunk resolution, not just this
+    muxer's single-chunk layout. This is how encoded samples are
+    located WITHOUT any codec."""
+    sb, se = _mp4_select_stbl(data)
+    return _mp4_sample_table_from(data, sb, se)
+
+
+def _mp4_sample_table_from(
+    data: bytes, sb: int, se: int
+) -> list[tuple[int, int]]:
 
     def full_payload(fourcc: bytes) -> tuple[int, int]:
         c = _mp4_child(data, sb, se, fourcc)

@@ -10863,6 +10863,16 @@ def q203_stream_indexed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert r1["committed"] and r1["version"] == 1, r1
     # the embedding pipeline drops the odd half as three part files...
+    # (guard: repartition(3) on <3 rows leaves an EMPTY part file, the
+    # stream skips the empty micro-batch, and the version-4 assertion
+    # below would fire on the fixture instead of the oracle adjudicating
+    # — every shipped sf has thousands of odd vec_ids, so this only
+    # trips on a hand-rolled toy fixture, loudly)
+    n_odd = emb.filter(~even).count()
+    assert n_odd >= 3, (
+        f"q203 needs >= 3 odd-vec_id embeddings for 3 non-empty "
+        f"micro-batches, got {n_odd}"
+    )
     emb.filter(~even).repartition(3).write.parquet(src)
     # ...and the maintenance stream encodes one OCC delta per
     # micro-batch under the frozen quantizers (3 batches -> v2..v4)
