@@ -1901,6 +1901,70 @@ def audio_sample_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def audio_fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit acoustic fingerprint per audio payload — the audio-side
+    ``image_dhash`` (r11 verdict item 6: the perceptual-dedup parity the
+    audio modality lacked). Sign-of-energy-delta over fixed time frames,
+    the Haitsma-Kalman (2002, public) robust-hash SHAPE reduced to its
+    time-domain core with pure integer arithmetic so a SQL oracle
+    replays it bit-for-bit:
+
+    1. decode the container (``audio/wav`` → PCM16, ``audio/ulaw`` →
+       G.711 expand — the module's existing cleanroom decoders);
+    2. split the n samples into 65 frames by the floor-index rule
+       (sample i → frame ``i*65 div n`` — the `_nn_resize_raw`
+       convention, exactly SQL-replayable; short clips leave trailing
+       frames empty at energy 0);
+    3. frame energy = Σ |sample| (int64 — no float accumulation);
+    4. bit k (0..63) = 1 iff energy[k+1] > energy[k] (strict).
+
+    Bits 0-31 → ``sim_lo``, 32-63 → ``sim_hi`` — the house 64-bit
+    signature layout, so ``dedup.signature_hamming_pairs`` /
+    ``signature_neardup_edges`` run banded near-dup search over it
+    directly and audio bytes NEVER shuffle past this kernel (~20 B/doc
+    leaves it). Energy-delta signs survive lossy recompression (G.711's
+    relative quantization error is a few percent, far under typical
+    adjacent-frame energy contrast), so the same clip through different
+    codecs lands within a few Hamming bits while its byte payloads —
+    and therefore exact/minhash dedup — differ completely. Arrow
+    ``mapInPandas``, never a per-row UDF."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k65 = np.arange(66, dtype=np.int64)
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for doc_id, buf, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                fmt = str(_meta_dict(meta).get("format", ""))
+                if fmt == "audio/wav":
+                    _, samples = decode_wav_pcm16(bytes(buf))
+                elif fmt == "audio/ulaw":
+                    _, samples = decode_wav_ulaw(bytes(buf))
+                else:
+                    raise NotImplementedError(
+                        f"audio fingerprint for {fmt!r} needs an absent "
+                        "codec"
+                    )
+                n = int(samples.size)
+                cs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(np.abs(samples.astype(np.int64)), out=cs[1:])
+                # frame k spans [ceil(k*n/65), ceil((k+1)*n/65)) — the
+                # preimage of i*65 div n == k
+                bounds = (k65 * n + 64) // 65
+                energy = cs[bounds[1:]] - cs[bounds[:-1]]
+                bits = (energy[1:] > energy[:-1]).astype(np.uint64)
+                w32 = 1 << np.arange(32, dtype=np.uint64)
+                ids.append(doc_id)
+                los.append(int((bits[:32] * w32).sum()))
+                his.append(int((bits[32:] * w32).sum()))
+            yield pd.DataFrame({"doc": ids, "sim_hi": his, "sim_lo": los})
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), "payload", "meta"
+    ).mapInPandas(kernel, schema="doc long, sim_hi long, sim_lo long")
+
+
 # ---------------------------------------------------------------------
 # Baseline COLOR JPEG (4:4:4 YCbCr) — the color face of the cleanroom
 # T.81 codec. Same generated DCT/zigzag/Huffman machinery as the gray

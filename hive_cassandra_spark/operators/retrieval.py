@@ -210,17 +210,28 @@ def build_postings_index_occ(
     return res
 
 
-def read_postings_index_occ(spark, path: str) -> tuple[DataFrame, DataFrame]:
+def read_postings_index_occ(
+    spark, path: str, as_of_version: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(postings, corpus_meta) from an OCC-versioned index: postings
     union every published version at or above the snapshot floor
     (append semantics); meta is the latest published row (each commit
-    republishes the full merged stats). Fails closed on a never-built
-    artifact."""
+    republishes the full merged stats). ``as_of_version=N`` pins both
+    tables to the index state when version N was the head — later
+    deltas and later rebuild snapshots invisible — so a training run
+    that recorded the version it retrieved against reproduces the
+    exact same ranked results later (sink.occ_read_table time-travel).
+    Fails closed on a never-built artifact."""
     from hive_cassandra_spark import sink
 
     return (
-        sink.occ_read_table(spark, path, "postings"),
-        sink.occ_read_table(spark, path, "meta", latest_only=True),
+        sink.occ_read_table(
+            spark, path, "postings", as_of_version=as_of_version
+        ),
+        sink.occ_read_table(
+            spark, path, "meta", latest_only=True,
+            as_of_version=as_of_version,
+        ),
     )
 
 

@@ -1194,6 +1194,7 @@ def ivfpq_topk_indexed_occ(
     topk: int = 5,
     id_col: str = "query_id",
     vec_col: str = "embedding",
+    as_of_version: int | None = None,
 ) -> DataFrame:
     """``ivfpq_topk_indexed`` over an OCC-versioned artifact: the
     quantizers (centroids, codebooks, meta) read at the latest
@@ -1202,19 +1203,32 @@ def ivfpq_topk_indexed_occ(
     UNION every published version at or above the snapshot floor
     (append semantics — ``update_ivfpq_index_occ`` deltas layer on the
     bootstrap exactly like postings deltas on q188's index). A torn or
-    in-flight commit is invisible either way."""
+    in-flight commit is invisible either way. ``as_of_version=N`` pins
+    every table to the index state when version N was the head (later
+    deltas and rebuilds invisible — sink.occ_read_table time-travel),
+    so an evaluation or training run reproduces the exact neighbor
+    sets it recorded."""
     from hive_cassandra_spark import sink
 
     ix = {
         "cc": sink.occ_read_table(
-            spark, path, "coarse_centroids", latest_only=True
+            spark, path, "coarse_centroids", latest_only=True,
+            as_of_version=as_of_version,
         ),
         "pc": sink.occ_read_table(
-            spark, path, "pq_codebooks", latest_only=True
+            spark, path, "pq_codebooks", latest_only=True,
+            as_of_version=as_of_version,
         ),
-        "assign": sink.occ_read_table(spark, path, "assignments"),
-        "codes": sink.occ_read_table(spark, path, "codes"),
-        "dim": sink.occ_read_table(spark, path, "meta", latest_only=True),
+        "assign": sink.occ_read_table(
+            spark, path, "assignments", as_of_version=as_of_version
+        ),
+        "codes": sink.occ_read_table(
+            spark, path, "codes", as_of_version=as_of_version
+        ),
+        "dim": sink.occ_read_table(
+            spark, path, "meta", latest_only=True,
+            as_of_version=as_of_version,
+        ),
     }
     m = int(ix["dim"].select("__m").head()[0])
     ix["dim"] = ix["dim"].select("__dim")

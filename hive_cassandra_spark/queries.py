@@ -10898,6 +10898,279 @@ def q203_stream_indexed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("replayed_batch_noops", F.lit(replayed_noops).cast("long"))
 
 
+def _q204_bm25_chain(tag: str, pred: str) -> str:
+    """One q135-shaped BM25 CTE chain over the documents visible under
+    ``pred`` — q204's oracle runs TWO (the as-of-v2 state and the
+    latest state) and unions the rankings; suffixing every CTE with
+    ``tag`` keeps them independent inside one WITH."""
+    return f"""
+    docs{tag} AS (SELECT doc_id, text FROM documents WHERE {pred}),
+    toks{tag} AS (
+        SELECT doc_id, unnest(list_filter(string_split(trim(regexp_replace(
+            lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS term
+        FROM docs{tag}),
+    tf{tag} AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks{tag} GROUP BY 1, 2),
+    dl{tag} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks{tag} GROUP BY 1),
+    corpus{tag} AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs{tag}) AS n,
+               CAST(CAST(sum(dl) AS BIGINT)
+                    // (SELECT greatest(CAST(count(*) AS BIGINT), 1)
+                        FROM docs{tag}) AS BIGINT) AS a
+        FROM dl{tag}),
+    dfreq{tag} AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf{tag} GROUP BY term),
+    scored{tag} AS (
+        SELECT q.query_id, tf{tag}.doc_id,
+               CAST(sum((1000000 * (2*n - 2*df + 1) * (88 * tf * a))
+                    // ((2*df + 1) * (40*tf*a + 12*a + 36*dl)))
+                    AS BIGINT) AS score
+        FROM q JOIN tf{tag} USING (term) JOIN dfreq{tag} USING (term)
+             JOIN dl{tag} ON tf{tag}.doc_id = dl{tag}.doc_id
+             CROSS JOIN corpus{tag}
+        GROUP BY 1, 2),
+    ranked{tag} AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rank FROM scored{tag})"""
+
+
+@register(
+    "q204_occ_time_travel",
+    # The oracle computes BM25 twice — once over the documents that were
+    # in the index when version 2 was the head (thirds 0 and 1), once
+    # over everything — and the served rankings must hash-match BOTH:
+    # the pinned read proves later deltas are invisible (df, corpus
+    # stats, and rankings all reflect the v2 state exactly, not just a
+    # filtered doc list), the latest read proves nothing was lost. The
+    # never-published pin must be REJECTED (bad_pin_rejected=1), not
+    # silently served.
+    oracle="WITH q(query_id, term) AS (VALUES"
+    " ('rare_common', 'dup'), ('rare_common', 'hash'),"
+    " ('ops', 'join'), ('ops', 'merge'), ('ops', 'sort'),"
+    " ('vec', 'vector'), ('vec', 'query')),"
+    + _q204_bm25_chain("1", "doc_id % 3 < 2")
+    + ","
+    + _q204_bm25_chain("2", "TRUE")
+    + """
+    SELECT 'asof_v2' AS read_mode, query_id, rank, doc_id, score,
+           CAST(3 AS BIGINT) AS final_version,
+           CAST(1 AS BIGINT) AS bad_pin_rejected
+    FROM ranked1 WHERE rank <= 10
+    UNION ALL
+    SELECT 'latest', query_id, rank, doc_id, score,
+           CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+    FROM ranked2 WHERE rank <= 10
+    """,
+    doc="OCC as-of-version reads — time travel (sink.occ_read_table/"
+    "occ_read as_of_version=N threaded through retrieval."
+    "read_postings_index_occ and similarity.ivfpq_topk_indexed_occ — "
+    "r11 verdict item 2): the dataset-reproducibility primitive a "
+    "training pipeline pins runs to (Delta/Iceberg time-travel, "
+    "public semantics; the commit-log store's q112 snapshot reads, "
+    "now on the OCC artifacts). A pinned read sees exactly the "
+    "versions in (snapshot-floor-at-N, N] — later deltas AND later "
+    "superseding snapshots invisible (the floor is capped at the pin, "
+    "so a compaction published after the pin cannot rewrite pinned "
+    "history) — and a pin that was never published raises instead of "
+    "serving an empty index. Lifecycle: v1 bootstrap (third 0) + v2 "
+    "delta (third 1) + v3 delta (third 2); BM25 served as-of v2 must "
+    "hash-match the thirds-{0,1} corpus arithmetic while the latest "
+    "read serves all three. New time_travel capability: in-window "
+    "from birth (q175-q177 precedent)",
+)
+def q204_occ_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hive_cassandra_spark import sink
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"hcs_q204_{tok}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    third = F.col("doc_id") % 3
+    # v1: nightly bootstrap on the first third (snapshot commit)
+    r1 = retrieval.build_postings_index_occ(
+        spark, docs.filter(third == 0), base
+    )
+    assert r1["committed"] and r1["version"] == 1, r1
+    # v2 and v3: two delta batches — the state a training run recorded
+    # (v2) keeps moving under it (v3)
+    r2 = retrieval.update_postings_index_occ(
+        spark, base, docs.filter(third == 1), batch_id="delta-1"
+    )
+    assert r2["version"] == 2 and not r2["already_applied"], r2
+    r3 = retrieval.update_postings_index_occ(
+        spark, base, docs.filter(third == 2), batch_id="delta-2"
+    )
+    assert r3["version"] == 3 and not r3["already_applied"], r3
+    # pinning to a version that never existed must fail closed
+    bad_pin = 0
+    try:
+        retrieval.read_postings_index_occ(spark, base, as_of_version=99)
+    except ValueError:
+        bad_pin = 1
+    qset = spark.createDataFrame(
+        [
+            ("rare_common", "dup"),
+            ("rare_common", "hash"),
+            ("ops", "join"),
+            ("ops", "merge"),
+            ("ops", "sort"),
+            ("vec", "vector"),
+            ("vec", "query"),
+        ],
+        "query_id string, term string",
+    )
+    served = []
+    for mode, pin in (("asof_v2", 2), ("latest", None)):
+        post, corpus = retrieval.read_postings_index_occ(
+            spark, base, as_of_version=pin
+        )
+        served.append(
+            retrieval.bm25_topk(
+                None, qset, k=10, post=post, corpus=corpus
+            ).withColumn("read_mode", F.lit(mode))
+        )
+    return (
+        served[0]
+        .unionByName(served[1])
+        .withColumn(
+            "final_version", F.lit(sink.store_version(base)).cast("long")
+        )
+        .withColumn("bad_pin_rejected", F.lit(bad_pin).cast("long"))
+    )
+
+
+@register(
+    "q205_audio_dedup",
+    # The oracle replays the whole acoustic pipeline from the text
+    # bytes: PCM samples are (byte-128)*256 (the attach_audio_payload
+    # contract — Spark really decodes the RIFF containers, the SQL goes
+    # straight to the bytes), the mu-law stream re-runs the exact G.711
+    # compress+expand integer arithmetic (the q120 replay), frame
+    # assignment is the floor-index rule i*65 div n, frame energy is a
+    # BIGINT sum of |sample|, bits are strict energy[k+1] > energy[k],
+    # and the pair search is the q180 banded tail over the DISTINCT
+    # signature space with exact bit_count(xor) Hamming verify.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    u AS (SELECT doc_id, n, unnest(range(0, CAST(n AS INT))) AS j FROM d),
+    v AS (SELECT doc_id, n, j,
+                 (strpos('0123456789ABCDEF',
+                         substr(hx, CAST(2*j+1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF',
+                         substr(hx, CAST(2*j+2 AS INT), 1)) - 1) AS byte
+          FROM d JOIN u USING (doc_id, n)),
+    spcm AS (SELECT doc_id * 2 AS doc, n, j,
+                    CAST(abs((byte - 128) * 256) AS BIGINT) AS amp
+             FROM v),
+    msquare AS (SELECT doc_id, n, j,
+                       CASE WHEN byte < 128 THEN -1 ELSE 1 END AS sgn,
+                       least(abs((byte - 128) * 256), 32635) + 132 AS mag
+                FROM v),
+    mexp AS (SELECT *, CASE WHEN mag >= 16384 THEN 7
+                            WHEN mag >= 8192 THEN 6 WHEN mag >= 4096 THEN 5
+                            WHEN mag >= 2048 THEN 4 WHEN mag >= 1024 THEN 3
+                            WHEN mag >= 512 THEN 2 WHEN mag >= 256 THEN 1
+                            ELSE 0 END AS ex
+             FROM msquare),
+    sulaw AS (SELECT doc_id * 2 + 1 AS doc, n, j,
+                     CAST(abs(sgn * ((((mag // (8 * (1 << ex))) % 16) * 8
+                          + 132) * (1 << ex) - 132)) AS BIGINT) AS amp
+              FROM mexp),
+    alls AS (SELECT * FROM spcm UNION ALL SELECT * FROM sulaw),
+    en0 AS (SELECT doc, j * 65 // n AS frame,
+                   CAST(sum(amp) AS BIGINT) AS e
+            FROM alls GROUP BY 1, 2),
+    scaffold AS (SELECT doc, k AS frame
+                 FROM (SELECT doc_id * 2 AS doc FROM d
+                       UNION ALL SELECT doc_id * 2 + 1 FROM d)
+                 CROSS JOIN (SELECT unnest(range(0, 65)) AS k)),
+    en AS (SELECT s.doc, s.frame, coalesce(e, 0) AS e
+           FROM scaffold s LEFT JOIN en0
+             ON en0.doc = s.doc AND en0.frame = s.frame),
+    bits AS (SELECT a.doc, a.frame AS k,
+                    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             FROM en a JOIN en b
+               ON a.doc = b.doc AND b.frame = a.frame + 1
+             WHERE a.frame < 64),
+    sig AS (SELECT doc,
+                   CAST(sum(CASE WHEN k < 32
+                        THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+                        ELSE 0 END) AS BIGINT) AS sim_lo,
+                   CAST(sum(CASE WHEN k >= 32
+                        THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                        ELSE 0 END) AS BIGINT) AS sim_hi
+            FROM bits GROUP BY doc),
+    dsig AS (SELECT DISTINCT sim_hi, sim_lo FROM sig),
+    dbands AS (SELECT sim_hi, sim_lo, i AS pos,
+                      (CASE WHEN i < 2 THEN sim_lo ELSE sim_hi END
+                       >> (16 * (i % 2))) & 65535 AS band
+               FROM dsig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+               QUALIFY count(*) OVER (PARTITION BY pos, band) <= 100000),
+    spairs AS (SELECT DISTINCT a.sim_hi AS ha, a.sim_lo AS la,
+                      b.sim_hi AS hb, b.sim_lo AS lb,
+                      CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                         + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT)
+                        AS hamming
+               FROM dbands a JOIN dbands b
+                 ON a.pos = b.pos AND a.band = b.band
+                AND (a.sim_hi < b.sim_hi
+                     OR (a.sim_hi = b.sim_hi AND a.sim_lo < b.sim_lo))),
+    pairs AS (SELECT least(x.doc, y.doc) AS doc_a,
+                     greatest(x.doc, y.doc) AS doc_b, p.hamming
+              FROM spairs p
+              JOIN sig x ON x.sim_hi = p.ha AND x.sim_lo = p.la
+              JOIN sig y ON y.sim_hi = p.hb AND y.sim_lo = p.lb
+              UNION ALL
+              SELECT x.doc, y.doc, CAST(0 AS INT)
+              FROM sig x JOIN sig y
+                ON x.sim_hi = y.sim_hi AND x.sim_lo = y.sim_lo
+               AND x.doc < y.doc)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+    """,
+    doc="acoustic near-dup dedup (multimodal.audio_fingerprint + "
+    "dedup.signature_hamming_pairs — r11 verdict item 6, the audio "
+    "side of q180's perceptual dedup): every document becomes TWO real "
+    "audio recordings of the same signal — a PCM16 RIFF/WAVE (doc*2) "
+    "and a lossy G.711 mu-law telephony WAV (doc*2+1) — each decoded "
+    "by the repo's cleanroom codecs and fingerprinted by "
+    "sign-of-energy-delta over 65 fixed frames (Haitsma-Kalman 2002 "
+    "shape, pure integer). The banded-Hamming engine then finds BOTH "
+    "the cross-codec pairs (the same clip recompressed — byte-level "
+    "and minhash dedup see nothing; the fingerprint lands at Hamming "
+    "~0 because G.711's few-percent quantization error never flips an "
+    "adjacent-frame energy ordering) and the near-dup text clusters "
+    "within each codec. Audio bytes never shuffle — ~20 B/doc leaves "
+    "the fingerprint kernel, and quadratic work tracks DISTINCT "
+    "signatures only. New audio_dedup capability: in-window from "
+    "birth (q175-q177 precedent)",
+)
+def q205_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # spread the CPU-bound codec kernels (see q127)
+    pcm = multimodal.attach_audio_payload(docs, container="pcm")
+    ulw = multimodal.attach_audio_payload(docs, container="ulaw")
+    sig = (
+        multimodal.audio_fingerprint(pcm)
+        .withColumn("doc", F.col("doc") * 2)
+        .unionByName(
+            multimodal.audio_fingerprint(ulw).withColumn(
+                "doc", F.col("doc") * 2 + 1
+            )
+        )
+    )
+    return dedup.signature_hamming_pairs(sig, max_hamming=6)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -11096,8 +11369,15 @@ _WINDOW_ORDER = [
     # green keep their slots (r10 verdict item 2: the q191-q200 cohort
     # second-greens this round)
     "q188_incremental_retrieval",     # retrieval (index maintenance)
-    "q189_image_dedup_canonical",     # image_dedup + dedup_components
-    "q190_ann_recall",                # similarity_ann (recall@k eval)
+    # round-12 rotation: the two round-12 new capabilities take slots
+    # from birth (q175-q177 precedent) — OCC as-of-version time-travel
+    # reads (r11 verdict item 2) and acoustic near-dup dedup (item 6).
+    # Funded by q189 and q190 standing down as ORDINARY OVERFLOW after
+    # their 2x-green r10+r11 histories: image_dedup keeps q180,
+    # dedup_components keeps q163/q175, similarity_ann keeps
+    # q148/q182/q192/q200/q203 in-window.
+    "q204_occ_time_travel",           # retrieval + connector + time_travel
+    "q205_audio_dedup",               # multimodal + audio_dedup
     # round-11 rotation (r10 verdict item 2): q201 takes its named
     # rotation slot, and the two round-11 additions — end-to-end MJPEG
     # video decode (verdict item 4) and the stream-maintained vector
@@ -11543,6 +11823,15 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     "q201_stream_quality_filter": {"quality_model", "ingest_text"},
     "q202_mjpeg_mp4_decode": {"multimodal"},
     "q203_stream_indexed_ann": {"similarity_ann", "stream_stateful"},
+    # round-12 additions (both in-window from birth, q175-q177
+    # precedent): OCC as-of-version reads are a NEW capability
+    # (time_travel) composed with the retrieval+connector lifecycle it
+    # pins; acoustic dedup is a NEW capability (audio_dedup) over the
+    # multimodal codecs and the banded-Hamming engine
+    "q204_occ_time_travel": {
+        "retrieval", "connector_datasource", "time_travel",
+    },
+    "q205_audio_dedup": {"multimodal", "audio_dedup"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

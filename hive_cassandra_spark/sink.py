@@ -876,35 +876,78 @@ def store_tags(path: str) -> dict:
     return out
 
 
-def occ_read_table(spark, path: str, table: str, latest_only: bool = False):
-    """Snapshot-isolation read of one table of an ``occ_commit_tables``
-    artifact: parts of PUBLISHED versions at or above the newest
-    snapshot floor, unioned (append semantics); ``latest_only=True``
-    reads just the highest published version carrying parts for this
-    table (replace semantics — the one-row meta shape). Raises
-    FileNotFoundError when no committed parts exist: index consumers
-    must fail closed, not silently serve an empty index."""
+def _occ_visible_versions(path: str, as_of_version: int | None) -> set:
+    """Published versions visible to a read: all of them for a latest
+    read, only ``(floor-at-N, N]`` for an as-of read — where the floor
+    is the highest published SNAPSHOT at or below the pin, so a
+    compaction that lands AFTER the pinned version cannot rewrite
+    history out from under it (Delta/Iceberg time-travel semantics).
+    Raises ValueError on a pin that was never published: pinning a run
+    to a version that doesn't exist is a caller bug, not an empty
+    read."""
     import glob as _glob
     import os
-    import re as _re
 
     published = {
         int(os.path.basename(m)[6:])
         for m in _glob.glob(os.path.join(path, "_occ-v*"))
     }
-    floor = _occ_snapshot_floor(path)
+    if as_of_version is None:
+        return {v for v in published if v >= _occ_snapshot_floor(path)}
+    if as_of_version not in published:
+        raise ValueError(
+            f"as_of_version={as_of_version} was never published under "
+            f"{path} (published: {sorted(published)}) — cannot pin a "
+            "read to a version that does not exist"
+        )
+    floor = _occ_snapshot_floor(path, cap=as_of_version)
+    return {v for v in published if floor <= v <= as_of_version}
+
+
+def occ_read_table(
+    spark,
+    path: str,
+    table: str,
+    latest_only: bool = False,
+    as_of_version: int | None = None,
+):
+    """Snapshot-isolation read of one table of an ``occ_commit_tables``
+    artifact: parts of PUBLISHED versions at or above the newest
+    snapshot floor, unioned (append semantics); ``latest_only=True``
+    reads just the highest published version carrying parts for this
+    table (replace semantics — the one-row meta shape).
+    ``as_of_version=N`` pins the read to the store's state when version
+    N was the head — versions in ``(floor-at-N, N]`` only, later deltas
+    and later snapshots invisible — the dataset-reproducibility
+    primitive a training run pins its inputs to (Delta/Iceberg
+    time-travel). Raises FileNotFoundError when no committed parts are
+    visible: index consumers must fail closed, not silently serve an
+    empty index — for an as-of read that includes a pin whose parts
+    ``occ_vacuum`` already dropped (history physically gone, same as
+    time-travel past a Delta VACUUM)."""
+    import glob as _glob
+    import os
+    import re as _re
+
+    visible = _occ_visible_versions(path, as_of_version)
     pat = _re.compile(r"part-occ-v(\d{9})-\d{5}-[0-9a-f]+\.parquet$")
     by_version: dict = {}
     for f in sorted(
         _glob.glob(os.path.join(path, table, "part-occ-v*.parquet"))
     ):
         m = pat.search(os.path.basename(f))
-        if m and int(m.group(1)) in published and int(m.group(1)) >= floor:
+        if m and int(m.group(1)) in visible:
             by_version.setdefault(int(m.group(1)), []).append(f)
     if not by_version:
         raise FileNotFoundError(
-            f"no committed parts for table '{table}' under {path} — "
-            "the artifact was never built (or every version was swept)"
+            f"no committed parts for table '{table}' under {path}"
+            + (
+                f" visible as of version {as_of_version} — the pinned "
+                "history was vacuumed (or the table had no parts yet)"
+                if as_of_version is not None
+                else " — the artifact was never built (or every version "
+                "was swept)"
+            )
         )
     if latest_only:
         files = by_version[max(by_version)]
@@ -913,35 +956,45 @@ def occ_read_table(spark, path: str, table: str, latest_only: bool = False):
     return spark.read.parquet(*files)
 
 
-def _occ_snapshot_floor(path: str) -> int:
+def _occ_snapshot_floor(path: str, cap: int | None = None) -> int:
     """Highest published snapshot version (0 = none): versions below it
     are superseded — invisible to ``occ_read``, droppable by
-    ``occ_vacuum``."""
+    ``occ_vacuum``. ``cap`` bounds the scan to snapshots at or below a
+    pinned version (the as-of-read floor: a compaction published AFTER
+    the pin must not supersede the pin's history)."""
     import glob as _glob
     import os
 
     floor = 0
     for m in _glob.glob(os.path.join(path, "_occ-v*")):
+        v = int(os.path.basename(m)[6:])
+        if cap is not None and v > cap:
+            continue
         try:
             with open(m) as fh:
                 lines = fh.read().splitlines()
         except OSError:
             continue
         if len(lines) > 1 and lines[1] == "snapshot":
-            floor = max(floor, int(os.path.basename(m)[6:]))
+            floor = max(floor, v)
     return floor
 
 
-def occ_read(spark, path: str, empty_schema=None):
+def occ_read(
+    spark, path: str, empty_schema=None, as_of_version: int | None = None
+):
     """Snapshot-isolation read of an OCC-managed store: only part files
     whose version has a PUBLISHED ``_occ-v%09d`` marker are listed — a
     torn commit's parts (claim without marker) are invisible without
     waiting for ``occ_recover`` — and versions below the newest
     published SNAPSHOT commit (a compaction's full replacement) are
     superseded and skipped even before ``occ_vacuum`` physically drops
-    them. Listing is O(files) driver-side dirent work (the same cost
-    class as any parquet file listing), zero data movement; the returned
-    DataFrame scans exactly the committed, current parts.
+    them. ``as_of_version=N`` pins the read to the state as of version
+    N — versions in ``(floor-at-N, N]``, later deltas and later
+    snapshots invisible (time-travel; see ``occ_read_table``). Listing
+    is O(files) driver-side dirent work (the same cost class as any
+    parquet file listing), zero data movement; the returned DataFrame
+    scans exactly the committed, current parts.
 
     An empty / never-committed store reads as an empty cell DataFrame
     whose schema comes from, in order: ``empty_schema`` (a StructType)
@@ -955,19 +1008,24 @@ def occ_read(spark, path: str, empty_schema=None):
     import os
     import re as _re
 
-    published = {
-        int(os.path.basename(m)[6:])
-        for m in _glob.glob(os.path.join(path, "_occ-v*"))
-    }
-    floor = _occ_snapshot_floor(path)
+    visible = _occ_visible_versions(path, as_of_version)
     pat = _re.compile(r"part-occ-v(\d{9})-\d{5}-[0-9a-f]+\.parquet$")
     files = []
     all_parts = sorted(_glob.glob(os.path.join(path, "part-occ-v*.parquet")))
     for f in all_parts:
         m = pat.search(os.path.basename(f))
-        if m and int(m.group(1)) in published and int(m.group(1)) >= floor:
+        if m and int(m.group(1)) in visible:
             files.append(f)
     if not files:
+        if as_of_version is not None:
+            # a published pin with no visible parts means occ_vacuum
+            # already dropped the pinned history — fail closed like
+            # occ_read_table, never silently serve an empty store as
+            # "the state at vN"
+            raise FileNotFoundError(
+                f"no parts visible as of version {as_of_version} under "
+                f"{path} — the pinned history was vacuumed"
+            )
         if empty_schema is not None:
             return spark.createDataFrame([], empty_schema)
         if all_parts:

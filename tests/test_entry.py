@@ -63,8 +63,13 @@ def test_registration_window_covers_every_family():
         # still second-greening (q184/q185/q187 left as ordinary
         # overflow in round 11 after their r10 green)
         "q186_quality_model",
-        "q188_incremental_retrieval", "q189_image_dedup_canonical",
-        "q190_ann_recall",
+        "q188_incremental_retrieval",
+        # round-12 rotation: the two round-12 new capabilities in-window
+        # from birth (r11 verdict items 2 and 6), funded by q189/q190
+        # standing down as ordinary overflow after 2x-green r10+r11
+        # (image_dedup -> q180, dedup_components -> q163/q175,
+        # similarity_ann -> q148/q182/q192/q200/q203)
+        "q204_occ_time_travel", "q205_audio_dedup",
         # round-11 rotation: q201's named slot + the two round-11
         # additions in-window from birth (r10 verdict items 2, 4, 8)
         "q201_stream_quality_filter", "q202_mjpeg_mp4_decode",

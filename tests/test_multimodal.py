@@ -1133,3 +1133,74 @@ def test_mp4_audio_first_track_selection_consistent():
     # the decode routing composes: the sliced sample IS a decodable JPEG
     w, h, px = mm.decode_jpeg_gray8(mm.mp4_extract_samples(data, [0])[0])
     assert (w, h) == (8, 8) and np.array_equal(px, plane)
+
+
+def _fp_replay(samples: np.ndarray) -> tuple[int, int]:
+    """Direct numpy replay of the audio_fingerprint arithmetic: frame
+    i*65 div n, energy = int64 sum of |sample|, bit k = strict
+    energy[k+1] > energy[k], bits 0-31 -> lo / 32-63 -> hi."""
+    n = int(samples.size)
+    frames = np.arange(n) * 65 // n if n else np.array([], dtype=np.int64)
+    energy = np.zeros(65, dtype=np.int64)
+    np.add.at(energy, frames, np.abs(samples.astype(np.int64)))
+    bits = (energy[1:] > energy[:-1]).astype(np.uint64)
+    w32 = 1 << np.arange(32, dtype=np.uint64)
+    return int((bits[32:] * w32).sum()), int((bits[:32] * w32).sum())
+
+
+def test_audio_fingerprint_matches_replay_and_survives_ulaw(spark, sf_dir):
+    """audio_fingerprint: (1) the kernel's signature equals a direct
+    numpy replay of the documented arithmetic over the decoded samples
+    (both codecs); (2) the same clip recompressed through lossy G.711
+    lands within a few Hamming bits of its PCM fingerprint — the
+    cross-codec robustness that makes it a dedup signal where byte-level
+    dedup sees nothing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    pcm_sig = {
+        r.doc: (r.sim_hi, r.sim_lo)
+        for r in multimodal.audio_fingerprint(
+            multimodal.attach_audio_payload(docs, container="pcm")
+        ).collect()
+    }
+    ulaw_sig = {
+        r.doc: (r.sim_hi, r.sim_lo)
+        for r in multimodal.audio_fingerprint(
+            multimodal.attach_audio_payload(docs, container="ulaw")
+        ).collect()
+    }
+    assert set(pcm_sig) == set(texts) == set(ulaw_sig)
+    for doc_id, text in texts.items():
+        raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        x = (raw.astype(np.int16) - 128) << 8
+        assert pcm_sig[doc_id] == _fp_replay(x)
+        xq = multimodal.decode_ulaw(multimodal.encode_ulaw(x))
+        assert ulaw_sig[doc_id] == _fp_replay(xq)
+        ham = bin(pcm_sig[doc_id][0] ^ ulaw_sig[doc_id][0]).count("1") + bin(
+            pcm_sig[doc_id][1] ^ ulaw_sig[doc_id][1]
+        ).count("1")
+        assert ham <= 6, (doc_id, ham)
+        # non-negative 32-bit halves: the house signature layout
+        assert 0 <= pcm_sig[doc_id][0] < 1 << 32
+        assert 0 <= pcm_sig[doc_id][1] < 1 << 32
+
+
+def test_audio_fingerprint_short_clip_and_banded_pairs(spark):
+    """Clips shorter than 65 samples leave trailing frames at energy 0
+    (no crash, deterministic bits), and exact-duplicate audio routes
+    through the banded-Hamming engine as Hamming-0 pairs."""
+    from hive_cassandra_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "hi"), (2, "hi"), (3, "a completely different longer text")],
+        "doc_id long, text string",
+    )
+    sig = multimodal.audio_fingerprint(
+        multimodal.attach_audio_payload(docs, container="pcm")
+    )
+    rows = {r.doc: (r.sim_hi, r.sim_lo) for r in sig.collect()}
+    assert rows[1] == rows[2]
+    raw = np.frombuffer(b"hi", dtype=np.uint8)
+    assert rows[1] == _fp_replay((raw.astype(np.int16) - 128) << 8)
+    pairs = dedup.signature_hamming_pairs(sig, max_hamming=3).collect()
+    assert {(r.doc_a, r.doc_b, r.hamming) for r in pairs} >= {(1, 2, 0)}

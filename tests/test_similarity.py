@@ -675,3 +675,56 @@ def test_stream_update_ivfpq_index_equals_batch_delta(spark, sf_dir, tmp_path):
     batch = sorted(map(tuple, sim.ivfpq_topk_indexed_occ(
         spark, batch_idx, qv, nprobe=2, topk=5, id_col="vec_id").collect()))
     assert streamed == batch and len(streamed) == 15
+
+
+def test_ivfpq_indexed_occ_as_of_version(spark, sf_dir, tmp_path):
+    """Vector-index time travel (r11 verdict item 2): serving pinned to
+    the bootstrap version ranks over ONLY the bootstrap vectors —
+    identical to a plain build on that subset — while the latest read
+    sees the delta; a never-published pin raises."""
+    import pytest
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark import sink
+    from hive_cassandra_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F2.col("vec_id") < 120
+    )
+    even = F2.col("vec_id") % 2 == 0
+    idx = str(tmp_path / "idx")
+    r1 = sim.build_ivfpq_index_occ(
+        spark, emb.filter(even), idx, n_cells=8, m=4, k_codes=8
+    )
+    assert r1["committed"] and r1["version"] == 1
+    r2 = sim.update_ivfpq_index_occ(
+        spark, idx, emb.filter(~even), batch_id="d1"
+    )
+    assert r2["version"] == 2
+    qs = emb.filter(F2.col("vec_id") < 6)
+    pinned = sorted(map(tuple, sim.ivfpq_topk_indexed_occ(
+        spark, idx, qs, nprobe=2, topk=5, id_col="vec_id",
+        as_of_version=1,
+    ).collect()))
+    latest = sorted(map(tuple, sim.ivfpq_topk_indexed_occ(
+        spark, idx, qs, nprobe=2, topk=5, id_col="vec_id"
+    ).collect()))
+    # the pinned serve equals a fresh index built on the even half only
+    solo = str(tmp_path / "solo")
+    sim.build_ivfpq_index_occ(
+        spark, emb.filter(even), solo, n_cells=8, m=4, k_codes=8
+    )
+    solo_served = sorted(map(tuple, sim.ivfpq_topk_indexed_occ(
+        spark, solo, qs, nprobe=2, topk=5, id_col="vec_id"
+    ).collect()))
+    assert pinned == solo_served
+    # only even neighbors are visible to the pinned read; the latest
+    # read surfaces odd ones too (the delta landed)
+    assert all(r[1] % 2 == 0 for r in pinned)
+    assert any(r[1] % 2 == 1 for r in latest)
+    with pytest.raises(ValueError, match="never published"):
+        sim.ivfpq_topk_indexed_occ(
+            spark, idx, qs, nprobe=2, topk=5, id_col="vec_id",
+            as_of_version=9,
+        )
+    assert sink.store_version(idx) == 2
