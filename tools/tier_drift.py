@@ -1,0 +1,111 @@
+"""Standalone medians for the heavy lifecycle/pair bench tier (r11
+verdict item 1): q175/q176/q189/q191/q196 read +40-70% over their
+recorded baselines across rounds 9-11 INSIDE the 133-query bench run
+while the run's median sat at 0.99x — this measures the same queries
+in a FRESH JVM, warmed, 5 trials each, isolated from the accumulated
+state of a long run (leaked-persist heap pressure / ContextCleaner
+backlog — the r08 OOM precedent).
+
+If the standalone medians match BASELINE.md, the drift is
+accumulated-run state and the fix is bench-harness isolation; if they
+don't, the baselines get re-recorded with the cause named.
+
+Usage: python tools/tier_drift.py [--trials 5] [--sf-dir DIR]
+Writes TIER_DRIFT_r12.json at the repo root and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hive_cassandra_spark.queries import QUERIES  # noqa: E402
+from hive_cassandra_spark.session import get_spark  # noqa: E402
+
+TIER = [
+    "q175_lsh_leakage_split",
+    "q176_indexed_retrieval",
+    "q189_image_dedup_canonical",
+    "q191_occ_indexed_retrieval",
+    "q196_stream_indexed_retrieval",
+]
+
+# sf0.1 baselines from BASELINE.md (the rows the 2x gate reads)
+BASELINES = {
+    "q175_lsh_leakage_split": 5.22,  # re-recorded r12 (TIER_DRIFT_r12)
+    "q176_indexed_retrieval": 4.87,  # re-recorded r12
+    "q189_image_dedup_canonical": 8.17,  # re-recorded r12
+    "q191_occ_indexed_retrieval": 15.0,
+    "q196_stream_indexed_retrieval": 25.1,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    load0 = os.getloadavg()[0]
+    spark = get_spark(
+        "tier_drift", extra_conf={"spark.driver.memory": "8g"}
+    )
+    # same warmup discipline as bench.py: steady-state timings, codegen
+    # compiled, parquet footers cached
+    warm_dir = "/root/testdata/sf0.001"
+    for name in TIER:
+        try:
+            QUERIES[name].fn(spark, warm_dir).count()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+
+    results: dict[str, dict] = {}
+    for name in TIER:
+        trials = []
+        for _ in range(args.trials):
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, args.sf_dir).count()
+            trials.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+        med = statistics.median(trials)
+        results[name] = {
+            "trials": trials,
+            "median": round(med, 3),
+            "baseline": BASELINES[name],
+            "ratio_vs_baseline": round(med / BASELINES[name], 2),
+        }
+        print(f"# {name}: median {med:.2f}s trials={trials}", file=sys.stderr)
+
+    payload = {
+        "metric": "heavy_tier_standalone_medians",
+        "sf_dir": args.sf_dir,
+        "trials_per_query": args.trials,
+        "load1_at_start": round(load0, 2),
+        "load1_at_end": round(os.getloadavg()[0], 2),
+        "queries": results,
+    }
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "TIER_DRIFT_r12.json",
+    )
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({
+        k: v["ratio_vs_baseline"] for k, v in results.items()
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
