@@ -139,7 +139,7 @@ NOTES = {
         "shuffle join on w/token when it doesn't (plan-asserted in "
         "test_text), so a billion-row crawl vocabulary can no longer "
         "OOM the driver. Per-doc shuffles track volume linearly "
-        "(SCALING_r11)."
+        "(SCALING_r12)."
     ),
     "q188_incremental_retrieval": (
         "the index delta job, OCC-routed since round 11 (the legacy "
@@ -859,8 +859,9 @@ def _scaling_section() -> str:
     import json as _json
     import os as _os
 
-    path = "/root/repo/SCALING_r11.json"
+    path = "/root/repo/SCALING_r12.json"
     for fallback in (
+        "SCALING_r11.json",
         "SCALING_r10.json", "SCALING_r09.json", "SCALING_r08.json",
         "SCALING_r07.json", "SCALING_r06.json",
     ):
@@ -878,7 +879,7 @@ def _scaling_section() -> str:
     # same tier; the files stay in git for history)
     extra20_late = None
     extra20_late_name = None
-    for rnd in ("r11", "r10", "r09"):
+    for rnd in ("r12", "r11", "r10", "r09"):
         p = f"/root/repo/SCALING_{rnd}_20x.json"
         if _os.path.exists(p):
             with open(p) as f:

@@ -37,7 +37,7 @@ Round-9 additions (r08 verdict items 6 + 7):
   dense-duplicate regime the replicas create (letter bijections preserve
   pixel gradients, so replicas are perceptual near-dups of each other).
 
-Writes SCALING_r11.json at the repo root (rendered into PLANS.md by
+Writes SCALING_r12.json at the repo root (rendered into PLANS.md by
 tools/plan_audit.py) and prints it.
 
 Usage: python tools/scaling_check.py [--replicas N[,M...]] [--trials T]
@@ -189,6 +189,17 @@ QUERIES_UNDER_TEST = [
     # zero joins, wall must track docs with output = 3 rows/doc.
     "q193_bpe_tokenize_docs",
     "q202_mjpeg_mp4_decode",
+    # round-12 additions. q204: the OCC time-travel lifecycle (bootstrap
+    # + 2 deltas + pinned/latest double serve) — freq-preserving replica
+    # (q135's contract) so df and N scale together; wall tracks the
+    # index build, output fixed at 2x top-10 x 3 query-ids. q205:
+    # acoustic dedup — 2x per-doc codec kernels + the banded-Hamming
+    # engine; cand_pairs counts the distinct-signature candidate stage
+    # (the quadratic-risk stage); Caesar replicas perturb energies so
+    # signature spaces stay mostly disjoint and pairs track per-replica
+    # dup structure.
+    "q204_occ_time_travel",
+    "q205_audio_dedup",
 ]
 
 # r07 verdict item 5: for the pair-join queries the scaling table must
@@ -235,6 +246,30 @@ def _dhash_cand_count(spark, sf_dir: str) -> int:
     return dedup.signature_band_pairs(sig, max_hamming=128).count()
 
 
+def _audio_cand_count(spark, sf_dir: str) -> int:
+    """q205's candidate space: distinct-signature in-bucket pairs the
+    banded engine exact-verifies over the unioned PCM+ulaw fingerprint
+    table (max_hamming=128 disables the verdict filter)."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import dedup, multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sig = (
+        multimodal.audio_fingerprint(
+            multimodal.attach_audio_payload(docs, container="pcm")
+        ).withColumn("doc", F2.col("doc") * 2)
+        .unionByName(
+            multimodal.audio_fingerprint(
+                multimodal.attach_audio_payload(docs, container="ulaw")
+            ).withColumn("doc", F2.col("doc") * 2 + 1)
+        )
+    )
+    return dedup.signature_band_pairs(sig, max_hamming=128).count()
+
+
 def _containment_cand_count(tn: int, td: int):
     def fn(spark, sf_dir: str) -> int:
         from hive_cassandra_spark.operators import dedup
@@ -253,6 +288,7 @@ CANDIDATE_COUNT = {
     "q180_image_dedup_dhash": _dhash_cand_count,
     "q189_image_dedup_canonical": _dhash_cand_count,
     "q197_containment_dedup": _containment_cand_count(4, 5),
+    "q205_audio_dedup": _audio_cand_count,
 }
 # Expected row behavior across scale points — the result check (r06
 # verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
@@ -305,6 +341,8 @@ EXPECT_ROWS = {
     "q198_kcenter_diversity": "fixed",
     "q193_bpe_tokenize_docs": "grows",
     "q202_mjpeg_mp4_decode": "grows",
+    "q204_occ_time_travel": "fixed",
+    "q205_audio_dedup": "grows",
 }
 # q98 reads the frequency-preserving documents replica: token counts must
 # scale WITH the corpus for the MG threshold to keep the same survivors
@@ -312,6 +350,7 @@ FREQ_PRESERVING = {
     "q98_heavy_hitters",
     "q135_bm25_retrieval",
     "q176_indexed_retrieval",
+    "q204_occ_time_travel",
     "postings_build",
 }
 # which table each query reads (only these get synthesized)
@@ -647,15 +686,15 @@ def main() -> None:
             )
         out["queries"][name] = rec
         print(f"# {name}: {json.dumps(rec)}", file=sys.stderr)
-    if only is not None and os.path.exists("/root/repo/SCALING_r11.json"):
+    if only is not None and os.path.exists("/root/repo/SCALING_r12.json"):
         # --only refreshes a subset: merge into the existing rows rather
         # than discarding the un-rerun queries' measurements
-        with open("/root/repo/SCALING_r11.json") as f:
+        with open("/root/repo/SCALING_r12.json") as f:
             prev = json.load(f)
         merged = prev.get("queries", {})
         merged.update(out["queries"])
         out["queries"] = merged
-    with open("/root/repo/SCALING_r11.json", "w") as f:
+    with open("/root/repo/SCALING_r12.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     if failures:
