@@ -183,6 +183,7 @@ def build_postings_index_occ(
     id_col: str = "doc_id",
     text_col: str = "text",
     expected_version: int | None = None,
+    retain_versions: int = 0,
 ) -> dict:
     """``build_postings_index`` routed through the OCC commit protocol
     (r09 verdict item 3): the full postings + corpus meta land as ONE
@@ -191,7 +192,10 @@ def build_postings_index_occ(
     the delta; prior versions become invisible atomically and are
     vacuumable at leisure. ``expected_version=None`` reads the current
     version (rebuild-at-current); pass an explicit version to pin the
-    read snapshot the rebuild derived from."""
+    read snapshot the rebuild derived from. ``retain_versions=K`` keeps
+    the K newest superseded versions on disk through the post-commit
+    vacuum, so ``as_of_version`` pins (q204) stay serviceable across
+    the nightly rebuild (sink.occ_vacuum retention)."""
     from hive_cassandra_spark import sink
 
     post = postings(df, id_col, text_col)
@@ -206,7 +210,7 @@ def build_postings_index_occ(
         snapshot=True,
     )
     if res["committed"]:
-        sink.occ_vacuum(path)
+        sink.occ_vacuum(path, retain_versions=retain_versions)
     return res
 
 

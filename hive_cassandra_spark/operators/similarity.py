@@ -1146,6 +1146,7 @@ def build_ivfpq_index_occ(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     expected_version: int | None = None,
+    retain_versions: int = 0,
 ) -> dict:
     """``build_ivfpq_index`` routed through the OCC commit protocol
     (r09 verdict item 3, the vector-side sibling of
@@ -1182,7 +1183,10 @@ def build_ivfpq_index_occ(
         snapshot=True,
     )
     if res["committed"]:
-        sink.occ_vacuum(path)
+        # retain_versions keeps the K newest superseded versions through
+        # the post-rebuild vacuum so as_of_version pins (q204) survive
+        # the nightly retrain (sink.occ_vacuum retention)
+        sink.occ_vacuum(path, retain_versions=retain_versions)
     return res
 
 

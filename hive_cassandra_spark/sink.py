@@ -765,8 +765,12 @@ def occ_commit(
         )
         n += 1
     shutil.rmtree(staging, ignore_errors=True)
+    # files:<n> lets an as-of read distinguish "this version committed
+    # parts that were later vacuumed" (fail closed) from "nothing to
+    # see" — markers are the only durable record once parts are gone
     OCC_CLAIM_BACKEND.publish(
-        path, v, token + ("\nsnapshot" if snapshot else "")
+        path, v,
+        token + ("\nsnapshot" if snapshot else "") + f"\nfiles:{n}",
     )
     return {
         "committed": True, "version": v, "conflict": False,
@@ -829,6 +833,7 @@ def occ_commit_tables(
             "files": 0,
         }
     n = 0
+    per_table: dict[str, int] = {}
     for tname in tables:
         os.makedirs(os.path.join(path, tname), exist_ok=True)
         k = 0
@@ -844,12 +849,19 @@ def occ_commit_tables(
             )
             k += 1
             n += 1
+        per_table[tname] = k
     shutil.rmtree(staging, ignore_errors=True)
     lines = [token]
     if snapshot:
         lines.append("snapshot")
     if tag:
         lines.append(f"tag:{tag}")
+    # files:<table>=<k> per table: an as-of read of table T fails closed
+    # when a visible version RECORDED parts for T that are now missing
+    # (vacuumed history), while a version that never carried T stays a
+    # legitimate no-op for that table
+    for tname, k in per_table.items():
+        lines.append(f"files:{tname}={k}")
     OCC_CLAIM_BACKEND.publish(path, v, "\n".join(lines))
     return {
         "committed": True, "version": v, "conflict": False,
@@ -904,6 +916,55 @@ def _occ_visible_versions(path: str, as_of_version: int | None) -> set:
     return {v for v in published if floor <= v <= as_of_version}
 
 
+def _occ_marker_files(path: str, version: int, table: str | None) -> int | None:
+    """Part-file count the version's marker RECORDED at commit time for
+    ``table`` (None = the flat cell-store count) — the durable evidence
+    an as-of read checks against once parts may have been vacuumed.
+    Returns None when the marker predates the files: lines (pre-round-12
+    stores) or never recorded this table."""
+    import os
+
+    try:
+        with open(os.path.join(path, f"_occ-v{version:09d}")) as fh:
+            lines = fh.read().splitlines()
+    except OSError:
+        return None
+    want = "files:" if table is None else f"files:{table}="
+    for ln in lines[1:]:
+        if ln.startswith("files:") and table is None and "=" not in ln:
+            return int(ln[6:])
+        if table is not None and ln.startswith(want):
+            return int(ln[len(want):])
+    return None
+
+
+def _occ_check_pinned_complete(
+    path: str,
+    visible: set,
+    present: set,
+    as_of_version: int | None,
+    table: str | None,
+) -> None:
+    """Fail closed when a PINNED read's visible range is only partially
+    on disk: a version whose marker recorded parts (for this table) that
+    are now gone was vacuumed — serving the surviving suffix as "the
+    state at vN" would be silently wrong history, the one thing a
+    reproducibility pin exists to prevent."""
+    if as_of_version is None:
+        return
+    for v in sorted(visible - present):
+        recorded = _occ_marker_files(path, v, table)
+        if recorded:
+            raise FileNotFoundError(
+                f"as_of_version={as_of_version}: version {v} committed "
+                f"{recorded} part file(s)"
+                + (f" for table '{table}'" if table else "")
+                + f" under {path} that are no longer on disk — the "
+                "pinned history was vacuumed (occ_vacuum retention "
+                "window passed); refusing to serve partial state"
+            )
+
+
 def occ_read_table(
     spark,
     path: str,
@@ -938,6 +999,9 @@ def occ_read_table(
         m = pat.search(os.path.basename(f))
         if m and int(m.group(1)) in visible:
             by_version.setdefault(int(m.group(1)), []).append(f)
+    _occ_check_pinned_complete(
+        path, visible, set(by_version), as_of_version, table
+    )
     if not by_version:
         raise FileNotFoundError(
             f"no committed parts for table '{table}' under {path}"
@@ -1011,11 +1075,14 @@ def occ_read(
     visible = _occ_visible_versions(path, as_of_version)
     pat = _re.compile(r"part-occ-v(\d{9})-\d{5}-[0-9a-f]+\.parquet$")
     files = []
+    present = set()
     all_parts = sorted(_glob.glob(os.path.join(path, "part-occ-v*.parquet")))
     for f in all_parts:
         m = pat.search(os.path.basename(f))
         if m and int(m.group(1)) in visible:
             files.append(f)
+            present.add(int(m.group(1)))
+    _occ_check_pinned_complete(path, visible, present, as_of_version, None)
     if not files:
         if as_of_version is not None:
             # a published pin with no visible parts means occ_vacuum
@@ -1104,30 +1171,56 @@ def occ_recover(path: str, min_age_s: float = 0.0) -> dict:
     }
 
 
-def occ_vacuum(path: str) -> dict:
+def occ_vacuum(path: str, retain_versions: int = 0) -> dict:
     """Physically drop part files superseded by the newest published
-    SNAPSHOT commit (they are already invisible to ``occ_read``, so this
-    is pure space reclamation — safe at leisure, idempotent). Driver-side
-    dirent work, O(files), zero data movement. Returns {dropped_parts,
-    floor}."""
+    SNAPSHOT commit (they are already invisible to LATEST ``occ_read``s,
+    so this is pure space reclamation — safe at leisure, idempotent).
+    Driver-side dirent work, O(files), zero data movement.
+
+    ``retain_versions=K`` keeps the parts of the K highest superseded
+    versions on disk — the retention window that keeps
+    ``as_of_version`` time-travel reads (q204) serviceable across a
+    compaction, exactly Delta's ``deletedFileRetentionDuration`` /
+    Iceberg's snapshot-expiry knob expressed in versions (public
+    semantics). Retained versions stay invisible to latest reads (the
+    marker floor governs those); a later vacuum with a smaller window
+    drops them for good. Default 0 = reclaim everything below the
+    floor, the pre-round-12 behavior every maintenance pass uses.
+    Returns {dropped_parts, floor, retained_versions}."""
     import glob as _glob
     import os
     import re as _re
 
     floor = _occ_snapshot_floor(path)
     dropped = 0
+    retained: set[int] = set()
     if floor:
         pat = _re.compile(r"part-occ-v(\d{9})-\d{5}-[0-9a-f]+\.parquet$")
+        if retain_versions > 0:
+            superseded = sorted(
+                v
+                for v in {
+                    int(os.path.basename(m)[6:])
+                    for m in _glob.glob(os.path.join(path, "_occ-v*"))
+                }
+                if v < floor
+            )
+            retained = set(superseded[-retain_versions:])
         for pattern in (
             os.path.join(path, "part-occ-v*.parquet"),
             os.path.join(path, "*", "part-occ-v*.parquet"),
         ):
             for f in _glob.glob(pattern):
                 m = pat.search(os.path.basename(f))
-                if m and int(m.group(1)) < floor:
+                v = m and int(m.group(1))
+                if m and v < floor and v not in retained:
                     os.remove(f)
                     dropped += 1
-    return {"dropped_parts": dropped, "floor": floor}
+    return {
+        "dropped_parts": dropped,
+        "floor": floor,
+        "retained_versions": sorted(retained),
+    }
 
 
 def occ_compact_store(

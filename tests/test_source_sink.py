@@ -943,3 +943,96 @@ def test_occ_read_table_as_of_version(spark, tmp_path):
     assert sink.occ_read_table(
         spark, idx, "meta", latest_only=True, as_of_version=2
     ).head()["m"] == 108
+
+
+def test_occ_vacuum_retention_keeps_time_travel_serviceable(
+    spark, tmp_path
+):
+    """occ_vacuum(retain_versions=K): the K newest superseded versions
+    survive a compaction's vacuum, so as_of_version pins whose visible
+    range lies inside the window keep working (the Delta
+    deletedFileRetentionDuration analogue in versions); pins into the
+    expired generation fail closed — INCLUDING partially-present ranges
+    (the marker's files: record is the durable evidence) — and latest
+    reads are untouched throughout."""
+    import pytest
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark import sink
+
+    store = str(tmp_path / "ret_store")
+
+    def gen(tag, n, ts):
+        return spark.range(n).select(
+            F2.encode(F2.concat(F2.lit(tag), F2.col("id").cast("string")),
+                      "utf-8").alias("row_key"),
+            F2.encode(F2.lit("c"), "utf-8").alias("column_name"),
+            F2.encode(F2.lit(tag), "utf-8").alias("value"),
+            F2.lit(ts).cast("long").alias("ts"),
+        )
+
+    # generation 1: v1-v3, superseded by snapshot v4; generation 2:
+    # delta v5, superseded by snapshot v6
+    assert sink.occ_commit(spark, store, gen("a", 10, 1000), 0)["committed"]
+    assert sink.occ_commit(spark, store, gen("b", 4, 2000), 1)["committed"]
+    assert sink.occ_commit(spark, store, gen("c", 2, 3000), 2)["committed"]
+    assert sink.occ_commit(
+        spark, store, gen("s", 16, 4000), 3, snapshot=True
+    )["committed"]
+    assert sink.occ_commit(spark, store, gen("d", 3, 5000), 4)["committed"]
+    assert sink.occ_commit(
+        spark, store, gen("t", 19, 6000), 5, snapshot=True
+    )["committed"]
+    res = sink.occ_vacuum(store, retain_versions=2)
+    assert res["floor"] == 6 and res["retained_versions"] == [4, 5]
+    assert res["dropped_parts"] > 0  # generation 1 reclaimed
+    # latest reads see only the newest snapshot
+    assert sink.occ_read(spark, store).count() == 19
+    # pins inside the retention window serve the exact historical state
+    assert sink.occ_read(spark, store, as_of_version=5).count() == 19
+    assert sink.occ_read(spark, store, as_of_version=4).count() == 16
+    # pins into the expired generation fail closed — as_of=3's range is
+    # v1-v3 (all gone) and the marker files: record proves they existed
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        sink.occ_read(spark, store, as_of_version=3).count()
+    # a later full vacuum expires the window too; the v5 pin now fails
+    # closed on the PARTIAL-state check (v6 alone must not serve as v5)
+    res2 = sink.occ_vacuum(store)
+    assert res2["dropped_parts"] > 0 and res2["retained_versions"] == []
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        sink.occ_read(spark, store, as_of_version=5).count()
+    assert sink.occ_read(spark, store).count() == 19
+
+
+def test_occ_as_of_partial_vacuum_fails_closed_table_level(spark, tmp_path):
+    """The table-level face of the partial-history check: a pinned
+    multi-table read whose range lost ONE version's parts for the read
+    table must refuse (marker files:<table>= record), while a version
+    that never carried the table stays a legitimate no-op."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark import sink
+
+    idx = str(tmp_path / "pt_idx")
+    rows = spark.range(5).select(F2.col("id").alias("k"))
+    meta = spark.createDataFrame([(1,)], "m long").coalesce(1)
+    assert sink.occ_commit_tables(
+        spark, idx, {"rows": rows, "meta": meta}, 0
+    )["committed"]
+    # v2 carries ONLY meta — legitimately no 'rows' parts
+    assert sink.occ_commit_tables(spark, idx, {"meta": meta}, 1)["committed"]
+    assert sink.occ_commit_tables(
+        spark, idx, {"rows": rows, "meta": meta}, 2
+    )["committed"]
+    # pin at v3 reads rows from v1+v3 (v2's absence is not an error)
+    assert sink.occ_read_table(spark, idx, "rows",
+                               as_of_version=3).count() == 10
+    # simulate a vacuumed v1: physically remove its rows parts
+    for f in glob.glob(os.path.join(idx, "rows", "part-occ-v000000001-*")):
+        os.remove(f)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        sink.occ_read_table(spark, idx, "rows", as_of_version=3).count()
