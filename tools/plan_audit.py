@@ -180,6 +180,31 @@ NOTES = {
         "+ a serve in one query; the recurring 100 TB cost is one "
         "delta per micro-batch scanning only that batch."
     ),
+    "q204_occ_time_travel": (
+        "bootstrap snapshot (v1) + two delta commits (v2, v3) + a "
+        "rejected bad pin + BM25 served TWICE from the artifact — "
+        "pinned at v2 (postings/meta restricted to versions <= 2, "
+        "sink-level file listing, zero extra plan cost) and latest. "
+        "The wall is 3 commit cycles + 2 serves; the pin itself is "
+        "FREE at any scale (it only changes which part files the scan "
+        "lists — SCALING_r12: wall flat 0.92x/1.04x at 5x/10x volume). "
+        "Retention for pins across rebuilds: occ_vacuum("
+        "retain_versions=K); partially-vacuumed pin ranges fail closed "
+        "on the marker's recorded part counts. Delta-commit recurring "
+        "cost: MAINT_SCALING_r12 — shuffle exactly linear in BATCH "
+        "(0.18/0.35/0.67 MB at 250/500/1000 docs), wall+shuffle FLAT "
+        "in corpus (1x/5x/10x: 9.0/6.9/6.0 s, 0.35 MB at every point)."
+    ),
+    "q205_audio_dedup": (
+        "two per-doc codec kernels (PCM16 + G.711 mu-law encode, "
+        "decode, 65-frame integer energy fingerprint — audio bytes "
+        "never leave the Arrow kernels, ~20 B/doc emerges) feeding the "
+        "q34/q180 banded-Hamming engine over the unioned signature "
+        "table: exact-signature pre-collapse, distinct-signature "
+        "banding, bit_count(xor) verify. 20x volume in 1.59x wall "
+        "(SCALING_r12_20x) with candidate pairs tracking the "
+        "compounding near-dup signature structure, never documents^2."
+    ),
     "q184_bpe_merges_bytes": (
         "q179's merge machinery over the 256-symbol byte alphabet: the "
         "hex projection (lower(hex(encode(w)))) is one codegen "
