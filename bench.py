@@ -465,17 +465,24 @@ def main() -> None:
         "q191_occ_indexed_retrieval",
         "q196_stream_indexed_retrieval",
     }
+    # A recycle hands the fresh JVM to the recycled query warm, but the
+    # NEXT query in headline order lost its one-time warmup with the old
+    # JVM — re-warm it too (measured: q177, right after q176's recycle,
+    # read a false 2.07x on pure codegen cold-start; batching the tier
+    # at the END instead was worse — 4 back-to-back recycles inflated
+    # the terminal streaming query q196 to 2.2x).
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         if name in RECYCLE_BEFORE:
             spark.stop()
             spark = get_spark(
                 "bench", extra_conf={"spark.driver.memory": "8g"}
             )
-            try:
-                QUERIES[name].fn(spark, warm_dir).count()  # re-warm codegen
-            except Exception:
-                pass
+            for w in (name, *HEADLINE[i + 1 : i + 2]):
+                try:
+                    QUERIES[w].fn(spark, warm_dir).count()  # re-warm codegen
+                except Exception:
+                    pass
             spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = QUERIES[name].fn(spark, sf_dir)
