@@ -11171,6 +11171,89 @@ def q205_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.signature_hamming_pairs(sig, max_hamming=6)
 
 
+def _audio_canonical_oracle_sql() -> str:
+    """q205's acoustic-pair CTE chain spliced into the q189 recursive
+    component + canonical-argmax tail (quality joined at node div 2 —
+    both codec recordings of a doc share its n_chars, so the PCM
+    recording wins every within-doc tie via the smaller even id). The
+    oracle closes over the FULL pair graph while the engine walks the
+    linear star/rep edge set — hash equality proves the reduced edges
+    preserve the transitive closure, audio edition."""
+    base = QUERIES["q205_audio_dedup"].oracle
+    chain = base[: base.rindex("SELECT doc_a")]
+    return (
+        chain.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+        + """, hp AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= 6),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM hp
+            UNION SELECT doc_b, doc_a FROM hp),
+    reach(node, label) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    cq AS (SELECT c.component, c.node, dd.n_chars,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY dd.n_chars DESC, c.node ASC)
+                     AS rn
+          FROM comp c JOIN documents dd ON dd.doc_id = c.node // 2)
+    SELECT component,
+           max(CASE WHEN rn = 1 THEN node END) AS canonical_id,
+           max(CASE WHEN rn = 1 THEN n_chars END) AS best_quality,
+           count(*) AS cluster_size
+    FROM cq GROUP BY component"""
+    )
+
+
+@register(
+    "q206_audio_dedup_canonical",
+    # End-to-end adjudication, audio edition: text bytes → two real
+    # audio recordings per doc → integer energy fingerprints (q205's
+    # CTEs verbatim, including the G.711 quantizer replay) → recursive
+    # min-label components → quality argmax. One hash covers who
+    # SURVIVES dedup — the pair graph's transitive closure included,
+    # which the q205 pair list alone cannot prove.
+    oracle=_audio_canonical_oracle_sql(),
+    doc="audio-dedup canonical assignment (multimodal.audio_fingerprint "
+    "+ dedup.signature_neardup_edges + neardup_components + "
+    "canonical_per_cluster — the q189 production shape on the audio "
+    "modality): per duplicate cluster of RECORDINGS (every doc "
+    "contributes its PCM16 and lossy G.711 recordings; cross-codec "
+    "Hamming-0 edges glue them), keep the highest-quality member — "
+    "longest source doc, ties to the smallest id, which prefers the "
+    "LOSSLESS PCM recording of a doc over its mu-law recompression — "
+    "and report cluster size. Component graph is the "
+    "connectivity-sufficient linear star/rep edge set; rounds converge "
+    "in graph-diameter iterations over hash-partitioned joins. "
+    "Ordinary overflow of the audio_dedup (q205) + dedup_components "
+    "(q163/q175) families",
+)
+def q206_audio_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pcm = multimodal.attach_audio_payload(docs, container="pcm")
+    ulw = multimodal.attach_audio_payload(docs, container="ulaw")
+    sig = (
+        multimodal.audio_fingerprint(pcm)
+        .withColumn("doc", F.col("doc") * 2)
+        .unionByName(
+            multimodal.audio_fingerprint(ulw).withColumn(
+                "doc", F.col("doc") * 2 + 1
+            )
+        )
+    )
+    edges = dedup.signature_neardup_edges(sig, max_hamming=6)
+    comp = dedup.neardup_components(edges)
+    quality = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "n_chars"
+    ).unionByName(
+        docs.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "n_chars")
+    )
+    return dedup.canonical_per_cluster(
+        comp, quality, quality_col="n_chars"
+    ).select("component", "canonical_id", "best_quality", "cluster_size")
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -11832,6 +11915,10 @@ QUERY_FAMILIES: dict[str, set[str]] = {
         "retrieval", "connector_datasource", "time_travel",
     },
     "q205_audio_dedup": {"multimodal", "audio_dedup"},
+    # audio canonical assignment: ordinary overflow from birth — the
+    # q189 production shape on the audio modality (audio_dedup borne
+    # in-window by q205; dedup_components by q163/q175)
+    "q206_audio_dedup_canonical": {"audio_dedup", "dedup_components"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant
