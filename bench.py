@@ -291,11 +291,20 @@ def _idle_gate() -> dict:
         "idle_threshold": threshold,
     }
     if load > threshold and os.environ.get("SPARK_GRAFT_BENCH_FORCE") != "1":
+        # The refusal artifact goes to bench_refusal.json, NOT
+        # bench_out.json (advisor r12: the refusal schema differs —
+        # value:null, no full queries map — and consumers of
+        # bench_out.json that index payload["queries"] or treat value
+        # as a number would throw). Any stale bench_out.json from a
+        # prior successful run is REMOVED so no consumer silently
+        # reads yesterday's numbers as today's; the stdout marker and
+        # exit code 3 still carry the refusal to the driver.
         refusal = json.dumps(
             {
                 "metric": "headline_queries_total_wallclock",
                 "value": None,
                 "unit": "sec",
+                "queries": {},
                 "refused": "idle-gate expiry: box busy, timings would "
                 "be load-contaminated",
                 "load": gate,
@@ -303,11 +312,13 @@ def _idle_gate() -> dict:
             separators=(",", ":"),
         )
         print(refusal)
-        out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
-        )
-        with open(out_path, "w") as f:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_refusal.json"), "w") as f:
             f.write(refusal + "\n")
+        try:
+            os.remove(os.path.join(here, "bench_out.json"))
+        except OSError:
+            pass
         sys.exit(3)
     return gate
 
@@ -472,8 +483,16 @@ def main() -> None:
     # at the END instead was worse — 4 back-to-back recycles inflated
     # the terminal streaming query q196 to 2.2x).
     timings: dict[str, float] = {}
+    # Methodology stamp (advisor r12): the recycled-query set and each
+    # recycle's restart+re-warm duration land IN the bench_out.json
+    # payload, so a reader of the official artifact can see which rows
+    # were timed from a fresh JVM (the restart/re-warm wall is excluded
+    # from the timed query wall — same condition the baselines were
+    # recorded in) without consulting this source file.
+    recycles: dict[str, float] = {}
     for i, name in enumerate(HEADLINE):
         if name in RECYCLE_BEFORE:
+            r0 = time.perf_counter()
             spark.stop()
             spark = get_spark(
                 "bench", extra_conf={"spark.driver.memory": "8g"}
@@ -484,6 +503,7 @@ def main() -> None:
                 except Exception:
                     pass
             spark.catalog.clearCache()
+            recycles[name] = round(time.perf_counter() - r0, 3)
         t0 = time.perf_counter()
         df = QUERIES[name].fn(spark, sf_dir)
         n = df.count()
@@ -505,6 +525,11 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "load": load_gate,
+            # JVM-recycle methodology, visible in the artifact itself:
+            # these queries were timed from a fresh, codegen-re-warmed
+            # SparkContext; value = restart+re-warm seconds EXCLUDED
+            # from that query's timed wall.
+            "recycled_fresh_jvm": recycles,
         }
     )
     # Durability (two rounds of evidence): the driver keeps only the LAST

@@ -1905,7 +1905,8 @@ def audio_fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """64-bit acoustic fingerprint per audio payload — the audio-side
     ``image_dhash`` (r11 verdict item 6: the perceptual-dedup parity the
     audio modality lacked). Sign-of-energy-delta over fixed time frames,
-    the Haitsma-Kalman (2002, public) robust-hash SHAPE reduced to its
+    the Haitsma & Kalker robust-hash SHAPE ("A Highly Robust Audio
+    Fingerprinting System", ISMIR 2002, public) reduced to its
     time-domain core with pure integer arithmetic so a SQL oracle
     replays it bit-for-bit:
 

@@ -11142,7 +11142,7 @@ def q204_occ_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audio recordings of the same signal — a PCM16 RIFF/WAVE (doc*2) "
     "and a lossy G.711 mu-law telephony WAV (doc*2+1) — each decoded "
     "by the repo's cleanroom codecs and fingerprinted by "
-    "sign-of-energy-delta over 65 fixed frames (Haitsma-Kalman 2002 "
+    "sign-of-energy-delta over 65 fixed frames (Haitsma-Kalker (ISMIR 2002) "
     "shape, pure integer). The banded-Hamming engine then finds BOTH "
     "the cross-codec pairs (the same clip recompressed — byte-level "
     "and minhash dedup see nothing; the fingerprint lands at Hamming "

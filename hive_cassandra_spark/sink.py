@@ -668,6 +668,16 @@ def set_occ_claim_backend(backend) -> object:
     return prev
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Row count from the parquet FOOTER (metadata-only, no column
+    reads) — the per-staged-file check occ_commit uses to drop
+    zero-row parts. Driver-side and O(parts-per-commit), the same cost
+    class as the rename loop it sits in."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def occ_commit(
     spark, path: str, cells, expected_version: int, snapshot: bool = False,
 ) -> dict:
@@ -757,6 +767,16 @@ def occ_commit(
         }
     n = 0
     for f in sorted(_glob.glob(os.path.join(staging, "*.parquet"))):
+        # drop zero-row parts instead of committing them: Spark writes
+        # one empty part file even for an empty DataFrame, and a
+        # streaming pipeline committing many empty micro-batch deltas
+        # would accumulate junk files that every later read must list
+        # and open. The marker then records the truthful files:0, which
+        # is what lets a pinned as-of read distinguish "this version
+        # was legitimately empty" from "its parts were vacuumed".
+        if _parquet_num_rows(f) == 0:
+            os.remove(f)
+            continue
         os.rename(
             f,
             os.path.join(
@@ -840,6 +860,9 @@ def occ_commit_tables(
         for f in sorted(
             _glob.glob(os.path.join(staging, tname, "*.parquet"))
         ):
+            if _parquet_num_rows(f) == 0:  # see occ_commit: no junk parts
+                os.remove(f)
+                continue
             os.rename(
                 f,
                 os.path.join(
@@ -941,7 +964,7 @@ def _occ_marker_files(path: str, version: int, table: str | None) -> int | None:
 def _occ_check_pinned_complete(
     path: str,
     visible: set,
-    present: set,
+    counts: dict,
     as_of_version: int | None,
     table: str | None,
 ) -> None:
@@ -949,20 +972,42 @@ def _occ_check_pinned_complete(
     on disk: a version whose marker recorded parts (for this table) that
     are now gone was vacuumed — serving the surviving suffix as "the
     state at vN" would be silently wrong history, the one thing a
-    reproducibility pin exists to prevent."""
+    reproducibility pin exists to prevent.
+
+    ``counts`` maps version -> number of part files actually on disk;
+    EVERY visible version is compared against the part count its marker
+    durably recorded (``files:``/``files:<table>=`` lines), not just the
+    fully-absent ones — a version that lost SOME part files to
+    out-of-band deletion or a partial copy/restore is the same wrong
+    history as one that lost all of them. Versions whose marker predates
+    the ``files:`` records (``None``) fall back to the old
+    presence-only semantics (unknowable, so not flagged)."""
     if as_of_version is None:
         return
-    for v in sorted(visible - present):
+    for v in sorted(visible):
         recorded = _occ_marker_files(path, v, table)
-        if recorded:
+        actual = counts.get(v, 0)
+        if recorded and actual < recorded:
             raise FileNotFoundError(
                 f"as_of_version={as_of_version}: version {v} committed "
                 f"{recorded} part file(s)"
                 + (f" for table '{table}'" if table else "")
-                + f" under {path} that are no longer on disk — the "
-                "pinned history was vacuumed (occ_vacuum retention "
-                "window passed); refusing to serve partial state"
+                + f" under {path} but only {actual} remain on disk — "
+                "the pinned history was vacuumed (occ_vacuum retention "
+                "window passed) or externally damaged; refusing to "
+                "serve partial state"
             )
+
+
+def _occ_pinned_all_empty(path: str, visible: set, table: str | None) -> bool:
+    """True when EVERY visible version's marker explicitly records 0
+    part files (an empty-DataFrame commit writes ``files:0``): the
+    pinned state is provably an empty store, not vacuumed history.
+    ``None`` (pre-``files:``-record marker) is unknowable and returns
+    False — fail closed."""
+    return all(
+        _occ_marker_files(path, v, table) == 0 for v in sorted(visible)
+    )
 
 
 def occ_read_table(
@@ -1000,7 +1045,11 @@ def occ_read_table(
         if m and int(m.group(1)) in visible:
             by_version.setdefault(int(m.group(1)), []).append(f)
     _occ_check_pinned_complete(
-        path, visible, set(by_version), as_of_version, table
+        path,
+        visible,
+        {v: len(fs) for v, fs in by_version.items()},
+        as_of_version,
+        table,
     )
     if not by_version:
         raise FileNotFoundError(
@@ -1075,20 +1124,28 @@ def occ_read(
     visible = _occ_visible_versions(path, as_of_version)
     pat = _re.compile(r"part-occ-v(\d{9})-\d{5}-[0-9a-f]+\.parquet$")
     files = []
-    present = set()
+    counts: dict = {}
     all_parts = sorted(_glob.glob(os.path.join(path, "part-occ-v*.parquet")))
     for f in all_parts:
         m = pat.search(os.path.basename(f))
         if m and int(m.group(1)) in visible:
             files.append(f)
-            present.add(int(m.group(1)))
-    _occ_check_pinned_complete(path, visible, present, as_of_version, None)
+            v = int(m.group(1))
+            counts[v] = counts.get(v, 0) + 1
+    _occ_check_pinned_complete(path, visible, counts, as_of_version, None)
     if not files:
-        if as_of_version is not None:
-            # a published pin with no visible parts means occ_vacuum
-            # already dropped the pinned history — fail closed like
-            # occ_read_table, never silently serve an empty store as
-            # "the state at vN"
+        if as_of_version is not None and not _occ_pinned_all_empty(
+            path, visible, None
+        ):
+            # a published pin with no visible parts — and at least one
+            # visible marker that recorded parts or predates the
+            # files: records — means occ_vacuum already dropped the
+            # pinned history: fail closed like occ_read_table, never
+            # silently serve an empty store as "the state at vN".
+            # When EVERY visible marker explicitly records files:0
+            # (empty-DataFrame commits), the pinned state genuinely IS
+            # an empty store, and it serves through the same
+            # empty-schema path the latest read uses.
             raise FileNotFoundError(
                 f"no parts visible as of version {as_of_version} under "
                 f"{path} — the pinned history was vacuumed"

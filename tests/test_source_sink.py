@@ -1036,3 +1036,71 @@ def test_occ_as_of_partial_vacuum_fails_closed_table_level(spark, tmp_path):
         os.remove(f)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         sink.occ_read_table(spark, idx, "rows", as_of_version=3).count()
+
+
+def test_occ_as_of_empty_commit_serves_empty_store(spark, tmp_path):
+    """Advisor r12: a pinned read over versions that legitimately
+    committed ZERO part files (empty-DataFrame commits, marker records
+    files:0) is a provably-empty store, not vacuumed history — it must
+    serve the same empty-schema DataFrame the latest-read path serves,
+    not raise the vacuumed-history error."""
+    from pyspark.sql import types as T2
+
+    from hive_cassandra_spark import sink
+
+    store = str(tmp_path / "empty_pin_store")
+    schema = T2.StructType(
+        [
+            T2.StructField("row_key", T2.BinaryType()),
+            T2.StructField("column_name", T2.BinaryType()),
+            T2.StructField("value", T2.BinaryType()),
+            T2.StructField("ts", T2.LongType()),
+        ]
+    )
+    res = sink.occ_commit(spark, store, spark.createDataFrame([], schema), 0)
+    assert res["committed"] and res["files"] == 0, res
+    # latest read: empty store through the empty-schema path
+    assert sink.occ_read(spark, store, empty_schema=schema).count() == 0
+    # pinned read at the empty version: SAME semantics, not an error
+    pinned = sink.occ_read(
+        spark, store, empty_schema=schema, as_of_version=1
+    )
+    assert pinned.count() == 0
+    assert pinned.schema == schema
+
+
+def test_occ_as_of_partial_part_loss_fails_closed(spark, tmp_path):
+    """Advisor r12: the marker's files:<n> record guards PARTIAL loss,
+    not just full-version absence — a visible version that lost SOME of
+    its part files (out-of-band deletion / partial restore) must refuse
+    a pinned read instead of silently serving the surviving subset as
+    'the state at vN'."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark import sink
+
+    store = str(tmp_path / "partial_loss_store")
+    cells = (
+        spark.range(30)
+        .repartition(3)
+        .select(
+            F2.encode(F2.col("id").cast("string"), "utf-8").alias("row_key"),
+            F2.encode(F2.lit("c"), "utf-8").alias("column_name"),
+            F2.encode(F2.lit("v"), "utf-8").alias("value"),
+            F2.lit(1000).cast("long").alias("ts"),
+        )
+    )
+    res = sink.occ_commit(spark, store, cells, 0)
+    assert res["committed"] and res["files"] == 3, res
+    assert sink.occ_read(spark, store, as_of_version=1).count() == 30
+    # lose ONE of the three part files out-of-band: the version is still
+    # "present" by the old presence-only check, but the pinned read must
+    # compare against the recorded count and refuse
+    victim = sorted(glob.glob(os.path.join(store, "part-occ-v*-00001-*")))[0]
+    os.remove(victim)
+    with pytest.raises(FileNotFoundError, match="only 2 remain"):
+        sink.occ_read(spark, store, as_of_version=1).count()
