@@ -254,6 +254,13 @@ HEADLINE = [
     # kernels + banded-Hamming pairs)
     "q204_occ_time_travel",
     "q205_audio_dedup",
+    # round-13 additions: the audio canonical assignment (seated
+    # in-window per the r12 verdict), the video modality of the
+    # perceptual-dedup triangle (mux x2 rates + demux + T.81 decode +
+    # banded pairs), and its canonical face
+    "q206_audio_dedup_canonical",
+    "q207_video_dedup",
+    "q208_video_dedup_canonical",
 ]
 
 
@@ -452,6 +459,9 @@ def main() -> None:
         "q203_stream_indexed_ann",
         "q204_occ_time_travel",
         "q205_audio_dedup",
+        "q206_audio_dedup_canonical",
+        "q207_video_dedup",
+        "q208_video_dedup_canonical",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

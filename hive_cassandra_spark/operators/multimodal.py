@@ -2957,6 +2957,167 @@ def attach_mjpeg_mp4_payload(
     )
 
 
+def attach_mjpeg_timeline_payload(
+    df: DataFrame,
+    fps_mult: int = 1,
+    n_base_frames: int = 65,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Synthesize a REAL MJPEG-in-MP4 *timeline* per document — the
+    long-video fixture ``video_fingerprint`` needs (``attach_mjpeg_
+    mp4_payload``'s 2-4 frames can't carry a 64-bit temporal
+    signature). ``n_base_frames * fps_mult`` frames; base frame ``k``
+    is one constant 8x8 block of byte ``text[k]`` (zero-padded), and
+    ``fps_mult`` plays each base frame that many times at
+    ``sample_delta = 40 // fps_mult`` — the SAME video re-muxed at a
+    higher frame rate, the canonical transform a perceptual video
+    fingerprint must survive (24->48 fps re-encode): every container
+    byte differs (sample count, stts delta, stsz table, mdat) while
+    frame content is pixel-identical per time instant. Constant
+    blocks keep the T.81 roundtrip EXACT (DC quant step 1), so a SQL
+    oracle replays decoded frame energies straight from the text
+    bytes. Frames are memoized per distinct byte value inside the
+    kernel (a constant-block encode is a pure function of the byte —
+    at most 256 encodes per task, then list lookups)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        jpeg_of: dict[int, bytes] = {}
+
+        def frame_for(b: int) -> bytes:
+            out = jpeg_of.get(b)
+            if out is None:
+                out = encode_jpeg_gray8(
+                    np.full((8, 8), b, dtype=np.uint8)
+                )
+                jpeg_of[b] = out
+            return out
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = str(text).encode("utf-8")[:n_base_frames].ljust(
+                    n_base_frames, b"\x00"
+                )
+                frames = [
+                    frame_for(raw[j // fps_mult])
+                    for j in range(n_base_frames * fps_mult)
+                ]
+                payloads.append(
+                    encode_mp4_video(
+                        frames,
+                        width=8,
+                        height=8,
+                        sample_delta=max(40 // fps_mult, 1),
+                        codec=b"jpeg",
+                    )
+                )
+                metas.append(
+                    {
+                        "format": "video/mp4",
+                        "width": 8,
+                        "height": 8,
+                        "n_frames": n_base_frames * fps_mult,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "meta": metas}
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        kernel, schema=f"doc_id long, payload binary, meta {META_SCHEMA}"
+    )
+
+
+def video_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", n_slots: int = 65
+) -> DataFrame:
+    """64-bit perceptual video fingerprint per MJPEG-MP4 payload — the
+    video side of ``image_dhash`` (q180) and ``audio_fingerprint``
+    (q205), closing the image/audio/video modality triangle on ONE
+    house signature layout. Temporal sign-of-energy-delta, the
+    Haitsma & Kalker robust-hash SHAPE (ISMIR 2002, public) applied to
+    sampled-keyframe luma energies instead of audio frame energies:
+
+    1. demux the ISO BMFF container (``mp4_codec_and_samples`` — the
+       q202 stsc x stco x stsz path) and require stsd codec ``jpeg``
+       (other fourccs raise: their decode is an external decoder
+       fleet's, the honest boundary ``frame_sample`` documents);
+    2. pick ``n_slots`` keyframes at ``slot k -> sample k*n //
+       n_slots`` (the ``frame_sample`` even-spacing convention) — the
+       decode cost per video is BOUNDED at n_slots frames no matter
+       how long the clip is, the property that makes this run over a
+       2-hour video as cheaply as a 3-second one;
+    3. slot energy = Σ pixels of the decoded gray8 plane (int64);
+    4. bit k (0..63) = 1 iff energy[k+1] > energy[k] (strict).
+
+    The time-normalized slot grid makes the signature INVARIANT to
+    frame-rate resampling (the same clip re-muxed at 2x fps picks the
+    same time instants -> identical bits) and robust to re-encode
+    noise (energy-delta signs survive small quantization error — the
+    q205 argument), while byte-level and minhash dedup see two
+    unrelated payloads. Decoded samples are memoized on their exact
+    compressed bytes within a kernel task (static scenes and
+    slideshows repeat sample bytes verbatim; cache capped, exact-key,
+    so correctness is untouched). Bits 0-31 -> ``sim_lo``, 32-63 ->
+    ``sim_hi`` — ``dedup.signature_hamming_pairs`` /
+    ``signature_neardup_edges`` run banded near-dup search over it
+    directly and video bytes NEVER shuffle past this kernel (~20
+    B/doc leaves it). Arrow ``mapInPandas``, never a per-row UDF."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        energy_of: dict[bytes, int] = {}
+
+        def sample_energy(sample: bytes) -> int:
+            e = energy_of.get(sample)
+            if e is None:
+                _, _, px = decode_jpeg_gray8(sample)
+                e = int(px.sum(dtype=np.int64))
+                if len(energy_of) < 4096:
+                    energy_of[sample] = e
+            return e
+
+        w32 = 1 << np.arange(32, dtype=np.uint64)
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for doc_id, buf, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                fmt = str(_meta_dict(meta).get("format", ""))
+                if fmt != "video/mp4":
+                    raise NotImplementedError(
+                        f"video fingerprint for {fmt!r} needs an absent "
+                        "container"
+                    )
+                raw = bytes(buf)
+                codec, table = mp4_codec_and_samples(raw)
+                if codec != "jpeg":
+                    raise NotImplementedError(
+                        f"video fingerprint for codec {codec!r} needs an "
+                        "external decoder fleet (MJPEG decodes in-repo)"
+                    )
+                if not table:
+                    raise ValueError(
+                        f"mp4 payload for doc {doc_id} has no samples"
+                    )
+                n = len(table)
+                energy = np.empty(n_slots, dtype=np.int64)
+                for k in range(n_slots):
+                    off, size = table[k * n // n_slots]
+                    energy[k] = sample_energy(raw[off : off + size])
+                bits = (energy[1:] > energy[:-1]).astype(np.uint64)
+                ids.append(doc_id)
+                los.append(int((bits[:32] * w32).sum()))
+                his.append(int((bits[32:] * w32).sum()))
+            yield pd.DataFrame({"doc": ids, "sim_hi": his, "sim_lo": los})
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), "payload", "meta"
+    ).mapInPandas(kernel, schema="doc long, sim_hi long, sim_lo long")
+
+
 def frame_pixel_stats(df: DataFrame) -> DataFrame:
     """Integer pixel statistics per decoded frame — the post-decode
     screen of a video curation pass (brightness / clipping / dead-frame

@@ -11254,6 +11254,197 @@ def q206_audio_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("component", "canonical_id", "best_quality", "cluster_size")
 
 
+@register(
+    "q207_video_dedup",
+    # The oracle replays the whole video pipeline from the text bytes:
+    # the timeline fixture's frame k is a constant 8x8 block of
+    # text[k] (zero-padded to 65), the T.81 roundtrip is exact for
+    # constant blocks (DC quant step 1), and the fingerprint's
+    # time-normalized slot grid picks the SAME time instants from the
+    # 1x and 2x-fps muxes (slot k -> sample k*n//65 -> base frame k
+    # either way) — so BOTH rate variants' slot energies are 64 *
+    # text[k] and the bits reduce to strict byte comparisons. The pair
+    # search is the q205 banded tail over the DISTINCT signature space
+    # with exact bit_count(xor) Hamming verify. Any drift in the box
+    # offsets, the stts/stsz doubling, the sample picking, the Huffman/
+    # DCT path, or the bit packing breaks the hash.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len
+               FROM documents),
+    b AS (SELECT doc_id, k,
+                 CASE WHEN k < len THEN
+                   (strpos('0123456789ABCDEF',
+                           substr(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF',
+                           substr(hx, CAST(2*k+2 AS INT), 1)) - 1)
+                 ELSE 0 END AS byte
+          FROM d CROSS JOIN (SELECT unnest(range(0, 65)) AS k)),
+    bits AS (SELECT a.doc_id, a.k,
+                    CASE WHEN bb.byte > a.byte THEN 1 ELSE 0 END AS bit
+             FROM b a JOIN b bb
+               ON a.doc_id = bb.doc_id AND bb.k = a.k + 1
+             WHERE a.k < 64),
+    sig0 AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN k < 32
+                        THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+                        ELSE 0 END) AS BIGINT) AS sim_lo,
+                   CAST(sum(CASE WHEN k >= 32
+                        THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                        ELSE 0 END) AS BIGINT) AS sim_hi
+            FROM bits GROUP BY doc_id),
+    sig AS (SELECT doc_id * 2 AS doc, sim_hi, sim_lo FROM sig0
+            UNION ALL
+            SELECT doc_id * 2 + 1, sim_hi, sim_lo FROM sig0),
+    dsig AS (SELECT DISTINCT sim_hi, sim_lo FROM sig),
+    dbands AS (SELECT sim_hi, sim_lo, i AS pos,
+                      (CASE WHEN i < 2 THEN sim_lo ELSE sim_hi END
+                       >> (16 * (i % 2))) & 65535 AS band
+               FROM dsig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+               QUALIFY count(*) OVER (PARTITION BY pos, band) <= 100000),
+    spairs AS (SELECT DISTINCT a.sim_hi AS ha, a.sim_lo AS la,
+                      b.sim_hi AS hb, b.sim_lo AS lb,
+                      CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                         + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT)
+                        AS hamming
+               FROM dbands a JOIN dbands b
+                 ON a.pos = b.pos AND a.band = b.band
+                AND (a.sim_hi < b.sim_hi
+                     OR (a.sim_hi = b.sim_hi AND a.sim_lo < b.sim_lo))),
+    pairs AS (SELECT least(x.doc, y.doc) AS doc_a,
+                     greatest(x.doc, y.doc) AS doc_b, p.hamming
+              FROM spairs p
+              JOIN sig x ON x.sim_hi = p.ha AND x.sim_lo = p.la
+              JOIN sig y ON y.sim_hi = p.hb AND y.sim_lo = p.lb
+              UNION ALL
+              SELECT x.doc, y.doc, CAST(0 AS INT)
+              FROM sig x JOIN sig y
+                ON x.sim_hi = y.sim_hi AND x.sim_lo = y.sim_lo
+               AND x.doc < y.doc)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+    """,
+    doc="video perceptual dedup (multimodal.attach_mjpeg_timeline_"
+    "payload + video_fingerprint + dedup.signature_hamming_pairs — "
+    "r12 verdict item 2, closing the image (q180) / audio (q205) / "
+    "video modality triangle on the one banded-Hamming engine): every "
+    "document becomes TWO real MJPEG-in-MP4 videos of the same "
+    "timeline — the 65-frame base mux (doc*2) and the SAME clip "
+    "re-muxed at 2x frame rate with halved sample_delta (doc*2+1, "
+    "every container byte different) — each demuxed (stsc x stco x "
+    "stsz) and codec-decoded (T.81) by the repo's cleanroom code and "
+    "fingerprinted by temporal sign-of-energy-delta over 65 "
+    "time-normalized keyframe slots (Haitsma-Kalker ISMIR-2002 shape, "
+    "pure integer). The slot grid picks the same time instants at "
+    "either rate, so frame-rate resampling — the canonical video "
+    "transform byte/minhash dedup cannot see — lands at Hamming 0, "
+    "while near-dup text timelines cluster within each rate. Decode "
+    "cost per video is BOUNDED at 65 keyframes regardless of clip "
+    "length; video bytes never shuffle (~20 B/doc leaves the "
+    "kernel); quadratic work tracks DISTINCT signatures only. New "
+    "video_dedup capability: in-window from birth (q175-q177 "
+    "precedent)",
+)
+def q207_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # spread the CPU-bound codec kernels (see q127)
+    v1 = multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=1)
+    v2 = multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=2)
+    sig = (
+        multimodal.video_fingerprint(v1)
+        .withColumn("doc", F.col("doc") * 2)
+        .unionByName(
+            multimodal.video_fingerprint(v2).withColumn(
+                "doc", F.col("doc") * 2 + 1
+            )
+        )
+    )
+    return dedup.signature_hamming_pairs(sig, max_hamming=6)
+
+
+def _video_canonical_oracle_sql() -> str:
+    """q207's video-pair CTE chain spliced into the q189/q206 recursive
+    component + canonical-argmax tail (quality joined at node div 2 —
+    both rate muxes of a doc share its n_chars, so the base-rate mux
+    wins every within-doc tie via the smaller even id). The oracle
+    closes over the FULL pair graph while the engine walks the linear
+    star/rep edge set — hash equality proves the reduced edges
+    preserve the transitive closure, video edition."""
+    base = QUERIES["q207_video_dedup"].oracle
+    chain = base[: base.rindex("SELECT doc_a")]
+    return (
+        chain.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+        + """, hp AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= 6),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM hp
+            UNION SELECT doc_b, doc_a FROM hp),
+    reach(node, label) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    cq AS (SELECT c.component, c.node, dd.n_chars,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY dd.n_chars DESC, c.node ASC)
+                     AS rn
+          FROM comp c JOIN documents dd ON dd.doc_id = c.node // 2)
+    SELECT component,
+           max(CASE WHEN rn = 1 THEN node END) AS canonical_id,
+           max(CASE WHEN rn = 1 THEN n_chars END) AS best_quality,
+           count(*) AS cluster_size
+    FROM cq GROUP BY component"""
+    )
+
+
+@register(
+    "q208_video_dedup_canonical",
+    # End-to-end adjudication, video edition: text bytes → two real
+    # MJPEG-MP4 muxes per doc at different frame rates → integer
+    # keyframe-energy fingerprints (q207's CTEs verbatim) → recursive
+    # min-label components → quality argmax. One hash covers who
+    # SURVIVES dedup — the pair graph's transitive closure included,
+    # which the q207 pair list alone cannot prove.
+    oracle=_video_canonical_oracle_sql(),
+    doc="video-dedup canonical assignment (multimodal.video_fingerprint "
+    "+ dedup.signature_neardup_edges + neardup_components + "
+    "canonical_per_cluster — the q189/q206 production shape on the "
+    "video modality): per duplicate cluster of MUXES (every doc "
+    "contributes its base-rate and 2x-rate videos; frame-rate "
+    "invariance glues them at Hamming 0), keep the highest-quality "
+    "member — longest source doc, ties to the smallest id, which "
+    "prefers the base-rate mux of a doc over its re-muxed variant — "
+    "and report cluster size. Component graph is the "
+    "connectivity-sufficient linear star/rep edge set; rounds "
+    "converge in graph-diameter iterations over hash-partitioned "
+    "joins. Ordinary overflow of the video_dedup (q207) + "
+    "dedup_components (q163/q175) families",
+)
+def q208_video_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    v1 = multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=1)
+    v2 = multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=2)
+    sig = (
+        multimodal.video_fingerprint(v1)
+        .withColumn("doc", F.col("doc") * 2)
+        .unionByName(
+            multimodal.video_fingerprint(v2).withColumn(
+                "doc", F.col("doc") * 2 + 1
+            )
+        )
+    )
+    edges = dedup.signature_neardup_edges(sig, max_hamming=6)
+    comp = dedup.neardup_components(edges)
+    quality = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "n_chars"
+    ).unionByName(
+        docs.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "n_chars")
+    )
+    return dedup.canonical_per_cluster(
+        comp, quality, quality_col="n_chars"
+    ).select("component", "canonical_id", "best_quality", "cluster_size")
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -11491,9 +11682,18 @@ _WINDOW_ORDER = [
     "q162_scd2_history",
     "q163_leakage_safe_split",
     "q165_incremental_agg",
-    "q170_table_diff",
+    # round-13 rotation (r12 verdict items 1-2): q206 earns its driver
+    # row (the only registered query with neither a driver correctness
+    # row nor a bench number — seated per the q175-q177 from-birth
+    # precedent, audio_dedup family bearer q205 stays) and q207 closes
+    # the image/audio/video modality triangle through the banded-
+    # Hamming engine, in-window from birth. Funded by q170 and q172
+    # standing down as ORDINARY OVERFLOW after their r08-r12 5x-green
+    # histories: cdc_upsert keeps q162/q165 in-window, retrieval keeps
+    # q157/q176/q188/q191/q196.
+    "q206_audio_dedup_canonical",
+    "q207_video_dedup",
     "q171_commit_log_vacuum",
-    "q172_retrieval_eval",
     # round-8 new capabilities (immediate slots, q71-q74 precedent):
     # the sub-quadratic LSH-prefilter split default (verdict item 2),
     # the materialized-postings retrieval path (item 3), and the
@@ -11919,6 +12119,11 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # q189 production shape on the audio modality (audio_dedup borne
     # in-window by q205; dedup_components by q163/q175)
     "q206_audio_dedup_canonical": {"audio_dedup", "dedup_components"},
+    "q207_video_dedup": {"multimodal", "video_dedup"},
+    # video canonical: video_dedup in-window via q207, components via
+    # q163/q175 — ordinary overflow, benched from birth (the q206
+    # process-gap lesson: every registered query carries a bench row)
+    "q208_video_dedup_canonical": {"video_dedup", "dedup_components"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

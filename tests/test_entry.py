@@ -70,6 +70,12 @@ def test_registration_window_covers_every_family():
         # (image_dedup -> q180, dedup_components -> q163/q175,
         # similarity_ann -> q148/q182/q192/q200/q203)
         "q204_occ_time_travel", "q205_audio_dedup",
+        # round-13 rotation: q206 earns its driver row (r12 verdict
+        # item 1) and q207 closes the video modality (item 2), funded
+        # by q170/q172 standing down as ordinary overflow after 5x-
+        # green r08-r12 (cdc_upsert -> q162/q165, retrieval ->
+        # q157/q176/q188/q191/q196)
+        "q206_audio_dedup_canonical", "q207_video_dedup",
         # round-11 rotation: q201's named slot + the two round-11
         # additions in-window from birth (r10 verdict items 2, 4, 8)
         "q201_stream_quality_filter", "q202_mjpeg_mp4_decode",
@@ -102,8 +108,8 @@ def test_registration_window_covers_every_family():
         # priority never-hashed rotations (r07 verdict's named list)
         "q148_ivfpq_topk", "q157_hybrid_rrf",
         "q162_scd2_history", "q163_leakage_safe_split",
-        "q165_incremental_agg", "q170_table_diff",
-        "q171_commit_log_vacuum", "q172_retrieval_eval",
+        "q165_incremental_agg",
+        "q171_commit_log_vacuum",
         # round-8 new capabilities
         "q175_lsh_leakage_split", "q176_indexed_retrieval",
         "q177_recovery_runbook",

@@ -1204,3 +1204,87 @@ def test_audio_fingerprint_short_clip_and_banded_pairs(spark):
     assert rows[1] == _fp_replay((raw.astype(np.int16) - 128) << 8)
     pairs = dedup.signature_hamming_pairs(sig, max_hamming=3).collect()
     assert {(r.doc_a, r.doc_b, r.hamming) for r in pairs} >= {(1, 2, 0)}
+
+
+def _video_fp_replay(text: str) -> tuple[int, int]:
+    """Direct replay of the documented video-fingerprint arithmetic
+    from the timeline fixture's text bytes: frame k is a constant 8x8
+    block of byte k (zero-padded to 65), slot energy = 64*byte, bit k
+    = strict energy[k+1] > energy[k]."""
+    raw = text.encode("utf-8")[:65].ljust(65, b"\x00")
+    bits = [1 if raw[k + 1] > raw[k] else 0 for k in range(64)]
+    lo = sum(b << k for k, b in enumerate(bits[:32]))
+    hi = sum(b << k for k, b in enumerate(bits[32:]))
+    return hi, lo
+
+
+def test_video_fingerprint_matches_replay_and_rate_invariance(
+    spark, sf_dir
+):
+    """video_fingerprint: (1) the kernel's signature — through the REAL
+    mux, demux, and T.81 decode — equals a direct replay of the
+    documented arithmetic from the text bytes; (2) the same clip
+    re-muxed at 2x frame rate (different sample count, stts delta,
+    stsz table, mdat — byte-level dedup sees nothing) lands at Hamming
+    0: the time-normalized slot grid picks the same time instants at
+    either rate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    sig1 = {
+        r.doc: (r.sim_hi, r.sim_lo)
+        for r in multimodal.video_fingerprint(
+            multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=1)
+        ).collect()
+    }
+    sig2 = {
+        r.doc: (r.sim_hi, r.sim_lo)
+        for r in multimodal.video_fingerprint(
+            multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=2)
+        ).collect()
+    }
+    assert set(sig1) == set(texts) == set(sig2)
+    for doc_id, text in texts.items():
+        assert sig1[doc_id] == _video_fp_replay(text)
+        assert sig2[doc_id] == sig1[doc_id]  # frame-rate invariance
+        assert 0 <= sig1[doc_id][0] < 1 << 32
+        assert 0 <= sig1[doc_id][1] < 1 << 32
+    # the two muxes genuinely differ at the byte level
+    p1 = multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=1)
+    p2 = multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=2)
+    l1 = {r.doc_id: len(bytes(r.payload)) for r in p1.collect()}
+    l2 = {r.doc_id: len(bytes(r.payload)) for r in p2.collect()}
+    for doc_id in texts:
+        assert l2[doc_id] > l1[doc_id]
+
+
+def test_video_fingerprint_short_text_guards_and_pairs(spark):
+    """Texts shorter than 65 bytes zero-pad (trailing slots at energy
+    0), wrong-codec payloads fail closed, and exact-duplicate
+    timelines route through the banded-Hamming engine as Hamming-0
+    pairs."""
+    import pytest
+
+    from hive_cassandra_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "hi"), (2, "hi"), (3, "a completely different longer text")],
+        "doc_id long, text string",
+    )
+    sig = multimodal.video_fingerprint(
+        multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=1)
+    )
+    rows = {r.doc: (r.sim_hi, r.sim_lo) for r in sig.collect()}
+    assert rows[1] == rows[2] == _video_fp_replay("hi")
+    pairs = dedup.signature_hamming_pairs(sig, max_hamming=3).collect()
+    assert {(r.doc_a, r.doc_b, r.hamming) for r in pairs} >= {(1, 2, 0)}
+    # non-jpeg codec fails closed (external decoder fleet boundary)
+    frames = [b"\x00" * 10]
+    payload = multimodal.encode_mp4_video(
+        frames, width=8, height=8, codec=b"avc1"
+    )
+    bad = spark.createDataFrame(
+        [(9, payload, {"format": "video/mp4"})],
+        multimodal.attach_mjpeg_timeline_payload(docs).schema,
+    )
+    with pytest.raises(Exception, match="external decoder|avc1"):
+        multimodal.video_fingerprint(bad).collect()

@@ -515,6 +515,85 @@ def test_stream_update_postings_index_equals_batch_build(spark, sf_dir, tmp_path
     assert streamed == batch
 
 
+def test_time_travel_pin_survives_streaming_maintenance_and_retention(
+    spark, sf_dir, tmp_path
+):
+    """r12 verdict item 7 — time-travel x streaming interplay: a pin
+    taken at v2 must serve the identical ranking (1) WHILE a live
+    stream_update_postings_index run is appending deltas, (2) after a
+    superseding rebuild snapshot whose vacuum retains the pinned
+    history (retain_versions), and (3) fail closed only once a
+    tighter retention finally drops it — the full maintenance cycle a
+    nightly pipeline runs around a training job's pinned inputs."""
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark import sink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F2.col("doc_id") < 240
+    )
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    third = (F2.col("doc_id") % 3).cast("int")
+    qset = spark.createDataFrame(
+        [("qa", "dup"), ("qa", "hash"), ("qb", "join")],
+        "query_id string, term string",
+    )
+
+    def served(as_of=None):
+        post, corpus = retrieval.read_postings_index_occ(
+            spark, idx, as_of_version=as_of
+        )
+        return sorted(map(tuple, retrieval.bm25_topk(
+            None, qset, k=10, post=post, corpus=corpus).collect()))
+
+    # v1 bootstrap snapshot + v2 delta, then PIN v2 and record its truth
+    assert retrieval.build_postings_index_occ(
+        spark, docs.filter(third == 0), idx
+    )["committed"]
+    assert retrieval.update_postings_index_occ(
+        spark, idx, docs.filter(third == 1), batch_id="b1"
+    )["version"] == 2
+    pinned_truth = served(as_of=2)
+
+    # live streaming maintenance: 4 micro-batches (v3..v6) — read the
+    # pin MID-STREAM as soon as at least one delta has landed
+    docs.filter(third == 2).repartition(4).write.parquet(src)
+    stream_docs = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = retrieval.stream_update_postings_index(spark, stream_docs, idx, ckpt)
+    deadline = time.time() + 120
+    while sink.store_version(idx) < 3 and time.time() < deadline:
+        time.sleep(0.2)
+    assert sink.store_version(idx) >= 3, "stream never committed a delta"
+    assert served(as_of=2) == pinned_truth  # pin holds mid-stream
+    q.awaitTermination()
+    assert sink.store_version(idx) == 6  # 2 + 4 micro-batches
+    assert served(as_of=2) == pinned_truth  # ...and after the stream
+
+    # nightly rebuild supersedes everything (v7) but RETAINS the pinned
+    # history through its vacuum: the pin still serves identically
+    assert retrieval.build_postings_index_occ(
+        spark, docs, idx, retain_versions=6
+    )["version"] == 7
+    assert served(as_of=2) == pinned_truth
+    # latest read reflects the rebuild (full corpus), not the pin
+    assert served() != pinned_truth
+
+    # a tighter retention finally drops v1/v2: the pin fails CLOSED
+    res = sink.occ_vacuum(idx, retain_versions=2)
+    assert res["retained_versions"] == [5, 6]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        served(as_of=2)
+
+
 def test_occ_index_lifecycle_on_memory_object_store_backend(
     spark, sf_dir, tmp_path
 ):

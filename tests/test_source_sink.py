@@ -1104,3 +1104,73 @@ def test_occ_as_of_partial_part_loss_fails_closed(spark, tmp_path):
     os.remove(victim)
     with pytest.raises(FileNotFoundError, match="only 2 remain"):
         sink.occ_read(spark, store, as_of_version=1).count()
+
+
+def _claim_race_worker(store, idx, n_versions, barrier, results):
+    """One racing committer PROCESS (r12 verdict item 6): at every
+    version it synchronizes on the barrier (so all contenders hit the
+    claim atom together), attempts the claim, and — the retry
+    discipline — keeps contending at later versions after losing.
+    Records (idx, version, won) per attempt."""
+    from hive_cassandra_spark.sink import LocalFSClaimBackend
+
+    backend = LocalFSClaimBackend()
+    out = []
+    for version in range(1, n_versions + 1):
+        barrier.wait()
+        won = backend.claim(store, version, f"tok{idx}")
+        if won:
+            backend.publish(store, version, f"tok{idx}\nfiles:0")
+        out.append((idx, version, won))
+    results.put(out)
+
+
+def test_occ_claim_race_across_processes(tmp_path):
+    """TRUE multi-process claim contention (r12 verdict item 6 — the
+    backend was only ever raced in-process before): 6 OS processes race
+    the LocalFS claim atom for each of 5 versions, barrier-synchronized
+    so every contender hits os.mkdir concurrently. Exactly one winner
+    per version across processes, the winner's token is the one durably
+    recorded, losers fail closed (claim False, no partial state) and
+    make progress by retrying at later versions."""
+    import multiprocessing as mp
+    import os
+
+    from hive_cassandra_spark import sink
+
+    ctx = mp.get_context("fork")
+    store = str(tmp_path / "race_store")
+    os.makedirs(store)
+    n_workers, n_versions = 6, 5
+    barrier = ctx.Barrier(n_workers)
+    results = ctx.Queue()
+    procs = [
+        ctx.Process(
+            target=_claim_race_worker,
+            args=(store, i, n_versions, barrier, results),
+        )
+        for i in range(n_workers)
+    ]
+    for p in procs:
+        p.start()
+    attempts = [results.get(timeout=60) for _ in range(n_workers)]
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    flat = [a for worker in attempts for a in worker]
+    backend = sink.LocalFSClaimBackend()
+    for version in range(1, n_versions + 1):
+        winners = [i for i, v, won in flat if v == version and won]
+        losers = [i for i, v, won in flat if v == version and not won]
+        assert len(winners) == 1, (version, winners)
+        assert len(losers) == n_workers - 1
+        # the durable token belongs to the single winner
+        assert backend.claim_token(store, version) == f"tok{winners[0]}"
+    # every version marker published exactly once; protocol-level view
+    # agrees (no torn versions, store advanced to n_versions)
+    assert sink.store_version(store) == n_versions
+    # retry liveness: every loser kept contending — all 6 processes
+    # attempted all 5 versions (30 attempts), and every version was
+    # won by someone (asserted above), so losing never wedged a
+    # committer and never left partial state behind
+    assert len(flat) == n_workers * n_versions

@@ -11,7 +11,12 @@ accumulated-run state and the fix is bench-harness isolation; if they
 don't, the baselines get re-recorded with the cause named.
 
 Usage: python tools/tier_drift.py [--trials 5] [--sf-dir DIR]
-Writes TIER_DRIFT_r12.json at the repo root and prints one JSON line.
+         [--queries q1,q2,...] [--out FILE]
+Writes TIER_DRIFT_r12.json at the repo root (or --out) and prints one
+JSON line. ``--queries`` overrides the default heavy tier — used both
+to re-measure drifting rows with the standalone methodology and to
+record FIRST baselines for new queries (baseline looked up from
+BASELINE.md; absent -> ratio null, the median IS the new row).
 """
 
 from __future__ import annotations
@@ -36,7 +41,8 @@ TIER = [
     "q196_stream_indexed_retrieval",
 ]
 
-# sf0.1 baselines from BASELINE.md (the rows the 2x gate reads)
+# sf0.1 baselines from BASELINE.md (the rows the 2x gate reads) —
+# fallback values; _baselines_from_md() reads the live table first
 BASELINES = {
     "q175_lsh_leakage_split": 5.22,  # re-recorded r12 (TIER_DRIFT_r12)
     "q176_indexed_retrieval": 4.87,  # re-recorded r12
@@ -44,6 +50,28 @@ BASELINES = {
     "q191_occ_indexed_retrieval": 15.0,
     "q196_stream_indexed_retrieval": 25.1,
 }
+
+
+def _baselines_from_md() -> dict[str, float]:
+    """Parse `| qNNN_name | sf | seconds | ...` rows out of BASELINE.md
+    (later rows win — re-records append further down the file)."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BASELINE.md",
+    )
+    out: dict[str, float] = {}
+    try:
+        with open(path) as fh:
+            for line in fh:
+                parts = [p.strip() for p in line.split("|")]
+                if len(parts) >= 4 and parts[1].startswith("q"):
+                    try:
+                        out[parts[1]] = float(parts[3])
+                    except ValueError:
+                        continue
+    except OSError:
+        pass
+    return out
 
 
 def main() -> None:
@@ -54,7 +82,14 @@ def main() -> None:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated query names (default: the heavy tier)",
+    )
     args = ap.parse_args()
+    tier = args.queries.split(",") if args.queries else TIER
+    baselines = {**BASELINES, **_baselines_from_md()}
 
     load0 = os.getloadavg()[0]
     spark = get_spark(
@@ -63,7 +98,7 @@ def main() -> None:
     # same warmup discipline as bench.py: steady-state timings, codegen
     # compiled, parquet footers cached
     warm_dir = "/root/testdata/sf0.001"
-    for name in TIER:
+    for name in tier:
         try:
             QUERIES[name].fn(spark, warm_dir).count()
         except Exception:
@@ -71,7 +106,7 @@ def main() -> None:
     spark.catalog.clearCache()
 
     results: dict[str, dict] = {}
-    for name in TIER:
+    for name in tier:
         trials = []
         for _ in range(args.trials):
             t0 = time.perf_counter()
@@ -79,11 +114,14 @@ def main() -> None:
             trials.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
         med = statistics.median(trials)
+        base = baselines.get(name)
         results[name] = {
             "trials": trials,
             "median": round(med, 3),
-            "baseline": BASELINES[name],
-            "ratio_vs_baseline": round(med / BASELINES[name], 2),
+            "baseline": base,
+            "ratio_vs_baseline": (
+                round(med / base, 2) if base else None
+            ),
         }
         print(f"# {name}: median {med:.2f}s trials={trials}", file=sys.stderr)
 
