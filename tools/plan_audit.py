@@ -92,7 +92,22 @@ NOTES = {
         "frozen broadcast quantizers (route + residual + code = three "
         "broadcast joins and two per-id windows over delta-sized "
         "data). At 100 TB the recurring cost is the delta batch; "
-        "serving unions artifact versions >= the snapshot floor."
+        "serving unions artifact versions >= the snapshot floor. "
+        "ROOT-CAUSE of MAINT_SCALING_r12's one open number (r12 "
+        "verdict item 3 — delta wall 1.32x/1.36x at 5x/10x corpus "
+        "with FLAT 0.1 MB shuffle): IVFPQ_PROBE_r13 reran the same "
+        "fixed-200-vector delta against prebuilt 1x/5x/10x indexes "
+        "with a FRESH recycled session per corpus point — medians "
+        "4.16/1.77/1.36 s (ratios 0.43x/0.33x), i.e. no monotone "
+        "corpus term at all once the immediately-preceding big "
+        "build's session residue is shed (the same accumulated-"
+        "context mechanism TIER_DRIFT_r12 root-caused for the bench "
+        "heavy tier; the probe's own first point pays fresh-JVM "
+        "warmup, visible in its descending trials). The delta plan "
+        "has no corpus-dependent stage: its only corpus-adjacent "
+        "reads are the one-part quantizer tables and the O(versions) "
+        "marker listing, and the flat shuffle was the truthful "
+        "signal."
     ),
     "q190_ann_recall": (
         "the eval tier: the exact ground truth is one corpus scan "
@@ -204,6 +219,38 @@ NOTES = {
         "banding, bit_count(xor) verify. 20x volume in 1.59x wall "
         "(SCALING_r12_20x) with candidate pairs tracking the "
         "compounding near-dup signature structure, never documents^2."
+    ),
+    "q206_audio_dedup_canonical": (
+        "q205's codec + fingerprint kernels feeding the q189 production "
+        "tail on audio: banded edges (exact pre-collapse + distinct-"
+        "signature (pos,band) self-join), star/rep linear component "
+        "edges converging in graph-diameter Shiloach-Vishkin rounds "
+        "over hash-partitioned joins, then one per-cluster quality "
+        "argmax (max-struct, map-side combined). No corpus^2 stage; "
+        "cluster count tracks near-dup structure."
+    ),
+    "q207_video_dedup": (
+        "two per-doc MJPEG-MP4 muxes (constant-block JPEG encodes "
+        "memoized per task — <=256 distinct frames — then container "
+        "mux) and 65 BOUNDED keyframe decodes per video regardless of "
+        "clip length (sample table resolved once; identical compressed "
+        "samples decode once per task via an exact-byte memo — the "
+        "static-scene/slideshow case), ~20 B/doc emerging into the "
+        "q34/q180 banded-Hamming engine. Video bytes never shuffle; "
+        "the temporal slot grid makes the signature frame-rate-"
+        "invariant, so the 2x-rate re-mux lands at Hamming 0 without "
+        "any byte-level overlap. Candidate counts on the scaling curve "
+        "(SCALING_r13) — NOTE the Caesar replicas mostly preserve "
+        "byte-order comparisons, so replicas are true near-dups and "
+        "the pair space is output-driven (the q189 dense regime), not "
+        "an engine quadratic."
+    ),
+    "q208_video_dedup_canonical": (
+        "q207's kernels + the q189/q206 component/canonical tail: "
+        "banded edges, star/rep linear edges, diameter-bounded rounds, "
+        "per-cluster argmax. The frame-rate-invariant Hamming-0 edge "
+        "glues each doc's two muxes; keeper prefers the base-rate mux "
+        "via the smaller even id on quality ties."
     ),
     "q184_bpe_merges_bytes": (
         "q179's merge machinery over the 256-symbol byte alphabet: the "

@@ -200,6 +200,17 @@ QUERIES_UNDER_TEST = [
     # dup structure.
     "q204_occ_time_travel",
     "q205_audio_dedup",
+    # round-13 addition. q207: video perceptual dedup — 2x per-doc MJPEG
+    # muxes (1x/2x frame rate) + 65 bounded keyframe decodes per video +
+    # the banded-Hamming engine; cand_pairs counts the distinct-signature
+    # candidate stage. NOTE the regime difference vs q205: the fingerprint
+    # is byte-ORDER comparisons over the first 65 text bytes, and a Caesar
+    # bijection mostly PRESERVES order (only wraparound letters flip), so
+    # replicas stay near-dups of their originals and the true pair space
+    # compounds across replicas — the q189 dense-duplicate regime, where
+    # candidates are output-driven; the count column is the alarm that
+    # distinguishes that from an engine quadratic.
+    "q207_video_dedup",
 ]
 
 # r07 verdict item 5: for the pair-join queries the scaling table must
@@ -281,6 +292,30 @@ def _containment_cand_count(tn: int, td: int):
     return fn
 
 
+def _video_cand_count(spark, sf_dir: str) -> int:
+    """q207's candidate space: distinct-signature in-bucket pairs the
+    banded engine exact-verifies over the unioned 1x/2x-rate
+    fingerprint table (max_hamming=128 disables the verdict filter)."""
+    from pyspark.sql import functions as F2
+
+    from hive_cassandra_spark.operators import dedup, multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sig = (
+        multimodal.video_fingerprint(
+            multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=1)
+        ).withColumn("doc", F2.col("doc") * 2)
+        .unionByName(
+            multimodal.video_fingerprint(
+                multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=2)
+            ).withColumn("doc", F2.col("doc") * 2 + 1)
+        )
+    )
+    return dedup.signature_band_pairs(sig, max_hamming=128).count()
+
+
 CANDIDATE_COUNT = {
     "q146_prefix_filter_jaccard": _prefix_cand_count(3, 10),
     "q163_leakage_safe_split": _prefix_cand_count(1, 5),
@@ -289,6 +324,7 @@ CANDIDATE_COUNT = {
     "q189_image_dedup_canonical": _dhash_cand_count,
     "q197_containment_dedup": _containment_cand_count(4, 5),
     "q205_audio_dedup": _audio_cand_count,
+    "q207_video_dedup": _video_cand_count,
 }
 # Expected row behavior across scale points — the result check (r06
 # verdict item 2). "fixed": output cardinality is scale-invariant (top-k /
@@ -343,6 +379,7 @@ EXPECT_ROWS = {
     "q202_mjpeg_mp4_decode": "grows",
     "q204_occ_time_travel": "fixed",
     "q205_audio_dedup": "grows",
+    "q207_video_dedup": "grows",
 }
 # q98 reads the frequency-preserving documents replica: token counts must
 # scale WITH the corpus for the MG threshold to keep the same survivors
