@@ -261,6 +261,7 @@ HEADLINE = [
     "q206_audio_dedup_canonical",
     "q207_video_dedup",
     "q208_video_dedup_canonical",
+    "q209_video_scene_stats",
 ]
 
 
@@ -462,6 +463,7 @@ def main() -> None:
         "q206_audio_dedup_canonical",
         "q207_video_dedup",
         "q208_video_dedup_canonical",
+        "q209_video_scene_stats",
     ):
         try:
             QUERIES[warm_q].fn(spark, warm_dir).count()

@@ -11445,6 +11445,73 @@ def q208_video_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("component", "canonical_id", "best_quality", "cluster_size")
 
 
+@register(
+    "q209_video_scene_stats",
+    # The oracle replays slot energies 64*text[k] (constant-block DC
+    # exactness through the REAL mux/demux/decode) and the integer
+    # cross-multiplied cut rule |e2-e1|*4 > max(e2,e1), then the same
+    # running-sum scene segmentation — so the hash adjudicates the
+    # whole chain: sample picking, the T.81 path, the lag/threshold
+    # arithmetic, and the scene-length rollup.
+    oracle="""
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS len
+               FROM documents),
+    b AS (SELECT doc_id, k,
+                 CASE WHEN k < len THEN
+                   (strpos('0123456789ABCDEF',
+                           substr(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF',
+                           substr(hx, CAST(2*k+2 AS INT), 1)) - 1)
+                 ELSE 0 END AS byte
+          FROM d CROSS JOIN (SELECT unnest(range(0, 65)) AS k)),
+    e AS (SELECT doc_id AS doc, k AS slot,
+                 CAST(64 * byte AS BIGINT) AS energy
+          FROM b),
+    c AS (SELECT doc, slot, energy,
+                 CASE WHEN lag(energy) OVER w IS NOT NULL
+                       AND abs(energy - lag(energy) OVER w) * 4
+                           > greatest(energy, lag(energy) OVER w)
+                      THEN 1 ELSE 0 END AS cut
+          FROM e WINDOW w AS (PARTITION BY doc ORDER BY slot)),
+    s AS (SELECT doc, energy, cut,
+                 sum(cut) OVER (PARTITION BY doc ORDER BY slot) AS scene
+          FROM c),
+    sl AS (SELECT doc, scene, count(*) AS scene_len
+           FROM s GROUP BY doc, scene),
+    agg AS (SELECT doc, CAST(sum(cut) AS BIGINT) AS n_cuts,
+                   CAST(sum(cut) + 1 AS BIGINT) AS n_scenes,
+                   CAST(floor(avg(energy)) AS BIGINT) AS mean_energy
+            FROM s GROUP BY doc)
+    SELECT agg.doc, n_cuts, n_scenes, mean_energy,
+           CAST(mx.longest AS BIGINT) AS longest_scene_slots
+    FROM agg JOIN (SELECT doc, max(scene_len) AS longest
+                   FROM sl GROUP BY doc) mx ON mx.doc = agg.doc
+    """,
+    doc="video scene statistics (multimodal.video_slot_energies + "
+    "video_scene_stats — the shot-boundary screen of a video curation "
+    "pass): decoded keyframe luma energies leave the bounded-decode "
+    "kernel as 65 integer rows per clip (~1000x smaller than the "
+    "payload, which never shuffles), and scene segmentation is pure "
+    "JVM codegen — a CUT lands where the adjacent-slot energy jump "
+    "exceeds 25% of the local level by integer cross-multiplication, "
+    "scene ids are a running cut count on the SAME window exchange, "
+    "and the report is (n_cuts, n_scenes, longest_scene_slots, "
+    "mean_energy) per video — the routing signal that sends "
+    "slideshows and static clips to cheap frame samplers and "
+    "rapid-cut content to denser decoding. Ordinary overflow of the "
+    "multimodal family (q166/q178/q199/q202/q207 in-window)",
+)
+def q209_video_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    vids = multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=1)
+    return multimodal.video_scene_stats(
+        multimodal.video_slot_energies(vids)
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -12124,6 +12191,10 @@ QUERY_FAMILIES: dict[str, set[str]] = {
     # q163/q175 — ordinary overflow, benched from birth (the q206
     # process-gap lesson: every registered query carries a bench row)
     "q208_video_dedup_canonical": {"video_dedup", "dedup_components"},
+    # scene stats: a multimodal analysis screen (q166/q178/q199/q202/
+    # q207 bear the tag in-window) — ordinary overflow, benched from
+    # birth
+    "q209_video_scene_stats": {"multimodal"},
 }
 
 # New capabilities added after the current window was pinned: NOT redundant

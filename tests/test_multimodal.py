@@ -1288,3 +1288,52 @@ def test_video_fingerprint_short_text_guards_and_pairs(spark):
     )
     with pytest.raises(Exception, match="external decoder|avc1"):
         multimodal.video_fingerprint(bad).collect()
+
+
+def test_video_scene_stats_cut_rule_and_segmentation(spark):
+    """The integer cut rule (|e2-e1|*4 > max(e2,e1)) and the
+    running-sum scene segmentation, pinned on hand-built slot
+    energies: flat runs never cut, >25% relative jumps do, scene
+    lengths and the longest-scene rollup match the hand trace."""
+    rows = []
+    # doc 1: 100,100,100,200,200,90,90 -> cuts at 100->200 and
+    # 200->90 -> 3 scenes of lengths 3,2,2
+    for k, e in enumerate([100, 100, 100, 200, 200, 90, 90]):
+        rows.append((1, k, e))
+    # doc 2: all zeros (short text padding) -> no cuts, one scene
+    for k in range(5):
+        rows.append((2, k, 0))
+    # doc 3: exact-boundary jump 120->160 (40*4 == 160, NOT >) stays
+    # one scene; 160->100 (60*4 = 240 > 160) cuts
+    for k, e in enumerate([120, 160, 100]):
+        rows.append((3, k, e))
+    se = spark.createDataFrame(rows, "doc long, slot int, energy long")
+    out = {
+        r.doc: r.asDict()
+        for r in multimodal.video_scene_stats(se).collect()
+    }
+    assert out[1]["n_cuts"] == 2 and out[1]["n_scenes"] == 3
+    assert out[1]["longest_scene_slots"] == 3
+    assert out[2]["n_cuts"] == 0 and out[2]["longest_scene_slots"] == 5
+    # boundary 120->160 is NOT a cut (strict >); 160->100 is
+    assert out[3]["n_cuts"] == 1 and out[3]["n_scenes"] == 2
+    assert out[3]["longest_scene_slots"] == 2
+    assert out[1]["mean_energy"] == (100 * 3 + 200 * 2 + 90 * 2) // 7
+
+
+def test_video_slot_energies_match_text_replay(spark):
+    """End-to-end: slot energies through the REAL mux/demux/decode
+    equal 64*byte of the timeline fixture's text bytes."""
+    docs = spark.createDataFrame(
+        [(7, "scene one....SCENE TWO!!!"), (8, "x")],
+        "doc_id long, text string",
+    )
+    vids = multimodal.attach_mjpeg_timeline_payload(docs, fps_mult=1)
+    got = {
+        (r.doc, r.slot): r.energy
+        for r in multimodal.video_slot_energies(vids).collect()
+    }
+    for doc_id, text in [(7, "scene one....SCENE TWO!!!"), (8, "x")]:
+        raw = text.encode()[:65].ljust(65, b"\x00")
+        for k in range(65):
+            assert got[(doc_id, k)] == 64 * raw[k], (doc_id, k)

@@ -252,6 +252,15 @@ NOTES = {
         "glues each doc's two muxes; keeper prefers the base-rate mux "
         "via the smaller even id on quality ties."
     ),
+    "q209_video_scene_stats": (
+        "65 bounded keyframe decodes per video in the slot-energy "
+        "kernel (exact-byte sample memo; ~16 B/slot emerges), then "
+        "the entire scene analysis is JVM codegen: lag + integer "
+        "cross-multiplied cut rule + running-sum scene ids on ONE "
+        "(doc ORDER BY slot) window exchange, a per-scene count, and "
+        "the per-video rollup. No Python past the decode; no float "
+        "thresholds anywhere."
+    ),
     "q184_bpe_merges_bytes": (
         "q179's merge machinery over the 256-symbol byte alphabet: the "
         "hex projection (lower(hex(encode(w)))) is one codegen "
