@@ -37,7 +37,7 @@ Round-9 additions (r08 verdict items 6 + 7):
   dense-duplicate regime the replicas create (letter bijections preserve
   pixel gradients, so replicas are perceptual near-dups of each other).
 
-Writes SCALING_r12.json at the repo root (rendered into PLANS.md by
+Writes SCALING_r13.json at the repo root (rendered into PLANS.md by
 tools/plan_audit.py) and prints it.
 
 Usage: python tools/scaling_check.py [--replicas N[,M...]] [--trials T]
@@ -723,15 +723,15 @@ def main() -> None:
             )
         out["queries"][name] = rec
         print(f"# {name}: {json.dumps(rec)}", file=sys.stderr)
-    if only is not None and os.path.exists("/root/repo/SCALING_r12.json"):
+    if only is not None and os.path.exists("/root/repo/SCALING_r13.json"):
         # --only refreshes a subset: merge into the existing rows rather
         # than discarding the un-rerun queries' measurements
-        with open("/root/repo/SCALING_r12.json") as f:
+        with open("/root/repo/SCALING_r13.json") as f:
             prev = json.load(f)
         merged = prev.get("queries", {})
         merged.update(out["queries"])
         out["queries"] = merged
-    with open("/root/repo/SCALING_r12.json", "w") as f:
+    with open("/root/repo/SCALING_r13.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     if failures:
