@@ -216,9 +216,10 @@ NOTES = {
         "never leave the Arrow kernels, ~20 B/doc emerges) feeding the "
         "q34/q180 banded-Hamming engine over the unioned signature "
         "table: exact-signature pre-collapse, distinct-signature "
-        "banding, bit_count(xor) verify. 20x volume in 1.59x wall "
-        "(SCALING_r12_20x) with candidate pairs tracking the "
-        "compounding near-dup signature structure, never documents^2."
+        "banding, bit_count(xor) verify. 20x volume in 1.78x wall "
+        "(SCALING_r13_20x; 1.59x in r12 — same tier) with candidate "
+        "pairs tracking the compounding near-dup signature structure, "
+        "never documents^2."
     ),
     "q206_audio_dedup_canonical": (
         "q205's codec + fingerprint kernels feeding the q189 production "
@@ -940,9 +941,9 @@ def _scaling_section() -> str:
     import json as _json
     import os as _os
 
-    path = "/root/repo/SCALING_r12.json"
+    path = "/root/repo/SCALING_r13.json"
     for fallback in (
-        "SCALING_r11.json",
+        "SCALING_r12.json", "SCALING_r11.json",
         "SCALING_r10.json", "SCALING_r09.json", "SCALING_r08.json",
         "SCALING_r07.json", "SCALING_r06.json",
     ):
@@ -960,7 +961,7 @@ def _scaling_section() -> str:
     # same tier; the files stay in git for history)
     extra20_late = None
     extra20_late_name = None
-    for rnd in ("r12", "r11", "r10", "r09"):
+    for rnd in ("r13", "r12", "r11", "r10", "r09"):
         p = f"/root/repo/SCALING_{rnd}_20x.json"
         if _os.path.exists(p):
             with open(p) as f:
