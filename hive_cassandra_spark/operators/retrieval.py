@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hive_cassandra_spark.operators.text import tokens
+from hive_cassandra_spark.session import local_df
 
 SCALE = 1_000_000  # fixed-point scale of the per-term floor
 
@@ -290,22 +291,26 @@ def update_postings_index_occ(
         # a micro-batch delta is small by definition: bound its file
         # count so each commit cycle (and every future reader's union)
         # pays a handful of parts, not the session's 32 shuffle
-        # partitions of near-empty files
+        # partitions of near-empty files. Persist it: the delta subtree
+        # is consumed twice per commit cycle (the stats head below and
+        # the staging write inside occ_commit_tables) and would
+        # otherwise re-scan + re-explode the batch for each.
         delta_post = postings(new_docs, id_col, text_col).coalesce(
             delta_files
-        )
+        ).persist()
         delta_stats = corpus_stats(new_docs, delta_post, id_col)
         old, dlt = meta.head(), delta_stats.head()
         n = int(old["n"]) + int(dlt["n"])
         s = int(old["s"]) + int(dlt["s"])
-        merged = spark.createDataFrame(
-            [(n, s, s // max(n, 1))], "n long, s long, a long"
+        merged = local_df(
+            spark, [(n, s, s // max(n, 1))], "n long, s long, a long"
         )
         res = sink.occ_commit_tables(
             spark, path,
             {"postings": delta_post, "meta": merged.coalesce(1)},
             v_read, tag=batch_id,
         )
+        delta_post.unpersist()
         if res["committed"]:
             return {
                 "docs_added": int(dlt["n"]),
@@ -487,7 +492,8 @@ def phrase_match(
         if not toks:
             raise ValueError(f"empty phrase: {p!r}")
         rows.append((p, toks[0], toks, len(toks)))
-    dic = spark.createDataFrame(
+    dic = local_df(
+        spark,
         rows, "phrase string, first_tok string, ptoks array<string>, k int"
     )
     docs = df.select(

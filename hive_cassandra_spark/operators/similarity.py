@@ -30,6 +30,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from hive_cassandra_spark.session import local_df
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -1044,7 +1046,7 @@ def ann_tune_nprobe(
         .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
     )
     spark = items.sparkSession
-    cand_df = spark.createDataFrame([(c,) for c in cands], "nprobe int")
+    cand_df = local_df(spark, [(c,) for c in cands], "nprobe int")
     w_rank = Window.partitionBy("nprobe", "query_id").orderBy(
         "adc_d2", "neighbor_id"
     )
@@ -1385,8 +1387,8 @@ def kcenter_select(
             )
             .localCheckpoint()
         )
-    return items.sparkSession.createDataFrame(
-        chosen, "round long, vec_id long, dmin double"
+    return local_df(
+        items.sparkSession, chosen, "round long, vec_id long, dmin double"
     )
 
 
@@ -1500,11 +1502,15 @@ def update_ivfpq_index_occ(
             .agg(_d2_of("x", "c").alias("d2"))
         )
         w_cell = Window.partitionBy("id").orderBy("d2", "ccid")
+        # persist: the coarse assignment is consumed twice per commit
+        # cycle (its own staging write AND the residual/codes lineage
+        # below) — unpersisted, the route-to-nearest-centroid pass over
+        # the batch would run twice
         cassign = (
             cd.withColumn("__rn", F.row_number().over(w_cell))
             .filter(F.col("__rn") == 1)
             .select("id", "ccid")
-        )
+        ).persist()
         res = (
             pos.join(cassign, "id")
             .join(F.broadcast(cc), ["ccid", "i"])
@@ -1540,6 +1546,7 @@ def update_ivfpq_index_occ(
             v_read,
             tag=batch_id,
         )
+        cassign.unpersist()
         if resc["committed"]:
             return {
                 "vecs_added": n_new,

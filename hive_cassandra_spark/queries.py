@@ -39,7 +39,7 @@ from hive_cassandra_spark.operators import (
     text,
     transpose,
 )
-from hive_cassandra_spark.session import ensure_session_confs
+from hive_cassandra_spark.session import ensure_session_confs, local_df
 from hive_cassandra_spark.streaming import events as streaming_events
 
 
@@ -6467,7 +6467,8 @@ def q130_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q135_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    qset = spark.createDataFrame(
+    qset = local_df(
+        spark,
         [
             ("rare_common", "dup"),
             ("rare_common", "hash"),
@@ -7618,7 +7619,8 @@ def q156_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q157_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    qterms = spark.createDataFrame(
+    qterms = local_df(
+        spark,
         [
             ("rare_common", "dup"),
             ("rare_common", "hash"),
@@ -7630,7 +7632,8 @@ def q157_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "query_id string, term string",
     )
-    probes = spark.createDataFrame(
+    probes = local_df(
+        spark,
         [("rare_common", 3), ("ops", 7), ("vec", 11)],
         "qid string, qvec_id long",
     )
@@ -8559,7 +8562,8 @@ _SQL_RETRIEVAL_EVAL = """
 )
 def q172_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    qterms = spark.createDataFrame(
+    qterms = local_df(
+        spark,
         [
             ("rare_common", "dup"),
             ("rare_common", "hash"),
@@ -8831,7 +8835,8 @@ def q176_indexed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # THE corpus pass: two document scans, amortized over every consumer
     retrieval.build_postings_index(docs, base)
     post, corpus = retrieval.read_postings_index(spark, base)
-    qterms = spark.createDataFrame(
+    qterms = local_df(
+        spark,
         _RETRIEVAL_QSET, "query_id string, term string"
     )
     # df=None: with post+corpus from the artifact the serving plan never
@@ -9257,7 +9262,8 @@ def q188_incremental_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert upd["docs_added"] > 0, upd
     post, corpus = retrieval.read_postings_index_occ(spark, base)
-    qset = spark.createDataFrame(
+    qset = local_df(
+        spark,
         [
             ("rare_common", "dup"),
             ("rare_common", "hash"),
@@ -10033,7 +10039,8 @@ def q191_occ_indexed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serve from the artifact: snapshot v3 + delta v4 = the full corpus,
     # every document exactly once
     post, corpus = retrieval.read_postings_index_occ(spark, base)
-    qset = spark.createDataFrame(
+    qset = local_df(
+        spark,
         [
             ("rare_common", "dup"),
             ("rare_common", "hash"),
@@ -10435,7 +10442,8 @@ def q196_stream_indexed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     replayed_noops = int(r2["already_applied"])
     post, corpus = retrieval.read_postings_index_occ(spark, idx)
-    qset = spark.createDataFrame(
+    qset = local_df(
+        spark,
         [
             ("rare_common", "dup"),
             ("rare_common", "hash"),
@@ -11014,7 +11022,8 @@ def q204_occ_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         retrieval.read_postings_index_occ(spark, base, as_of_version=99)
     except ValueError:
         bad_pin = 1
-    qset = spark.createDataFrame(
+    qset = local_df(
+        spark,
         [
             ("rare_common", "dup"),
             ("rare_common", "hash"),
