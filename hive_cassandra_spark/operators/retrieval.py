@@ -161,11 +161,15 @@ def build_postings_index(
     ``update_postings_index_occ`` only: one version marker, one crash
     semantics.
     """
-    post = postings(df, id_col, text_col)
+    # persist for the duration of the two writes: the corpus-stats meta
+    # derives its token total from the postings aggregate, which would
+    # otherwise re-scan + re-explode the corpus a second time
+    post = postings(df, id_col, text_col).persist()
     post.write.mode("overwrite").parquet(f"{path.rstrip('/')}/postings")
     corpus_stats(df, post, id_col).write.mode("overwrite").parquet(
         f"{path.rstrip('/')}/meta"
     )
+    post.unpersist()
 
 
 def read_postings_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -199,7 +203,10 @@ def build_postings_index_occ(
     the nightly rebuild (sink.occ_vacuum retention)."""
     from hive_cassandra_spark import sink
 
-    post = postings(df, id_col, text_col)
+    # persist for the duration of the commit: the meta staging write
+    # re-derives the token total from the postings aggregate (see
+    # build_postings_index — one corpus explode, not two)
+    post = postings(df, id_col, text_col).persist()
     meta = corpus_stats(df, post, id_col)
     v = (
         sink.store_version(path)
@@ -210,6 +217,7 @@ def build_postings_index_occ(
         spark, path, {"postings": post, "meta": meta.coalesce(1)}, v,
         snapshot=True,
     )
+    post.unpersist()
     if res["committed"]:
         sink.occ_vacuum(path, retain_versions=retain_versions)
     return res

@@ -915,6 +915,7 @@ def _ivfpq_build(
         "cc": cc,
         "cd": cd,
         "assign": cassign,
+        "res": res,
         "pc": pc,
         "codes": codes,
     }
@@ -1120,10 +1121,28 @@ def build_ivfpq_index(
     the amortized nightly job; queries are interactive."""
     base = path.rstrip("/")
     ix = _ivfpq_build(items, n_cells, m, k_codes, id_col, vec_col)
-    ix["cc"].write.mode("overwrite").parquet(f"{base}/coarse_centroids")
-    ix["pc"].write.mode("overwrite").parquet(f"{base}/pq_codebooks")
-    ix["assign"].write.mode("overwrite").parquet(f"{base}/assignments")
-    ix["codes"].write.mode("overwrite").parquet(f"{base}/codes")
+    # persist the shared construction tables for the duration of the
+    # artifact writes (codes → pc → res → assign → cc lineage overlap —
+    # see build_ivfpq_index_occ), and run the four independent writes
+    # as concurrent jobs so small-table job latencies overlap (the
+    # occ_commit_tables staging discipline)
+    for key in ("cc", "pc", "assign", "res"):
+        ix[key] = ix[key].persist()
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = [
+        (ix["cc"], f"{base}/coarse_centroids"),
+        (ix["pc"], f"{base}/pq_codebooks"),
+        (ix["assign"], f"{base}/assignments"),
+        (ix["codes"], f"{base}/codes"),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                lambda dp: dp[0].write.mode("overwrite").parquet(dp[1]),
+                writes,
+            )
+        )
     # the meta artifact carries the build parameters: serving derives
     # the subspace split from __m rather than trusting its caller (a
     # mismatched m would silently mis-bucket `sub` and return wrong
@@ -1136,6 +1155,8 @@ def build_ivfpq_index(
         .write.mode("overwrite")
         .parquet(f"{base}/meta")
     )
+    for key in ("cc", "pc", "assign", "res"):
+        ix[key].unpersist()
 
 
 def build_ivfpq_index_occ(
@@ -1160,6 +1181,13 @@ def build_ivfpq_index_occ(
     from hive_cassandra_spark import sink
 
     ix = _ivfpq_build(items, n_cells, m, k_codes, id_col, vec_col)
+    # persist the shared construction tables for the duration of the
+    # commit: the five staged writes below otherwise re-derive
+    # overlapping lineage (codes → pc → res → assign → cc), recomputing
+    # the coarse centroids 4x and the cell assignment 3x — one corpus
+    # pass each instead
+    for key in ("cc", "pc", "assign", "res"):
+        ix[key] = ix[key].persist()
     meta = (
         ix["dim"]
         .withColumn("__m", F.lit(int(m)))
@@ -1184,6 +1212,8 @@ def build_ivfpq_index_occ(
         v,
         snapshot=True,
     )
+    for key in ("cc", "pc", "assign", "res"):
+        ix[key].unpersist()
     if res["committed"]:
         # retain_versions keeps the K newest superseded versions through
         # the post-rebuild vacuum so as_of_version pins (q204) survive

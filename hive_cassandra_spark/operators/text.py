@@ -606,10 +606,15 @@ def bpe_apply(
     toks = words.select(
         F.explode(F.split(F.trim(sym), " ")).alias("token"), "n"
     )
+    # persist: the two-phase global rank consumes the histogram three
+    # times (bucket sample, in-bucket numbering, offset counts) and each
+    # consumer would otherwise replay the corpus explode + merge chain;
+    # the histogram itself is vocabulary-sized (the persist is bounded
+    # by Heaps' law, not corpus bytes)
     hist = toks.groupBy("token").agg(
         F.sum("n").cast("long").alias("n_occ"),
         F.count(F.lit(1)).cast("long").alias("vocab_occ"),
-    )
+    ).persist()
     return _rank_token_ids(hist)
 
 
@@ -645,6 +650,11 @@ def bpe_tokenize_docs(
         r["pair"]
         for r in merges.select("step", "pair").orderBy("step").collect()
     ]
+    # persist: (doc, word) counts feed BOTH the vocabulary derivation
+    # and the final per-document join — unpersisted, the corpus is
+    # parsed and exploded once per consumer (the executed plan showed
+    # 4 corpus scans; the docstring's parse-ONCE contract is made
+    # physical here)
     doc_words = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -652,7 +662,7 @@ def bpe_tokenize_docs(
         )
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("n_w"))
-    )
+    ).persist()
     if not byte_level:
         doc_words = doc_words.filter(F.col("w").rlike("^[!-~]+$"))
     vocab = doc_words.groupBy("w").agg(F.sum("n_w").alias("n"))
@@ -669,14 +679,18 @@ def bpe_tokenize_docs(
         sym = F.replace(
             sym, F.lit(" " + p + " "), F.lit(" " + p.replace(" ", "") + " ")
         )
+    # persist the encoded vocabulary (consumed by the token histogram
+    # AND the per-document join below) and the histogram (consumed three
+    # times inside the two-phase global rank) — both are vocabulary-
+    # sized, never corpus-sized
     word_toks = vocab.select(
         "w", F.split(F.trim(sym), " ").alias("toks"), "n"
-    )
+    ).persist()
     hist = (
         word_toks.select(F.explode("toks").alias("token"), "n")
         .groupBy("token")
         .agg(F.sum("n").cast("long").alias("n_occ"))
-    )
+    ).persist()
     ids = _rank_token_ids(hist).select("token", "token_id")
     # NO broadcast hint on either join: the vocabulary is NOT
     # corpus-independent (Heaps' law — a 100 TB crawl's distinct-word
@@ -717,8 +731,20 @@ def _rank_token_ids(hist: DataFrame) -> DataFrame:
 def _bpe_merge_rounds(cur: DataFrame, n_merges: int) -> DataFrame:
     """The shared greedy merge loop over a padded symbol-string
     vocabulary ``(s, n)`` — see ``bpe_merges`` for the determinism and
-    cost contract."""
-    merges: DataFrame | None = None
+    cost contract.
+
+    Each round's argmax is ONE row by construction, so it is collected
+    and applied as a LITERAL replace: the old lazy-DataFrame chaining
+    (argmax crossJoin-broadcast into the next round's vocabulary)
+    evaluated every round's pair aggregation twice — once for the merge
+    row, once re-derived inside the next round's broadcast build — and
+    paid a broadcast exchange per round. One driver round-trip of a
+    single row per merge is the house ≤k-literal pattern (the centroid
+    precedent), never data-sized; values and ordering are identical
+    (the collect sees the same total-ordered limit-1)."""
+    from hive_cassandra_spark.session import local_df
+
+    rows: list = []
     for step in range(1, n_merges + 1):
         arr = F.split(F.trim(F.col("s")), " ")
         # adjacent pairs: zip the array with its own tail; zip_with pads
@@ -735,27 +761,23 @@ def _bpe_merge_rounds(cur: DataFrame, n_merges: int) -> DataFrame:
             .groupBy("p")
             .agg(F.sum("n").cast("long").alias("freq"))
         )
-        best = pair_counts.orderBy(F.desc("freq"), F.asc("p")).limit(1)
-        step_row = best.select(
-            F.lit(step).alias("step"),
-            F.col("p").alias("pair"),
-            "freq",
+        best = (
+            pair_counts.orderBy(F.desc("freq"), F.asc("p")).limit(1).collect()
         )
-        merges = step_row if merges is None else merges.unionByName(step_row)
-        cur = (
-            cur.crossJoin(F.broadcast(best))
-            .select(
-                F.replace(
-                    F.col("s"),
-                    F.concat(F.lit(" "), F.col("p"), F.lit(" ")),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(F.col("p"), F.lit(" "), F.lit("")),
-                        F.lit(" "),
-                    ),
-                ).alias("s"),
-                "n",
-            )
-            .localCheckpoint(eager=False)
-        )
-    return merges
+        if not best:
+            # no pair left anywhere (degenerate vocabulary): the old
+            # empty-argmax crossJoin emitted no further merge rows
+            break
+        p, freq = best[0]["p"], int(best[0]["freq"])
+        rows.append((step, p, freq))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {p} "),
+                F.lit(" " + p.replace(" ", "") + " "),
+            ).alias("s"),
+            "n",
+        ).localCheckpoint(eager=False)
+    return local_df(
+        cur.sparkSession, rows, "step int, pair string, freq long"
+    )

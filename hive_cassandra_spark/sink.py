@@ -839,8 +839,28 @@ def occ_commit_tables(
     v = cur + 1
     token = uuid.uuid4().hex[:8]
     staging = os.path.join(path, f".occ-staging-{v:09d}-{token}")
-    for tname, df in tables.items():
+
+    # stage the tables as CONCURRENT write jobs (a small driver-side
+    # thread pool): the per-table writes are independent, and Spark's
+    # scheduler back-fills executors freed by one job's straggler tail
+    # with the next job's tasks — serially, a 5-table IVF-PQ commit
+    # paid 5 full job latencies for mostly-small tables. FIFO
+    # scheduling keeps the first job's resource priority; atomicity is
+    # untouched (nothing publishes until every staged write returned).
+    def _stage(item):
+        tname, df = item
         df.write.mode("overwrite").parquet(os.path.join(staging, tname))
+
+    if len(tables) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(3, len(tables))
+        ) as pool:
+            list(pool.map(_stage, tables.items()))
+    else:
+        for item in tables.items():
+            _stage(item)
     if not OCC_CLAIM_BACKEND.claim(path, v, token):
         shutil.rmtree(staging, ignore_errors=True)
         return {
