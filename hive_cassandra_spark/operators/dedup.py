@@ -894,23 +894,75 @@ def neardup_components(
         .distinct()
         .persist()
     )
-    # lazy checkpoint: the convergence aggregate below is the SOLE action
-    # per round — it materializes (and stores) the checkpoint as a side
-    # effect, so each round pays one job instead of an eager-checkpoint
-    # job plus a separate aggregate job (measured ~2x on the fixed
-    # per-round latency that dominates small graphs)
-    labels = (
-        und.select(F.col("a").alias("node")).distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
-    # Convergence signal: labels only ever DECREASE (min-propagation), so
-    # sum(component) is strictly monotone until the fixpoint — an unchanged
-    # sum proves an unchanged labeling. One scalar aggregate per round
-    # instead of a join-and-compare pass. This first aggregate also
-    # materializes the labels checkpoint AND the persisted und beneath it.
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # Scale-adaptive loop execution (guide §2.2/§2.4 — derive the
+    # partitioning from the input, never a constant tuned for one rig):
+    # every round is a chain of tiny shuffles (prop join → min agg → hop
+    # join), and on a SMALL edge set the wall is pure per-stage latency
+    # — ~6 sequential AQE query-stage materializations per round, each
+    # with scheduling + re-planning overhead, regardless of row count.
+    # Measured on q189's real 8k-edge graph (idle box, interleaved
+    # configs): AQE+32 partitions 8.8 s, AQE+1 partition 5.3 s, AQE OFF
+    # + 1 partition 3.2 s — but AQE off at the default width is 30-40 s
+    # (runtime coalescing/broadcast conversion is what keeps the wide
+    # plan sane), so the low-latency shape must engage ONLY when the
+    # materialized edge count says the graph is small. Rule: ~200k
+    # edges per partition, clamped to the session default so a 100 TB
+    # edge set keeps full cluster width AND its AQE skew handling; the
+    # single-partition regime additionally drops AQE for the loop's
+    # lifetime (nothing to coalesce, no skew to split at that size).
+    # The und mirror itself materializes at the SESSION defaults (its
+    # input can be any size — the adaptive decision needs its count),
+    # then label init, convergence probes, and every round run under
+    # the derived regime. Partition count and AQE never change a
+    # min-label fixpoint — values are identical.
+    spark = pairs.sparkSession
+    n_und = und.count()
     edges.unpersist()
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    default_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    loop_p = max(1, min(default_p, n_und // 200_000 + 1))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
+        if loop_p == 1:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # lazy checkpoint: the convergence aggregate below is the SOLE
+        # action per round — it materializes (and stores) the checkpoint
+        # as a side effect, so each round pays one job instead of an
+        # eager-checkpoint job plus a separate aggregate job
+        labels = (
+            und.select(F.col("a").alias("node")).distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=False)
+        )
+        # Convergence signal: labels only ever DECREASE
+        # (min-propagation), so sum(component) is strictly monotone
+        # until the fixpoint — an unchanged sum proves an unchanged
+        # labeling. One scalar aggregate per round instead of a
+        # join-and-compare pass.
+        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+        converged, labels = _components_fixpoint_loop(
+            und, labels, prev_sum, max_iters
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_p))
+        spark.conf.set("spark.sql.adaptive.enabled", default_aqe)
+    und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"neardup_components did not reach a fixpoint within max_iters="
+            f"{max_iters} rounds — the pair graph has a component with "
+            "diameter beyond the cap, and returning now would silently "
+            "split it. Raise max_iters (rounds needed = graph diameter)."
+        )
+    return labels
+
+
+def _components_fixpoint_loop(
+    und: DataFrame, labels: DataFrame, prev_sum, max_iters: int
+) -> tuple[bool, DataFrame]:
+    """The min-label propagation rounds of ``neardup_components``, split
+    out so the caller can scope the shuffle-partition override to exactly
+    the loop. Returns (converged, final labels)."""
     converged = False
     for _ in range(max_iters):
         prop = und.join(labels, und["a"] == labels["node"]).select(
@@ -944,15 +996,7 @@ def neardup_components(
             converged = True
             break
         prev_sum = new_sum
-    und.unpersist()
-    if not converged:
-        raise RuntimeError(
-            f"neardup_components did not reach a fixpoint within max_iters="
-            f"{max_iters} rounds — the pair graph has a component with "
-            "diameter beyond the cap, and returning now would silently "
-            "split it. Raise max_iters (rounds needed = graph diameter)."
-        )
-    return labels
+    return converged, labels
 
 
 def neardup_clusters(
