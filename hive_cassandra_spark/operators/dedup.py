@@ -25,6 +25,8 @@ No collect(), no driver-side loops anywhere.
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from hive_cassandra_spark.operators import sketches
@@ -510,6 +512,37 @@ def simhash_pairs(
     return signature_hamming_pairs(sig, max_hamming, max_bucket)
 
 
+@_contextmanager
+def _adaptive_width(spark, n_rows: int, per_partition: int = 100_000):
+    """Scope in which shuffle width is derived from a MATERIALIZED input
+    size instead of the session constant (guide §2.2/§2.4): ~
+    ``per_partition`` rows per shuffle partition, clamped to the session
+    default so large inputs keep full cluster width and AQE's skew
+    handling. The single-partition regime additionally disables AQE —
+    on tiny inputs the wall is per-query-stage scheduling latency
+    (measured 8.8 s → 3.2 s on the components loop, 2.8 s → 1.2 s on
+    the banded pair stage), while AQE off at full width is
+    catastrophically WORSE (29-42 s measured), hence the coupling.
+    Yields True when a reduced width is in effect (callers materialize
+    inside the scope), False when the clamp binds (no conf touched —
+    the 100 TB path is byte-identical to not calling this at all).
+    Partitioning and AQE never change values, only schedules."""
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    p = max(1, min(default_p, n_rows // per_partition + 1))
+    if p >= default_p:
+        yield False
+        return
+    default_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        if p == 1:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        yield True
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_p))
+        spark.conf.set("spark.sql.adaptive.enabled", default_aqe)
+
+
 def signature_band_pairs(
     sig: DataFrame,
     max_hamming: int = 3,
@@ -634,7 +667,22 @@ def signature_hamming_pairs(
     connectivity-sufficient linear edge set when the consumer is
     connected components (q189's path)."""
     sig = sig.select("doc", "sim_hi", "sim_lo").persist()
-    spairs = signature_band_pairs(sig, max_hamming, max_bucket)
+    # the count materializes the (persisted) signature kernel output —
+    # the same pass the pair search forces anyway — and sizes the
+    # banded stage: the spairs subtree (bands explode → bucket window →
+    # self-join → distinct, ~6 tiny stages on a small distinct-signature
+    # space) materializes inside the adaptive-width scope; the verified
+    # signature-pair table is candidate-sized by design (broadcastable —
+    # see the expansion joins below), so persisting it is scale-safe.
+    # The EXPANSION joins stay at session width: their output is the
+    # true pair set, output-quadratic in dense-duplicate fixtures, and
+    # must keep full width + AQE skew handling at scale.
+    n_sig = sig.count()
+    with _adaptive_width(sig.sparkSession, 4 * n_sig) as scoped:
+        spairs = signature_band_pairs(sig, max_hamming, max_bucket)
+        if scoped:
+            spairs = spairs.persist()
+            spairs.count()
     a_side = sig.select(
         F.col("sim_hi").alias("ha"),
         F.col("sim_lo").alias("la"),
@@ -689,38 +737,51 @@ def signature_neardup_edges(
     here joins docs the full graph keeps apart — so the transitive
     closure is unchanged. This is the 100 TB components path (q189)."""
     sig = sig.select("doc", "sim_hi", "sim_lo").persist()
-    reps = sig.groupBy("sim_hi", "sim_lo").agg(
-        F.min("doc").alias("rep"), F.count(F.lit(1)).alias("n_members")
-    )
-    star = (
-        sig.join(reps, ["sim_hi", "sim_lo"])
-        .filter(F.col("doc") != F.col("rep"))
-        .select(F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"))
-    )
-    spairs = signature_band_pairs(sig, max_hamming, max_bucket)
-    cross = (
-        spairs.join(
-            reps.select(
-                F.col("sim_hi").alias("ha"),
-                F.col("sim_lo").alias("la"),
-                F.col("rep").alias("ra"),
-            ),
-            ["ha", "la"],
+    # materialize the signature cache (the pass every consumer forces
+    # anyway) and size the whole edge build from it: star edges, the
+    # banded spairs subtree and the rep-rep expansion are ALL linear or
+    # candidate-sized by construction (the docstring's contract), so on
+    # a small signature space the entire edge set materializes inside
+    # the adaptive-width scope; at 100 TB the clamp binds and this is
+    # byte-identical to the lazy build at session width.
+    n_sig = sig.count()
+    with _adaptive_width(sig.sparkSession, 4 * n_sig) as scoped:
+        reps = sig.groupBy("sim_hi", "sim_lo").agg(
+            F.min("doc").alias("rep"), F.count(F.lit(1)).alias("n_members")
         )
-        .join(
-            reps.select(
-                F.col("sim_hi").alias("hb"),
-                F.col("sim_lo").alias("lb"),
-                F.col("rep").alias("rb"),
-            ),
-            ["hb", "lb"],
+        star = (
+            sig.join(reps, ["sim_hi", "sim_lo"])
+            .filter(F.col("doc") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"))
         )
-        .select(
-            F.least("ra", "rb").alias("doc_a"),
-            F.greatest("ra", "rb").alias("doc_b"),
+        spairs = signature_band_pairs(sig, max_hamming, max_bucket)
+        cross = (
+            spairs.join(
+                reps.select(
+                    F.col("sim_hi").alias("ha"),
+                    F.col("sim_lo").alias("la"),
+                    F.col("rep").alias("ra"),
+                ),
+                ["ha", "la"],
+            )
+            .join(
+                reps.select(
+                    F.col("sim_hi").alias("hb"),
+                    F.col("sim_lo").alias("lb"),
+                    F.col("rep").alias("rb"),
+                ),
+                ["hb", "lb"],
+            )
+            .select(
+                F.least("ra", "rb").alias("doc_a"),
+                F.greatest("ra", "rb").alias("doc_b"),
+            )
         )
-    )
-    return star.unionByName(cross)
+        out = star.unionByName(cross)
+        if scoped:
+            out = out.persist()
+            out.count()
+    return out
 
 
 # ---------------------------------------------------- embedding near-dup ---
@@ -918,13 +979,7 @@ def neardup_components(
     spark = pairs.sparkSession
     n_und = und.count()
     edges.unpersist()
-    default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    default_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    loop_p = max(1, min(default_p, n_und // 200_000 + 1))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
-        if loop_p == 1:
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
+    with _adaptive_width(spark, n_und, per_partition=200_000):
         # lazy checkpoint: the convergence aggregate below is the SOLE
         # action per round — it materializes (and stores) the checkpoint
         # as a side effect, so each round pays one job instead of an
@@ -943,9 +998,6 @@ def neardup_components(
         converged, labels = _components_fixpoint_loop(
             und, labels, prev_sum, max_iters
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(default_p))
-        spark.conf.set("spark.sql.adaptive.enabled", default_aqe)
     und.unpersist()
     if not converged:
         raise RuntimeError(
