@@ -108,6 +108,10 @@ def test_simhash_single_shuffle_to_buckets(spark, sf_dir):
 
     from hive_cassandra_spark.operators import dedup
 
+    # an earlier test may have left the simhash signature subtree persisted
+    # (the banded engine materializes it); assert on the fresh plan, not on
+    # a cache substitution whose AQE toString double-prints its Exchange
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     grouped = (
         dedup.simhash_bands(dedup.simhash(docs))
