@@ -742,8 +742,25 @@ def _bpe_merge_rounds(cur: DataFrame, n_merges: int) -> DataFrame:
     single row per merge is the house ≤k-literal pattern (the centroid
     precedent), never data-sized; values and ordering are identical
     (the collect sees the same total-ordered limit-1)."""
+    from hive_cassandra_spark.operators.dedup import _adaptive_width
     from hive_cassandra_spark.session import local_df
 
+    # materialize the (checkpointed) symbolized vocabulary and size the
+    # merge rounds' shuffle width from its COUNT (guide §2.2/§2.4 — the
+    # components-loop precedent): each round is ~2 tiny stages over a
+    # vocabulary-sized table, so at fixture scale the wall is per-stage
+    # scheduling latency, not data; the clamp keeps a 100 TB vocabulary
+    # at full session width with AQE skew handling, byte-identical plans
+    n_vocab = cur.count()
+    rows: list = []
+    with _adaptive_width(cur.sparkSession, n_vocab):
+        rows = _bpe_merge_loop(cur, n_merges)
+    return local_df(
+        cur.sparkSession, rows, "step int, pair string, freq long"
+    )
+
+
+def _bpe_merge_loop(cur: DataFrame, n_merges: int) -> list:
     rows: list = []
     for step in range(1, n_merges + 1):
         arr = F.split(F.trim(F.col("s")), " ")
@@ -778,6 +795,4 @@ def _bpe_merge_rounds(cur: DataFrame, n_merges: int) -> DataFrame:
             ).alias("s"),
             "n",
         ).localCheckpoint(eager=False)
-    return local_df(
-        cur.sparkSession, rows, "step int, pair string, freq long"
-    )
+    return rows

@@ -9103,7 +9103,12 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     "round-9 window slot",
 )
 def q179_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=5)
+    # spread the single-file corpus parse across cores (see q127/q43);
+    # the (word, count) vocabulary is partitioning-independent
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return text.bpe_merges(docs, n_merges=5)
 
 
 def _bpe_bytes_oracle_sql(n_merges: int) -> str:
@@ -9166,7 +9171,11 @@ def _bpe_bytes_oracle_sql(n_merges: int) -> str:
     "(q179 in-window since round 9)",
 )
 def q184_bpe_merges_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.bpe_merges_bytes(_t(spark, sf_dir, "documents"), n_merges=5)
+    # spread the single-file corpus parse across cores (see q127/q43)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return text.bpe_merges_bytes(docs, n_merges=5)
 
 
 def _bpe_bytes_apply_oracle_sql(n_merges: int) -> str:
@@ -9213,7 +9222,10 @@ def _bpe_bytes_apply_oracle_sql(n_merges: int) -> str:
     "in-window since round 9)",
 )
 def q187_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # spread the single-file corpus parse across cores (see q127/q43)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     merges = text.bpe_merges_bytes(docs, n_merges=5)
     return text.bpe_apply(docs, merges, byte_level=True)
 
@@ -10240,7 +10252,10 @@ def _bpe_tokenize_docs_oracle_sql(n_merges: int) -> str:
     "in-window)",
 )
 def q193_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # spread the single-file corpus parse across cores (see q127/q43)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     merges = text.bpe_merges_bytes(docs, n_merges=5)
     return text.bpe_tokenize_docs(docs, merges, byte_level=True).filter(
         F.col("doc_id") % 10 == 0
@@ -10731,7 +10746,12 @@ def q201_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the CPU-bound gram hashing (12.5M md5s at sf0.1) across
+    # cores — the single-file scan otherwise runs train AND every
+    # stream micro-batch in a handful of tasks (see q127/q43); the
+    # aggregation and the stateless scorer are partitioning-independent
+    width = spark.sparkContext.defaultParallelism
+    docs = _t(spark, sf_dir, "documents").repartition(width)
     weights = curation.quality_model_train_hashed(
         docs, n=3, n_buckets=4096, good_min_tokens=50
     ).collect()
@@ -10740,7 +10760,7 @@ def q201_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"hcs_q201_{tok}_{os.getpid()}"
     )
     shutil.rmtree(base, ignore_errors=True)
-    docs.repartition(4).write.parquet(base)
+    docs.write.parquet(base)
     stream = spark.readStream.schema(docs.schema).parquet(base)
     scored = stream.select(
         "doc_id",
