@@ -647,9 +647,12 @@ def quality_model_train(
     shape. Labels come from a declarative rule (token count ≥
     ``good_min_tokens``), standing in for human labels.
 
-    Scale: ONE corpus scan; the (doc, gram) distinct + per-gram counts
-    are map-side-combinable aggregations; the final top-k ranks the
-    VOCABULARY (corpus-independent size), not the corpus.
+    Scale: ONE corpus scan; the (doc, gram) dedup happens per-doc
+    INSIDE the n-gram array (array_distinct before the explode), so the
+    only shuffle is the per-gram count aggregate — map-side combined,
+    vocabulary-sized per task; no occurrence-sized exchange exists. The
+    final top-k ranks the VOCABULARY (corpus-independent size), not the
+    corpus.
     """
     from hive_cassandra_spark.operators.text import normalize
 
@@ -662,9 +665,23 @@ def quality_model_train(
         (F.size(F.filter(F.split("__t", " "), lambda x: x != F.lit("")))
          >= good_min_tokens).alias("__good"),
     )
+    # per-doc dedup BEFORE the explode (guide: aggregate before you
+    # shuffle): array_distinct makes (doc, gram) rows unique by
+    # construction, so the global DISTINCT — a full exchange of every
+    # gram occurrence in the corpus — disappears and the df aggregate
+    # below partial-aggregates map-side. explode_outer, not explode:
+    # plain explode lets InferFiltersFromGenerate push a size(arr)>0
+    # filter that re-inlines the whole n-gram transform per row (the
+    # winnowing-kernel lesson, dedup.py); the post-explode null filter
+    # restores plain-explode semantics (gram elements are never null,
+    # only empty arrays produce a null row).
     grams = lab.select(
-        "__d", "__good", F.explode(_char_ngrams(F.col("__t"), n)).alias("g")
-    ).distinct()
+        "__d",
+        "__good",
+        F.explode_outer(
+            F.array_distinct(_char_ngrams(F.col("__t"), n))
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
     df_counts = grams.groupBy("g").agg(
         F.sum(F.when(F.col("__good"), 1).otherwise(0)).alias("dfg"),
         F.sum(F.when(F.col("__good"), 0).otherwise(1)).alias("dfb"),
@@ -718,22 +735,25 @@ def quality_model_train_hashed(
         (F.size(F.filter(F.split("__t", " "), lambda x: x != F.lit("")))
          >= good_min_tokens).alias("__good"),
     )
-    buckets = (
-        lab.select(
-            "__d",
-            "__good",
-            F.explode(_char_ngrams(F.col("__t"), n)).alias("g"),
+    # same pre-explode dedup as quality_model_train: hash every gram to
+    # its bucket INSIDE the array (one md5 per occurrence, as before),
+    # array_distinct the bucket array per doc, and the global DISTINCT
+    # exchange over every occurrence disappears — the df aggregate
+    # partial-aggregates map-side. explode_outer + null filter for the
+    # InferFiltersFromGenerate reason documented in quality_model_train
+    # (measured: plain explode re-inlined the md5 transform into an
+    # inferred filter and ran 4x slower than the shipped shape).
+    barr = F.array_distinct(
+        F.transform(
+            _char_ngrams(F.col("__t"), n),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+            .cast("long")
+            % F.lit(int(n_buckets)),
         )
-        .select(
-            "__d",
-            "__good",
-            F.expr(
-                "cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) "
-                f"% {int(n_buckets)}"
-            ).alias("b"),
-        )
-        .distinct()
     )
+    buckets = lab.select(
+        "__d", "__good", F.explode_outer(barr).alias("b")
+    ).filter(F.col("b").isNotNull())
     df_counts = buckets.groupBy("b").agg(
         F.sum(F.when(F.col("__good"), 1).otherwise(0)).alias("dfg"),
         F.sum(F.when(F.col("__good"), 0).otherwise(1)).alias("dfb"),

@@ -353,3 +353,34 @@ def test_mjpeg_mp4_pipeline_single_roundrobin_exchange(spark, sf_dir):
     assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
     assert "RoundRobin" in plan
     assert "Join" not in plan, plan
+
+
+def test_quality_model_train_no_occurrence_distinct_exchange(spark, sf_dir):
+    """Both quality-model trainers dedup (doc, gram/bucket) INSIDE the
+    per-doc n-gram array (array_distinct before the explode), so the
+    occurrence-sized global DISTINCT exchange must not exist: the only
+    exchanges in a train plan are the vocabulary-sized df-count
+    aggregate (+ the top-k window's single-partition exchange in the
+    plain variant). More exchanges means the distinct crept back and a
+    100 TB corpus would shuffle every gram occurrence."""
+    import re
+
+    from hive_cassandra_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = curation.quality_model_train(docs, n=3, top_k=16)
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE exchange: the vocabulary-sized df-count aggregate
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+    hashed = curation.quality_model_train_hashed(docs, n=3, n_buckets=64)
+    hplan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange\b", hplan)) == 1, hplan
+    for p in (plan, hplan):
+        # the dedup happens inside the array, before the explode
+        assert "array_distinct" in p, p
+        # the explode must stay OUTER: a plain explode lets
+        # InferFiltersFromGenerate re-inline the gram/md5 transform into
+        # a per-row size(...)>0 filter (measured 4x slower on the hashed
+        # trainer). The inferred filter's signature is the transform
+        # duplicated under size().
+        assert "size(array_distinct" not in p, p
