@@ -281,14 +281,16 @@ NOTES = {
         "map-side combined) + driver-side dirent vacuum."
     ),
     "q186_quality_model": (
-        "training is one corpus scan: distinct (doc, trigram) pairs -> "
-        "two map-side-combined counts -> a vocab-sized top-256 window "
-        "(single-partition over the VOCABULARY only, never corpus "
-        "rows); scoring explodes trigram occurrences and inner-joins "
-        "the 256-row BROADCAST weight table BEFORE the only shuffle "
-        "(the per-doc sum), so non-model grams never move. Integer "
-        "weights + logit threshold: the keep verdict never touches a "
-        "float."
+        "training is one corpus scan: (doc, trigram) pairs dedup "
+        "INSIDE the per-doc n-gram array (array_distinct before the "
+        "outer explode — no occurrence-sized distinct exchange "
+        "exists) -> one map-side-combined count -> a vocab-sized "
+        "top-256 window (single-partition over the VOCABULARY only, "
+        "never corpus rows); scoring explodes trigram occurrences and "
+        "inner-joins the 256-row BROADCAST weight table BEFORE the "
+        "only shuffle (the per-doc sum), so non-model grams never "
+        "move. Integer weights + logit threshold: the keep verdict "
+        "never touches a float."
     ),
     "q183_occ_commit": (
         "three staged parquet writes + atomic mkdir version claims + "
