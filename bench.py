@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hive_cassandra_spark.queries import QUERIES  # noqa: E402
 from hive_cassandra_spark.session import get_spark  # noqa: E402
+from tools.steal_sampler import cpu_snapshot, window as steal_window  # noqa: E402
 
 # Headline set: the scan/agg, join, window, shape, dedup, similarity,
 # text, and streaming paths — one representative per operator family.
@@ -335,6 +336,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     load_gate = _idle_gate()
+    run_snap0 = cpu_snapshot()
     # 8g driver heap (fresh process → effective): the default 1g JVM died
     # with OOM around headline query ~70 in round 8 — the queries persist
     # intermediate tables (shingle/prefix/candidate) that only the
@@ -513,6 +515,10 @@ def main() -> None:
     # from the timed query wall — same condition the baselines were
     # recorded in) without consulting this source file.
     recycles: dict[str, float] = {}
+    # per-query host-contention stamps ({"steal_pct", "busy_pct",
+    # "load1"} over exactly the timed window) — bench_out.json only
+    # (the compact stdout line must keep fitting the driver's tail)
+    host: dict[str, dict] = {}
     for i, name in enumerate(HEADLINE):
         if name in RECYCLE_BEFORE:
             r0 = time.perf_counter()
@@ -527,11 +533,27 @@ def main() -> None:
                     pass
             spark.catalog.clearCache()
             recycles[name] = round(time.perf_counter() - r0, 3)
+        # Bracket the timed window with /proc/stat snapshots (r13 verdict
+        # item 1: make the host-noise evidence driver-visible). The
+        # cumulative counters cost one ~50 us file read per side and
+        # change nothing about the measurement itself; the per-query
+        # steal%/busy%/load1 land in bench_out.json so a reader can see
+        # which rows were timed under hypervisor contention without
+        # consulting side artifacts. Additions-only: timed action,
+        # ordering, warmup and recycle methodology are unchanged.
+        s0 = cpu_snapshot()
         t0 = time.perf_counter()
         df = QUERIES[name].fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        hw = steal_window(s0, cpu_snapshot())
+        hw["load1"] = round(os.getloadavg()[0], 2)
+        host[name] = hw
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows) "
+            f"steal={hw['steal_pct']}%",
+            file=sys.stderr,
+        )
         # drop the query's leaked persists (operators persist multi-
         # consumer intermediates and rely on the ContextCleaner, which
         # can't keep pace with ~100 back-to-back queries): every query
@@ -557,6 +579,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     load_gate["load1_at_end"] = round(os.getloadavg()[0], 2)
+    # whole-run steal/busy window (warmups + untimed gaps included) —
+    # the run-level contention summary next to the per-query stamps
+    load_gate["run_host"] = steal_window(run_snap0, cpu_snapshot())
     payload = json.dumps(
         {
             "metric": "headline_queries_total_wallclock",
@@ -570,6 +595,11 @@ def main() -> None:
             # SparkContext; value = restart+re-warm seconds EXCLUDED
             # from that query's timed wall.
             "recycled_fresh_jvm": recycles,
+            # per-query /proc/stat steal%/busy% + load1 over the timed
+            # window (tools/steal_sampler.py): rows timed during a
+            # hypervisor-steal burst carry the evidence in the artifact
+            # itself (r13 verdict item 1)
+            "host": host,
         }
     )
     # Durability (two rounds of evidence): the driver keeps only the LAST

@@ -32,6 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hive_cassandra_spark.queries import QUERIES  # noqa: E402
 from hive_cassandra_spark.session import get_spark  # noqa: E402
+from tools.steal_sampler import cpu_snapshot  # noqa: E402
+from tools.steal_sampler import window as steal_window  # noqa: E402
 
 TIER = [
     "q175_lsh_leakage_split",
@@ -83,6 +85,12 @@ def main() -> None:
     )
     ap.add_argument("--out", default=None)
     ap.add_argument(
+        "--steal-max",
+        type=float,
+        default=3.0,
+        help="discard+retry a trial whose window steal%% exceeds this",
+    )
+    ap.add_argument(
         "--queries",
         default=None,
         help="comma-separated query names (default: the heavy tier)",
@@ -107,23 +115,49 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name in tier:
-        trials = []
-        for _ in range(args.trials):
+        # steal-stamped trials (r13 verdict item 1): every trial's
+        # window is bracketed with /proc/stat snapshots, and a trial
+        # taken during a hypervisor-steal burst (> --steal-max %) is
+        # DISCARDED and retried — the r11-r13 discard-and-re-run
+        # discipline, now instrumented per trial instead of inferred
+        # from disjoint outlier sets. Discards stay in the artifact.
+        trials, steals, discarded = [], [], []
+        budget = args.trials * 4
+        while len(trials) < args.trials and budget > 0:
+            budget -= 1
+            s0 = cpu_snapshot()
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, args.sf_dir).count()
-            trials.append(round(time.perf_counter() - t0, 3))
+            wall = round(time.perf_counter() - t0, 3)
+            hw = steal_window(s0, cpu_snapshot())
             spark.catalog.clearCache()
+            if (
+                hw["steal_pct"] is not None
+                and hw["steal_pct"] > args.steal_max
+            ):
+                discarded.append(
+                    {"sec": wall, "steal_pct": hw["steal_pct"]}
+                )
+                continue
+            trials.append(wall)
+            steals.append(hw["steal_pct"])
         med = statistics.median(trials)
         base = baselines.get(name)
         results[name] = {
             "trials": trials,
+            "steal_pct_per_trial": steals,
+            "discarded_steal_trials": discarded,
             "median": round(med, 3),
             "baseline": base,
             "ratio_vs_baseline": (
                 round(med / base, 2) if base else None
             ),
         }
-        print(f"# {name}: median {med:.2f}s trials={trials}", file=sys.stderr)
+        print(
+            f"# {name}: median {med:.2f}s trials={trials} "
+            f"steal={steals} discards={len(discarded)}",
+            file=sys.stderr,
+        )
 
     payload = {
         "metric": "heavy_tier_standalone_medians",
